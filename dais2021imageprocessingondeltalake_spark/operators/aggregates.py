@@ -1,0 +1,62 @@
+"""Aggregations (SURVEY.md §2 D1-D5).
+
+Reference sites: count `00. Explore.py:79`, distinct `01. Ingest.py:76`,
+distinct-count `02.a Train - TensorFlow Distributed.py:78`, groupBy (as
+grouped-map partitioner) `01. Ingest.py:126`. Full `groupBy().agg()` is
+the capability gap the engine fills (D5).
+
+Scale notes: Spark's hash aggregate is partial+final (map-side combine)
+by default — a groupBy on a low-cardinality key shuffles only
+|partitions|x|groups| pre-aggregated rows, not the raw data. Exact
+countDistinct adds a second shuffle (expand + two-phase agg); at 100 TB
+prefer approx_count_distinct (HLL, one pass) unless exactness is needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def count_rows(df: DataFrame) -> int:
+    """D1 — global count action."""
+    return df.count()
+
+
+def count_rows_df(df: DataFrame, alias: str = "n") -> DataFrame:
+    """D1 as a relation (for oracle-checkable pipelines)."""
+    return df.agg(F.count(F.lit(1)).alias(alias))
+
+
+def distinct_rows(df: DataFrame, *cols: str) -> DataFrame:
+    """D2 — distinct over a projection (hash aggregate on all columns)."""
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def distinct_count(df: DataFrame, col: str, approx: bool = False, alias: str | None = None) -> DataFrame:
+    """D3 — exact or HLL-approximate distinct count, as a 1-row relation."""
+    alias = alias or f"n_{col}"
+    agg = F.approx_count_distinct(col) if approx else F.countDistinct(col)
+    return df.agg(agg.alias(alias))
+
+
+def grouped_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """D4+D5 — hash aggregate with map-side combine. Every agg Column must
+    carry an explicit .alias() so result schemas are stable."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """Grouping-sets rollup (Spark builtin `df.rollup`)."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """Grouping-sets cube (Spark builtin `df.cube`)."""
+    return df.cube(*keys).agg(*aggs)
