@@ -1,0 +1,224 @@
+"""Python-boundary query registrations (SURVEY.md §2 I1-I4, J1, J5, A2, A5/A6).
+
+These exercise the Arrow-vectorized UDF surface. Where the Python function
+computes something SQL-expressible, the query still gets a full DuckDB
+oracle (the point is to validate the *boundary*, not to hide behind
+rows-only checks); genuinely content-dependent ops (binary scans, random
+split, parquet round-trip) are rows-only per the driver contract.
+
+Float-determinism note: pandas aggregates (mean/std) accumulate in a
+different order than SQL engines, so grouped-map outputs stick to
+order-independent exact values (ranks, counts, min-deltas) — see
+queries_relational.q_groupby_agg for the full rationale.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.udf import grouped_apply, map_batches, model_udf, scalar_pandas_udf
+from .operators.sampling import random_split
+from .registry import query
+from .sources.binaryfiles import scan_binary_files
+from .sources.fixtures import image_fixture_dir
+from .sources.tables import read_table, write_table
+
+
+# --------------------------------------------------------------------------
+# I1 — scalar pandas UDF returning a struct
+# --------------------------------------------------------------------------
+@query(
+    "q_udf_struct",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_udf
+    FROM documents
+    """,
+)
+def q_udf_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF → struct (I1): same shape as the reference's
+    `extract_size_udf` DDL-schema UDF (`01. Ingest.py:54-62`), here
+    computing text metadata so DuckDB can validate the Arrow boundary."""
+
+    def text_stats(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_tokens": texts.str.split(" ").map(len).astype("int32"),
+                "n_chars_udf": texts.str.len().astype("int32"),
+            }
+        )
+
+    stats_udf = scalar_pandas_udf(text_stats, "n_tokens: int, n_chars_udf: int")
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", stats_udf(F.col("text")).alias("s")).select(
+        "doc_id", F.col("s.n_tokens").alias("n_tokens"), F.col("s.n_chars_udf").alias("n_chars_udf")
+    )
+
+
+# --------------------------------------------------------------------------
+# I3 — grouped-map applyInPandas
+# --------------------------------------------------------------------------
+@query(
+    "q_apply_in_pandas",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT)
+             AS value_rank,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS group_n,
+           value - min(value) OVER (PARTITION BY event_type) AS delta_from_min
+    FROM events
+    """,
+)
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (I3, `01. Ingest.py:126`): each event_type
+    group arrives as one pandas frame; emit per-row rank, group size, and
+    distance-from-group-min. All outputs are order-independent exact values
+    (rank with unique tiebreak; min is order-free; a-b is one IEEE op), so
+    the SQL-window oracle matches bit-for-bit."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"]).reset_index(drop=True)
+        pdf["value_rank"] = range(1, len(pdf) + 1)
+        pdf["group_n"] = len(pdf)
+        pdf["delta_from_min"] = pdf["value"] - pdf["value"].min()
+        return pdf[["event_id", "event_type", "value_rank", "group_n", "delta_from_min"]]
+
+    events = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    return grouped_apply(
+        events,
+        ["event_type"],
+        per_group,
+        "event_id long, event_type string, value_rank long, group_n long, delta_from_min double",
+    )
+
+
+# --------------------------------------------------------------------------
+# J5 — mapInPandas batch transform
+# --------------------------------------------------------------------------
+@query(
+    "q_map_in_pandas",
+    oracle="""
+    SELECT event_id,
+           value * 2 AS value_x2,
+           CAST(length(props) AS INT) AS props_len,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+    FROM events
+    """,
+)
+def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local batch transform (J5): the relational form of the
+    reference's petastorm TransformSpec (`02.a:157-180`) — per-batch
+    derived columns, no shuffle."""
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "value_x2": pdf["value"] * 2,
+                    "props_len": pdf["props"].str.len().astype("int32"),
+                    "is_purchase": (pdf["event_type"] == "purchase").astype("int32"),
+                }
+            )
+
+    events = load_table(spark, "events", sf_dir)
+    return map_batches(
+        events, batches, "event_id long, value_x2 double, props_len int, is_purchase int"
+    )
+
+
+# --------------------------------------------------------------------------
+# I4 — model-as-UDF
+# --------------------------------------------------------------------------
+_CLASSES = ("daisy", "dandelion", "roses", "sunflowers", "tulips")
+
+
+def _fake_predict(batch: pd.DataFrame) -> list[list[str]]:
+    """Deterministic stand-in for the reference's pyfunc wrappers
+    (`02.b:288-346`): class = n_chars mod 5; 'probabilities' JSON mirrors
+    the json.dumps payload at `02.a:231` (integer percents so the string
+    form is engine-independent)."""
+    out = []
+    for n in batch["n_chars"]:
+        idx = int(n) % len(_CLASSES)
+        pct = int(n) % 100
+        out.append([_CLASSES[idx], json.dumps({"p": pct})])
+    return out
+
+
+@query(
+    "q_model_udf",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(n_chars % 5 AS INT)
+             WHEN 0 THEN 'daisy' WHEN 1 THEN 'dandelion' WHEN 2 THEN 'roses'
+             WHEN 3 THEN 'sunflowers' ELSE 'tulips' END AS prediction,
+           concat('{"p": ', CAST(n_chars % 100 AS VARCHAR), '}') AS probabilities
+    FROM documents
+    """,
+)
+def q_model_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-as-UDF (I4, `03. Inference.py:28-33`): any Python
+    `predict(pd.DataFrame) -> list` becomes a column function over a
+    struct of inputs; result is `array<string>` [prediction, probs-JSON]
+    exactly like the reference's output shape, then split into columns so
+    the oracle can check values."""
+    docs = load_table(spark, "documents", sf_dir)
+    udf = model_udf(_fake_predict, "array<string>")
+    scored = docs.withColumn("my_predictions", udf(F.struct(F.col("n_chars"))))
+    return scored.select(
+        "doc_id",
+        F.element_at("my_predictions", 1).alias("prediction"),
+        F.element_at("my_predictions", 2).alias("probabilities"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 — random split (rows-only: membership is partitioning-dependent)
+# --------------------------------------------------------------------------
+@query("q_random_split", oracle=None)
+def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded randomSplit (J1, `02.a:79`); invariants (disjoint,
+    exhaustive) are asserted in tests/test_pyboundary.py."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    train, _val = random_split(docs, [0.6, 0.4], seed=12345)
+    return train
+
+
+# --------------------------------------------------------------------------
+# A5/A6 — write/read round-trip (rows-only: filesystem side effect)
+# --------------------------------------------------------------------------
+@query("q_write_roundtrip", oracle=None)
+def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sink + scan round-trip (A5/A6) with the §4.2 binary-payload
+    policies (uncompressed codec, small row groups, pre-write compaction)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = tempfile.mkdtemp(prefix="dais_roundtrip_") + "/documents"
+    write_table(
+        docs, out, merge_schema=True, binary_payload=True, row_group_bytes=1_000_000, compact_to=4
+    )
+    return read_table(spark, out)
+
+
+# --------------------------------------------------------------------------
+# A2 — binaryFile source scan (rows-only: fixture-backed)
+# --------------------------------------------------------------------------
+@query("q_scan_binary", oracle=None)
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan over the deterministic PNG fixture tree
+    (A1/A2, `01. Ingest.py:33-36`): recursive lookup + glob filter, then
+    the reference's path-regex label extraction (G1, `01. Ingest.py:50-52`)."""
+    root = image_fixture_dir()
+    df = scan_binary_files(spark, root, glob="*.png", recursive=True)
+    return df.select(
+        "path",
+        "length",
+        F.regexp_extract("path", r"flower_photos/([^/]+)", 1).alias("label"),
+    )

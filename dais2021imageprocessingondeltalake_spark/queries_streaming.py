@@ -1,0 +1,74 @@
+"""Streaming query registrations (SURVEY.md §2 A7/A8, H1-H4).
+
+Each callable runs a real StreamingQuery to completion (availableNow →
+memory sink) and returns the materialized result. Because availableNow
+processes everything in the source, the results ARE SQL-expressible and
+get full DuckDB oracles — stronger than the rows-only check the contract
+allows for streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+from .streaming.stream import events_stream, run_stream_to_memory
+from .streaming.windows import tumbling_window_agg
+
+
+@query(
+    "q_stream_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming grouped aggregate (A7+A8+H1-H3): incremental file source
+    → stateful agg → checkpointed sink, driven to completion. With
+    availableNow the final state equals the batch aggregate, so the batch
+    SQL oracle applies. value sums via exact DECIMAL (2-decimal data) —
+    see queries_relational.q_groupby_agg."""
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "q_stream_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark (H4 —
+    north-star; the reference's stream is stateless). 1-hour windows by
+    event_type; window.start == date_trunc('hour', ts) for the oracle."""
+    stream = events_stream(spark, sf_dir)
+    windowed = tumbling_window_agg(
+        stream,
+        "ts",
+        "1 hour",
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        ],
+        extra_keys=["event_type"],
+        watermark="2 hours",
+    )
+    result = run_stream_to_memory(windowed, output_mode="complete")
+    return result.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
+    )

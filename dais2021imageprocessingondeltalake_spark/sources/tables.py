@@ -1,0 +1,79 @@
+"""Table sinks + write policies (SURVEY.md §2 A5-A6, A11; §4.2 tactics).
+
+The reference writes Delta with overwrite + mergeSchema and tunes parquet
+for binary payloads (`01. Ingest.py:176-183`, `03. Inference.py:43-54`).
+Delta's jar isn't in this container, so sinks fall back to parquet with
+identical operator semantics (SURVEY.md §1.4); the Delta branch activates
+when `delta` is importable.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+try:  # Delta is optional: present on a real cluster, absent in this image
+    from delta.tables import DeltaTable  # type: ignore # noqa: F401
+
+    HAS_DELTA = True
+except ImportError:
+    HAS_DELTA = False
+
+_FORMAT = "delta" if HAS_DELTA else "parquet"
+
+
+@contextmanager
+def binary_write_mode(spark: SparkSession):
+    """§4.2 policy: disable parquet compression while writing tables whose
+    payload bytes are already compressed (JPEG/PNG), restoring the prior
+    codec after — exactly the reference's conf toggle
+    (`01. Ingest.py:176-183`). Snappy on image bytes burns CPU for ~0%
+    ratio at 100 TB scale."""
+    key = "spark.sql.parquet.compression.codec"
+    prior = spark.conf.get(key, "snappy")
+    spark.conf.set(key, "uncompressed")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prior)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    merge_schema: bool = False,
+    binary_payload: bool = False,
+    row_group_bytes: int | None = None,
+    compact_to: int | None = None,
+) -> None:
+    """A5/A6 — batch sink with the reference's knobs:
+
+    - merge_schema: schema evolution on an existing table
+      (`01. Ingest.py:180`, `03. Inference.py:49`)
+    - binary_payload: uncompressed codec context (§4.2)
+    - row_group_bytes: small row groups for wide binary rows, the
+      reference's `parquet_row_group_size_bytes=1000000` (`02.a:95-96`)
+    - compact_to: pre-write repartition — the engine's portable stand-in
+      for post-write `OPTIMIZE` (A11, `00. Explore.py:90`): bin-packing
+      compaction by writing N right-sized files in the first place
+    """
+    spark = df.sparkSession
+    if compact_to:
+        df = df.repartition(compact_to)
+    writer = df.write.format(_FORMAT).mode(mode)
+    if merge_schema:
+        writer = writer.option("mergeSchema", "true")
+    if row_group_bytes:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    if binary_payload:
+        with binary_write_mode(spark):
+            writer.save(path)
+    else:
+        writer.save(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """A3/A4 — path-addressed table scan."""
+    return spark.read.format(_FORMAT).load(path)

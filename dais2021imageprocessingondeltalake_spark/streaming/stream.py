@@ -1,0 +1,131 @@
+"""Streaming source/sink builders (SURVEY.md §2 A7-A8, H1-H3; §3.3).
+
+The reference's streaming pipeline is a stateless Delta→Delta incremental
+map: `readStream.option("maxFilesPerTrigger",1).table(...)` →  same
+transform as batch → `writeStream.outputMode("append")
+.option("checkpointLocation", p)` (`03. Inference.py:73-108`). The key
+property the engine preserves is *source polymorphism*: one transform
+function builds both the batch and the streaming plan (H2) — Spark's
+unified DataFrame API makes the logical plan identical, only the source
+and sink differ.
+
+Scale notes: `maxFilesPerTrigger` is the admission-control knob bounding
+per-micro-batch memory when rows carry ~100KB binary payloads (§4.2);
+checkpointing gives exactly-once sink semantics on retry (offset WAL +
+sink commit log under the checkpoint dir).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+Transform = Callable[[DataFrame], DataFrame]
+
+# Raw schema of events.parquet: ts is TIMESTAMP(NANOS) in the file, read
+# as long under nanosAsLong (see catalog.load_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded side of the polymorphic pair."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize_events(
+        spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Unbounded side (A7/H1): file-stream source over the same parquet,
+    with the reference's admission-control option
+    (`maxFilesPerTrigger`, `03. Inference.py:75`)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources take a directory: scan sf_dir filtered to the
+    # events file (pathGlobFilter prunes at listing time)
+    reader = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _normalize_events(reader.parquet(sf_dir))
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame,
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Test/driver harness (A8/H3): checkpointed memory sink driven to
+    completion with `availableNow` — deterministic 'process everything
+    currently in the source, then stop', so stream results are comparable
+    to batch results (`stream == batch` is the H2 invariant the tests
+    assert)."""
+    spark = streaming_df.sparkSession
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="dais_ckpt_")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_stream_to_files(
+    streaming_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """A8/H3 — the reference's real sink shape: append-mode file sink with
+    a checkpoint (`03. Inference.py:102-108`; parquet stands in for
+    Delta). Unlike the memory sink this supports checkpoint *recovery*:
+    rerunning with the same checkpoint resumes from committed offsets —
+    the exactly-once property tests assert."""
+    q = (
+        streaming_df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def batch_and_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    transform: Transform,
+    output_mode: str = "append",
+) -> tuple[DataFrame, DataFrame]:
+    """H2 — apply ONE transform to both the bounded and unbounded source
+    (`03. Inference.py` applies the identical withColumn chain at :32-34
+    and :88-91); returns (batch_result, stream_result_materialized)."""
+    batch = transform(events_batch(spark, sf_dir))
+    stream = run_stream_to_memory(transform(events_stream(spark, sf_dir)), output_mode)
+    return batch, stream

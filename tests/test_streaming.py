@@ -1,0 +1,73 @@
+"""Streaming invariants (SURVEY.md §5.2 items 2 & 4): stream==batch under
+the same transform; admission control produces multiple micro-batches;
+checkpoint recovery does not duplicate a completed run's output."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dais2021imageprocessingondeltalake_spark.streaming.stream import (
+    batch_and_stream,
+    events_batch,
+    events_stream,
+    run_stream_to_files,
+    run_stream_to_memory,
+)
+from dais2021imageprocessingondeltalake_spark.streaming.windows import tumbling_window_agg
+
+from .conftest import SF_DIR
+
+
+def _agg(df):
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total"),
+    )
+
+
+def test_stream_equals_batch_agg(spark):
+    """H2 — one transform, two plans, same result."""
+    batch, stream = batch_and_stream(spark, SF_DIR, _agg, output_mode="complete")
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0
+
+
+def test_stream_equals_batch_stateless_map(spark):
+    """The reference's exact streaming shape (`03. Inference.py:88-91`):
+    stateless withColumn transform applied to stream and batch."""
+
+    def transform(df):
+        return df.select(
+            "event_id", (F.col("value") * 2).alias("v2"), F.upper("event_type").alias("et")
+        )
+
+    batch, stream = batch_and_stream(spark, SF_DIR, transform, output_mode="append")
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0
+
+
+def test_windowed_agg_stream(spark):
+    """H4 — watermarked tumbling windows over event time."""
+    stream = events_stream(spark, SF_DIR)
+    windowed = tumbling_window_agg(
+        stream, "ts", "1 hour", [F.count(F.lit(1)).alias("n")], watermark="1 hour"
+    )
+    out = run_stream_to_memory(windowed, output_mode="complete")
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == events_batch(spark, SF_DIR).count()
+
+
+def test_checkpoint_no_duplicates_on_rerun(spark):
+    """H3 — exactly-once: rerunning a completed query against the same
+    checkpoint+sink appends nothing (offsets already committed)."""
+    base = tempfile.mkdtemp(prefix="dais_ckpt_reuse_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    src = events_stream(spark, SF_DIR).select("event_id")
+    run_stream_to_files(src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    run_stream_to_files(events_stream(spark, SF_DIR).select("event_id"), out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == events_batch(spark, SF_DIR).count()
+    assert n2 == n1  # rerun from committed checkpoint appends nothing
