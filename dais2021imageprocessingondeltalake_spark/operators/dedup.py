@@ -1,0 +1,260 @@
+"""Deduplication operators for LLM data pipelines (north-star; SURVEY.md
+§7 step 6): exact, n-gram Jaccard, MinHash-LSH, SimHash, embedding-cosine.
+
+Scale design (the whole point — these must work at 100 TB):
+- Exact dedup: one shuffle on the content hash; canonical row = min id
+  (deterministic, no window needed).
+- Candidate generation NEVER compares all pairs. MinHash-LSH and SimHash
+  band the signature so the self-join key is (band_id, band_value): only
+  colliding documents meet, shuffle is |docs| x |bands| rows of a few
+  bytes. Exact verification runs only on candidates.
+- Everything is explode/groupBy/join of JVM expressions (xxhash64,
+  bitwise ops) — zero Python on the data path.
+- Skew: a degenerate band value (e.g. many near-empty docs sharing a
+  signature) produces a hot key; AQE skew-join splitting (on in
+  session.py) handles it, and `spark.sql.shuffle.partitions` bounds
+  partition width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_md5, tokens
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct content: hash-groupBy on md5(text),
+    canonical = min(id). One shuffle, map-side partial agg."""
+    fp = fingerprint_md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Filter df to canonical rows only (semi-join against the canon set —
+    no row multiplication, broadcast-able when the canon set is small)."""
+    canon = exact_dedup(df, id_col, text_col).select(id_col)
+    return df.join(canon, [id_col], "left_semi")
+
+
+# --------------------------------------------------------------------------
+# Shingles + n-gram Jaccard
+# --------------------------------------------------------------------------
+def shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column (JVM transform)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted index:
+    explode shingles → self-join on shingle (id_a < id_b) → count shared →
+    jaccard = shared / (|A| + |B| - shared) ≥ threshold.
+
+    Scale note: cost is Σ_s df(s)² over shingle frequencies — fine for
+    selective shingles (content n-grams), degenerate for stop-shingles; at
+    100 TB cap shingle document-frequency first (drop shingles with
+    df > cutoff — they only generate candidates that MinHash verifies
+    cheaper). This exact variant doubles as the oracle-checkable
+    ground truth for the MinHash approximation."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shingles")
+    )
+    exploded = sh.select(
+        F.col("doc"), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    jaccard = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: num_hashes seeded xxhash64 mins
+    over the shingle set, computed as one JVM projection (no explode, no
+    shuffle): sig[i] = min_s xxhash64(s, i)."""
+    sh = shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding: split the signature into
+    `bands` rows of r = num_hashes/bands values, hash each band, self-join
+    on (band_id, band_hash). A pair with Jaccard j collides w.p.
+    1-(1-j^r)^bands (r=4, b=8: j=0.5 → 0.42, j=0.8 → 0.97).
+
+    Returns distinct candidate pairs with their estimated Jaccard
+    (signature agreement fraction) — callers verify exactly with
+    ngram_jaccard on the candidates only."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_rows = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.col("minhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("minhash", b * r + j + 1) for j in range(r)])
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "minhash", "band.band_id", "band.band_hash")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(
+        float(num_hashes)
+    )
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, all JVM bitwise expressions: token →
+    xxhash64 → per-bit +1/-1 vote → sign vector → packed long."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(i: int):
+        # closure factory: F.aggregate passes positional args to 3-param
+        # lambdas, so a default-arg capture (i=i) would be clobbered.
+        # shiftright+mask extracts any bit incl. the sign bit (i=63).
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        # shiftleft handles i=63 (1<<63 overflows a signed literal)
+        packed = packed.bitwiseOR(
+            F.when(bit_vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return df.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into `bands` chunks
+    (pigeonhole: hamming ≤ max_hamming with bands > max_hamming/ (64/bands)
+    guarantees ≥1 identical band for small distances), join on a matching
+    band, verify with bit_count(xor) ≤ max_hamming."""
+    width = 64 // bands
+    sigs = simhash(df, id_col, text_col)
+    mask = (1 << width) - 1
+    band_rows = sigs.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "simhash", "band.band_id", "band.band_val")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,155 @@
+"""Embedding similarity search (north-star; SURVEY.md §7 step 6).
+
+Two tiers, mirroring how ANN systems scale:
+- `cosine_topk`        — exact brute force: broadcast the query vector(s),
+                         one JVM projection computes dot/norms, top-k via
+                         TakeOrderedAndProject. The baseline and the
+                         verifier for approximate variants. O(N·d) per
+                         query but embarrassingly parallel — at 100 TB the
+                         cost is one full scan, no shuffle.
+- `lsh_ann_topk`       — random-hyperplane LSH: H sign-bits per vector
+                         form a bucket key; candidates = vectors sharing
+                         the query's bucket (optionally multi-probe into
+                         Hamming-1 neighbors). Scan prunes to ~N/2^H per
+                         probe; exact cosine re-ranks candidates.
+- `embedding_near_dup` — all-pairs near-duplicate detection by cosine ≥
+                         threshold, LSH-bucketed so only bucket-mates are
+                         compared (the embedding analogue of MinHash-LSH).
+
+All vector math is `F.zip_with`/`F.aggregate` JVM expressions — no Python
+on the data path. Embeddings are cast float→double once (exact) so dot
+products are deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ via zip_with + aggregate (in-array order → deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a constant query vector. The query ships
+    as a literal array in the plan (broadcast-by-closure); ties broken by
+    id for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(_to_double(F.col(vec_col)), q)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Pack sign(v·p) bits into a long bucket id (JVM expressions only)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec_col, pc) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: filter to the query's LSH bucket (+ Hamming-1
+    buckets when multiprobe), then exact cosine re-rank. The bucket
+    filter is a scan-level predicate — at scale, write-time partitioning
+    by bucket turns it into partition pruning (read N/2^H of the data)."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    # driver-side query bucket (tiny, pure python — not on the data path)
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qb |= 1 << i
+    probes = [qb] + ([qb ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
+
+    vec_d = _to_double(F.col(vec_col))
+    bucketed = df.withColumn("bucket", lsh_bucket(vec_d, planes))
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(_to_double(F.col(vec_col)), q)
+    return (
+        cand.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """All-pairs near-duplicates by cosine ≥ threshold, bucketed by
+    sign-LSH so the self-join key is the bucket (high-cosine pairs agree
+    on most sign bits → land in the same bucket w.h.p.; more planes =
+    fewer false candidates, more false negatives — callers tune for
+    recall like MinHash bands)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    vec_d = _to_double(F.col(vec_col))
+    b = df.select(
+        F.col(id_col).alias("doc"),
+        vec_d.alias("v"),
+        lsh_bucket(vec_d, planes).alias("bucket"),
+    )
+    left, right = b.alias("a"), b.alias("b")
+    pairs = left.join(
+        right,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.doc").alias("id_a"),
+        F.col("b.doc").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+    )
+    return pairs.filter(F.col("cosine_sim") >= threshold)

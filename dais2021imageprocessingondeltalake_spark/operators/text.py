@@ -1,0 +1,126 @@
+"""Text-analysis operators for LLM data pipelines (north-star; SURVEY.md
+§7 step 6): token counting, document stats, quality scoring, language ID,
+fingerprinting. All hot-path logic is JVM-side builtin functions — no
+Python on the data path; designed to scan 100 TB of `documents` with
+nothing but a projection (no shuffle at all except where noted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the rule-based language ID. Determinism
+# matters more than linguistic power here: the same rule is expressible in
+# ANSI SQL for the oracle, and real corpora would swap in a fastText-style
+# model via model_udf (functions/udf.py) without changing the plan shape.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "que", "y"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization as an array column (JVM split)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Token count — `size(split(...))`, whole-stage-codegen'd."""
+    return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_ish_token_estimate(text: Column) -> Column:
+    """Sub-word token estimate without a tokenizer model: count word
+    boundaries + intra-word splits every 4 chars (the ~4-chars/token rule
+    of thumb for BPE vocabularies), all in JVM expressions."""
+    n_words = token_count(text)
+    n_chars = F.length(text) - n_words + 1  # chars excluding separators
+    return (n_words + (n_chars / F.lit(4)).cast("bigint")).alias("bpe_tokens")
+
+
+def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, tokens, distinct tokens, type-token
+    ratio, mean token length. Pure projection — no shuffle, scales
+    linearly with input splits."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    return df.select(
+        "*",
+        F.length(t).cast("bigint").alias("stat_chars"),
+        n_tok.alias("stat_tokens"),
+        n_distinct.alias("stat_distinct_tokens"),
+        (n_distinct / n_tok).alias("stat_ttr"),
+        ((F.length(t) - n_tok + 1) / n_tok).alias("stat_mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length saturation x lexical
+    diversity — the engine's stand-in for a learned quality classifier.
+    Deterministic integer/ratio arithmetic only (SQL-mirrorable)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    length_sat = F.least(n_tok / F.lit(50), F.lit(1.0))
+    diversity = n_distinct / n_tok
+    return df.select(
+        "*",
+        length_sat.alias("q_length"),
+        diversity.alias("q_diversity"),
+        (length_sat * diversity).alias("q_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based language ID: count marker-word hits per language over
+    the token array (JVM `array_intersect`-free form: filter+size so
+    duplicate markers count once each), argmax with a fixed tie order.
+    Emits `lang_pred` and per-language scores."""
+    toks_distinct = F.array_distinct(tokens(F.col(text_col)))
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.array_intersect(toks_distinct, marker_arr))
+        score_cols.append(score.alias(f"score_{lang}"))
+    scored = df.select("*", *score_cols)
+    # argmax via greatest + chained when: first language (dict order) wins ties
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("unknown")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.withColumn("lang_pred", pred)
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Exact-content fingerprint: md5 hex of the raw text (the dedup key)."""
+    return F.md5(text.cast("binary"))
+
+
+def fingerprint_normalized(text: Column) -> Column:
+    """Normalization-insensitive fingerprint: lowercase, collapse
+    whitespace, strip punctuation, then md5 — catches trivially-edited
+    duplicates that exact hashing misses."""
+    norm = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", "")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return F.md5(norm.cast("binary"))
+
+
+def rolling_hash_fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
+    """Winnowing-style robust fingerprint: polynomial rolling hash over
+    token windows, keep the minimum hash (rows-only op — the rolling hash
+    isn't SQL-portable). JVM-side via transform+hash: shingle windows →
+    xxhash64 → array_min."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
+    windows = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, window)))
+    hashes = F.transform(windows, lambda w: F.xxhash64(w))
+    return df.withColumn("fingerprint", F.array_min(hashes))

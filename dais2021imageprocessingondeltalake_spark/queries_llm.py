@@ -1,0 +1,251 @@
+"""North-star LLM-pipeline query registrations (SURVEY.md §7 step 6):
+dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), embedding
+similarity search, text analysis. Where cross-engine determinism allows,
+these carry full DuckDB oracles; hash-function-dependent ops (xxhash64)
+are rows-only with invariant tests in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import dedup as D
+from .operators import similarity as SIM
+from .operators import text as TX
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_exact",
+    headline=True,
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), canonical row = min id.
+    One shuffle with map-side combine; at 100 TB this is the cheapest
+    possible full-corpus dedup."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.exact_dedup(docs, "doc_id").select("fingerprint", "doc_id", "n_copies")
+
+
+@query(
+    "q_fingerprint_norm",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                   '\s+', ' ', 'g'))) AS norm_fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive fingerprint (lowercase, strip punct,
+    collapse whitespace, md5) — catches trivially-edited duplicates."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", TX.fingerprint_normalized(F.col("text")).alias("norm_fingerprint")
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    headline=True,
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    )
+    SELECT doc_a, doc_b, shared, shared / (n_a + n_b - shared) AS jaccard
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    WHERE shared / (n_a + n_b - shared) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index —
+    the SQL-checkable ground truth the MinHash-LSH approximation is
+    validated against (tests/test_llm_ops.py)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.2)
+    return pairs.withColumn("shared", F.col("shared").cast("bigint"))
+
+
+@query("q_minhash_lsh", oracle=None, headline=True)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only: xxhash64 signatures
+    have no DuckDB mirror). Recall against q_ngram_jaccard is asserted in
+    tests; scale shape is |docs|x|bands| shuffle rows, never all pairs."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.minhash_lsh_pairs(docs, "doc_id", num_hashes=32, bands=8)
+
+
+@query("q_simhash", oracle=None)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming join (rows-only)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.simhash_near_pairs(docs, "doc_id", max_hamming=12, bands=4)
+
+
+@query("q_doc_fingerprint", oracle=None)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (rows-only: xxhash64)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.rolling_hash_fingerprint(docs, window=8).select("doc_id", "fingerprint")
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Deterministic query: embedding of vec_id 0 (driver-side constant —
+    a real service would take user input here)."""
+    row = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "q_embedding_topk",
+    headline=True,
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6)
+             AS cosine_sim
+    FROM embeddings
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (the ANN baseline): JVM
+    zip_with/aggregate dot products, TakeOrderedAndProject. Similarities
+    are rounded to 6dp on both sides — DuckDB's list_sum accumulates in a
+    different order than sequential aggregate (last-ulp diffs), and the
+    id tiebreak makes the rounded ordering deterministic."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    topk = SIM.cosine_topk(emb, qv, k=10)
+    return (
+        topk.withColumn("cosine_sim", F.round("cosine_sim", 6))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    )
+
+
+@query("q_embedding_ann", oracle=None)
+def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; recall vs the exact
+    baseline asserted in tests). At scale the bucket predicate becomes
+    partition pruning when vectors are written bucketed."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    # 6 planes: random (near-orthogonal) embeddings need wide buckets for
+    # useful recall; real clustered embeddings tolerate more planes
+    return SIM.lsh_ann_topk(emb, qv, k=10, n_planes=6, multiprobe=True)
+
+
+@query("q_embedding_near_dup", oracle=None)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding near-dup (cosine >= 0.9) via LSH buckets
+    (rows-only; the embedding analogue of MinHash banding)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.embedding_near_dup(emb, threshold=0.9, n_planes=10, dim=64)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@query(
+    "q_text_stats",
+    headline=True,
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS stat_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS stat_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS stat_distinct_tokens,
+           len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS stat_ttr,
+           (length(text) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' '))
+             AS stat_mean_token_len
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics — pure JVM projection, no shuffle."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return TX.doc_stats(docs).drop("text")
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    SELECT doc_id,
+           least(len(string_split(text, ' ')) / 50, 1.0) AS q_length,
+           len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))
+             AS q_diversity,
+           least(len(string_split(text, ' ')) / 50, 1.0)
+             * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+             AS q_score
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length saturation x lexical diversity) —
+    deterministic ratio arithmetic, SQL-mirrorable."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return TX.quality_score(docs).drop("text")
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_intersect(toks, ['the','a','and','of'])) AS INT) AS score_en,
+             CAST(len(list_intersect(toks, ['der','die','das','und'])) AS INT) AS score_de,
+             CAST(len(list_intersect(toks, ['le','la','et','les'])) AS INT) AS score_fr,
+             CAST(len(list_intersect(toks, ['el','los','que','y'])) AS INT) AS score_es
+      FROM t
+    )
+    SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+           CASE
+             WHEN score_en = greatest(score_en, score_de, score_fr, score_es) AND score_en > 0 THEN 'en'
+             WHEN score_de = greatest(score_en, score_de, score_fr, score_es) AND score_de > 0 THEN 'de'
+             WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) AND score_fr > 0 THEN 'fr'
+             WHEN score_es = greatest(score_en, score_de, score_fr, score_es) AND score_es > 0 THEN 'es'
+             ELSE 'unknown'
+           END AS lang_pred
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language ID (marker-stopword argmax with fixed tie
+    order). The corpus vocabulary is language-uniform, so this exercises
+    the *operator* (deterministically, oracle-checked) rather than claiming
+    classifier accuracy; a learned model drops in via model_udf."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    return TX.language_id(docs).drop("text")

@@ -1,0 +1,80 @@
+"""Invariant tests for the hash-based LLM ops (no SQL oracle possible):
+MinHash-LSH recall vs exact Jaccard, SimHash behavior on planted
+duplicates, ANN recall vs the brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dais2021imageprocessingondeltalake_spark.catalog import load_table
+from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+from .conftest import SF_DIR
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates must recover most true near-dup pairs (Jaccard >=
+    0.5 pairs collide w.p. ~1-(1-0.5^4)^8 = 0.42 per band config; at the
+    0.2-threshold ground truth we assert recall on the high-sim subset)."""
+    docs = load_table(spark, "documents", SF_DIR)
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs, "doc_id", num_hashes=32, bands=8).collect()
+    }
+    if truth:
+        recall = len(truth & cand) / len(truth)
+        assert recall >= 0.5, f"LSH recall {recall} over {len(truth)} true pairs"
+
+
+def test_minhash_identical_docs_always_collide(spark):
+    """Planted exact duplicates must be LSH candidates with est_jaccard=1."""
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different words entirely unrelated content here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.minhash_lsh_pairs(df, "doc_id", num_hashes=16, bands=4).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs}
+    assert (1, 2) in found and found[(1, 2)] == 1.0
+
+
+def test_simhash_identical_zero_hamming(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different words entirely unrelated content here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in D.simhash_near_pairs(df, "doc_id", max_hamming=12).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs or pairs[(1, 3)] > 0
+
+
+def test_drop_exact_duplicates(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "other text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in D.drop_exact_duplicates(df, "doc_id").collect())
+    assert kept == [1, 3]  # min id canonical
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in SIM.cosine_topk(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in SIM.lsh_ann_topk(emb, qv, k=10, n_planes=6).collect()]
+    # query vector itself is its own nearest neighbor
+    assert exact[0] == 0 and approx[0] == 0
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"ANN recall@10 = {recall}"
+
+
+def test_embedding_near_dup_planted(spark):
+    """A vector duplicated exactly must be found at cosine ~1."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    clone = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(99999).cast("bigint"))
+    with_dup = emb.unionByName(clone)
+    pairs = SIM.embedding_near_dup(with_dup, threshold=0.999, n_planes=10, dim=64).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 99999 for r in pairs)
