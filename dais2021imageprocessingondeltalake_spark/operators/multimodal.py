@@ -1,0 +1,177 @@
+"""Multimodal column operators (north-star; SURVEY.md §7 step 6 + §4.2).
+
+Engine rule (from the reference, `02.a:149-151`/`02.b:222`): multimodal
+payloads are stored as opaque `content: binary` + typed metadata columns;
+decode/resize/feature-extraction happen *late*, in-flight, via
+`mapInPandas` batches — decoded tensors are far larger than encoded bytes
+and must never be materialized to storage.
+
+The container has no image/audio libraries, so:
+- PNG decode/encode is REAL (stdlib zlib; sources/binaryfiles.make_png
+  writes filter-0 8-bit grayscale, decoded here exactly).
+- JPEG/audio/video decode are STUBS raising NotImplementedError behind
+  the same Spark plumbing (schema, batch iteration, partitioning), so
+  swapping in PIL/ffmpeg on a real cluster changes one function, not the
+  plan.
+
+All operators here cross the Python boundary — Arrow-batched, never
+row-at-a-time; partition-local (mapInPandas), never shuffling payload
+bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..sources.binaryfiles import PNG_SIGNATURE, make_png, png_size
+
+
+# ---------------------------------------------------------------------------
+# codecs (plain python, used inside UDF batches)
+# ---------------------------------------------------------------------------
+def decode_png_gray(content: bytes) -> np.ndarray:
+    """Decode a filter-0 8-bit grayscale PNG (the fixture codec's output)
+    to a (h, w) uint8 array. Real decode, no image library."""
+    w, h = png_size(content)
+    pos, idat = 8, b""
+    while pos < len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    rows = []
+    stride = w + 1  # leading filter byte per scanline
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        if line[0] != 0:  # pragma: no cover - fixture codec always writes 0
+            raise NotImplementedError("PNG filter types other than 0 need a real codec")
+        rows.append(np.frombuffer(line[1:], dtype=np.uint8))
+    return np.stack(rows)
+
+
+def encode_png_gray(pixels: np.ndarray) -> bytes:
+    """Re-encode a (h, w) uint8 array as PNG (mirrors make_png)."""
+    h, w = pixels.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        raw = tag + payload
+        return struct.pack(">I", len(payload)) + raw + struct.pack(
+            ">I", zlib.crc32(raw) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Dispatch by magic bytes. PNG is real; other formats are stubbed —
+    swap this function for a PIL-backed one on a cluster with codecs."""
+    if content[:8] == PNG_SIGNATURE:
+        return decode_png_gray(content)
+    raise NotImplementedError(
+        "decode for non-PNG formats requires an image library (PIL) not in this container"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators (mapInPandas)
+# ---------------------------------------------------------------------------
+def with_image_size(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """I1-parity: attach a `size: struct<width:int,height:int>` column
+    decoded from the payload header (`01. Ingest.py:54-62,69`)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sizes = [png_size(c) for c in pdf[content_col]]
+            pdf = pdf.copy()
+            pdf["size"] = [{"width": w, "height": h} for (w, h) in sizes]
+            yield pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", size struct<width:int,height:int>"
+    return df.mapInPandas(batches, out_schema)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, content_col: str = "content", out_col: str = "resized"
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded payloads, re-encoded to PNG —
+    the TransformSpec-style per-batch tensor op (`02.a:157-180`) kept
+    relational: bytes in, bytes out, no tensor ever stored."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for c in pdf[content_col]:
+                px = decode_image(c)
+                yi = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
+                xi = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
+                out.append(encode_png_gray(px[np.ix_(yi, xi)].astype(np.uint8)))
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} binary"
+    return df.mapInPandas(batches, out_schema)
+
+
+def image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Cheap deterministic feature extraction (mean/std/min/max of pixel
+    values) — the plumbing for a real embedding model (which would slot in
+    via functions.udf.model_udf on a GPU cluster)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for c in pdf[content_col]:
+                px = decode_image(c).astype(np.float64)
+                feats.append([float(px.mean()), float(px.std()), float(px.min()), float(px.max())])
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", features array<double>"
+    return df.mapInPandas(batches, out_schema)
+
+
+def sample_frames(
+    df: DataFrame, every_nth: int, frame_bytes: int, content_col: str = "content"
+) -> DataFrame:
+    """Frame sampling for frame-packed binary payloads (a deterministic
+    stand-in for video: content = concatenated fixed-size frames; real
+    video needs ffmpeg — NotImplementedError on non-conforming input).
+    Emits one row per sampled frame (explode-shaped mapInPandas)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"path": [], "frame_no": [], "frame": []}
+            for _, r in pdf.iterrows():
+                content = r[content_col]
+                if len(content) % frame_bytes != 0:
+                    raise NotImplementedError(
+                        "real video decode requires ffmpeg; frame-packed payloads only"
+                    )
+                n = len(content) // frame_bytes
+                for i in range(0, n, every_nth):
+                    rows["path"].append(r["path"])
+                    rows["frame_no"].append(i)
+                    rows["frame"].append(content[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, "path string, frame_no int, frame binary")

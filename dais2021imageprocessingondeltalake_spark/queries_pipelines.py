@@ -1,0 +1,85 @@
+"""Pipeline query registrations: the reference's three lifecycles
+(SURVEY.md §3) as driver-contract entries. All rows-only (binary fixture
+content has no SQL mirror); invariants are enforced in
+tests/test_pipelines.py.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.multimodal import image_features, resize_images
+from .plans.inference import batch_inference, score_transform
+from .plans.ingest import ingest_pipeline, load_labeled
+from .plans.trainprep import prepare_training_data, write_training_cache
+from .registry import query
+from .sources.fixtures import LABELS, image_fixture_dir
+
+
+@query("q_ingest_pipeline", oracle=None)
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full `01. Ingest.py` parity flow on the PNG fixtures (§3.1):
+    binaryFile scan → label regex → size UDF → broadcast dense-index →
+    grouped-map augmentation → fan-out left join."""
+    out = ingest_pipeline(spark, image_fixture_dir())
+    return out.select(
+        "path", "label", "label_index", F.col("size.width").alias("w"), "grayscale_format"
+    )
+
+
+@query("q_train_prep", oracle=None)
+def q_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`02.a:74-101` parity (§3.2): project/cast → limit → distinct-count
+    → seeded split → partition floor → parquet cache."""
+    labeled = load_labeled(spark, image_fixture_dir())
+    train, _val, _n = prepare_training_data(labeled, limit=18, weights=(0.6, 0.4))
+    cache = tempfile.mkdtemp(prefix="dais_q_trainprep_") + "/train"
+    write_training_cache(train, cache)
+    return spark.read.parquet(cache).select("label_index")
+
+
+@query("q_inference_batch", oracle=None)
+def q_inference_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`03. Inference.py` batch parity (§3.3): model UDF over a struct of
+    inputs, reference-shaped [prediction, probabilities-JSON] output."""
+
+    def predict(batch: pd.DataFrame):
+        return [
+            [LABELS[int(n) % len(LABELS)], json.dumps({"p": int(n) % 100})]
+            for n in batch["length"]
+        ]
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.png")
+        .load(image_fixture_dir())
+        .select("path", "length")
+    )
+    scored = batch_inference(raw, score_transform(predict, ["length"]))
+    return scored.select(
+        "path",
+        F.element_at("my_predictions", 1).alias("prediction"),
+        F.element_at("my_predictions", 2).alias("probabilities"),
+    )
+
+
+@query("q_multimodal_features", oracle=None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path: real PNG pixel decode → resize →
+    feature extraction, all partition-local mapInPandas."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.png")
+        .load(image_fixture_dir())
+        .select("path", "content")
+    )
+    resized = resize_images(df, 4, 4)
+    feats = image_features(resized, content_col="resized")
+    return feats.select("path", F.element_at("features", 1).alias("mean_pixel"))
