@@ -20,6 +20,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def money_cents(col: Column, decimals: int = 2) -> Column:
+    """Fixed-point view of an exact-decimal double column (e.g. prices
+    generated with 2 decimals): value*10^d rounded to long. Makes sums
+    exact, order-independent, and ~2x faster than DECIMAL aggregation
+    (integer sum vs BigDecimal). round() is safe here: the scaled value
+    is within 1 ulp of an integer, never at a .5 boundary.
+
+    Overflow bound: long holds ±9.2e18 — at 2 decimals that is ±9.2e16
+    currency units per aggregation group; beyond that use DECIMAL sums
+    (exactness over speed)."""
+    return F.round(col * (10**decimals), 0).cast("long")
+
+
+def exact_money_sum(col: Column, decimals: int = 2) -> Column:
+    """Deterministic double-valued sum of an exact-decimal column:
+    integer-cents sum divided back once (one IEEE division — identical in
+    any engine, unlike order-dependent double summation)."""
+    return F.sum(money_cents(col, decimals)) / F.lit(float(10**decimals))
+
+
 def count_rows(df: DataFrame) -> int:
     """D1 — global count action."""
     return df.count()

@@ -21,7 +21,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .sampling import ensure_min_partitions
 from .text import fingerprint_md5, tokens
+
+
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Parallelism floor before compute-heavy per-row expressions: a small
+    single-file parquet scan yields one partition, serializing shingle/
+    signature computation onto one core. At real scale inputs have many
+    splits and this is a no-op (ensure_min_partitions only shuffles when
+    below the floor)."""
+    return ensure_min_partitions(df, df.sparkSession.sparkContext.defaultParallelism)
 
 
 # --------------------------------------------------------------------------
@@ -72,12 +82,19 @@ def ngram_jaccard_pairs(
     df > cutoff — they only generate candidates that MinHash verifies
     cheaper). This exact variant doubles as the oracle-checkable
     ground truth for the MinHash approximation."""
-    sh = df.select(
+    sh = _parallelize(df).select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shingles")
     )
+    # join on xxhash64(shingle), not the string: the shuffle carries 8-byte
+    # longs instead of ~20-char strings and the join compares longs.
+    # A cross-shingle hash collision would inflate `shared` by 1; with
+    # ~2^15 distinct shingles against a 2^64 space the birthday bound is
+    # ~1e-10 — far below any operational concern.
     exploded = sh.select(
-        F.col("doc"), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
-    )
+        F.col("doc"),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("s"),
+    ).select("doc", "n_sh", F.xxhash64("s").alias("s"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -108,13 +125,26 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: num_hashes seeded xxhash64 mins
-    over the shingle set, computed as one JVM projection (no explode, no
-    shuffle): sig[i] = min_s xxhash64(s, i)."""
-    sh = shingles(F.col(text_col), shingle_n)
-    sig = F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    over the shingle set: sig[i] = min_s xxhash64(s, i).
+
+    Shape: explode shingles → num_hashes flat hash columns → groupBy(id)
+    with num_hashes min() aggs → pack array. One shuffle, but map-side
+    partial min means it carries |docs| x num_hashes longs, not shingle
+    rows. (A shuffle-free nested-array-transform formulation exists but
+    generates a huge whole-stage-codegen unit — 10+ seconds of JIT per
+    query — while this flat form compiles instantly.)"""
+    exploded = _parallelize(df).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    hashed = exploded.select(
+        id_col, *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        id_col, F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("minhash")
+    )
 
 
 def minhash_lsh_pairs(
@@ -186,31 +216,34 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document, all JVM bitwise expressions: token →
     xxhash64 → per-bit +1/-1 vote → sign vector → packed long."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_vote(i: int):
-        # closure factory: F.aggregate passes positional args to 3-param
-        # lambdas, so a default-arg capture (i=i) would be clobbered.
-        # shiftright+mask extracts any bit incl. the sign bit (i=63).
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-
+    # explode distinct tokens → one xxhash64 per row → per-bit ±1 votes as
+    # flat columns → groupBy(id) with `bits` sum() aggs (map-side partial)
+    # → pack. Same flat-vs-nested codegen tradeoff as minhash_signatures.
+    exploded = _parallelize(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    votes = exploded.select(
+        id_col,
+        *[
+            # shiftright+mask extracts any bit incl. the sign bit (i=63)
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    sums = votes.groupBy(id_col).agg(*[F.sum(f"b{i}").alias(f"v{i}") for i in range(bits)])
     packed = F.lit(0).cast("long")
     for i in range(bits):
         # shiftleft handles i=63 (1<<63 overflows a signed literal)
         packed = packed.bitwiseOR(
-            F.when(bit_vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return df.select(F.col(id_col), packed.alias("simhash"))
+    return sums.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -22,7 +22,7 @@ from .streaming.windows import tumbling_window_agg
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -31,12 +31,12 @@ def q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming grouped aggregate (A7+A8+H1-H3): incremental file source
     → stateful agg → checkpointed sink, driven to completion. With
     availableNow the final state equals the batch aggregate, so the batch
-    SQL oracle applies. value sums via exact DECIMAL (2-decimal data) —
-    see queries_relational.q_groupby_agg."""
+    SQL oracle applies. value sums via exact integer cents (2-decimal
+    data) — see queries_relational.q_groupby_agg."""
     stream = events_stream(spark, sf_dir)
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)).alias("total_value"),
     )
     return run_stream_to_memory(agg, output_mode="complete")
 
@@ -47,7 +47,7 @@ def q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -63,7 +63,7 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 hour",
         [
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)).alias("total_value"),
         ],
         extra_keys=["event_type"],
         watermark="2 hours",
