@@ -1,0 +1,139 @@
+"""Temporal operators Spark lacks natively: as-of join, range join,
+sessionization (engine capability beyond the reference — SURVEY.md §2
+notes range/as-of as deferred; this lands them Spark-first).
+
+Scale design:
+- as-of join: implemented as union + window (sort-merge shaped: one
+  shuffle on the key, one per-partition ordered pass) rather than a
+  per-key pandas merge_asof — no Python, no per-group materialization,
+  no skew cliff on hot keys beyond what the window itself has.
+- range join: equi-key + range predicate → Spark evaluates the range as
+  a post-join filter on the equi-join; without an equi key it degrades
+  to broadcast-nested-loop — callers must bucketize (bucket column =
+  range quantum) to restore an equi key.
+- sessionization: the lag/cumsum idiom — two window passes over one
+  shuffle partition-by-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: for each left row, attach the right row with the
+    greatest right.ts <= left.ts within the same key group (DuckDB/kdb
+    `ASOF JOIN` semantics, pandas merge_asof direction='backward').
+
+    Requires right (on, ts) pairs to be unique — pre-aggregate the right
+    side otherwise (ambiguous matches are engine-defined everywhere).
+
+    Plan shape: unionByName(tagged sides) → window(partitionBy on,
+    orderBy ts, side) → last_value(ignoreNulls) over unbounded-preceding
+    → filter left side. One shuffle total; at equal ts the right row
+    sorts first (side 0 < 1) so >= (inclusive) semantics hold."""
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.select(
+        F.col(on),
+        F.col(ts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn("__side", F.lit(0))
+    carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts}{suffix}"]
+    rt = rt.withColumn(f"{ts}{suffix}", F.col(ts))
+    unioned = lt.select(
+        "*", *[F.lit(None).cast(rt.schema[c].dataType).alias(c) for c in carried]
+    ).unionByName(
+        rt.select(
+            on,
+            ts,
+            "__side",
+            *carried,
+            *[
+                F.lit(None).cast(lt.schema[c].dataType).alias(c)
+                for c in lt.columns
+                if c not in (on, ts, "__side")
+            ],
+        )
+    )
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col(ts), F.col("__side"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in carried
+        ],
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .drop(*carried, "__side")
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"__m_{c}").alias(c) for c in carried],
+        )
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi: Column,
+    range_cond: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi + range join: Catalyst plans the equi part as a hash/sort-merge
+    join and applies the range predicate as a join condition — never a
+    cartesian product. (A pure range join with no equi key must bucketize
+    the range dimension first.)"""
+    return left.join(right, equi & range_cond, how)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_minutes: int = 30,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap to
+    the previous event exceeds `gap_minutes`. Adds `session_id` (0-based
+    per key). One shuffle (partitionBy key), two ordered passes."""
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = W.partitionBy(key).orderBy(*order)
+    # microsecond precision: casting timestamp→long truncates to seconds,
+    # which flips the break decision for gaps within 1s of the threshold
+    gap_us = F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w)
+    is_break = F.when(
+        gap_us.isNull() | (gap_us <= gap_minutes * 60 * 1_000_000), F.lit(0)
+    ).otherwise(F.lit(1))
+    return df.withColumn(
+        "session_id",
+        F.sum(is_break).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("bigint"),
+    )
+
+
+def session_stats(
+    df: DataFrame, key: str, ts: str, gap_minutes: int = 30, order_tiebreak: str | None = None
+) -> DataFrame:
+    """Per-session aggregate: bounds + event count + duration seconds."""
+    s = sessionize(df, key, ts, gap_minutes, order_tiebreak)
+    return s.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.expr(
+            f"(unix_micros(max({ts})) - unix_micros(min({ts}))) div 1000000"
+        ).alias("duration_sec"),
+    )

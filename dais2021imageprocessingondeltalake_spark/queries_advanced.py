@@ -1,0 +1,283 @@
+"""Advanced operator registrations: as-of join, range join,
+sessionization, pivot, cube, percentiles, statistical aggregates,
+explode, SQL-API parity, MERGE upsert. These close the gap between the
+reference's modest surface and a complete analytics engine (SURVEY.md §2
+inventory summary: "gaps the engine fills").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table, register_views
+from .operators import aggregates as agg
+from .operators.merge import upsert
+from .operators.temporal import asof_join, range_join, session_stats
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir)
+
+
+@query(
+    "q_asof_join",
+    headline=True,
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS click_event_id, c.ts AS click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (native in DuckDB/kdb, absent in Spark): each purchase
+    event picks the latest preceding click by the same user. Engine
+    implementation is union + window — one shuffle, no Python, no
+    per-key pandas (operators/temporal.asof_join). (user_id, ts) is
+    unique in events, so matches are well-defined."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(purchases, clicks, on="user_id", ts="ts", right_cols=["event_id"], suffix="_click")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_click").alias("click_event_id"),
+        F.col("ts_click").alias("click_ts"),
+    )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join: hash join on the key with the range as a join
+    predicate (never a cartesian product)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    out = range_join(
+        li,
+        o,
+        li["l_orderkey"] == o["o_orderkey"],
+        (li["l_shipdate"] >= o["o_orderdate"])
+        & (li["l_shipdate"] < o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+
+
+@query(
+    "q_sessionize",
+    headline=True,
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (lag + gap-cumsum): per-user sessions with a
+    30-minute inactivity gap, aggregated to per-session stats. One
+    shuffle on the key serves both window passes and the final agg."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    return session_stats(ev, "user_id", "ts", gap_minutes=30, order_tiebreak="event_id")
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click'    THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) / 100.0 AS click,
+           sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) / 100.0 AS purchase,
+           sum(CASE WHEN event_type = 'view'     THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) / 100.0 AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list — Catalyst
+    compiles it to exactly the oracle's CASE-sum form; listing values
+    avoids the extra distinct-scan job. Cents-sum for determinism; pivot
+    NULLs (user never clicked) coalesced to 0 to match SQL SUM(CASE)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.sum("cents"))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            (F.coalesce(F.col(c), F.lit(0)) / F.lit(100.0)).alias(c)
+            for c in ("click", "purchase", "view")
+        ],
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube grouping sets (all 4 combinations of the two keys)."""
+    return agg.cube_agg(
+        load_table(spark, "lineitem", sf_dir),
+        ["l_returnflag", "l_linestatus"],
+        [F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")],
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`: both linear-interpolate over the sorted group).
+    `approx_percentile` (t-digest/GK) is the 100 TB path but its results
+    are engine-specific — exercised rows-only in tests."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+    )
+
+
+@query(
+    "q_stats_agg",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 6) AS sd,
+           round(var_samp(value), 6) AS var,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_uid,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_uid
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. These use streaming merge formulas whose
+    accumulation order differs per engine — rounded to 6dp (values are
+    irrational-ish, so boundary collisions are ~1e-9 probability, unlike
+    money sums where rounding is structurally unsafe)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 6).alias("sd"),
+            F.round(F.var_samp("value"), 6).alias("var"),
+            F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("corr_uid"),
+            F.round(F.covar_samp("value", F.col("user_id").cast("double")), 6).alias(
+                "covar_uid"
+            ),
+            # skewness/kurtosis omitted from the oracle set: Spark computes
+            # the population form, DuckDB the sample-corrected form
+        )
+    )
+
+
+@query(
+    "q_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (table-generating projection): one row per token."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@query(
+    "q_sql_api",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice*100,0) AS BIGINT)) / CAST(100 AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end parity: the same engine is reachable through
+    `spark.sql` over registered views — Catalyst produces the identical
+    plan as the DataFrame API (SURVEY.md guide: use whichever is
+    clearer)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               -- CAST: Spark SQL parses a bare 100.0 literal as DECIMAL(4,1),
+               -- which would make the division decimal-typed
+               sum(CAST(round(o_totalprice*100,0) AS BIGINT)) / CAST(100 AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query("q_merge_upsert", oracle=None)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE emulation (anti-join + union): update half the docs, insert
+    new ones, delete flagged ones. Invariants in tests/test_advanced.py;
+    rows-only here (filesystem-free, but the op itself is the point)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
+    updates = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.concat(F.lit("updated: "), F.col("text")))
+        .withColumn("__delete", F.col("doc_id") % 21 == 0)
+    )
+    inserts = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    ).withColumn("__delete", F.lit(False))
+    return upsert(docs, updates.unionByName(inserts), ["doc_id"], delete_col="__delete")

@@ -1,0 +1,72 @@
+"""Invariant tests for advanced operators: MERGE semantics, SCD2, as-of
+correctness on hand-built frames, approx aggregates."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from dais2021imageprocessingondeltalake_spark.operators.merge import scd2_apply, upsert
+from dais2021imageprocessingondeltalake_spark.operators.temporal import asof_join
+
+
+def test_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]
+    )
+    source = spark.createDataFrame(
+        [(2, "B", False), (4, "D", False), (3, "x", True)], ["id", "val", "del"]
+    )
+    out = {r["id"]: r["val"] for r in upsert(target, source, ["id"], delete_col="del").collect()}
+    assert out == {1: "a", 2: "B", 4: "D"}  # 2 updated, 3 deleted, 4 inserted
+
+
+def test_scd2_apply(spark):
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 6, 1)
+    current = spark.createDataFrame(
+        [(1, "v1", t0, None), (2, "w1", t0, None)],
+        "id int, val string, ts timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(1, "v2", t1)], "id int, val string, ts timestamp"
+    )
+    out = scd2_apply(current, updates, ["id"], "ts").collect()
+    rows = {(r["id"], r["val"]): r["valid_to"] for r in out}
+    assert rows[(1, "v1")] == t1  # closed out
+    assert rows[(1, "v2")] is None  # new open version
+    assert rows[(2, "w1")] is None  # untouched
+    assert len(out) == 3
+
+
+def test_asof_join_handbuilt(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3")],
+        "k int, t long, name string",
+    ).withColumn("t", F.timestamp_micros(F.col("t") * 1_000_000))
+    right = spark.createDataFrame(
+        [(1, 90, "c1"), (1, 150, "c2"), (1, 200, "c3"), (2, 60, "c4")],
+        "k int, t long, rname string",
+    ).withColumn("t", F.timestamp_micros(F.col("t") * 1_000_000))
+    out = asof_join(left, right, on="k", ts="t", right_cols=["rname"], suffix="_r")
+    got = {r["name"]: r["rname_r"] for r in out.collect()}
+    # p1(t=100) → c1(90); p2(t=200) → c3(200, inclusive >=); p3(t=50) → none
+    assert got == {"p1": "c1", "p2": "c3", "p3": None}
+
+
+def test_approx_aggregates_run(spark):
+    """approx_percentile / approx_count_distinct are the 100 TB path but
+    engine-specific — assert sanity bounds, not oracle equality."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR)
+    row = ev.agg(
+        F.expr("approx_percentile(value, 0.5)").alias("p50"),
+        F.approx_count_distinct("user_id").alias("nu"),
+    ).collect()[0]
+    exact_p50 = ev.agg(F.expr("percentile(value, 0.5)")).collect()[0][0]
+    exact_nu = ev.select("user_id").distinct().count()
+    assert abs(row["p50"] - exact_p50) / exact_p50 < 0.1
+    assert abs(row["nu"] - exact_nu) / exact_nu < 0.1
