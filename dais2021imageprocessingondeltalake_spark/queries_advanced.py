@@ -281,3 +281,23 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id") + 1_000_000
     ).withColumn("__delete", F.lit(False))
     return upsert(docs, updates.unionByName(inserts), ["doc_id"], delete_col="__delete")
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via the stack() generator — the inverse of
+    q_pivot, one pass, no shuffle."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)"
+        ),
+    )

@@ -182,3 +182,23 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_positive"
         ),
     )
+
+
+@query(
+    "q_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' '))
+                + (length(text) - len(string_split(text, ' ')) + 1) // 4
+                AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word token estimate without a tokenizer model (words + chars/4,
+    the BPE rule of thumb) — the cheap JVM-side stand-in for tiktoken-style
+    counting over 100 TB of text."""
+    from .operators.text import bpe_ish_token_estimate
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", bpe_ish_token_estimate(F.col("text")).alias("bpe_tokens"))

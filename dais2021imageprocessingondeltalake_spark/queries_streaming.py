@@ -72,3 +72,32 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
     )
+
+
+@query(
+    "q_stateful_stream",
+    oracle="""
+    SELECT event_type AS key,
+           count(*) AS n,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    running totals with explicit GroupState. In update mode every trigger
+    emits the running value; the final emission per key (max n) equals the
+    batch aggregate, which the oracle checks."""
+    from pyspark.sql import Window as W
+
+    from .streaming.stateful import running_totals_stream
+
+    stream = events_stream(spark, sf_dir)
+    out = run_stream_to_memory(running_totals_stream(stream), output_mode="update")
+    w = W.partitionBy("key").orderBy(F.col("n").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

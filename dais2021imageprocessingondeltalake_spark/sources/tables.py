@@ -77,3 +77,36 @@ def write_table(
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """A3/A4 — path-addressed table scan."""
     return spark.read.format(_FORMAT).load(path)
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """A11 — small-file compaction, the engine's portable `OPTIMIZE`
+    (`00. Explore.py:90`, `01. Ingest.py:188-189`): rewrite the table into
+    ceil(size/target) files via an atomic-ish tmp swap. Many small files
+    destroy scan throughput at 100 TB (per-file open + listing overhead
+    and tiny row groups); Delta's OPTIMIZE does this transactionally —
+    this fallback rewrites in place. Returns the resulting file count."""
+    import math
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    total = sum(f.stat().st_size for f in p.rglob("*.parquet"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = str(p) + "__compact_tmp"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return len(list(Path(path).rglob("*.parquet")))
+
+
+def drop_table(spark: SparkSession, path: str) -> None:
+    """A10 — DROP TABLE for path-addressed tables (`03. Inference.py:62`
+    is `DROP TABLE` + the `%fs rm -r` checkpoint reset at `:67`)."""
+    import shutil
+    from pathlib import Path
+
+    if Path(path).exists():
+        shutil.rmtree(path)
