@@ -120,6 +120,88 @@ def lsh_ann_topk(
     )
 
 
+def ivf_fit_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample_n: int = 2048,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means (Lloyd) on a bounded driver-side
+    sample. Model *fitting* on a sample is the one legitimate driver-side
+    step in the pipeline (the model is tiny: k x d floats); *assignment*
+    stays distributed. Deterministic: seeded init, fixed iteration count,
+    numpy float64."""
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample_n).collect()
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in centroids]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid — pure JVM expressions
+    (k squared-distance columns, argmin via array_position of the min).
+    At scale, write the table `partitionBy(centroid_id)` so probe-time
+    reads prune to n_probe/k of the files."""
+    v = _to_double(F.col(vec_col))
+    dists = [
+        F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    arr = F.array(*dists)
+    cid = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+    return df.withColumn(out_col, cid)
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids by distance to the query (driver-side,
+    k x d flops), scan only the n_probe nearest inverted lists, exact
+    cosine re-rank. Complements sign-LSH: IVF adapts to the data
+    distribution (clustered embeddings → tight lists), LSH is data-
+    oblivious."""
+    qd = [
+        sum((a - b) * (a - b) for a, b in zip(query_vec, c)) for c in centroids
+    ]
+    probes = sorted(range(len(centroids)), key=lambda i: qd[i])[:n_probe]
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.filter(F.col("centroid_id").isin([int(p) for p in probes]))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(_to_double(F.col(vec_col)), q)
+    return (
+        cand.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

@@ -167,6 +167,19 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk(emb, qv, k=10, n_planes=6, multiprobe=True)
 
 
+@query("q_embedding_ivf", oracle=None)
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (rows-only): k-means coarse
+    quantizer fit on a driver-side sample, distributed assignment, probe
+    the 4 nearest of 16 inverted lists, exact re-rank. At scale the
+    assignment column becomes the write-time partition key → probe reads
+    prune to n_probe/k of the files."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    cents = SIM.ivf_fit_centroids(emb, n_centroids=16)
+    return SIM.ivf_ann_topk(emb, qv, cents, k=10, n_probe=4)
+
+
 @query("q_embedding_near_dup", oracle=None)
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-dup (cosine >= 0.9) via LSH buckets

@@ -78,3 +78,22 @@ def test_embedding_near_dup_planted(spark):
     with_dup = emb.unionByName(clone)
     pairs = SIM.embedding_near_dup(with_dup, threshold=0.999, n_planes=10, dim=64).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 99999 for r in pairs)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = SIM.ivf_fit_centroids(emb, n_centroids=8)
+    exact = [r["vec_id"] for r in SIM.cosine_topk(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in SIM.ivf_ann_topk(emb, qv, cents, k=10, n_probe=3).collect()]
+    assert approx[0] == 0  # query vector found in its own list
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"IVF recall@10 = {recall}"
+
+
+def test_ivf_assignment_partitions_all_rows(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    cents = SIM.ivf_fit_centroids(emb, n_centroids=8)
+    assigned = SIM.ivf_assign(emb, cents)
+    n = emb.count()
+    assert assigned.filter(F.col("centroid_id").between(0, 7)).count() == n

@@ -1,0 +1,130 @@
+"""Scale-property regression tests: physical-plan shape (broadcast where
+intended, pushdown reaching scans, no shuffle on bucketed joins), skew
+tactics correctness, codegen presence. These lock in the §4 engine
+policies so a refactor can't silently regress the 100 TB story."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from dais2021imageprocessingondeltalake_spark import queries_all as q
+from dais2021imageprocessingondeltalake_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
+
+from .conftest import SF_DIR
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_plan_shape(spark):
+    """Flagship must keep lineitem un-shuffled: three broadcast joins, a
+    pushed date filter, pruned scan schema, TakeOrderedAndProject top-k."""
+    plan = _formatted_plan(q.REGISTRY["q_flagship_revenue"].fn(spark, SF_DIR))
+    # formatted explain lists each operator in the tree and the details
+    # section, so 3 joins appear as 6 mentions
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # filter reached the scan
+    # column pruning: lineitem scan reads only the 4 needed columns
+    assert "l_orderkey:bigint,l_quantity:double,l_extendedprice:double,l_discount:double" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _formatted_plan(q.REGISTRY["q_filter"].fn(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "GreaterThan(l_quantity,25.0)" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    """Simple-mode explain marks codegen stages with `*(n)`. Under AQE the
+    markers only materialize in the final plan, so execute first."""
+    df = q.REGISTRY["q_groupby_agg"].fn(spark, SF_DIR)
+    df.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    out = buf.getvalue()
+    assert "isFinalPlan=true" in out
+    assert "*(" in out
+
+
+def test_salted_aggregate_matches_plain(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") if False else None
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+    ev = load_table(spark, "events", SF_DIR).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    plain = {
+        (r["event_type"]): (r["s"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"]): (r["sum_cents"], r["n_rows"])
+        for r in salted_aggregate(ev, ["event_type"], ["cents"], salt_n=16).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+    orders = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", SF_DIR).select("c_custkey", "c_name")
+    plain = orders.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"]
+    ).count()
+    salted = salted_join(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", salt_n=8
+    ).count()
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing co-locates join keys at write time: a join between two
+    tables bucketed on the same key plans with zero Exchange operators —
+    the write-once-join-many pattern for 100 TB fact tables."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+    import shutil
+    from pathlib import Path
+
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = Path("spark-warehouse") / t
+        if loc.exists():
+            shutil.rmtree(loc)
+    orders = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_quantity")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    li.withColumnRenamed("l_orderkey", "o_orderkey").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("b_lineitem")
+    # small tables auto-broadcast, which bypasses bucketing; disable the
+    # threshold to exercise the bucketed sort-merge path a 100 TB fact-
+    # fact join would take
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = _formatted_plan(joined)
+        assert "Exchange" not in plan  # co-located buckets: no shuffle
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
