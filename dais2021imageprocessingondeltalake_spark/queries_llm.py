@@ -262,3 +262,49 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier accuracy; a learned model drops in via model_udf."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
     return TX.language_id(docs).drop("text")
+
+
+@query(
+    "q_llm_pipeline",
+    headline=True,
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             least(len(string_split(text, ' ')) / 50, 1.0)
+               * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+               AS q_score,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), canon AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT s.lang,
+           count(*) AS n_docs,
+           CAST(sum(s.n_tok) AS BIGINT) AS total_tokens,
+           round(avg(s.q_score), 6) AS avg_quality
+    FROM scored s JOIN canon c ON s.doc_id = c.doc_id
+    WHERE s.q_score >= 0.3
+    GROUP BY s.lang
+    """,
+)
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pipeline composing the
+    north-star ops: exact dedup (semi-join against canon ids) → quality
+    filter → per-language corpus stats. The shape a real 100 TB curation
+    job takes: one dedup shuffle, then pure projection + one agg shuffle.
+    avg_quality rounds 6dp (sum-of-doubles order differs across engines;
+    q_score values are irrational-ish so rounding is safe here)."""
+    docs = load_table(spark, "documents", sf_dir)
+    deduped = D.drop_exact_duplicates(docs, "doc_id")
+    scored = TX.quality_score(deduped)
+    kept = scored.filter(F.col("q_score") >= 0.3)
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return (
+        kept.withColumn("n_tok", n_tok)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("q_score"), 6).alias("avg_quality"),
+        )
+    )

@@ -83,3 +83,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_images(df, 4, 4)
     feats = image_features(resized, content_col="resized")
     return feats.select("path", F.element_at("features", 1).alias("mean_pixel"))
+
+
+@query("q_scan_image", oracle=None)
+def q_scan_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image source scan (A1, `00. Explore.py:45`): the portable
+    re-implementation — binaryFile + header-decoded metadata struct —
+    yielding the image-struct shape without a JVM codec."""
+    from .sources.binaryfiles import scan_images
+
+    df = scan_images(spark, image_fixture_dir())
+    return df.select(
+        F.col("image.origin").alias("origin"),
+        F.col("image.size.width").alias("width"),
+        F.col("image.size.height").alias("height"),
+        F.col("image.nBytes").alias("n_bytes"),
+    )
