@@ -136,9 +136,25 @@ def minhash_signatures(
     exploded = _parallelize(df).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
     )
-    hashed = exploded.select(
-        id_col, *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    # double hashing (Kirsch-Mitzenmacher family): derive num_hashes
+    # min-hash families from TWO xxhash64 evaluations per shingle instead
+    # of num_hashes — 16x less hashing. Mixing is rotate-XOR rather than
+    # h1 + i*h2 because ANSI mode (Spark 4 default) throws on long
+    # overflow; bit ops are overflow-free and shift counts wrap mod 64.
+    with_h = exploded.select(
+        id_col, F.xxhash64("s").alias("h1"), F.xxhash64("s", F.lit(1)).alias("h2")
     )
+    h1 = F.col("h1")
+
+    def mix(i: int):
+        if i == 0:
+            return h1
+        rot = F.shiftleft(F.col("h2"), i).bitwiseOR(
+            F.shiftrightunsigned(F.col("h2"), 64 - i)
+        )
+        return h1.bitwiseXOR(rot)
+
+    hashed = with_h.select(id_col, *[mix(i).alias(f"h{i}") for i in range(num_hashes)])
     mins = hashed.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
     )

@@ -202,3 +202,27 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return docs.select("doc_id", bpe_ish_token_estimate(F.col("text")).alias("bpe_tokens"))
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           json_keys(props)[1] AS first_key,
+           CAST(json_extract_string(props, '$.' || json_keys(props)[1]) AS BIGINT) AS first_val,
+           CAST(len(json_keys(props)) AS INT) AS n_keys
+    FROM events
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column functions (G4): parse props into map<string,bigint>,
+    then map_keys/map_values/size — the MAP branch of the type system the
+    reference never touches."""
+    e = load_table(spark, "events", sf_dir)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(F.map_values(m), 1).alias("first_val"),
+        F.size(m).cast("int").alias("n_keys"),
+    )

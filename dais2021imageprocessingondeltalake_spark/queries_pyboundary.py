@@ -222,3 +222,36 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "length",
         F.regexp_extract("path", r"flower_photos/([^/]+)", 1).alias("label"),
     )
+
+
+@query(
+    "q_udaf_pandas",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS median_value,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF via grouped-map (I5): applyInPandas emitting ONE row per group
+    — a custom aggregate (pandas median == SQL quantile_cont(0.5): both
+    linear-interpolate, so the oracle checks the boundary exactly)."""
+
+    def median_agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "median_value": [float(pdf["value"].median())],
+                "n": [len(pdf)],
+            }
+        )
+
+    events = load_table(spark, "events", sf_dir).select("event_type", "value")
+    return grouped_apply(
+        events,
+        ["event_type"],
+        median_agg,
+        "event_type string, median_value double, n long",
+    )
