@@ -59,10 +59,16 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") ->
 # Shingles + n-gram Jaccard
 # --------------------------------------------------------------------------
 def shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles as an array column (JVM transform)."""
+    """Distinct word n-gram shingles as an array column (JVM transform).
+    Documents with fewer than n tokens yield ZERO shingles (standard
+    max(0, len-n+1) shingling — also what the SQL oracles' range-based
+    comprehensions produce; a whole-short-text fallback shingle would
+    diverge from them and make any two short docs a Jaccard-1 pair)."""
     toks = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(
@@ -269,10 +275,15 @@ def simhash_near_pairs(
     max_hamming: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into `bands` chunks
-    (pigeonhole: hamming ≤ max_hamming with bands > max_hamming/ (64/bands)
-    guarantees ≥1 identical band for small distances), join on a matching
-    band, verify with bit_count(xor) ≤ max_hamming."""
+    """Near-dup pairs by SimHash: band the 64-bit hash into `bands` chunks,
+    join on a matching band, verify with bit_count(xor) <= max_hamming.
+
+    Recall guarantee (pigeonhole): a pair is ALWAYS found when its hamming
+    distance < bands (fewer differing bits than bands → some band intact).
+    For bands <= hamming <= max_hamming detection is probabilistic (the
+    differing bits must happen to leave one band untouched) — exhaustive
+    recall at max_hamming=h requires bands >= h+1 (e.g. 9+ bands for
+    h=8), at the cost of more candidate pairs per band join."""
     width = 64 // bands
     sigs = simhash(df, id_col, text_col)
     mask = (1 << width) - 1

@@ -58,20 +58,11 @@ def decode_png_gray(content: bytes) -> np.ndarray:
 
 
 def encode_png_gray(pixels: np.ndarray) -> bytes:
-    """Re-encode a (h, w) uint8 array as PNG (mirrors make_png)."""
+    """Re-encode a (h, w) uint8 array as PNG via the shared assembler."""
+    from ..sources.binaryfiles import assemble_png_gray
+
     h, w = pixels.shape
-
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        raw = tag + payload
-        return struct.pack(">I", len(payload)) + raw + struct.pack(
-            ">I", zlib.crc32(raw) & 0xFFFFFFFF
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    scanlines = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
-    return (
-        PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
-    )
+    return assemble_png_gray(w, h, [pixels[y].tobytes() for y in range(h)])
 
 
 def decode_image(content: bytes) -> np.ndarray:

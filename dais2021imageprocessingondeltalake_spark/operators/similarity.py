@@ -136,7 +136,10 @@ def ivf_fit_centroids(
     import numpy as np
 
     rows = df.select(vec_col).limit(sample_n).collect()
+    if not rows:
+        raise ValueError("ivf_fit_centroids: input has no vectors")
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    n_centroids = min(n_centroids, len(x))  # clamp: k-means needs k <= n
     rng = np.random.RandomState(seed)
     centroids = x[rng.choice(len(x), size=n_centroids, replace=False)]
     for _ in range(iters):
@@ -217,7 +220,22 @@ def embedding_near_dup(
     fewer false candidates, more false negatives — callers tune for
     recall like MinHash bands)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None:  # empty input → empty pair set, typed correctly
+            from pyspark.sql import types as T
+
+            id_type = df.schema[id_col].dataType
+            return df.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id_a", id_type),
+                        T.StructField("id_b", id_type),
+                        T.StructField("cosine_sim", T.DoubleType()),
+                    ]
+                ),
+            )
+        dim = len(first[0])
     planes = _hyperplanes(dim, n_planes, seed)
     vec_d = _to_double(F.col(vec_col))
     b = df.select(

@@ -37,9 +37,10 @@ def salted_aggregate(
     (keys, salt) — hot keys spread across salt_n reducers; phase 2
     shuffles salt_n rows per key. Emits sum_<c> per column plus n_rows.
 
-    The salt is derived from a hash of the full row's partition-local
-    position via `spark_partition_id` + monotonically_increasing_id —
-    deterministic per task layout, uniform enough to spread."""
+    The salt is monotonically_increasing_id() % salt_n: uniform enough to
+    spread, and NOT stable across stage retries/AQE replans — which is
+    fine because the final result is salt-invariant (sums/counts compose
+    regardless of which salt each row drew)."""
     salt = (F.monotonically_increasing_id() % salt_n).alias("__salt")
     phase1 = (
         df.select(*keys, *sum_cols, salt)

@@ -38,25 +38,32 @@ def asof_join(
     side otherwise (ambiguous matches are engine-defined everywhere).
 
     Plan shape: unionByName(tagged sides) → window(partitionBy on,
-    orderBy ts, side) → last_value(ignoreNulls) over unbounded-preceding
-    → filter left side. One shuffle total; at equal ts the right row
-    sorts first (side 0 < 1) so >= (inclusive) semantics hold."""
+    orderBy ts, side) → last(ignoreNulls) over unbounded-preceding →
+    filter left side. One shuffle total; at equal ts the right row sorts
+    first (side 0 < 1) so >= (inclusive) semantics hold.
+
+    The carried right columns travel as ONE struct, filled with a single
+    last(ignorenulls): filling columns independently would stitch values
+    from *different* right rows whenever a carried column is legitimately
+    NULL in the matched row (the per-column fill skips the NULL back to an
+    older row)."""
     lt = left.withColumn("__side", F.lit(1))
-    rt = right.select(
-        F.col(on),
-        F.col(ts),
+    match_struct = F.struct(
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-    ).withColumn("__side", F.lit(0))
+        F.col(ts).alias(f"{ts}{suffix}"),
+    )
+    rt = right.select(F.col(on), F.col(ts), match_struct.alias("__match")).withColumn(
+        "__side", F.lit(0)
+    )
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts}{suffix}"]
-    rt = rt.withColumn(f"{ts}{suffix}", F.col(ts))
     unioned = lt.select(
-        "*", *[F.lit(None).cast(rt.schema[c].dataType).alias(c) for c in carried]
+        "*", F.lit(None).cast(rt.schema["__match"].dataType).alias("__match")
     ).unionByName(
         rt.select(
             on,
             ts,
             "__side",
-            *carried,
+            "__match",
             *[
                 F.lit(None).cast(lt.schema[c].dataType).alias(c)
                 for c in lt.columns
@@ -69,19 +76,12 @@ def asof_join(
         .orderBy(F.col(ts), F.col("__side"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in carried
-        ],
-    )
+    filled = unioned.withColumn("__m", F.last("__match", ignorenulls=True).over(w))
     return (
         filled.filter(F.col("__side") == 1)
-        .drop(*carried, "__side")
         .select(
             *[c for c in left.columns],
-            *[F.col(f"__m_{c}").alias(c) for c in carried],
+            *[F.col(f"__m.{c}").alias(c) for c in carried],
         )
     )
 

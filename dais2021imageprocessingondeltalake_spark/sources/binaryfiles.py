@@ -78,10 +78,10 @@ def _png_size_batch(contents):
     return pd.DataFrame({"width": [s[0] for s in sizes], "height": [s[1] for s in sizes]})
 
 
-def make_png(width: int, height: int, gray: int) -> bytes:
-    """Generate a minimal valid 8-bit grayscale PNG (stdlib only) —
-    deterministic fixture bytes for the multimodal pipeline tests
-    (FIXTURES.md F1), replacing the reference's tf_flowers JPEGs."""
+def assemble_png_gray(width: int, height: int, row_bytes: list[bytes]) -> bytes:
+    """Assemble an 8-bit grayscale PNG (filter 0) from raw scanline bytes
+    — the single codec shared by the fixture generator and the multimodal
+    re-encoder (operators/multimodal.encode_png_gray)."""
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         raw = tag + payload
@@ -90,8 +90,16 @@ def make_png(width: int, height: int, gray: int) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
-    scanlines = b"".join(
-        b"\x00" + bytes((gray + x + y) % 256 for x in range(width)) for y in range(height)
-    )
+    scanlines = b"".join(b"\x00" + row for row in row_bytes)
     idat = zlib.compress(scanlines)
     return PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def make_png(width: int, height: int, gray: int) -> bytes:
+    """Generate a minimal deterministic grayscale PNG — fixture bytes for
+    the multimodal pipeline tests (FIXTURES.md F1), replacing the
+    reference's tf_flowers JPEGs."""
+    rows = [
+        bytes((gray + x + y) % 256 for x in range(width)) for y in range(height)
+    ]
+    return assemble_png_gray(width, height, rows)

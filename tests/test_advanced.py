@@ -54,6 +54,20 @@ def test_asof_join_handbuilt(spark):
     assert got == {"p1": "c1", "p2": "c3", "p3": None}
 
 
+def test_asof_join_null_carried_column(spark):
+    """Regression: a matched right row whose carried column is NULL must
+    yield NULL — not a value stitched in from an older right row."""
+    left = spark.createDataFrame([(1, 200, "p")], "k int, t long, name string")
+    right = spark.createDataFrame(
+        [(1, 90, "old"), (1, 150, None)], "k int, t long, val string"
+    )
+    out = asof_join(left, right, on="k", ts="t", right_cols=["val"], suffix="_r").collect()
+    assert len(out) == 1
+    # match is the t=150 row: val NULL, matched ts 150
+    assert out[0]["val_r"] is None
+    assert out[0]["t_r"] == 150
+
+
 def test_approx_aggregates_run(spark):
     """approx_percentile / approx_count_distinct are the 100 TB path but
     engine-specific — assert sanity bounds, not oracle equality."""

@@ -97,3 +97,15 @@ def test_ivf_assignment_partitions_all_rows(spark):
     assigned = SIM.ivf_assign(emb, cents)
     n = emb.count()
     assert assigned.filter(F.col("centroid_id").between(0, 7)).count() == n
+
+
+def test_short_docs_produce_no_shingle_pairs(spark):
+    """Docs shorter than the shingle width must yield zero shingles (and
+    thus no pairs) — matching the SQL oracle's range-based shingling,
+    which is empty for len(w) < n."""
+    rows = [(1, "one two"), (2, "one two"), (3, "a b c d e f g")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.ngram_jaccard_pairs(df, "doc_id", n=3, threshold=0.1).collect()
+    assert pairs == []  # the two identical 2-token docs must NOT pair
+    sigs = D.minhash_signatures(df, "doc_id", num_hashes=8).collect()
+    assert {r["doc_id"] for r in sigs} == {3}  # shingle-less docs have no signature

@@ -69,11 +69,17 @@ def test_ingest_fanout_and_grayscale(spark):
     for r in sample:
         assert bytes(r["grayscale_image"])[:8] == PNG_SIGNATURE
         assert r["grayscale_format"] == "png"
-    # inversion: find the matching (same size) source/augmented pair is
-    # fan-out-ambiguous; instead verify round-trip property on one group
-    one = result.filter(F.col("label") == "daisy").first()
-    aug = decode_png_gray(bytes(one["grayscale_image"]))
-    assert aug.min() >= 0 and aug.max() <= 255
+    # inversion semantics checked directly on the grouped-map function:
+    # augmented pixels must equal 255 - source pixels, row for row
+    from dais2021imageprocessingondeltalake_spark.plans.ingest import augment_grayscale
+
+    src = result.filter(F.col("label") == "daisy").select("content").distinct().collect()
+    pdf = pd.DataFrame(
+        {"label": ["daisy"] * len(src), "content": [bytes(r["content"]) for r in src]}
+    )
+    out = augment_grayscale(pdf)
+    for original, augmented in zip(pdf["content"], out["grayscale_image"]):
+        assert (decode_png_gray(augmented) == 255 - decode_png_gray(original)).all()
 
 
 def test_trainprep_flow(spark):

@@ -60,7 +60,6 @@ def test_whole_stage_codegen_active(spark):
 
 
 def test_salted_aggregate_matches_plain(spark):
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") if False else None
     from dais2021imageprocessingondeltalake_spark.catalog import load_table
 
     ev = load_table(spark, "events", SF_DIR).withColumn(
@@ -97,8 +96,6 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketing co-locates join keys at write time: a join between two
     tables bucketed on the same key plans with zero Exchange operators —
     the write-once-join-many pattern for 100 TB fact tables."""
-    from dais2021imageprocessingondeltalake_spark.catalog import load_table
-
     import shutil
     from pathlib import Path
 
