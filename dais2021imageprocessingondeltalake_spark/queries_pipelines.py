@@ -99,3 +99,20 @@ def q_scan_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image.size.height").alias("height"),
         F.col("image.nBytes").alias("n_bytes"),
     )
+
+
+@query("q_partitioned_write", oracle=None)
+def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-encoded layout (§1.3: the reference's label=daisy/ dirs,
+    `00. Explore.py:41,49`): write events partitioned by event_type, read
+    back one partition — the filter becomes directory-level partition
+    pruning (PartitionFilters, zero data files of other types touched)."""
+    import tempfile
+
+    from .catalog import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="dais_part_") + "/events_by_type"
+    ev.write.partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return back.select("event_id", "value")

@@ -125,3 +125,20 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_partition_pruning_on_partitioned_write(spark):
+    """A filter on the partition column must become PartitionFilters (dir
+    pruning), not a data filter — the reference's label=daisy/ pattern."""
+    import tempfile
+
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+    ev = load_table(spark, "events", SF_DIR).select("event_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="dais_prune_") + "/t"
+    ev.write.partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = _formatted_plan(back)
+    assert "PartitionFilters" in plan and "purchase" in plan
+    n_purchase = ev.filter(F.col("event_type") == "purchase").count()
+    assert back.count() == n_purchase
