@@ -521,8 +521,9 @@ def q_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(row_number() OVER w AS BIGINT) AS rn,
            CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT) AS prio_rank,
            lag(o_totalprice) OVER w AS prev_price,
-           sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+           sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -540,10 +541,15 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.row_number().over(w).cast("bigint").alias("rn"),
         F.rank().over(wp).cast("bigint").alias("prio_rank"),
-        # raw doubles: lag copies a value; the running sum accumulates in
-        # frame order, which both engines share → bit-identical
+        # lag copies a value → raw. The running sum must be integer cents:
+        # DuckDB evaluates window sums with a segment tree (different
+        # association order than sequential), so double window sums
+        # diverge in the last ulp on long frames — caught at sf0.1.
         F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.sum("o_totalprice")
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("running_total"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            / F.lit(100.0)
+        ).alias("running_total"),
     )
