@@ -84,15 +84,26 @@ def run_stream_to_memory(
     spark = streaming_df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="dais_ckpt_")
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Streaming state partitioning is fixed at first run from
+    # spark.sql.shuffle.partitions; a vanilla session's 200 is absurd for
+    # a bounded availableNow drain — bound it for the query, restore after
+    # (safe: the checkpoint is fresh, so no state-repartition conflict).
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    if checkpoint_dir is None and int(prior) > 32:
+        spark.conf.set(key, "32")
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prior)
     return spark.table(name)
 
 
