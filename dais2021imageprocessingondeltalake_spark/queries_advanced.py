@@ -301,3 +301,141 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)"
         ),
     )
+
+
+@query(
+    "q_array_agg",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS names,
+           string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/string aggregation: collect_list is unordered (partition
+    arrival order), so determinism comes from sort_array before compare/
+    join — the same trick DuckDB needs (list_sort / ORDER BY in
+    string_agg)."""
+    n = load_table(spark, "nation", sf_dir)
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("names"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names_csv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(c_name, 'NO_CUSTOMER') AS cust_or_default,
+           CASE WHEN c_name IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END AS is_null_safe,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           CASE WHEN c_acctbal IS NULL THEN -1.0 ELSE c_acctbal END AS bal_filled
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey AND c_acctbal > 9000.0
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling semantics: coalesce, null-safe equality (<=> /
+    IS NOT DISTINCT FROM), nullif, explicit NULL CASE — over a left join
+    that actually produces NULLs."""
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_orderstatus")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name", "c_acctbal")
+    joined = o.join(c, (o["o_custkey"] == c["c_custkey"]) & (c["c_acctbal"] > 9000.0), "left")
+    return joined.select(
+        "o_orderkey",
+        F.coalesce("c_name", F.lit("NO_CUSTOMER")).alias("cust_or_default"),
+        F.when(F.col("c_name").eqNullSafe(F.lit(None)), 1).otherwise(0).alias("is_null_safe"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.when(F.col("c_acctbal").isNull(), F.lit(-1.0)).otherwise(F.col("c_acctbal")).alias(
+            "bal_filled"
+        ),
+    )
+
+
+@query(
+    "q_unix_time",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_micros,
+           epoch_us(ts) // 1000000 AS ts_seconds,
+           CAST(make_timestamp(epoch_us(ts)) AS TIMESTAMP) AS ts_roundtrip
+    FROM events
+    """,
+)
+def q_unix_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unix-epoch conversions at microsecond precision (the only
+    precision both engines share losslessly for this data)."""
+    e = load_table(spark, "events", sf_dir)
+    return e.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_micros"),
+        F.expr("unix_micros(ts) div 1000000").alias("ts_seconds"),
+        F.timestamp_micros(F.unix_micros("ts")).alias("ts_roundtrip"),
+    )
+
+
+@query(
+    "q_theta_join",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r JOIN nation n ON r.r_regionkey <> n.n_regionkey
+    """,
+)
+def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta (non-equi) join: no equi key → broadcast-nested-loop.
+    Legitimate ONLY for tiny-x-small shapes like this (5x25); anything
+    larger must bucketize to recover an equi key (see range_join)."""
+    r = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    n = load_table(spark, "nation", sf_dir).select("n_regionkey", "n_name")
+    return r.join(n, r["r_regionkey"] != n["n_regionkey"]).select("r_name", "n_name")
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT sum(CAST(round(o_totalprice*100,0) AS BIGINT)) / CAST(100 AS DOUBLE)
+            FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
+    FROM customer c
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries — Catalyst decorrelates them into
+    left outer aggregated joins (SURVEY.md §4.1 'built-in if needed');
+    the SQL front-end is the natural surface for this shape."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT sum(CAST(round(o_totalprice*100,0) AS BIGINT)) / CAST(100 AS DOUBLE)
+                FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
+        FROM customer c
+        """
+    )
+
+
+@query(
+    "q_in_subquery",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0)
+      AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount > 0.09)
+    """,
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries — Catalyst rewrites to semi/anti joins
+    (the declarative face of q_join_semi/q_join_anti)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0)
+          AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount > 0.09)
+        """
+    )
