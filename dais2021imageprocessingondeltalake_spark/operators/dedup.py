@@ -77,17 +77,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted index:
     explode shingles → self-join on shingle (id_a < id_b) → count shared →
     jaccard = shared / (|A| + |B| - shared) ≥ threshold.
 
     Scale note: cost is Σ_s df(s)² over shingle frequencies — fine for
-    selective shingles (content n-grams), degenerate for stop-shingles; at
-    100 TB cap shingle document-frequency first (drop shingles with
-    df > cutoff — they only generate candidates that MinHash verifies
-    cheaper). This exact variant doubles as the oracle-checkable
-    ground truth for the MinHash approximation."""
+    selective shingles (content n-grams), degenerate for stop-shingles.
+    `max_doc_freq` is the 100 TB knob: drop shingles appearing in more
+    than that many documents before the self-join (a shingle with df=1M
+    alone generates 5e11 candidate rows). Capped results UNDER-count
+    `shared` for pairs relying on dropped shingles — jaccard becomes a
+    lower bound, so recall can only drop, never precision. The uncapped
+    form doubles as the oracle-checkable ground truth for MinHash."""
     sh = _parallelize(df).select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shingles")
     )
@@ -101,6 +104,14 @@ def ngram_jaccard_pairs(
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("s"),
     ).select("doc", "n_sh", F.xxhash64("s").alias("s"))
+    if max_doc_freq is not None:
+        rare = (
+            exploded.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("s")
+        )
+        exploded = exploded.join(rare, ["s"], "left_semi")
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (

@@ -102,6 +102,19 @@ def compact_table(
     return len(list(Path(path).rglob("*.parquet")))
 
 
+def sort_for_skipping(df: DataFrame, *cols: str, n_files: int = 8) -> DataFrame:
+    """Layout for parquet min/max data skipping (the Z-order-lite for a
+    single sort dimension): range-partition then sort within partitions on
+    the skip columns, so each output file (and row group) covers a narrow,
+    mostly-disjoint value range. A later filtered scan prunes whole row
+    groups via their min/max stats — at 100 TB the difference between a
+    full scan and reading a few files. (Delta's OPTIMIZE ZORDER is the
+    multi-dimension version; single-dimension sorting is plain Spark.)"""
+    return df.repartitionByRange(n_files, *[df[c] for c in cols]).sortWithinPartitions(
+        *cols
+    )
+
+
 def drop_table(spark: SparkSession, path: str) -> None:
     """A10 — DROP TABLE for path-addressed tables (`03. Inference.py:62`
     is `DROP TABLE` + the `%fs rm -r` checkpoint reset at `:67`)."""

@@ -142,3 +142,83 @@ def test_partition_pruning_on_partitioned_write(spark):
     assert "PartitionFilters" in plan and "purchase" in plan
     n_purchase = ev.filter(F.col("event_type") == "purchase").count()
     assert back.count() == n_purchase
+
+
+def test_ivf_partitioned_probe_prunes(spark):
+    """IVF scale path: centroid-partitioned write → probe filter becomes
+    PartitionFilters; probed result matches the in-memory IVF search."""
+    import tempfile
+
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = SIM.ivf_fit_centroids(emb, n_centroids=8)
+    path = tempfile.mkdtemp(prefix="dais_ivf_") + "/index"
+    SIM.ivf_write_partitioned(emb, path, cents)
+    probed = SIM.ivf_probe_partitioned(spark, path, qv, cents, k=10, n_probe=3)
+    plan = _formatted_plan(probed)
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    in_memory = SIM.ivf_ann_topk(emb, qv, cents, k=10, n_probe=3)
+    assert [r["vec_id"] for r in probed.collect()] == [
+        r["vec_id"] for r in in_memory.collect()
+    ]
+
+
+def test_sort_for_skipping_rowgroup_stats(spark):
+    """Sorted layout must yield narrow, mostly-disjoint per-file min/max
+    ranges on the sort column (what parquet data skipping prunes on),
+    unlike the unsorted layout where every file spans the full range."""
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.sources.tables import sort_for_skipping
+
+    orders = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="dais_skip_")
+    sort_for_skipping(orders, "o_totalprice", n_files=8).write.parquet(f"{base}/sorted")
+    orders.repartition(8).write.parquet(f"{base}/unsorted")
+
+    def ranges(d):
+        out = []
+        for f in Path(d).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(1)  # o_totalprice
+                out.append((col.statistics.min, col.statistics.max))
+        return out
+
+    def total_overlap_width(rs):
+        rs = sorted(rs)
+        return sum(
+            max(0.0, min(a_max, b_max) - max(a_min, b_min))
+            for (a_min, a_max), (b_min, b_max) in zip(rs, rs[1:])
+        )
+
+    sorted_ranges = ranges(f"{base}/sorted")
+    unsorted_ranges = ranges(f"{base}/unsorted")
+    assert len(sorted_ranges) >= 4
+    # adjacent sorted files barely overlap; unsorted files all span ~full range
+    assert total_overlap_width(sorted_ranges) < 0.05 * total_overlap_width(unsorted_ranges)
+
+
+def test_jaccard_df_cap_is_sound(spark):
+    """DF-capped jaccard must be a subset (recall-only loss): every capped
+    pair exists uncapped, and planted exact near-dups survive a loose cap."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+    docs = load_table(spark, "documents", SF_DIR)
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2, max_doc_freq=50).collect()
+    }
+    assert capped <= uncapped
