@@ -141,6 +141,41 @@ def image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
+def audio_features(
+    df: DataFrame, content_col: str = "content", sample_rate: int = 16000
+) -> DataFrame:
+    """Audio feature extraction over raw PCM payloads (int16 LE mono —
+    the one audio 'codec' that needs no library: np.frombuffer IS the
+    decode). Emits RMS, zero-crossing rate, peak, duration. Compressed
+    formats (mp3/flac) would need a real decoder — same
+    NotImplementedError policy as non-PNG images."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats: dict[str, list] = {"rms": [], "zcr": [], "peak": [], "duration_sec": []}
+            for c in pdf[content_col]:
+                if len(c) % 2 != 0:
+                    raise NotImplementedError(
+                        "compressed audio needs a decoder; raw int16 PCM only"
+                    )
+                x = np.frombuffer(bytes(c), dtype="<i2").astype(np.float64) / 32768.0
+                feats["rms"].append(float(np.sqrt((x * x).mean())) if len(x) else 0.0)
+                feats["zcr"].append(
+                    float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if len(x) > 1 else 0.0
+                )
+                feats["peak"].append(float(np.abs(x).max()) if len(x) else 0.0)
+                feats["duration_sec"].append(len(x) / sample_rate)
+            pdf = pdf.copy()
+            for k, v in feats.items():
+                pdf[k] = v
+            yield pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", rms double, zcr double, peak double, duration_sec double"
+    return df.mapInPandas(batches, out_schema)
+
+
 def sample_frames(
     df: DataFrame, every_nth: int, frame_bytes: int, content_col: str = "content"
 ) -> DataFrame:

@@ -439,3 +439,51 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount > 0.09)
         """
     )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window grouping (Spark's built-in sessionization,
+    also valid on streams) — cross-validated against the manual
+    lag/cumsum sessionize oracle: window.start == min(ts) and
+    window.end == max(ts) + gap for each merged session."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -116,3 +116,34 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
     return back.select("event_id", "value")
+
+
+@query("q_audio_features", oracle=None)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: binaryFile scan of raw-PCM clips → numpy DSP
+    features (RMS / zero-crossing rate / peak / duration) via mapInPandas.
+    frombuffer IS the decode for raw PCM; compressed codecs are the
+    declared NotImplementedError seam."""
+    from .operators.multimodal import audio_features
+    from .sources.fixtures import audio_fixture_dir
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pcm")
+        .load(audio_fixture_dir())
+        .select("path", "content")
+    )
+    return audio_features(df).select("path", "rms", "zcr", "peak", "duration_sec")
+
+
+@query("q_frame_sample", oracle=None)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-ish modality: frame-packed binary payloads → every-nth frame
+    rows (explode-shaped mapInPandas). Real video needs ffmpeg (declared
+    stub); the Spark plumbing — schema, batching, row explosion — is real."""
+    from .operators.multimodal import sample_frames
+
+    src = spark.createDataFrame(
+        [(f"video_{i}", bytes(range(256)) * 4) for i in range(4)], ["path", "content"]
+    )
+    return sample_frames(src, every_nth=3, frame_bytes=256)

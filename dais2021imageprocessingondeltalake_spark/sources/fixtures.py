@@ -16,6 +16,8 @@ from .binaryfiles import make_png
 
 LABELS = ("daisy", "dandelion", "roses", "sunflowers", "tulips")
 IMAGES_PER_LABEL = 4
+CLIPS = 8
+CLIP_SAMPLES = 1600  # 0.1 s at 16 kHz
 _DEFAULT_ROOT = "/tmp/dais2021_spark_fixtures"
 
 
@@ -34,5 +36,27 @@ def image_fixture_dir(root: str | None = None) -> str:
             # deterministic size + gray seed per (label, index)
             w, h = 8 + li, 8 + i
             (d / f"img_{li}_{i}.png").write_bytes(make_png(w, h, gray=li * 40 + i * 7))
+    marker.write_text("ok")
+    return str(base)
+
+
+def audio_fixture_dir(root: str | None = None) -> str:
+    """Deterministic raw-PCM audio tree `audio_clips/clip_<i>.pcm`:
+    int16 LE mono sine waves at clip-dependent frequency/amplitude."""
+    import math
+
+    root = root or os.environ.get("SPARK_GRAFT_FIXTURE_DIR", _DEFAULT_ROOT)
+    base = Path(root) / "audio_clips"
+    marker = base / ".complete"
+    if marker.exists():
+        return str(base)
+    base.mkdir(parents=True, exist_ok=True)
+    for i in range(CLIPS):
+        freq, amp = 110 * (i + 1), 0.2 + 0.1 * (i % 5)
+        samples = bytearray()
+        for t in range(CLIP_SAMPLES):
+            v = int(32767 * amp * math.sin(2 * math.pi * freq * t / 16000))
+            samples += v.to_bytes(2, "little", signed=True)
+        (base / f"clip_{i}.pcm").write_bytes(bytes(samples))
     marker.write_text("ok")
     return str(base)

@@ -167,3 +167,31 @@ def test_multimodal_ops(spark):
     got = frames.collect()
     assert [r["frame_no"] for r in got] == [0, 2]
     assert all(len(bytes(r["frame"])) == 16 for r in got)
+
+
+def test_audio_features(spark):
+    """Raw-PCM DSP: sine clips must show amplitude-ordered RMS and
+    frequency-ordered zero-crossing rates."""
+    from dais2021imageprocessingondeltalake_spark.operators.multimodal import audio_features
+    from dais2021imageprocessingondeltalake_spark.sources.fixtures import (
+        CLIP_SAMPLES,
+        CLIPS,
+        audio_fixture_dir,
+    )
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pcm")
+        .load(audio_fixture_dir())
+        .select("path", "content")
+    )
+    rows = {r["path"].split("/")[-1]: r for r in audio_features(df).collect()}
+    assert len(rows) == CLIPS
+    for name, r in rows.items():
+        i = int(name.split("_")[1].split(".")[0])
+        expected_amp = 0.2 + 0.1 * (i % 5)
+        # RMS of a sine = amp/sqrt(2), within quantization tolerance
+        assert abs(r["rms"] - expected_amp / 2**0.5) < 0.01, name
+        # zcr of a sine at freq f is ~2f/sample_rate
+        assert abs(r["zcr"] - 2 * 110 * (i + 1) / 16000) < 0.01, name
+        assert abs(r["duration_sec"] - CLIP_SAMPLES / 16000) < 1e-9
