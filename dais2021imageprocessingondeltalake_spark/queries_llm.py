@@ -87,6 +87,38 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("shared", F.col("shared").cast("bigint"))
 
 
+@query(
+    "q_ngram_jaccard_prefix",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    )
+    SELECT doc_a, doc_b, shared, shared / (n_a + n_b - shared) AS jaccard
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    WHERE shared / (n_a + n_b - shared) >= 0.5
+    """,
+)
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via PPJoin-style prefix filtering (rarity-ordered
+    prefixes + size filter + array_intersect verify) — same answer as the
+    inverted-index form, but the candidate self-join only touches each
+    document's rarest (1-t) fraction of shingles, so the Σ df(s)² blowup
+    from stop-shingles is excluded by construction. The 100 TB path for
+    high-threshold near-dup mining (t=0.5 here)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+    return pairs.withColumn("shared", F.col("shared").cast("bigint"))
+
+
 @query("q_minhash_lsh", oracle=None, headline=True)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (rows-only: xxhash64 signatures

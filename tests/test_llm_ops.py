@@ -109,3 +109,30 @@ def test_short_docs_produce_no_shingle_pairs(spark):
     assert pairs == []  # the two identical 2-token docs must NOT pair
     sigs = D.minhash_signatures(df, "doc_id", num_hashes=8).collect()
     assert {r["doc_id"] for r in sigs} == {3}  # shingle-less docs have no signature
+
+
+def test_prefix_filter_jaccard_equals_naive(spark):
+    """PPJoin-style prefix filtering is an EXACT algorithm: at any
+    threshold it must return precisely the pairs the inverted-index form
+    returns (prefix pruning may only drop candidates that verification
+    would reject anyway)."""
+    docs = load_table(spark, "documents", SF_DIR)
+    for t in (0.2, 0.5, 0.8):
+        naive = set(
+            map(tuple, D.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=t)
+                .select("doc_a", "doc_b", "shared").collect())
+        )
+        pref = set(
+            map(tuple, D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=t)
+                .select("doc_a", "doc_b", "shared").collect())
+        )
+        assert pref == naive, f"threshold {t}: prefix {len(pref)} vs naive {len(naive)}"
+
+
+def test_prefix_filter_handles_short_docs(spark):
+    """Sub-shingle-width docs vanish before the prefix join (no empty-set
+    division, no spurious pairs)."""
+    rows = [(1, "one two"), (2, "one two"), (3, "a b c d e f g"), (4, "a b c d e f g")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.ngram_jaccard_pairs_prefix(df, "doc_id", n=3, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(3, 4, 1.0)]
