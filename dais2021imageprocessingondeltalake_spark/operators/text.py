@@ -124,3 +124,64 @@ def rolling_hash_fingerprint(df: DataFrame, text_col: str = "text", window: int 
     windows = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, window)))
     hashes = F.transform(windows, lambda w: F.xxhash64(w))
     return df.withColumn("fingerprint", F.array_min(hashes))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document repetition profile — the standard crawl-quality filter
+    (high repetition ⇒ boilerplate/spam; cf. the Gopher/MassiveText
+    repetition rules): token count, distinct-token count, max single-token
+    frequency, repetition ratio = 1 - distinct/total, and the most
+    frequent token (ties broken by min token, deterministic).
+
+    Shape: explode tokens → (doc, tok) count → per-doc aggregate. Two
+    shuffles on doc-sized keys; at 100 TB the first groupBy carries one
+    row per (doc, distinct-token) — bounded by corpus token count — with
+    map-side combine; no all-pairs anything."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    cnt = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = cnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_freq"),
+        # min token among those at max frequency: deterministic mode()
+        F.min_by(F.col("tok"), F.struct((-F.col("c")).alias("neg"), F.col("tok"))).alias(
+            "top_token"
+        ),
+    )
+    return stats.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct",
+        "max_freq",
+        (F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens").cast("double")).alias(
+            "repetition_ratio"
+        ),
+        "top_token",
+    )
+
+
+# PII patterns: plain character-class regexes only — identical semantics
+# in Java regex (Spark) and RE2 (DuckDB); no lookaround, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"[0-9]{3}-[0-9]{4}",
+    "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document PII pattern counts + redaction-needed flag. Pure
+    projection (regexp_count per pattern, whole-stage-codegen'd) — scans
+    100 TB with zero shuffle; pair with a filter or a regexp_replace
+    redaction pass downstream. Patterns are the simple-class subset that
+    behaves identically across regex engines (PII_PATTERNS)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col), *counts)
+    flag = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag)

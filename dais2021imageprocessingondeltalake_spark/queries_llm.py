@@ -340,3 +340,70 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("q_score"), 6).alias("avg_quality"),
         )
     )
+
+
+@query(
+    "q_repetition_stats",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS max_freq FROM cnt GROUP BY 1)
+    SELECT a.doc_id, a.n_tokens, a.n_distinct, a.max_freq,
+           1.0 - a.n_distinct / CAST(a.n_tokens AS DOUBLE) AS repetition_ratio,
+           (SELECT min(tok) FROM cnt
+            WHERE cnt.doc_id = a.doc_id AND cnt.c = a.max_freq) AS top_token
+    FROM agg a
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition profile per document (token counts, max
+    single-token frequency, repetition ratio, deterministic mode token) —
+    the boilerplate/spam filter of a crawl-curation pipeline."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.repetition_stats(docs, "doc_id").select(
+        "doc_id", "n_tokens", "n_distinct", "max_freq", "repetition_ratio", "top_token"
+    )
+
+
+@query(
+    "q_pii_scan",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-0199 id 123-45-6789'
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn_like,
+           (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) > 0
+            OR len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) > 0
+            OR len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) > 0) AS has_pii
+    FROM aug
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern scan (emails / phone-like / SSN-like counts + flag).
+    The corpus is synthetic-clean, so the query plants deterministic PII
+    in every 7th document first — the oracle plants the identical text,
+    making the regex counting genuinely load-bearing. Zero-shuffle
+    projection; the production redaction pass is the same plan with
+    regexp_replace instead of regexp_count."""
+    docs = load_table(spark, "documents", sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-0199 id 123-45-6789"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, injected).otherwise(F.col("text")).alias("text"),
+    )
+    return TX.pii_scan(aug, "doc_id").select(
+        "doc_id", "n_email", "n_phone", "n_ssn_like", "has_pii"
+    )
