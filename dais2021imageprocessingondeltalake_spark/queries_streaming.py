@@ -101,3 +101,56 @@ def q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+    FROM events c
+    JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks joined to purchases by the
+    same user within the following hour), both sides watermarked so join
+    state is evictable at scale. Inner stream-stream joins emit on match,
+    so the availableNow drain equals the batch join — full oracle.
+    Delay measured in exact microseconds (unix_micros; never cast ts to
+    long, which truncates to seconds)."""
+    from .streaming.joins import stream_stream_interval_join
+
+    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id", ts_col="ts", interval="1 hour", watermark="1 hour"
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts"))).alias("delay_us"),
+    )
+    return run_stream_to_memory(out, output_mode="append")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful deduplication: dropDuplicates over
+    (user_id, event_type) across micro-batches — the streaming form of
+    batch DISTINCT, which the oracle checks. One state entry per key;
+    dropDuplicatesWithinWatermark is the unbounded-key-space variant."""
+    from .streaming.joins import stream_dedup_keys
+
+    stream = events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        stream_dedup_keys(stream, ["user_id", "event_type"]), output_mode="append"
+    )
