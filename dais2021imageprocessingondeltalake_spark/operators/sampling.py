@@ -33,3 +33,16 @@ def collect_sample(df: DataFrame, n: int = 10) -> pd.DataFrame:
     reference's `limit(10).toPandas()` iteration loop (`01. Ingest.py:135`).
     Always limits first: never an unbounded collect on the data path."""
     return df.limit(n).toPandas()
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 12345
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (`df.sampleBy`) — the class-balance
+    tool for training-set construction (downsample majority classes,
+    keep rare ones whole). Executes as a per-partition filter with a
+    seeded RNG: no shuffle, no driver collection, linear scan at any
+    scale. Rows-only checkable (engines differ in RNG streams); the
+    invariants — subset-of-input, only listed strata, approximate
+    per-stratum rates, seed determinism — are asserted in tests."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -115,6 +115,56 @@ def sort_for_skipping(df: DataFrame, *cols: str, n_files: int = 8) -> DataFrame:
     )
 
 
+def zorder_sort_for_skipping(
+    df: DataFrame, *cols: str, bits_per_col: int = 8, n_files: int = 8
+) -> DataFrame:
+    """Multi-column skipping layout: cluster rows on a Z-order
+    (Morton) curve over `cols`, so every output file covers a small
+    HYPER-RECTANGLE of the value space and a filter on ANY of the
+    columns prunes most files via parquet min/max stats. Linear sort
+    (sort_for_skipping) gives perfect pruning on the leading column and
+    none on the others; Z-order trades a little of each for pruning on
+    all — what Delta's OPTIMIZE ZORDER does, built here from plain Spark
+    expressions.
+
+    Mechanics: each column is normalized to a `bits_per_col`-bit integer
+    with equal-width buckets off a one-row min/max aggregate (for heavily
+    skewed columns substitute approxQuantile boundaries — same plan
+    shape), then the bits are interleaved column-round-robin into a
+    single long key; repartitionByRange + sortWithinPartitions on the key
+    gives the curve-ordered layout. Everything is whole-stage-codegen'd
+    bitwise expressions; the only extra job is the tiny stats aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits_per_col
+    stats = df.agg(
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+    ).first()
+    zkey = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = float(stats[f"min_{c}"]), float(stats[f"max_{c}"])
+        # width_bucket: 1..n_buckets inside [lo,hi); clamp + shift to 0-based
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
+                - F.lit(1),
+            ),
+        ).cast("long")
+        for b in range(bits_per_col):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1).cast("long"))
+            zkey = zkey.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    keyed = df.withColumn("__zkey", zkey)
+    return (
+        keyed.repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+
+
 def drop_table(spark: SparkSession, path: str) -> None:
     """A10 — DROP TABLE for path-addressed tables (`03. Inference.py:62`
     is `DROP TABLE` + the `%fs rm -r` checkpoint reset at `:67`)."""

@@ -222,3 +222,74 @@ def test_jaccard_df_cap_is_sound(spark):
         for r in D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.2, max_doc_freq=50).collect()
     }
     assert capped <= uncapped
+
+
+def test_zorder_prunes_on_both_dimensions(spark):
+    """Z-order layout must give multi-dimensional skipping: a selective
+    box filter on EITHER clustered column should rule out most files via
+    their min/max stats. Linear sort on the first column gives no pruning
+    at all on the second — that contrast is the property under test."""
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.sources.tables import (
+        sort_for_skipping,
+        zorder_sort_for_skipping,
+    )
+
+    orders = load_table(spark, "orders", SF_DIR).select("o_custkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="dais_zorder_")
+    zorder_sort_for_skipping(orders, "o_custkey", "o_totalprice", n_files=16).write.parquet(
+        f"{base}/zorder"
+    )
+    sort_for_skipping(orders, "o_custkey", n_files=16).write.parquet(f"{base}/linear")
+
+    def file_ranges(d, col_idx):
+        out = []
+        for f in Path(d).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(md.row_group(rg).column(col_idx).statistics.min for rg in range(md.num_row_groups))
+            hi = max(md.row_group(rg).column(col_idx).statistics.max for rg in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    def hit_fraction(ranges, q_lo, q_hi):
+        hits = sum(1 for lo, hi in ranges if not (hi < q_lo or lo > q_hi))
+        return hits / len(ranges)
+
+    lo_p, hi_p = orders.approxQuantile("o_totalprice", [0.4, 0.5], 0.01)
+    lo_c, hi_c = orders.approxQuantile("o_custkey", [0.4, 0.5], 0.01)
+
+    # second dimension: z-order prunes, linear sort cannot
+    z_price = hit_fraction(file_ranges(f"{base}/zorder", 1), lo_p, hi_p)
+    lin_price = hit_fraction(file_ranges(f"{base}/linear", 1), lo_p, hi_p)
+    assert z_price <= 0.5 and lin_price > 0.9, (z_price, lin_price)
+    # first dimension: z-order still prunes most files
+    z_cust = hit_fraction(file_ranges(f"{base}/zorder", 0), lo_c, hi_c)
+    assert z_cust <= 0.5, z_cust
+
+
+def test_stratified_sample_invariants(spark):
+    """sampleBy: deterministic under a fixed seed, subset of the input,
+    only requested strata, and per-stratum rates near the requested
+    fractions (Bernoulli, so exactness is distributional)."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators.sampling import stratified_sample
+
+    ev = load_table(spark, "events", SF_DIR)
+    frac = {"click": 0.5, "purchase": 1.0}
+    s1 = stratified_sample(ev, "event_type", frac, seed=7)
+    s2 = stratified_sample(ev, "event_type", frac, seed=7)
+    ids1 = sorted(r["event_id"] for r in s1.select("event_id").collect())
+    ids2 = sorted(r["event_id"] for r in s2.select("event_id").collect())
+    assert ids1 == ids2  # seed determinism
+    base = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    got = {r["event_type"]: r["n"] for r in s1.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    assert set(got) <= set(frac)  # only listed strata survive
+    assert got["purchase"] == base["purchase"]  # fraction 1.0 keeps all
+    rate = got["click"] / base["click"]
+    assert 0.3 < rate < 0.7, rate  # Bernoulli around 0.5
+    assert s1.count() == len(ids1)  # subset: no duplication
