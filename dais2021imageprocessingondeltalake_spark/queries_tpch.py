@@ -37,6 +37,7 @@ _CENTS = "CAST(round({c} * 100, 0) AS BIGINT)"
 
 @query(
     "q_tpch_pricing",
+    headline=True,
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,

@@ -293,3 +293,25 @@ def test_stratified_sample_invariants(spark):
     rate = got["click"] / base["click"]
     assert 0.3 < rate < 0.7, rate  # Bernoulli around 0.5
     assert s1.count() == len(ids1)  # subset: no duplication
+
+
+def test_tpch_plan_shapes(spark):
+    """Pin the physical-plan properties the TPC-H queries' scale story
+    depends on: filters reach the scans as PushedFilters, dimension sides
+    broadcast, top-k compiles to TakeOrderedAndProject (no global sort),
+    and the semi-join EXISTS never degrades to a nested loop."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    p3 = _formatted_plan(q.REGISTRY["q_tpch_shipping_priority"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p3
+    assert "BroadcastHashJoin" in p3
+    assert "GreaterThan(l_shipdate" in p3  # pushed to the lineitem scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in p3
+
+    p4 = _formatted_plan(q.REGISTRY["q_tpch_order_priority"].fn(spark, SF_DIR))
+    assert "LeftSemi" in p4
+    assert "BroadcastNestedLoopJoin" not in p4  # equi key keeps it hash
+
+    p1 = _formatted_plan(q.REGISTRY["q_tpch_pricing"].fn(spark, SF_DIR))
+    assert "LessThanOrEqual(l_shipdate" in p1
+    assert "HashAggregate" in p1
