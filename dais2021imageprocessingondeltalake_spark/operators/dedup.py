@@ -405,3 +405,58 @@ def simhash_near_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering (connected components)
+# --------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a near-dup pair list by iterative
+    min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels; fixpoint =
+    each component labeled with its minimum member. Returns (id, cluster_root).
+
+    This turns PAIRS into dedup CLUSTERS — the step a curation pipeline
+    actually needs (keep cluster_root, drop the rest). Converges in
+    O(component diameter) rounds; near-dup components are shallow (most
+    are cliques from a shared source doc), so a handful of iterations
+    suffice — max_iter bounds adversarial chains.
+
+    Scale shape per round: one join edges⋈labels (shuffle on the label
+    key) + a groupBy min — both AQE-planned; `localCheckpoint` truncates
+    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    The convergence probe is a count() action per round (a scalar to the
+    driver, never data)."""
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_root"))

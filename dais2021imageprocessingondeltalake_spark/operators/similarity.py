@@ -295,3 +295,40 @@ def embedding_near_dup(
         cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
     )
     return pairs.filter(F.col("cosine_sim") >= threshold)
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_filter: Column | None = None,
+) -> DataFrame:
+    """Exact k-nearest-neighbors join: for each probe vector, the top-k
+    most-cosine-similar other vectors. Brute force — O(|probes| x |base|)
+    dot products — which is the correct tool when the probe set is small
+    (the probe side broadcasts, so the base table is scanned once with
+    zero shuffle). For all-vectors-vs-all at 100 TB use the bucketed
+    paths (lsh_ann_topk / ivf_ann_topk); this exact form doubles as
+    their recall oracle. Similarities ranked after rounding to 6dp with
+    an id tie-break so ordering is engine-deterministic."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("nbr_id"), _to_double(F.col(vec_col)).alias("nbr_v"))
+    probes = df.filter(probe_filter) if probe_filter is not None else df
+    probes = probes.select(
+        F.col(id_col).alias("probe_id"), _to_double(F.col(vec_col)).alias("probe_v")
+    )
+    sim = F.round(cosine(F.col("probe_v"), F.col("nbr_v")), 6)
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(base)
+        .filter(F.col("probe_id") != F.col("nbr_id"))
+        .select("probe_id", "nbr_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine_sim").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "nbr_id", "cosine_sim")
+    )

@@ -536,3 +536,24 @@ def q_mixed_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    SELECT vec_id, generate_subscripts(ve, 1) - 1 AS pos, unnest(ve) AS val
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+          FROM embeddings WHERE vec_id < 20)
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — ordinal-preserving array flattening (the position
+    column is what explode loses; required for any order-sensitive
+    array pipeline, e.g. re-assembling embedding dimensions)."""
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 20)
+    return emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )

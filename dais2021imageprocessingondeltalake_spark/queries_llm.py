@@ -407,3 +407,70 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pii_scan(aug, "doc_id").select(
         "doc_id", "n_email", "n_phone", "n_ssn_like", "has_pii"
     )
+
+
+@query(
+    "q_knn_join",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    p AS (SELECT * FROM v WHERE vec_id < 50),
+    s AS (
+      SELECT p.vec_id AS probe_id, v.vec_id AS nbr_id,
+             round(list_cosine_similarity(p.ve, v.ve), 6) AS cosine_sim
+      FROM p JOIN v ON p.vec_id <> v.vec_id
+    )
+    SELECT probe_id, nbr_id, cosine_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY cosine_sim DESC, nbr_id) AS rn
+          FROM s)
+    WHERE rn <= 3
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN join (top-3 cosine neighbors for each of 50 probe
+    vectors): broadcast the probe side, scan the base once, rank per
+    probe. The exact baseline the ANN paths (LSH/IVF) are measured
+    against; 6dp rounding + id tie-break makes the ranking
+    engine-deterministic."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.knn_join(emb, k=3, probe_filter=F.col("vec_id") < 50)
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      WHERE shared / (n_a + n_b - shared) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    )
+    SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise Jaccard edges (>= 0.5) via
+    iterative min-label propagation — the connected-components step that
+    turns a pair list into 'keep cluster_root, drop the rest'. The
+    oracle replays the same fixpoint as a recursive-CTE transitive
+    closure, so this is an oracle-checked ITERATIVE algorithm (driver
+    loop over joins + localCheckpoint, data never collected)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5)
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_root"
+    )

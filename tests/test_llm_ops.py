@@ -136,3 +136,18 @@ def test_prefix_filter_handles_short_docs(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     pairs = D.ngram_jaccard_pairs_prefix(df, "doc_id", n=3, threshold=0.5).collect()
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(3, 4, 1.0)]
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation must label every member of a component with
+    the component's minimum id — including multi-hop chains (the case a
+    single join round would get wrong)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["id"]: r["cluster_root"]
+        for r in D.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
