@@ -355,15 +355,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) 
     return sums.select(F.col(id_col), packed.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
+def banded_hamming_pairs(
+    sigs: DataFrame,
     id_col: str,
-    text_col: str = "text",
+    hash_col: str,
     max_hamming: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into `bands` chunks,
-    join on a matching band, verify with bit_count(xor) <= max_hamming.
+    """Near-dup pairs over any 64-bit signature column: band the hash
+    into `bands` chunks, self-join on a matching band, verify with
+    bit_count(xor) <= max_hamming. Shared engine for SimHash text
+    near-dup and perceptual-hash image near-dup — identical scale shape
+    (|rows| x bands shuffle, candidates only where a band collides).
 
     Recall guarantee (pigeonhole): a pair is ALWAYS found when its hamming
     distance < bands (fewer differing bits than bands → some band intact).
@@ -372,23 +375,24 @@ def simhash_near_pairs(
     recall at max_hamming=h requires bands >= h+1 (e.g. 9+ bands for
     h=8), at the cost of more candidate pairs per band join."""
     width = 64 // bands
-    sigs = simhash(df, id_col, text_col)
     mask = (1 << width) - 1
     band_rows = sigs.select(
         F.col(id_col).alias("doc"),
-        "simhash",
+        F.col(hash_col).alias("h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+                        F.shiftright(F.col(hash_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("band"),
-    ).select("doc", "simhash", "band.band_id", "band.band_val")
+    ).select("doc", "h", "band.band_id", "band.band_val")
     a, b = band_rows.alias("a"), band_rows.alias("b")
     return (
         a.join(
@@ -400,11 +404,25 @@ def simhash_near_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr("bit_count(a.h ^ b.h)").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash — signature computation (simhash) piped
+    into the shared banded Hamming join (banded_hamming_pairs, where the
+    recall guarantees are documented)."""
+    sigs = simhash(df, id_col, text_col)
+    return banded_hamming_pairs(sigs, id_col, "simhash", max_hamming, bands)
 
 
 # --------------------------------------------------------------------------

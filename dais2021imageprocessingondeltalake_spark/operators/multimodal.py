@@ -201,3 +201,60 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, "path string, frame_no int, frame binary")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup)
+# ---------------------------------------------------------------------------
+def average_hash_py(px: np.ndarray, hash_size: int = 8) -> int:
+    """aHash: nearest-neighbor downsample to hash_size², threshold at the
+    mean, pack row-major bits into a signed 64-bit int (batch-local
+    python — runs inside mapInPandas, never on the driver)."""
+    yi = (np.arange(hash_size) * px.shape[0] // hash_size).clip(0, px.shape[0] - 1)
+    xi = (np.arange(hash_size) * px.shape[1] // hash_size).clip(0, px.shape[1] - 1)
+    small = px[np.ix_(yi, xi)].astype(np.float64)
+    bits = (small >= small.mean()).flatten()
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_phash(
+    df: DataFrame, content_col: str = "content", out_col: str = "phash"
+) -> DataFrame:
+    """Perceptual (average) hash per image as a signed long column —
+    the image analogue of SimHash: visually-similar images differ in few
+    bits. Arrow-batched mapInPandas over the encoded bytes; the 64-bit
+    output feeds dedup.banded_hamming_pairs unchanged, so image near-dup
+    inherits the text pipeline's scale shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                average_hash_py(decode_image(c)) for c in pdf[content_col]
+            ]
+            yield pdf
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} bigint"
+    return df.mapInPandas(batches, out_schema)
+
+
+def image_near_dup(
+    df: DataFrame,
+    id_col: str = "path",
+    content_col: str = "content",
+    max_hamming: int = 8,
+    bands: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs: perceptual hash → banded Hamming
+    self-join (shared with SimHash text dedup). bands=8 guarantees recall
+    for pairs within hamming 7 (pigeonhole; see banded_hamming_pairs)."""
+    from .dedup import banded_hamming_pairs
+
+    sigs = image_phash(df, content_col).select(id_col, "phash")
+    return banded_hamming_pairs(sigs, id_col, "phash", max_hamming, bands)

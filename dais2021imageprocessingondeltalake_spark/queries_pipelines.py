@@ -147,3 +147,26 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"video_{i}", bytes(range(256)) * 4) for i in range(4)], ["path", "content"]
     )
     return sample_frames(src, every_nth=3, frame_bytes=256)
+
+
+@query("q_image_near_dup", oracle=None)
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over the textured PNG corpus:
+    perceptual hash (mapInPandas) → banded Hamming self-join — the
+    multimodal twin of SimHash text dedup (rows-only: pixel decode has no
+    SQL mirror; planted-variant recall asserted in tests)."""
+    from .operators.multimodal import image_near_dup
+    from .sources.fixtures import textured_image_fixture_dir
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(textured_image_fixture_dir())
+        .select("path", "content")
+    )
+    pairs = image_near_dup(df, id_col="path", max_hamming=8, bands=8)
+    return pairs.select(
+        F.element_at(F.split("doc_a", "/"), -1).alias("img_a"),
+        F.element_at(F.split("doc_b", "/"), -1).alias("img_b"),
+        "hamming",
+    )

@@ -60,3 +60,43 @@ def audio_fixture_dir(root: str | None = None) -> str:
         (base / f"clip_{i}.pcm").write_bytes(bytes(samples))
     marker.write_text("ok")
     return str(base)
+
+
+TEXTURED_BASES = 12
+TEXTURED_VARIANTS = 4  # bases 0..3 get a near-duplicate variant
+
+
+def textured_image_fixture_dir(root: str | None = None) -> str:
+    """Textured PNG corpus for perceptual-hash tests: per-image
+    interference pattern px[y,x] = (x*a + y*b) % 256 with image-specific
+    frequencies, plus, for the first TEXTURED_VARIANTS bases, a
+    near-duplicate variant (same pattern with one corner block
+    brightened) — planted ground truth for image near-dup detection.
+    Uniform-gray fixtures are useless here: every pixel equals the mean,
+    so an average hash degenerates."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_png_gray
+
+    root = root or os.environ.get("SPARK_GRAFT_FIXTURE_DIR", _DEFAULT_ROOT)
+    base = Path(root) / "textured_photos"
+    marker = base / ".complete"
+    if marker.exists():
+        return str(base)
+    base.mkdir(parents=True, exist_ok=True)
+    size = 16
+    for i in range(TEXTURED_BASES):
+        # independent seeded-random textures: expected pairwise aHash
+        # hamming ≈ 32 bits, so distinct bases never read as near-dups
+        # (structured interference patterns alias under the 8x8
+        # downsample and DO collide — learned the hard way)
+        px = np.random.RandomState(1000 + i).randint(0, 256, (size, size)).astype(np.uint8)
+        (base / f"base_{i}.png").write_bytes(encode_png_gray(px))
+        if i < TEXTURED_VARIANTS:
+            variant = px.copy()
+            variant[:2, :2] = np.minimum(255, variant[:2, :2].astype(int) + 100).astype(
+                np.uint8
+            )
+            (base / f"variant_{i}.png").write_bytes(encode_png_gray(variant))
+    marker.write_text("ok")
+    return str(base)

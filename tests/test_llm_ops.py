@@ -151,3 +151,24 @@ def test_connected_components_chain_and_clique(spark):
         for r in D.connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_image_near_dup_finds_planted_variants(spark):
+    """Every planted variant must pair with exactly its base image (the
+    corner-block edit flips few aHash bits); unrelated textured bases
+    must not collide at max_hamming=8."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    pairs = {
+        (r["img_a"], r["img_b"]): r["hamming"]
+        for r in q.REGISTRY["q_image_near_dup"].fn(spark, SF_DIR).collect()
+    }
+    from dais2021imageprocessingondeltalake_spark.sources.fixtures import TEXTURED_VARIANTS
+
+    for i in range(TEXTURED_VARIANTS):
+        key = tuple(sorted([f"base_{i}.png", f"variant_{i}.png"]))
+        assert key in pairs, f"variant pair {key} missing: {sorted(pairs)}"
+    for (a, b), h in pairs.items():
+        assert a.split("_")[1].split(".")[0] == b.split("_")[1].split(".")[0], (
+            f"false positive: {a} ~ {b} at hamming {h}"
+        )
