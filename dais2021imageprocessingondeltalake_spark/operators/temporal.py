@@ -137,3 +137,49 @@ def session_stats(
             f"(unix_micros(max({ts})) - unix_micros(min({ts}))) div 1000000"
         ).alias("duration_sec"),
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    agg_col,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Hypertable-style gap filling: bucket events to a fixed grid,
+    materialize EVERY (key, bucket) cell of the time range — including
+    empty ones — and carry values forward into gaps (last non-null per
+    key, ordered by bucket). Output: key, bucket, total (0 for empty
+    cells), total_ffill (forward-filled, NULL before a key's first data).
+
+    Scale shape: the grid is |keys| x |buckets| — built from a broadcast
+    1-row bounds aggregate crossed with the distinct-key dimension, so no
+    full-data shuffle creates it; the left join back to the hourly
+    aggregate shuffles on (key, bucket); the forward fill is a per-key
+    window (parallel across keys). The grid row count, not the raw event
+    count, bounds the window state."""
+    from pyspark.sql import Window
+
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    hourly = df.groupBy(F.col(key_col), bucket.alias("h")).agg(agg_col.alias("total"))
+    bounds = df.agg(
+        F.min(F.date_trunc("hour", F.col(ts_col))).alias("lo"),
+        F.max(F.date_trunc("hour", F.col(ts_col))).alias("hi"),
+    )
+    grid_h = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))).alias("h")
+    )
+    keys = df.select(key_col).distinct()
+    grid = keys.crossJoin(F.broadcast(grid_h))
+    joined = grid.join(hourly, [key_col, "h"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col("h").alias("bucket"),
+        F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+        F.last("total", ignorenulls=True).over(w).alias("total_ffill"),
+    )

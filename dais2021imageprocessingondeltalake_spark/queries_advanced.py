@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from .catalog import load_table, register_views
 from .operators import aggregates as agg
 from .operators.merge import upsert
+from .operators import temporal as TEMP
 from .operators.temporal import asof_join, range_join, session_stats
 from .registry import query
 
@@ -557,3 +558,38 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "val"
         ),
     )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             sum(CAST(round(value*100,0) AS BIGINT)) / 100.0 AS total
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ), grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds) g
+    )
+    SELECT g.event_type, g.h AS bucket,
+           coalesce(hourly.total, 0.0) AS total,
+           last_value(hourly.total IGNORE NULLS)
+             OVER (PARTITION BY g.event_type ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_ffill
+    FROM grid g
+    LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with forward fill (the hypertable rollup
+    pattern): every (event_type, hour) cell of the observed range exists
+    in the output, empty hours carry 0 / the last seen value. Money sums
+    in integer cents; NULL ffill before a key's first bucket matches the
+    oracle's IGNORE NULLS semantics exactly."""
+    ev = load_table(spark, "events", sf_dir)
+    cents_sum = (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0))
+    return TEMP.gap_fill(ev, "event_type", "ts", cents_sum, step="1 hour")
