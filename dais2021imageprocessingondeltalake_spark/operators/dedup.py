@@ -137,6 +137,7 @@ def ngram_jaccard_pairs_prefix(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs with PREFIX FILTERING (the All-Pairs /
     PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — identical
@@ -157,6 +158,12 @@ def ngram_jaccard_pairs_prefix(
     the ones excluded. Verification touches |candidates| rows, each a
     cheap sorted-array intersect. A length filter (t*|A| <= |B| <=
     |A|/t) prunes size-incompatible pairs before verification for free.
+
+    The shingle table feeds THREE plan branches (prefix index + both
+    verify sides); `materialize=True` (default) localCheckpoints it so
+    tokenize/shingle/hash runs once, not three times — the single-query
+    analogue of persisting the shingle table, which is what a real
+    100 TB job does with this intermediate anyway.
     """
     sh = (
         _parallelize(df)
@@ -166,6 +173,8 @@ def ngram_jaccard_pairs_prefix(
         )
         .filter(F.size("sh") > 0)
     )
+    if materialize:
+        sh = sh.localCheckpoint()
     exploded = sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
     dfreq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
     from pyspark.sql import Window
@@ -429,7 +438,11 @@ def simhash_near_pairs(
 # Near-dup clustering (connected components)
 # --------------------------------------------------------------------------
 def connected_components(
-    edges: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iter: int = 25
+    edges: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+    on_nonconverge: str = "raise",
 ) -> DataFrame:
     """Connected components over a near-dup pair list by iterative
     min-label propagation: every node starts labeled with itself; each
@@ -446,35 +459,60 @@ def connected_components(
     key) + a groupBy min — both AQE-planned; `localCheckpoint` truncates
     the growing lineage so round N's plan doesn't replay rounds 1..N-1.
     The convergence probe is a count() action per round (a scalar to the
-    driver, never data)."""
-    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
-        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    driver, never data).
+
+    If the fixpoint is NOT reached within max_iter (component diameter >
+    max_iter), the labels are only partially propagated — one component
+    would silently split into several clusters and downstream
+    keep-cluster-root dedup would under-merge. `on_nonconverge` controls
+    the signal: 'raise' (default) raises RuntimeError; 'warn' logs and
+    returns the partial labels (for exploratory use)."""
+    import warnings
+
+    if on_nonconverge not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverge must be 'raise' or 'warn', got {on_nonconverge!r}")
+    # materialize the symmetrized edge list ONCE — edges often come from an
+    # expensive candidate join (prefix Jaccard, LSH banding); without this,
+    # every propagation round would replay that join from scratch
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
     )
     nodes = sym.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # one join produces both the new label and the change flag; the
+        # checkpoint materializes it, so the convergence count() below is a
+        # cheap scan of the checkpointed rows, not a second join
+        stepped = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 labels["id"],
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in max_iter={max_iter} rounds "
+            f"({changed} labels still changing) — components with diameter > max_iter "
+            "are split; raise max_iter"
+        )
+        if on_nonconverge == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id"), F.col("label").alias("cluster_root"))

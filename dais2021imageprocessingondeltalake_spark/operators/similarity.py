@@ -55,12 +55,19 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine to a constant query vector. The query ships
     as a literal array in the plan (broadcast-by-closure); ties broken by
-    id for determinism."""
+    id for determinism. `round_dp` rounds the similarity BEFORE the
+    order/limit — when two candidates at the k boundary round to the same
+    value (or raw sims differ cross-engine in the last ulp), selection on
+    the rounded value + id tiebreak picks the same row set as an oracle
+    that orders by round(sim, dp), which raw-then-round cannot guarantee."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine(_to_double(F.col(vec_col)), q)
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
     return (
         df.select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))

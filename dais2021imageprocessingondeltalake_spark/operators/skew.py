@@ -67,6 +67,13 @@ def salted_join(
     [0, salt_n); small side is replicated once per salt value via an
     explode; join key becomes (on, salt). Row multiplication: small side
     costs x salt_n (storage of the build side), large side unchanged."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # outer-on-the-small-side variants are wrong under salting: an
+        # unmatched small-side row was replicated salt_n times pre-join and
+        # would surface salt_n duplicate null-padded rows in the output
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (large side preserved); got {how!r}"
+        )
     salted_large = large.withColumn(
         "__salt", (F.monotonically_increasing_id() % salt_n).cast("int")
     )

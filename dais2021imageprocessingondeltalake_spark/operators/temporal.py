@@ -139,6 +139,29 @@ def session_stats(
     )
 
 
+_STEP_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3600 * 1_000_000,
+    "day": 86400 * 1_000_000,
+}
+
+
+def _step_micros(step: str) -> int:
+    """Parse '15 minutes' / '1 hour' / '2 days' into microseconds.
+    Calendar-variable units (month/year) are rejected — a fixed-width
+    grid can't represent them."""
+    parts = step.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"gap_fill step must be '<n> <unit>', got {step!r}")
+    n, unit = int(parts[0]), parts[1].rstrip("s").lower()
+    if unit not in _STEP_UNIT_US or n <= 0:
+        raise ValueError(
+            f"gap_fill step unit must be one of {sorted(_STEP_UNIT_US)} with n>0, got {step!r}"
+        )
+    return n * _STEP_UNIT_US[unit]
+
+
 def gap_fill(
     df: DataFrame,
     key_col: str,
@@ -152,20 +175,28 @@ def gap_fill(
     key, ordered by bucket). Output: key, bucket, total (0 for empty
     cells), total_ffill (forward-filled, NULL before a key's first data).
 
+    The bucket is floor(unix_micros(ts) / step)*step — derived from
+    `step` itself, so the event bucketing, the grid bounds, and the
+    sequence stride always share one grid for ANY fixed-width step
+    ('15 minutes', '1 hour', '2 days', ...); for '1 hour' this floor is
+    identical to date_trunc('hour'). A step-vs-truncation mismatch would
+    silently land every joined total on an off-grid cell (0/ffill).
+
     Scale shape: the grid is |keys| x |buckets| — built from a broadcast
     1-row bounds aggregate crossed with the distinct-key dimension, so no
-    full-data shuffle creates it; the left join back to the hourly
+    full-data shuffle creates it; the left join back to the bucketed
     aggregate shuffles on (key, bucket); the forward fill is a per-key
     window (parallel across keys). The grid row count, not the raw event
     count, bounds the window state."""
     from pyspark.sql import Window
 
-    bucket = F.date_trunc("hour", F.col(ts_col))
-    hourly = df.groupBy(F.col(key_col), bucket.alias("h")).agg(agg_col.alias("total"))
-    bounds = df.agg(
-        F.min(F.date_trunc("hour", F.col(ts_col))).alias("lo"),
-        F.max(F.date_trunc("hour", F.col(ts_col))).alias("hi"),
+    step_us = _step_micros(step)
+    # pmod (not %) so pre-epoch timestamps still floor downward
+    bucket = F.timestamp_micros(
+        F.unix_micros(F.col(ts_col)) - F.pmod(F.unix_micros(F.col(ts_col)), F.lit(step_us))
     )
+    hourly = df.groupBy(F.col(key_col), bucket.alias("h")).agg(agg_col.alias("total"))
+    bounds = df.agg(F.min(bucket).alias("lo"), F.max(bucket).alias("hi"))
     grid_h = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))).alias("h")
     )

@@ -59,7 +59,6 @@ def q_fingerprint_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ngram_jaccard",
-    headline=True,
     oracle="""
     WITH sh AS (
       SELECT doc_id,
@@ -89,6 +88,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ngram_jaccard_prefix",
+    headline=True,
     oracle="""
     WITH sh AS (
       SELECT doc_id,
@@ -130,9 +130,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_simhash", oracle=None)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via banded Hamming join (rows-only)."""
+    """SimHash near-dup pairs via banded Hamming join (rows-only).
+    max_hamming=3 < bands=4 keeps the pigeonhole recall guarantee
+    (every pair within distance 3 leaves >= 1 of the 4 bands intact) AND
+    bounds the output to genuinely-near pairs — the earlier max_hamming=12
+    emitted O(similar-pairs) rows (11k at sf0.01, superlinear in corpus
+    size on a planted-duplicate corpus) with only probabilistic recall
+    above hamming 3 anyway."""
     docs = load_table(spark, "documents", sf_dir)
-    return D.simhash_near_pairs(docs, "doc_id", max_hamming=12, bands=4)
+    return D.simhash_near_pairs(docs, "doc_id", max_hamming=3, bands=4)
 
 
 @query("q_doc_fingerprint", oracle=None)
@@ -175,16 +181,15 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k (the ANN baseline): JVM
     zip_with/aggregate dot products, TakeOrderedAndProject. Similarities
-    are rounded to 6dp on both sides — DuckDB's list_sum accumulates in a
-    different order than sequential aggregate (last-ulp diffs), and the
-    id tiebreak makes the rounded ordering deterministic."""
+    are rounded to 6dp on both sides BEFORE the order/limit — DuckDB's
+    list_sum accumulates in a different order than sequential aggregate
+    (last-ulp diffs), so selecting the top-10 on the raw value could pick
+    a different row set at the k boundary than the oracle's
+    round-then-order; rounding first + id tiebreak makes both engines
+    select identically."""
     emb = load_table(spark, "embeddings", sf_dir)
     qv = _query_vector(spark, sf_dir)
-    topk = SIM.cosine_topk(emb, qv, k=10)
-    return (
-        topk.withColumn("cosine_sim", F.round("cosine_sim", 6))
-        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
-    )
+    return SIM.cosine_topk(emb, qv, k=10, round_dp=6)
 
 
 @query("q_embedding_ann", oracle=None)
@@ -468,9 +473,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns a pair list into 'keep cluster_root, drop the rest'. The
     oracle replays the same fixpoint as a recursive-CTE transitive
     closure, so this is an oracle-checked ITERATIVE algorithm (driver
-    loop over joins + localCheckpoint, data never collected)."""
+    loop over joins + localCheckpoint, data never collected). Edges come
+    from the prefix-filtered exact join (same pair set as the inverted
+    index at t=0.5, but the Σ df(s)² stop-shingle blowup is pruned by
+    construction — benchable at sf0.1+)."""
     docs = load_table(spark, "documents", sf_dir)
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
     return D.connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster_root"
     )
+
+
+@query(
+    "q_dedup_end2end",
+    headline=True,
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      WHERE shared / (n_a + n_b - shared) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ), roots AS (
+      SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id
+    )
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN roots r ON d.doc_id = r.doc_id
+    WHERE r.doc_id IS NULL OR r.cluster_root = d.doc_id
+    """,
+)
+def q_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup a 100 TB curation job actually runs,
+    end-to-end: candidate pairs (prefix-filtered exact Jaccard >= 0.5) →
+    connected components → keep each cluster's root (min doc_id), drop
+    the rest. Output = surviving doc_ids. Oracle replays pair generation
+    + a recursive-CTE transitive closure in DuckDB, so the whole
+    composite — join pruning, iterative clustering, anti-join keep — is
+    hash-checked. Scale shape: pruned candidate self-join, O(diameter)
+    label-propagation rounds, one broadcast-able anti-join (drop set is
+    |duplicates|, far smaller than the corpus)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+    clusters = D.connected_components(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster_root")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id")

@@ -86,6 +86,7 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_shipping_priority",
+    headline=True,
     oracle=f"""
     SELECT l.l_orderkey,
            sum({_CENTS.format(c='l.l_extendedprice')}

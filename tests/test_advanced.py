@@ -84,3 +84,37 @@ def test_approx_aggregates_run(spark):
     exact_nu = ev.select("user_id").distinct().count()
     assert abs(row["p50"] - exact_p50) / exact_p50 < 0.1
     assert abs(row["nu"] - exact_nu) / exact_nu < 0.1
+
+
+def test_gap_fill_step_aligns_grid_and_aggregate(spark):
+    """The event bucketing must share the grid implied by `step` — with a
+    15-minute step, a value at :20 belongs to the :15 cell, and the grid
+    advances in 15-minute strides (a truncation/step mismatch would land
+    every total on 0/ffill)."""
+    from dais2021imageprocessingondeltalake_spark.operators.temporal import gap_fill
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 10, 20, 0), 5.0),
+        ("a", datetime(2024, 1, 1, 11, 5, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {
+        (r["bucket"].isoformat(), ): (r["total"], r["total_ffill"])
+        for r in gap_fill(df, "k", "ts", F.sum("v"), step="15 minutes").collect()
+    }
+    assert out[("2024-01-01T10:15:00",)] == (5.0, 5.0)
+    # the gap cells between the two events forward-fill the first value
+    assert out[("2024-01-01T10:30:00",)] == (0.0, 5.0)
+    assert out[("2024-01-01T10:45:00",)] == (0.0, 5.0)
+    assert out[("2024-01-01T11:00:00",)] == (7.0, 7.0)
+    assert len(out) == 4  # 10:15 .. 11:00 inclusive, 15-min stride
+
+
+def test_gap_fill_rejects_calendar_steps(spark):
+    import pytest
+
+    from dais2021imageprocessingondeltalake_spark.operators.temporal import gap_fill
+
+    df = spark.createDataFrame([("a", datetime(2024, 1, 1), 1.0)], ["k", "ts", "v"])
+    with pytest.raises(ValueError, match="step unit"):
+        gap_fill(df, "k", "ts", F.sum("v"), step="1 month")

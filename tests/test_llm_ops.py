@@ -172,3 +172,23 @@ def test_image_near_dup_finds_planted_variants(spark):
         assert a.split("_")[1].split(".")[0] == b.split("_")[1].split(".")[0], (
             f"false positive: {a} ~ {b} at hamming {h}"
         )
+
+
+def test_connected_components_nonconvergence_signal(spark):
+    """A component whose diameter exceeds max_iter is only partially
+    labeled — the operator must raise (default) or warn, never silently
+    return split clusters."""
+    import warnings
+
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iter=2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        partial = D.connected_components(chain, max_iter=2, on_nonconverge="warn")
+        assert partial.count() == 8
+    assert any("did not converge" in str(w.message) for w in caught)

@@ -315,3 +315,14 @@ def test_tpch_plan_shapes(spark):
     p1 = _formatted_plan(q.REGISTRY["q_tpch_pricing"].fn(spark, SF_DIR))
     assert "LessThanOrEqual(l_shipdate" in p1
     assert "HashAggregate" in p1
+
+
+def test_salted_join_rejects_outer_variants(spark):
+    """Outer-on-the-small-side joins are wrong under salting (unmatched
+    replicated small rows would duplicate salt_n times) — the operator
+    must refuse rather than silently corrupt."""
+    import pytest
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(df, df, "k", salt_n=4, how="full")
