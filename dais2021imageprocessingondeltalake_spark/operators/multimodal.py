@@ -66,12 +66,17 @@ def encode_png_gray(pixels: np.ndarray) -> bytes:
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """Dispatch by magic bytes. PNG is real; other formats are stubbed —
-    swap this function for a PIL-backed one on a cluster with codecs."""
+    """Dispatch by magic bytes. PNG and baseline JPEG decode for real
+    (stdlib zlib / pure-numpy DCT — sources/jpeg.py); anything else is
+    the declared seam a PIL-backed function replaces on a real cluster."""
     if content[:8] == PNG_SIGNATURE:
         return decode_png_gray(content)
+    if content[:2] == b"\xff\xd8":
+        from ..sources.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(bytes(content))
     raise NotImplementedError(
-        "decode for non-PNG formats requires an image library (PIL) not in this container"
+        "decode for non-PNG/JPEG formats requires an image library (PIL) not in this container"
     )
 
 
@@ -83,8 +88,10 @@ def with_image_size(df: DataFrame, content_col: str = "content") -> DataFrame:
     decoded from the payload header (`01. Ingest.py:54-62,69`)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.binaryfiles import image_size
+
         for pdf in it:
-            sizes = [png_size(c) for c in pdf[content_col]]
+            sizes = [image_size(c) for c in pdf[content_col]]
             pdf = pdf.copy()
             pdf["size"] = [{"width": w, "height": h} for (w, h) in sizes]
             yield pdf

@@ -27,8 +27,8 @@ from pyspark.sql import functions as F
 
 from ..functions.udf import grouped_apply, scalar_pandas_udf
 from ..operators.joins import broadcast_join, dense_index_dim, left_outer_join
-from ..operators.multimodal import decode_png_gray, encode_png_gray
-from ..sources.binaryfiles import _png_size_batch, scan_binary_files
+from ..operators.multimodal import decode_image, encode_png_gray
+from ..sources.binaryfiles import _image_size_batch, scan_binary_files
 from ..sources.tables import write_table
 
 LABEL_REGEX = r"flower_photos/([^/]+)"  # `01. Ingest.py:50-52`
@@ -37,8 +37,10 @@ LABEL_REGEX = r"flower_photos/([^/]+)"  # `01. Ingest.py:50-52`
 def load_labeled(spark: SparkSession, image_dir: str, limit: int | None = None) -> DataFrame:
     """Scan + project + label + size + dense label index
     (`01. Ingest.py:33-88` minus the driver dict)."""
-    size_udf = scalar_pandas_udf(_png_size_batch, "width: int, height: int")
-    df = scan_binary_files(spark, image_dir, glob="*.png", recursive=True).select(
+    size_udf = scalar_pandas_udf(_image_size_batch, "width: int, height: int")
+    # mixed-format glob: the reference ingests `*.jpg` (`01. Ingest.py:35`);
+    # the engine decodes PNG and baseline JPEG through one dispatch
+    df = scan_binary_files(spark, image_dir, glob="*.{png,jpg}", recursive=True).select(
         F.col("path"),
         F.regexp_extract(F.col("path"), LABEL_REGEX, 1).alias("label"),
         F.col("content"),
@@ -57,7 +59,7 @@ def augment_grayscale(pdf: pd.DataFrame) -> pd.DataFrame:
     fixtures invert instead — same decode→transform→encode shape."""
     out = []
     for content in pdf["content"]:
-        px = decode_png_gray(content)
+        px = decode_image(content)
         out.append(encode_png_gray((255 - px).astype("uint8")))
     return pd.DataFrame(
         {

@@ -71,12 +71,13 @@ def q_inference_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_multimodal_features", oracle=None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode path: real PNG pixel decode → resize →
-    feature extraction, all partition-local mapInPandas."""
+    """Multimodal decode path: real pixel decode (PNG via zlib, baseline
+    JPEG via the pure-numpy DCT codec) → resize → feature extraction, all
+    partition-local mapInPandas."""
     df = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.png")
+        .option("pathGlobFilter", "*.{png,jpg}")
         .load(image_fixture_dir())
         .select("path", "content")
     )

@@ -38,15 +38,17 @@ def scan_binary_files(
     return reader.load(path)
 
 
-def scan_images(spark: SparkSession, path: str, glob: str = "*.png") -> DataFrame:
+def scan_images(spark: SparkSession, path: str, glob: str = "*.{png,jpg}") -> DataFrame:
     """A1 — portable re-implementation of the `image` source: binaryFile
     scan + header-decoded metadata struct (origin/width/height), matching
     the image-struct shape at `00. Explore.py:45` without a JVM codec.
-    Full pixel decode stays a late `mapInPandas` step (operators/multimodal)."""
+    PNG and JPEG headers both parse (the reference's data is JPEG —
+    `01. Ingest.py:35`); full pixel decode stays a late `mapInPandas`
+    step (operators/multimodal)."""
     df = scan_binary_files(spark, path, glob=glob)
     from ..functions.udf import scalar_pandas_udf
 
-    size_udf = scalar_pandas_udf(_png_size_batch, "width: int, height: int")
+    size_udf = scalar_pandas_udf(_image_size_batch, "width: int, height: int")
     return df.select(
         F.struct(
             F.col("path").alias("origin"),
@@ -71,11 +73,27 @@ def png_size(content: bytes) -> tuple[int, int]:
     return int(w), int(h)
 
 
-def _png_size_batch(contents):
+def image_size(content: bytes) -> tuple[int, int]:
+    """Header-only (width, height) for any supported image payload —
+    dispatch by magic bytes (PNG IHDR / JPEG SOF)."""
+    if content[:8] == PNG_SIGNATURE:
+        return png_size(content)
+    if content[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_size
+
+        return jpeg_size(bytes(content))
+    raise ValueError("unsupported image format (PNG and baseline JPEG only)")
+
+
+def _image_size_batch(contents):
     import pandas as pd
 
-    sizes = [png_size(c) for c in contents]
+    sizes = [image_size(c) for c in contents]
     return pd.DataFrame({"width": [s[0] for s in sizes], "height": [s[1] for s in sizes]})
+
+
+# back-compat alias (PNG-only call sites predating the JPEG codec)
+_png_size_batch = _image_size_batch
 
 
 def assemble_png_gray(width: int, height: int, row_bytes: list[bytes]) -> bytes:

@@ -16,18 +16,25 @@ from .binaryfiles import make_png
 
 LABELS = ("daisy", "dandelion", "roses", "sunflowers", "tulips")
 IMAGES_PER_LABEL = 4
+JPEGS_PER_LABEL = 2  # reference parity: tf_flowers is JPEG (`01. Ingest.py:35`)
 CLIPS = 8
 CLIP_SAMPLES = 1600  # 0.1 s at 16 kHz
 _DEFAULT_ROOT = "/tmp/dais2021_spark_fixtures"
+_FIXTURE_VERSION = "v2"  # bump when fixture contents change (cached in /tmp)
 
 
 def image_fixture_dir(root: str | None = None) -> str:
-    """Create (idempotently) the deterministic image tree; returns the
-    `flower_photos` directory path."""
+    """Create (idempotently) the deterministic image tree — PNGs plus
+    baseline JPEGs (pure-numpy encoder, sources/jpeg.py), mirroring the
+    reference's JPEG corpus; returns the `flower_photos` directory path."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg_gray
+
     root = root or os.environ.get("SPARK_GRAFT_FIXTURE_DIR", _DEFAULT_ROOT)
     base = Path(root) / "flower_photos"
     marker = base / ".complete"
-    if marker.exists():
+    if marker.exists() and marker.read_text() == _FIXTURE_VERSION:
         return str(base)
     for li, label in enumerate(LABELS):
         d = base / label
@@ -36,7 +43,13 @@ def image_fixture_dir(root: str | None = None) -> str:
             # deterministic size + gray seed per (label, index)
             w, h = 8 + li, 8 + i
             (d / f"img_{li}_{i}.png").write_bytes(make_png(w, h, gray=li * 40 + i * 7))
-    marker.write_text("ok")
+        for i in range(JPEGS_PER_LABEL):
+            w, h = 12 + li, 10 + i
+            px = np.fromfunction(
+                lambda y, x: (x * (3 + li) + y * (2 + i)) % 200 + 20, (h, w)
+            ).astype(np.uint8)
+            (d / f"img_{li}_{i}.jpg").write_bytes(encode_jpeg_gray(px, quality=90))
+    marker.write_text(_FIXTURE_VERSION)
     return str(base)
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dais2021imageprocessingondeltalake_spark.operators.multimodal import (
+    decode_image,
     decode_png_gray,
     image_features,
     resize_images,
@@ -35,6 +36,7 @@ from dais2021imageprocessingondeltalake_spark.plans.trainprep import (
 from dais2021imageprocessingondeltalake_spark.sources.binaryfiles import PNG_SIGNATURE
 from dais2021imageprocessingondeltalake_spark.sources.fixtures import (
     IMAGES_PER_LABEL,
+    JPEGS_PER_LABEL,
     LABELS,
     image_fixture_dir,
 )
@@ -46,12 +48,12 @@ def test_ingest_labeled_invariants(spark):
     `01. Ingest.py:76-78`)."""
     df = load_labeled(spark, image_fixture_dir())
     rows = df.collect()
-    assert len(rows) == len(LABELS) * IMAGES_PER_LABEL
+    assert len(rows) == len(LABELS) * (IMAGES_PER_LABEL + JPEGS_PER_LABEL)
     expected_index = {lbl: i for i, lbl in enumerate(sorted(LABELS))}
     for r in rows:
         assert r["label"] in LABELS
         assert r["label_index"] == expected_index[r["label"]]
-        px = decode_png_gray(r["content"])
+        px = decode_image(r["content"])  # PNG and JPEG fixtures both decode
         assert (r["size"]["height"], r["size"]["width"]) == px.shape
 
 
@@ -64,7 +66,8 @@ def test_ingest_fanout_and_grayscale(spark):
         r["label"]: r["n"]
         for r in result.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    assert per_label == {lbl: IMAGES_PER_LABEL**2 for lbl in LABELS}
+    n_files = IMAGES_PER_LABEL + JPEGS_PER_LABEL
+    assert per_label == {lbl: n_files**2 for lbl in LABELS}
     sample = result.limit(5).collect()
     for r in sample:
         assert bytes(r["grayscale_image"])[:8] == PNG_SIGNATURE
@@ -79,7 +82,8 @@ def test_ingest_fanout_and_grayscale(spark):
     )
     out = augment_grayscale(pdf)
     for original, augmented in zip(pdf["content"], out["grayscale_image"]):
-        assert (decode_png_gray(augmented) == 255 - decode_png_gray(original)).all()
+        # original may be PNG or JPEG; augmented output is always PNG
+        assert (decode_png_gray(augmented) == 255 - decode_image(original)).all()
 
 
 def test_trainprep_flow(spark):
