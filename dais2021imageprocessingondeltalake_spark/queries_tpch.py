@@ -402,3 +402,474 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_linestatus), ())
         """
     )
+
+
+@query(
+    "q_tpch_local_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           sum({_CENTS.format(c='l.l_extendedprice')}
+               * (100 - {_CENTS.format(c='l.l_discount')})) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-way star-with-a-twist —
+    two fact tables shuffle-join on orderkey; customer, supplier, nation,
+    region all broadcast; the c_nationkey = s_nationkey equality rides ON
+    the supplier join (no extra shuffle). Region filter prunes before any
+    join. The classic test that join REORDERING works: Catalyst pushes
+    region→nation→supplier reduction ahead of the fact-fact join."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ep = agg.money_cents(F.col("l_extendedprice"))
+    dc = agg.money_cents(F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg((F.sum(ep * (F.lit(100) - dc)) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_revenue_change",
+    oracle=f"""
+    SELECT sum({_CENTS.format(c='l_extendedprice')}
+               * {_CENTS.format(c='l_discount')}) / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure scan-filter-agg — every
+    predicate reaches the parquet scan (PushedFilters), zero joins, one
+    scalar out. The baseline any columnar engine must ace; at 100 TB the
+    only cost is IO on three columns."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    ep = agg.money_cents(F.col("l_extendedprice"))
+    dc = agg.money_cents(F.col("l_discount"))
+    return li.agg((F.sum(ep * dc) / F.lit(10000.0)).alias("revenue"))
+
+
+@query(
+    "q_tpch_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           sum({_CENTS.format(c='l.l_extendedprice')}
+               * (100 - {_CENTS.format(c='l.l_discount')})) / 10000.0 AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): two-fact join + DOUBLE dimension role
+    (nation joined twice under different aliases) + a disjunctive
+    cross-dimension predicate that can only apply after both nation joins.
+    All dimensions broadcast; the one real shuffle is lineitem⋈orders."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    ep = agg.money_cents(F.col("l_extendedprice"))
+    dc = agg.money_cents(F.col("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg((F.sum(ep * (F.lit(100) - dc)) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_CENTS.format(c='l.l_extendedprice')}
+               * (100 - {_CENTS.format(c='l.l_discount')}) AS volume_cc,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_cc ELSE 0 END) AS BIGINT)
+             AS nation_volume_cc,
+           CAST(sum(volume_cc) AS BIGINT) AS total_volume_cc,
+           sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_cc ELSE 0 END)
+             / sum(volume_cc) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+)
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the deepest join tree in the
+    suite (part + two facts + customer + supplier + nation x2 + region)
+    feeding a conditional-aggregate ratio. Every dimension broadcasts;
+    numerator and denominator are exact integer-cents sums, so the final
+    double division is bit-identical cross-engine (single IEEE op)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    ep = agg.money_cents(F.col("l_extendedprice"))
+    dc = agg.money_cents(F.col("l_discount"))
+    volume_cc = ep * (F.lit(100) - dc)
+    nation_cc = F.when(F.col("supp_nation") == "NATION_3", volume_cc).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(nation_cc).alias("nation_volume_cc"),
+            F.sum(volume_cc).alias("total_volume_cc"),
+            (F.sum(nation_cc) / F.sum(volume_cc)).alias("mkt_share"),
+        )
+    )
+
+
+@query(
+    "q_tpch_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           sum({_CENTS.format(c='l.l_extendedprice')}
+               * (100 - {_CENTS.format(c='l.l_discount')})) / 10000.0 AS profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit; adapted — the corpus has no
+    partsupp, so profit omits supply cost): part-filtered fact join
+    rolled up by supplier nation and order year. Part and supplier
+    broadcast; lineitem⋈orders is the one shuffle."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    ep = agg.money_cents(F.col("l_extendedprice"))
+    dc = agg.money_cents(F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((F.sum(ep * (F.lit(100) - dc)) / F.lit(10000.0)).alias("profit"))
+    )
+
+
+@query(
+    "q_tpch_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           sum({_CENTS.format(c='l.l_extendedprice')}
+               * (100 - {_CENTS.format(c='l.l_discount')})) / 10000.0 AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): quarter-filtered fact-fact join +
+    returnflag filter → customer rollup → top-20. Revenue is an exact
+    cents sum, so the ORDER BY ... LIMIT row set is engine-deterministic
+    (no float boundary ambiguity); top-k plans as TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    n = _t(spark, sf_dir, "nation")
+    ep = agg.money_cents(F.col("l_extendedprice"))
+    dc = agg.money_cents(F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(ep * (F.lit(100) - dc)) / F.lit(10000.0)).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_promo_revenue",
+    oracle=f"""
+    SELECT 100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN {_CENTS.format(c='l.l_extendedprice')}
+                        * (100 - {_CENTS.format(c='l.l_discount')}) ELSE 0 END)
+               / sum({_CENTS.format(c='l.l_extendedprice')}
+                     * (100 - {_CENTS.format(c='l.l_discount')})) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q_tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): month-filtered fact ⋈ broadcast part
+    → conditional-aggregate percentage. Both sums are exact integer
+    cents; both engines then evaluate (100.0 * a) / b left-to-right on
+    identical operands, so the two IEEE ops are bit-identical
+    cross-engine with no rounding needed."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ep = agg.money_cents(F.col("l_extendedprice"))
+    dc = agg.money_cents(F.col("l_discount"))
+    disc_cc = ep * (F.lit(100) - dc)
+    promo_cc = F.when(F.col("p_type") == "PROMO", disc_cc).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (F.lit(100.0) * F.sum(promo_cc) / F.sum(disc_cc)).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum({_CENTS.format(c='l_extendedprice')}
+                 * (100 - {_CENTS.format(c='l_discount')})) AS BIGINT) AS total_cc
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cc / 10000.0 AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_cc = (SELECT max(total_cc) FROM revenue)
+    """,
+)
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): CTE reuse — the per-supplier revenue
+    aggregate feeds both the scalar max and the final join-back, the
+    all-equal-to-max selection the window MAX makes single-pass in Spark
+    (one shuffle, no self-join; exact cents make float max ties exact)."""
+    w = Window.partitionBy()
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                agg.money_cents(F.col("l_extendedprice"))
+                * (F.lit(100) - agg.money_cents(F.col("l_discount")))
+            ).alias("total_cc")
+        )
+        .withColumn("max_cc", F.max("total_cc").over(w))
+        .filter(F.col("total_cc") == F.col("max_cc"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(s), rev["supplier_no"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", (F.col("total_cc") / F.lit(10000.0)).alias("total_revenue"))
+    )
+
+
+@query(
+    "q_tpch_small_qty_revenue",
+    oracle=f"""
+    SELECT sum({_CENTS.format(c='l.l_extendedprice')}) / (100.0 * 7.0) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+          FROM lineitem GROUP BY l_partkey) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND p.p_size < 10
+      AND l.l_quantity < t.qty_threshold
+    """,
+)
+def q_tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue; container predicate
+    adapted to p_size — no p_container column): the correlated
+    avg-subquery decorrelated into an aggregate-then-rejoin on partkey.
+    Spark plans the per-part average as one shuffle reused against the
+    fact scan; 0.2*avg is a per-row IEEE product (quantities are
+    integer-valued doubles) so the threshold compare is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    ep = agg.money_cents(F.col("l_extendedprice"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(thr, li["l_partkey"] == thr["t_partkey"])
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum(ep) / F.lit(100.0 * 7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_tpch_disjunctive_revenue",
+    oracle=f"""
+    SELECT sum({_CENTS.format(c='l.l_extendedprice')}
+               * (100 - {_CENTS.format(c='l.l_discount')})) / 10000.0 AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue; container/shipmode legs adapted to
+    p_size/l_quantity): the disjunctive multi-leg predicate that spans
+    BOTH join sides — it can't push fully to either scan, but Catalyst
+    still derives the single-side implications (brand IN (...),
+    quantity <= 30) as pushed pre-filters while the full OR evaluates
+    post-join. Part broadcasts; one pass over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    leg1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    leg2 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    leg3 = (
+        (F.col("p_brand") == "Brand#24")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    ep = agg.money_cents(F.col("l_extendedprice"))
+    dc = agg.money_cents(F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(leg1 | leg2 | leg3)
+        .agg((F.sum(ep * (F.lit(100) - dc)) / F.lit(10000.0)).alias("revenue"))
+    )
