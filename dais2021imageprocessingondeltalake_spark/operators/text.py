@@ -185,3 +185,121 @@ def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
         c = F.col(f"n_{name}") > 0
         flag = c if flag is None else (flag | c)
     return out.withColumn("has_pii", flag)
+
+
+def tfidf_vectors(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF: tf = in-doc term count, idf = ln(N/df) with
+    df = #docs containing the term. Output (id, term, tf, df, tfidf).
+
+    Scale shape: one explode projection, one (doc, term) partial-agg
+    shuffle, one term-level df agg joined back — standard inverted-index
+    construction, no all-pairs anything. N ships as a broadcast scalar
+    (single-row cross join) rather than a driver collect, so the plan is
+    one job. ln() is libm → callers round before oracle comparison."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, ["term"])
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+def duplicate_span_coverage(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document fraction of n-gram shingles that also occur in at
+    least one OTHER document — the substring-duplication signal behind
+    suffix-array dedup (Lee et al., 'Deduplicating Training Data Makes
+    Language Models Better'): a doc with high coverage is mostly made of
+    text seen elsewhere even when no single pair clears a Jaccard bar.
+
+    Scale shape: explode distinct shingles, term-level df agg, join back,
+    one per-doc agg — same inverted-index cost as TF-IDF, never pairwise.
+    Short docs (< n tokens, zero shingles) are dropped, matching the
+    shingling convention in dedup.py."""
+    from .dedup import shingles
+
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, ["s"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_duplicated"),
+            (
+                F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("dup_coverage"),
+        )
+        .select(F.col("id").alias(id_col), "n_shingles", "n_duplicated", "dup_coverage")
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    empirical unigram distribution — the zero-dependency stand-in for
+    KenLM perplexity filtering (CCNet-style): docs of globally-rare
+    tokens score low (gibberish/boilerplate outliers), docs of common
+    words score high.
+
+    Scale shape: token explode → corpus unigram counts (one agg) →
+    join back (token side is a term dictionary — broadcastable) → per-doc
+    mean. ln() is libm → round before oracle comparison."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_n"))
+    total = toks.agg(F.count(F.lit(1)).alias("total_n"))
+    return (
+        toks.join(F.broadcast(counts), ["term"])
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("term_n") / F.col("total_n"))).alias("mean_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "mean_logprob")
+    )
+
+
+def top_ngrams_per_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k word n-grams per group by DOCUMENT frequency (shingles are
+    per-doc distinct, so each doc votes once) — per-language corpus
+    fingerprints, the quick diagnostic for template/boilerplate
+    contamination. Rank ties break lexicographically so the row set is
+    deterministic. One explode + one (group, ngram) agg + one per-group
+    window top-k; the window input is |distinct ngrams| rows, not tokens."""
+    from pyspark.sql import Window
+
+    from .dedup import shingles
+
+    grams = df.select(
+        F.col(group_col).alias("grp"), F.explode(shingles(F.col(text_col), n)).alias("ngram")
+    )
+    counts = grams.groupBy("grp", "ngram").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("grp").orderBy(F.col("n_docs").desc(), F.col("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "ngram", "n_docs", "rank")
+    )

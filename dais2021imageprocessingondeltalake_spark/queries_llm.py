@@ -532,3 +532,108 @@ def q_dedup_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     return docs.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+           round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+    FROM tf t JOIN dfreq d USING (term), n
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF over the corpus — classic inverted-index
+    construction (explode → two aggs → join back), the representation
+    layer under sparse retrieval / BM25. tfidf rounds to 6dp on both
+    sides (ln is libm)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = TX.tfidf_vectors(docs)
+    return out.withColumn("tfidf", F.round("tfidf", 6))
+
+
+@query(
+    "q_dup_span_coverage",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), dfreq AS (
+      SELECT s, count(*) AS df FROM e GROUP BY 1
+    )
+    SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated,
+           sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+             AS dup_coverage
+    FROM e JOIN dfreq d USING (s) GROUP BY 1
+    """,
+)
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-shingle coverage — the substring-duplication
+    signal behind suffix-array dedup (a doc mostly made of text seen
+    elsewhere scores high even when no single pair clears a Jaccard
+    threshold). Exact-count ratio: deterministic without rounding."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.duplicate_span_coverage(docs, "doc_id", n=3)
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT term, count(*) AS term_n FROM toks GROUP BY 1
+    ), total AS (SELECT count(*) AS total_n FROM toks)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(CAST(c.term_n AS DOUBLE) / total.total_n)), 6) AS mean_logprob
+    FROM toks t JOIN counts c USING (term), total
+    GROUP BY 1
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per doc under the corpus's own
+    empirical distribution — the zero-dependency analogue of KenLM
+    perplexity filtering (CCNet-style). 6dp rounding (libm ln + avg
+    accumulation order)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = TX.unigram_logprob_score(docs)
+    return out.withColumn("mean_logprob", F.round("mean_logprob", 6))
+
+
+@query(
+    "q_top_ngrams",
+    oracle="""
+    WITH sh AS (
+      SELECT lang,
+             list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS shingles
+      FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT lang, unnest(shingles) AS ngram FROM sh
+    ), counts AS (
+      SELECT lang, ngram, count(*) AS n_docs FROM e GROUP BY 1, 2
+    )
+    SELECT lang, ngram, CAST(n_docs AS BIGINT) AS n_docs, rank FROM (
+      SELECT lang, ngram, n_docs,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY n_docs DESC, ngram) AS INT)
+               AS rank
+      FROM counts
+    ) WHERE rank <= 5
+    """,
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per language by document frequency — per-language
+    corpus fingerprints (template/boilerplate contamination check).
+    Lexicographic tiebreak makes the top-k row set deterministic."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.top_ngrams_per_group(docs, "lang", n=2, k=5)

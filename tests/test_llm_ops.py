@@ -192,3 +192,40 @@ def test_connected_components_nonconvergence_signal(spark):
         partial = D.connected_components(chain, max_iter=2, on_nonconverge="warn")
         assert partial.count() == 8
     assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_dup_span_coverage_planted(spark):
+    """Two identical docs share every shingle (coverage 1.0); a disjoint
+    doc shares none (0.0); a half-overlapping doc scores in between."""
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),
+        (3, "q r s t u v"),
+        (4, "a b c d x y z w"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from dais2021imageprocessingondeltalake_spark.operators.text import (
+        duplicate_span_coverage,
+    )
+
+    got = {r["doc_id"]: r for r in duplicate_span_coverage(df, "doc_id", n=3).collect()}
+    assert got[1]["dup_coverage"] == 1.0 and got[2]["dup_coverage"] == 1.0
+    assert got[3]["dup_coverage"] == 0.0
+    # doc 4: shingles 'a b c','b c d' duplicated out of 6 total
+    assert got[4]["n_shingles"] == 6 and got[4]["n_duplicated"] == 2
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """A doc of corpus-frequent tokens must outscore a doc of rare ones."""
+    rows = [
+        (1, "common common common common"),
+        (2, "common common common common"),
+        (3, "rareword1 rareword2 rareword3 rareword4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from dais2021imageprocessingondeltalake_spark.operators.text import (
+        unigram_logprob_score,
+    )
+
+    got = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob_score(df).collect()}
+    assert got[1] > got[3]
