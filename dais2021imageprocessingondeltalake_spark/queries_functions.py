@@ -226,3 +226,35 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.map_values(m), 1).alias("first_val"),
         F.size(m).cast("int").alias("n_keys"),
     )
+
+
+@query(
+    "q_higher_order_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_pos,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) > 1.5)) AS INT)
+             AS n_big,
+           round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6)
+             AS sum_sq,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS max_abs
+    FROM embeddings
+    """,
+)
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas (transform/filter/aggregate) over the
+    embedding column — the JVM-side array calculus that keeps vector math
+    out of Python. Counts and max are exact; the aggregate fold rounds to
+    6dp because DuckDB's list_sum accumulates in a different order than
+    the sequential lambda fold."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.size(F.filter(v, lambda x: F.abs(x) > 1.5)).cast("int").alias("n_big"),
+        F.round(
+            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("sum_sq"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("max_abs"),
+    )

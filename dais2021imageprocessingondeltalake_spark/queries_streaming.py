@@ -154,3 +154,59 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         stream_dedup_keys(stream, ["user_id", "event_type"]), output_mode="append"
     )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           sum(CAST(round(e.value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (the streaming inference pattern at
+    `03. Inference.py:73-77` generalized): event stream ⋈ broadcast
+    customer dimension → segment rollup. Stateless join + stateful agg;
+    availableNow drain equals the batch join-aggregate, so the oracle is
+    full SQL. Money sums in exact integer cents."""
+    from .catalog import load_table
+    from .streaming.joins import stream_static_join
+
+    stream = events_stream(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    joined = stream_static_join(
+        stream, cust, stream["user_id"] == cust["c_custkey"]
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)).alias(
+            "total_value"
+        ),
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "q_stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    state evicts once the watermark passes event_time + delay, so the
+    operator survives unbounded key spaces — the 100 TB form of streaming
+    dedup. The corpus spans 30 days < the 35-day delay, so the drained
+    result equals batch DISTINCT and the oracle is exact."""
+    from .streaming.joins import stream_dedup_keys_within_watermark
+
+    stream = events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        stream_dedup_keys_within_watermark(
+            stream, ["user_id", "event_type"], ts_col="ts", delay="35 days"
+        ),
+        output_mode="append",
+    )

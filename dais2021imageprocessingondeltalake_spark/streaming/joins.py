@@ -47,3 +47,31 @@ def stream_dedup_keys(stream: DataFrame, keys: list[str]) -> DataFrame:
     equals batch DISTINCT). State is one entry per distinct key — use
     dropDuplicatesWithinWatermark when the key space is unbounded."""
     return stream.select(*keys).dropDuplicates(keys)
+
+
+def stream_dedup_keys_within_watermark(
+    stream: DataFrame, keys: list[str], ts_col: str = "ts", delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    evicts a key's state once the watermark passes its event time +
+    delay — the unbounded-key-space variant of stream_dedup_keys (state
+    is O(keys-within-horizon), not O(all keys ever)). Duplicates are only
+    guaranteed suppressed when they arrive within `delay` of the first
+    occurrence; a replay whose whole span fits inside `delay` therefore
+    equals batch DISTINCT exactly (how the oracle checks it)."""
+    return stream.select(ts_col, *keys).withWatermark(
+        ts_col, delay
+    ).dropDuplicatesWithinWatermark(keys).select(*keys)
+
+
+def stream_static_join(
+    stream: DataFrame, static: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Stream-static join: the static side is planned as a broadcast
+    against every micro-batch (no state, no watermark needed — the
+    standard enrichment join of a 100 TB event firehose against a
+    dimension table). Static side re-reads per trigger, so at scale pin
+    it small or cached."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(static), on, how)
