@@ -68,3 +68,21 @@ def ensure_columns(df: DataFrame, ordered: Iterable[str]) -> DataFrame:
     """Reorder/subset to a canonical column order (stable schemas for
     sinks and oracle comparison)."""
     return df.select(*ordered)
+
+
+def observe_metrics(df: DataFrame, name: str = "metrics", *exprs: Column):
+    """Attach observed metrics to a plan (df.observe): aggregate
+    expressions evaluated PIGGYBACKED on whatever action runs next — the
+    data-quality-gate pattern (row counts, null counts, value bounds)
+    with ZERO extra passes over the data, unlike a separate .agg() job.
+    Returns (df, observation); read observation.get after an action.
+
+    At 100 TB this is the difference between monitoring and doubling the
+    job: the metrics ride the existing scan inside each task and merge on
+    the driver as a handful of scalars."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    if not exprs:
+        exprs = (F.count(F.lit(1)).alias("n_rows"),)
+    return df.observe(obs, *exprs), obs

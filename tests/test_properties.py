@@ -69,3 +69,28 @@ def test_stream_equals_batch_property(spark, name):
     batch, stream = batch_and_stream(spark, SF_DIR, _TRANSFORMS[name], "append")
     assert batch.exceptAll(stream).count() == 0
     assert stream.exceptAll(batch).count() == 0
+
+
+def test_observe_metrics_piggyback(spark):
+    """Observed metrics must match a separate aggregation without running
+    one: one action yields both the data and the quality scalars."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators.relational import (
+        observe_metrics,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    observed, obs = observe_metrics(
+        docs,
+        "quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)).alias(
+            "n_empty"
+        ),
+        F.min(F.length("text")).alias("min_len"),
+    )
+    n = observed.count()  # the one action; metrics ride along
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["n_empty"] == 0
+    assert got["min_len"] >= 1

@@ -326,3 +326,79 @@ def test_salted_join_rejects_outer_variants(spark):
     df = spark.range(10).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="inner.*left"):
         salted_join(df, df, "k", salt_n=4, how="full")
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark):
+    """The 100 TB star-join pattern: fact partitioned on the join key, dim
+    filtered at runtime — Spark must inject a DynamicPruning subquery so
+    the fact scan only reads partitions matching the filtered dim (the
+    mechanism behind 'only scan the dates you joined to')."""
+    import tempfile
+
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+    ev = load_table(spark, "events", SF_DIR).select("event_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="dais_dpp_") + "/fact"
+    ev.write.partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("purchase", 1.0), ("click", 0.0), ("view", 0.0)], ["event_type", "weight"]
+    ).filter(F.col("weight") > 0.5)
+    joined = fact.join(dim, "event_type")
+    plan = _formatted_plan(joined)
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+    n_purchase = ev.filter(F.col("event_type") == "purchase").count()
+    assert joined.count() == n_purchase
+
+
+def test_runtime_bloom_filter_on_selective_join(spark):
+    """Runtime row-level filtering: a selective build side should inject a
+    bloom filter (or semi-join reduction) on the probe side so the big
+    scan drops non-joining rows before the shuffle. Asserted via the
+    optimizer's injected runtime filter when the feature is available —
+    plan-level evidence the engine is configured for shuffle-avoidance at
+    scale."""
+    conf = spark.conf
+    old = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    old["spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"] = (
+        conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
+    )
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        # test data is far below the 10GB default application-side gate that
+        # makes the optimization worthwhile in production — drop it to 0 so
+        # the injection logic itself is what's under test
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        # force a shuffle join: bloom filters only apply to non-broadcast joins
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+        li = load_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_quantity")
+        o = load_table(spark, "orders", SF_DIR).filter(
+            F.col("o_totalprice") > 400000
+        ).select("o_orderkey")
+        joined = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        plan = _formatted_plan(joined)
+        assert ("bloomfilter" in plan.lower()) or ("runtimefilter" in plan.lower()), (
+            "no runtime filter injected:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                conf.set(k, v)
