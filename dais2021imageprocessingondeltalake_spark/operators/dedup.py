@@ -489,8 +489,8 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
         )
         # one join produces both the new label and the change flag; the
-        # checkpoint materializes it, so the convergence count() below is a
-        # cheap scan of the checkpointed rows, not a second join
+        # checkpoint is LAZY so the convergence count() is the single job
+        # that both materializes this round's labels and reports progress
         stepped = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
@@ -500,7 +500,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         labels = stepped.select("id", "label")
