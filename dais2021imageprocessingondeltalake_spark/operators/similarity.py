@@ -339,3 +339,46 @@ def knn_join(
         .filter(F.col("rn") <= k)
         .select("probe_id", "nbr_id", "cosine_sim")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_q8",
+    scale_col: str = "q8_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q[i] = round(127 * x[i] /
+    max|x|), stored with the per-vector scale for dequantization. Cuts
+    vector storage/shuffle bytes 4x (float32→int8), which at 100 TB of
+    embeddings is the difference between a shuffle that fits and one that
+    spills; ANN candidate generation runs on the quantized bytes and only
+    the final re-rank touches full precision. Pure JVM expressions;
+    rounding is floor(v + 0.5) — floor is exact on doubles, so the same
+    formula in any engine yields the same bytes (round() half-mode
+    conventions differ across engines)."""
+    v = _to_double(F.col(vec_col))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # all-zero vectors: scale 0, quantized zeros (guard the 0/0)
+    scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(0.0))
+    q = F.when(
+        max_abs > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x * F.lit(127.0) / max_abs + F.lit(0.5)).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumn(out_col, q).withColumn(scale_col, scale)
+
+
+def dequantize_embeddings_int8(
+    df: DataFrame,
+    q_col: str = "embedding_q8",
+    scale_col: str = "q8_scale",
+    out_col: str = "embedding_dq",
+) -> DataFrame:
+    """Inverse of quantize_embeddings_int8: x̂[i] = q[i] * scale. Max
+    reconstruction error is scale/2 = max|x|/254 per component."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )

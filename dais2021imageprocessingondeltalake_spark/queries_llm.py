@@ -637,3 +637,28 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lexicographic tiebreak makes the top-k row set deterministic."""
     docs = load_table(spark, "documents", sf_dir)
     return TX.top_ngrams_per_group(docs, "lang", n=2, k=5)
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    SELECT vec_id,
+           CASE WHEN ma > 0
+                THEN list_transform(v, x -> CAST(floor(x * 127.0 / ma + 0.5) AS TINYINT))
+                ELSE list_transform(v, x -> CAST(0 AS TINYINT)) END AS embedding_q8,
+           CASE WHEN ma > 0 THEN ma / 127.0 ELSE 0.0 END AS q8_scale
+    FROM (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS ma
+      FROM embeddings
+    )
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    4x smaller vectors for shuffle/storage at 100 TB, with the per-vector
+    scale kept for dequantized re-rank. floor(v + 0.5) rounding is
+    engine-exact (floor on doubles has no half-mode convention), so the
+    quantized bytes hash-match the oracle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.quantize_embeddings_int8(emb).select("vec_id", "embedding_q8", "q8_scale")

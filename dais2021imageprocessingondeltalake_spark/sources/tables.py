@@ -173,3 +173,22 @@ def drop_table(spark: SparkSession, path: str) -> None:
 
     if Path(path).exists():
         shutil.rmtree(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Incremental partition replacement: with partitionOverwriteMode =
+    dynamic, `overwrite` rewrites ONLY the partitions present in `df`,
+    leaving every other partition untouched — the idempotent daily-batch
+    pattern (re-run day X without truncating the year). Static mode (the
+    default) would delete the whole table first; at 100 TB that is the
+    difference between rewriting one day and rewriting three years.
+    Delta's `replaceWhere` is the transactional equivalent of this seam."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

