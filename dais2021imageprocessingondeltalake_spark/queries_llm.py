@@ -662,3 +662,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized bytes hash-match the oracle."""
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.quantize_embeddings_int8(emb).select("vec_id", "embedding_q8", "q8_scale")
+
+
+@query("q_embedding_ann_q8", oracle=None)
+def q_embedding_ann_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized ANN (rows-only; recall vs the exact baseline
+    asserted in tests): int8 coarse scoring over 4x-smaller vectors →
+    full-precision re-rank of a 50-vector shortlist."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    return SIM.quantized_ann_topk(emb, qv, k=10, shortlist=50)

@@ -250,3 +250,20 @@ def test_quantize_roundtrip_error_bound(spark):
         recon = r["embedding_dq"]
         bound = r["q8_scale"] / 2 + 1e-12
         assert all(abs(a - b) <= bound for a, b in zip(orig, recon))
+
+
+def test_quantized_ann_recall_vs_exact(spark):
+    """The int8 coarse stage + full-precision re-rank must recover most
+    of the exact top-10 (coarse error is bounded by quantization scale,
+    and the 5x shortlist absorbs rank perturbations)."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators.similarity import (
+        cosine_topk,
+        quantized_ann_topk,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+    approx = {r["vec_id"] for r in quantized_ann_topk(emb, qv, k=10, shortlist=50).collect()}
+    assert len(exact & approx) >= 8
