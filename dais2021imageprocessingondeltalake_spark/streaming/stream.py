@@ -140,3 +140,68 @@ def batch_and_stream(
     batch = transform(events_batch(spark, sf_dir))
     stream = run_stream_to_memory(transform(events_stream(spark, sf_dir)), output_mode)
     return batch, stream
+
+
+def run_stream_upsert_foreachbatch(
+    streaming_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    order_col: str | None = None,
+) -> None:
+    """Streaming MERGE-into-table via foreachBatch — the CDC sink pattern
+    (on Delta this is `merge into` per micro-batch; here the parquet
+    emulation: anti-join keep + union, full-table rewrite). foreachBatch
+    hands each micro-batch to arbitrary BATCH code with the batch id, so
+    any batch operator (operators/merge.upsert) becomes a streaming sink.
+
+    Idempotence note: the rewrite happens under the checkpoint's batch
+    tracking — a replayed batch re-applies the same upsert, and upsert is
+    idempotent for identical input (same keys replaced with same rows),
+    so exactly-once TABLE STATE holds even though parquet lacks Delta's
+    transactional log. At 100 TB, partition the table and swap in
+    overwrite_partitions_dynamic so each batch rewrites only touched
+    partitions.
+
+    Each micro-batch is first COMPACTED to one row per key (latest by
+    `order_col`, ties broken arbitrarily-but-deterministically by the
+    remaining columns) — a raw event batch has many rows per key, and
+    MERGE semantics are defined for one source row per key (Delta's MERGE
+    throws on duplicate matches; CDC feeds pre-compact the same way)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.merge import upsert
+
+    def compact(batch_df: DataFrame) -> DataFrame:
+        if order_col is None:
+            return batch_df.dropDuplicates(keys)
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(),
+            *[F.col(c).desc() for c in batch_df.columns if c not in (*keys, order_col)],
+        )
+        return (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        compacted = compact(batch_df)
+        try:
+            target = spark.read.parquet(table_path)
+        except Exception:  # first batch: no table yet
+            compacted.write.mode("overwrite").parquet(table_path)
+            return
+        merged = upsert(target, compacted, keys)
+        # materialize before overwriting the directory being read
+        merged.localCheckpoint().write.mode("overwrite").parquet(table_path)
+
+    (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -71,3 +71,43 @@ def test_checkpoint_no_duplicates_on_rerun(spark):
     n2 = spark.read.parquet(out).count()
     assert n1 == events_batch(spark, SF_DIR).count()
     assert n2 == n1  # rerun from committed checkpoint appends nothing
+
+
+def test_foreachbatch_stream_upsert(spark, tmp_path):
+    """Streaming MERGE sink: draining the event stream through
+    foreachBatch+upsert must leave the table equal to the batch
+    'latest row per key' — the CDC table-maintenance pattern."""
+    from pyspark.sql import Window as W
+
+    from dais2021imageprocessingondeltalake_spark.streaming.stream import (
+        events_batch,
+        events_stream,
+        run_stream_upsert_foreachbatch,
+    )
+
+    sf = SF_DIR
+    table = str(tmp_path / "state_table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, sf, max_files_per_trigger=1).select(
+        "user_id", "event_type", "ts", "value"
+    )
+    # key = (user_id, event_type), compacted per batch to latest-by-ts
+    run_stream_upsert_foreachbatch(
+        stream, table, ["user_id", "event_type"], ckpt, order_col="ts"
+    )
+    got = spark.read.parquet(table)
+    batch = events_batch(spark, sf).select("user_id", "event_type", "ts", "value")
+    assert got.count() == batch.select("user_id", "event_type").distinct().count()
+    # every key present exactly once
+    dupes = got.groupBy("user_id", "event_type").count().filter(F.col("count") > 1)
+    assert dupes.count() == 0
+    # survivor per key carries each key's max event time (single-file source
+    # = one batch, so the batch latest IS the global latest)
+    expect = {
+        (r["user_id"], r["event_type"]): r["max_ts"]
+        for r in batch.groupBy("user_id", "event_type")
+        .agg(F.max("ts").alias("max_ts"))
+        .collect()
+    }
+    for r in got.collect():
+        assert r["ts"] == expect[(r["user_id"], r["event_type"])]
