@@ -121,3 +121,166 @@ def test_random_grouped_counts_match_duckdb(spark, keys, pred):
     cols, rows = run_oracle(sql, SF_DIR)
     problems = compare(got, cols, rows, rel_tol=0.0)
     assert not problems, f"{sql}: {problems[:2]}"
+
+
+# ---- extended grammar: strings, BETWEEN, IN, NOT ----------------------------
+_STR_COLS = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["F", "O"],
+}
+
+
+@st.composite
+def ext_atoms(draw):
+    """Atom kinds: numeric compare | string equality | BETWEEN | IN."""
+    kind = draw(st.sampled_from(["num", "str_eq", "between", "in"]))
+    if kind == "num":
+        return ("num", draw(atoms()))
+    if kind == "str_eq":
+        col = draw(st.sampled_from(sorted(_STR_COLS)))
+        val = draw(st.sampled_from(_STR_COLS[col]))
+        op = draw(st.sampled_from(["=", "<>"]))
+        return ("str_eq", (col, op, val))
+    if kind == "between":
+        lo = draw(st.integers(1, 40))
+        hi = lo + draw(st.integers(0, 10))
+        return ("between", ("l_quantity", float(lo), float(hi)))
+    col = draw(st.sampled_from(sorted(_STR_COLS)))
+    vals = draw(st.sets(st.sampled_from(_STR_COLS[col]), min_size=1).map(sorted))
+    return ("in", (col, vals))
+
+
+def _ext_to_spark(a):
+    kind, payload = a
+    if kind == "num":
+        col, op, val = payload
+        return _OPS[op](F.col(col), F.lit(val))
+    if kind == "str_eq":
+        col, op, val = payload
+        e = F.col(col) == val
+        return e if op == "=" else ~e
+    if kind == "between":
+        col, lo, hi = payload
+        return F.col(col).between(lo, hi)
+    col, vals = payload
+    return F.col(col).isin(vals)
+
+
+def _ext_to_sql(a):
+    kind, payload = a
+    if kind == "num":
+        col, op, val = payload
+        return f"({col} {op} {val!r})"
+    if kind == "str_eq":
+        col, op, val = payload
+        return f"({col} {op} '{val}')"
+    if kind == "between":
+        col, lo, hi = payload
+        return f"({col} BETWEEN {lo!r} AND {hi!r})"
+    col, vals = payload
+    return f"({col} IN ({', '.join(repr(v) for v in vals)}))"
+
+
+@st.composite
+def ext_predicates(draw):
+    """1-3 extended atoms, optional NOT per atom, AND/OR joined."""
+    n = draw(st.integers(1, 3))
+    parts = [(draw(ext_atoms()), draw(st.booleans())) for _ in range(n)]
+    joiners = [draw(st.sampled_from(["AND", "OR"])) for _ in range(n - 1)]
+    return parts, joiners
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=ext_predicates())
+def test_extended_predicates_match_duckdb(spark, pred):
+    """BETWEEN / IN / string equality / NOT — the predicate surface the
+    simple numeric grammar misses, same exact-compare harness."""
+    parts, joiners = pred
+    e = None
+    for (a, neg), j in zip(parts, [None] + joiners):
+        cur = _ext_to_spark(a)
+        cur_sql = _ext_to_sql(a)
+        if neg:
+            cur = ~cur
+            cur_sql = f"(NOT {cur_sql})"
+        if e is None:
+            e, s = cur, cur_sql
+        else:
+            e = (e & cur) if j == "AND" else (e | cur)
+            s = f"({s} {j} {cur_sql})"
+    li = load_table(spark, "lineitem", SF_DIR)
+    got = li.filter(e).select("l_orderkey", "l_linenumber")
+    sql = f"SELECT l_orderkey, l_linenumber FROM lineitem WHERE {s}"
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sort_col=st.sampled_from(["l_quantity", "l_extendedprice", "l_linenumber"]),
+    desc=st.booleans(),
+    k=st.integers(1, 50),
+    pred=predicates(),
+)
+def test_random_topk_matches_duckdb(spark, sort_col, desc, k, pred):
+    """Random ORDER BY + LIMIT with a full tiebreak chain: the selected
+    row SET must match exactly (exercises TakeOrderedAndProject vs
+    DuckDB's top-n)."""
+    parts, joiners = pred
+    li = load_table(spark, "lineitem", SF_DIR).filter(_to_spark(parts, joiners))
+    sc = F.col(sort_col).desc() if desc else F.col(sort_col).asc()
+    got = (
+        li.select("l_orderkey", "l_linenumber", sort_col)
+        .orderBy(sc, F.col("l_orderkey"), F.col("l_linenumber"))
+        .limit(k)
+    )
+    direction = "DESC" if desc else "ASC"
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {sort_col} FROM lineitem "
+        f"WHERE {_to_sql(parts, joiners)} "
+        f"ORDER BY {sort_col} {direction}, l_orderkey, l_linenumber LIMIT {k}"
+    )
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=predicates(),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_random_join_matches_duckdb(spark, pred, how):
+    """Random filter pushed through an orders⋈lineitem join in a random
+    join mode — NULL-extension rows from LEFT joins must hash-match."""
+    parts, joiners = pred
+    o = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, "lineitem", SF_DIR).filter(_to_spark(parts, joiners)).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    got = o.join(li, o["o_orderkey"] == li["l_orderkey"], how).select(
+        "o_orderkey", "o_orderpriority", "l_linenumber", "l_quantity"
+    )
+    join_kw = "JOIN" if how == "inner" else "LEFT JOIN"
+    sql = (
+        "SELECT o_orderkey, o_orderpriority, l_linenumber, l_quantity "
+        "FROM orders o "
+        f"{join_kw} (SELECT * FROM lineitem WHERE {_to_sql(parts, joiners)}) l "
+        "ON o.o_orderkey = l.l_orderkey"
+    )
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
