@@ -267,3 +267,65 @@ def test_quantized_ann_recall_vs_exact(spark):
     exact = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
     approx = {r["vec_id"] for r in quantized_ann_topk(emb, qv, k=10, shortlist=50).collect()}
     assert len(exact & approx) >= 8
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Every corpus-statistics operator must return an empty, correctly
+    typed frame on empty input — no crashes in the bounds/agg/checkpoint
+    machinery (the first batch of a new pipeline IS often empty)."""
+    from pyspark.sql import types as T
+
+    from dais2021imageprocessingondeltalake_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+    from dais2021imageprocessingondeltalake_spark.operators.temporal import gap_fill
+    from dais2021imageprocessingondeltalake_spark.operators.text import (
+        duplicate_span_coverage,
+        tfidf_vectors,
+        top_ngrams_per_group,
+        unigram_logprob_score,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    assert tfidf_vectors(empty_docs).count() == 0
+    assert duplicate_span_coverage(empty_docs).count() == 0
+    assert unigram_logprob_score(empty_docs).count() == 0
+    assert top_ngrams_per_group(empty_docs, "lang").count() == 0
+
+    edges = spark.createDataFrame(
+        [], T.StructType([T.StructField("doc_a", T.LongType()), T.StructField("doc_b", T.LongType())])
+    )
+    assert D.connected_components(edges).count() == 0
+    assert D.ngram_jaccard_pairs_prefix(empty_docs, "doc_id").count() == 0
+
+    empty_emb = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    assert quantize_embeddings_int8(empty_emb).count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    assert gap_fill(empty_ev, "k", "ts", F.sum("v")).count() == 0
