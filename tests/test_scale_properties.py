@@ -402,3 +402,46 @@ def test_runtime_bloom_filter_on_selective_join(spark):
         for k, v in old.items():
             if v is not None:
                 conf.set(k, v)
+
+
+def test_new_tpch_plan_shapes(spark):
+    """Round-2 TPC-H additions: deep join trees must stay broadcast on
+    every dimension side (zero SortMergeJoin at this scale), date filters
+    must reach the scans, and the conditional-ratio query must be one
+    aggregate (no self-join for numerator/denominator)."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    p5 = _formatted_plan(q.REGISTRY["q_tpch_local_volume"].fn(spark, SF_DIR))
+    assert p5.count("BroadcastHashJoin") >= 4
+    assert "EqualTo(r_name,ASIA)" in p5  # pushed to the region scan
+    assert "CartesianProduct" not in p5
+
+    p8 = _formatted_plan(q.REGISTRY["q_tpch_market_share"].fn(spark, SF_DIR))
+    assert p8.count("BroadcastHashJoin") >= 6
+    # numerator and denominator are two measures of ONE HashAggregate
+    assert p8.count("HashAggregate") <= 4  # partial+final, no second agg tree
+    assert "EqualTo(p_type,PROMO)" in p8
+
+    p6 = _formatted_plan(q.REGISTRY["q_tpch_revenue_change"].fn(spark, SF_DIR))
+    assert "PushedFilters: [" in p6
+    assert "IsNotNull(l_shipdate)" in p6 or "GreaterThanOrEqual(l_shipdate" in p6
+    assert "Join" not in p6  # pure scan-filter-agg
+
+    p10 = _formatted_plan(q.REGISTRY["q_tpch_returned_items"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p10
+    assert "EqualTo(l_returnflag,R)" in p10
+
+
+def test_text_ops_plan_shapes(spark):
+    """Corpus-statistics operators must keep the inverted-index shape:
+    explode + hash aggregates + hash joins, never a cartesian product or
+    a nested-loop join, and scans prune to the referenced columns."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    for name in ("q_tfidf", "q_dup_span_coverage", "q_unigram_logprob", "q_top_ngrams"):
+        plan = _formatted_plan(q.REGISTRY[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "Generate" in plan, name  # the explode
+        assert "HashAggregate" in plan, name
+        # column pruning: the scan must not read the embeddings/props blobs
+        assert "ReadSchema" in plan, name
