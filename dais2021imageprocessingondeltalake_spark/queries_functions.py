@@ -258,3 +258,36 @@ def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_sq"),
         F.array_max(F.transform(v, lambda x: F.abs(x))).alias("max_abs"),
     )
+
+
+@query(
+    "q_arg_max",
+    oracle="""
+    SELECT event_type, event_id AS top_event_id, value_cents AS top_value_cents FROM (
+      SELECT event_type, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(round(value * 100, 0) AS BIGINT) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group via max_by with a composite (value, id) ordering
+    key — one hash aggregate, no window shuffle-and-sort (the window
+    formulation is the ORACLE here precisely because it is the slower
+    plan). Ties are impossible on the composite key (event_id unique), so
+    both engines select identically. Money compared in integer cents."""
+    e = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    key = F.struct(cents.alias("v"), F.col("event_id").alias("i"))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.max_by("event_id", key).alias("top_event_id"),
+            F.max(cents).alias("top_value_cents"),
+        )
+        .select("event_type", "top_event_id", "top_value_cents")
+    )

@@ -873,3 +873,296 @@ def q_tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(leg1 | leg2 | leg3)
         .agg((F.sum(ep * (F.lit(100) - dc)) / F.lit(10000.0)).alias("revenue"))
     )
+
+@query(
+    "q_tpch_important_stock",
+    oracle=f"""
+    SELECT l.l_partkey,
+           sum({_CENTS.format(c='l.l_extendedprice')}
+               * CAST(l.l_quantity AS BIGINT)) / 100.0 AS part_value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_7'
+    GROUP BY l.l_partkey
+    HAVING sum({_CENTS.format(c='l.l_extendedprice')}
+               * CAST(l.l_quantity AS BIGINT))
+           > (SELECT sum({_CENTS.format(c='l2.l_extendedprice')}
+                         * CAST(l2.l_quantity AS BIGINT)) * 0.001
+              FROM lineitem l2
+              JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+              JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+              WHERE n2.n_name = 'NATION_7')
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q_tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification; partsupp value
+    adapted to shipped extendedprice*quantity — no partsupp table in the
+    corpus): per-key aggregate HAVING a fraction-of-global-total scalar
+    subquery over the SAME join. The filtered join is computed once and
+    the two aggregations (per-part and global) reuse it; the global total
+    is a 1-row frame crossJoin-broadcast into the HAVING filter — no
+    second scan of lineitem at scale, no driver round-trip. Value math in
+    integer cents * integer quantity (both exact)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    val = agg.money_cents(F.col("l_extendedprice")) * F.col("l_quantity").cast("long")
+    joined = li.join(
+        F.broadcast(s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])),
+        li["l_suppkey"] == s["s_suppkey"],
+    ).select(F.col("l_partkey"), val.alias("val_cents"))
+    per_part = joined.groupBy("l_partkey").agg(
+        F.sum("val_cents").alias("part_value_cents")
+    )
+    total = per_part.agg(
+        (F.sum("part_value_cents") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value_cents") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            (F.col("part_value_cents") / F.lit(100.0)).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "q_tpch_priority_lines",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate < TIMESTAMP '2001-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q_tpch_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority; shipmode +
+    receipt-vs-commit lag adapted to linestatus + ship-vs-order lag — the
+    corpus has no shipmode/commitdate): fact-fact join with a
+    cross-table date predicate, then conditional (pivot-style)
+    aggregation via sum(CASE WHEN). The l_shipdate upper bound pushes to
+    the lineitem scan; the lag predicate evaluates post-join. Both
+    counts come out of ONE aggregate pass — not two filtered queries."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q_tpch_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+          )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier relationship; partsupp adapted to
+    lineitem supply facts, the complaints-comment NOT IN adapted to
+    negative account balance): NOT-IN anti-join against a small
+    exclusion list + multi-attribute grouping with COUNT(DISTINCT).
+    The exclusion list is tiny → broadcast anti-join (safe here because
+    s_suppkey is never NULL, so NOT IN == anti-join); the distinct-count
+    is Spark's two-shuffle partial-distinct plan, which is the right
+    shape when (brand,type,size) groups are many and suppliers per group
+    are few."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_part_promotion",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l
+            WHERE l.l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+                  )
+              AND l.l_shipdate >= TIMESTAMP '2000-01-01'
+            GROUP BY l.l_suppkey
+            HAVING sum(l.l_quantity) > 300
+          )
+    ORDER BY s.s_name
+    """,
+)
+def q_tpch_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion; partsupp availability
+    adapted to shipped quantity — the half-of-availqty threshold becomes
+    an absolute shipped-volume threshold): nested IN-subqueries
+    decorrelated into semi-join -> aggregate-HAVING -> semi-join. The
+    part name filter semi-joins lineitem FIRST (broadcast — it prunes
+    the fact scan), the surviving lines aggregate per supplier, and only
+    qualifying suppkeys (tiny) semi-join back to supplier. At 100 TB
+    nothing but the pruned fact aggregate ever shuffles."""
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    qualifying = (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("red_qty"))
+        .filter(F.col("red_qty") > 300)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(qualifying), s["s_suppkey"] == qualifying["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q_tpch_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+          )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting; the
+    receipt-vs-commit lateness adapted to ship-vs-order +60d): the
+    hardest decorrelation in the suite — EXISTS and NOT-EXISTS
+    subqueries against the SAME fact table, correlated on orderkey with
+    a supplier inequality. Expressed as two self-joins: a left-semi for
+    'another supplier participated' and a left-anti for 'no OTHER
+    supplier was late'. All three legs shuffle on l_orderkey — one
+    exchange reused by AQE; supplier broadcasts at the end. The lateness
+    predicate is derived once per (order, line) from the orders join."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    ).alias("l2")
+    late_others = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    ).alias("l3")
+    sole_late = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("x_suppkey")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("l1.l_orderkey") == F.col("y_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("y_suppkey")),
+            "left_anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -445,3 +445,21 @@ def test_text_ops_plan_shapes(spark):
         assert "HashAggregate" in plan, name
         # column pruning: the scan must not read the embeddings/props blobs
         assert "ReadSchema" in plan, name
+
+
+def test_nested_schema_pruning(spark, tmp_path):
+    """Selecting one subfield of a struct column must prune the parquet
+    ReadSchema to that subfield — decoded-image-metadata tables carry wide
+    structs, and reading width must not drag the whole struct off disk."""
+    path = str(tmp_path / "nested")
+    df = spark.createDataFrame(
+        [(1, ("a" * 100, 10, 20)), (2, ("b" * 100, 30, 40))],
+        "id INT, meta STRUCT<blob: STRING, width: INT, height: INT>",
+    )
+    df.write.parquet(path)
+    back = spark.read.parquet(path).select("id", F.col("meta.width"))
+    plan = _formatted_plan(back)
+    assert "width" in plan
+    # the pruned ReadSchema must not materialize the blob subfield
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "blob" not in read_schema[0]
