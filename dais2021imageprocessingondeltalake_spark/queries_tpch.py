@@ -919,9 +919,14 @@ def q_tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])),
         li["l_suppkey"] == s["s_suppkey"],
     ).select(F.col("l_partkey"), val.alias("val_cents"))
+    # the per-part aggregate feeds TWO branches (the HAVING filter and the
+    # global-total threshold); Catalyst does not CSE shared subplans, so
+    # without materialization the lineitem⋈supplier join runs twice. The
+    # aggregate is bounded by |part| — exactly the intermediate a real job
+    # persists. Lazy checkpoint: materialized once by the single action.
     per_part = joined.groupBy("l_partkey").agg(
         F.sum("val_cents").alias("part_value_cents")
-    )
+    ).localCheckpoint(eager=False)
     total = per_part.agg(
         (F.sum("part_value_cents") * F.lit(0.001)).alias("threshold")
     )

@@ -463,3 +463,38 @@ def test_nested_schema_pruning(spark, tmp_path):
     # the pruned ReadSchema must not materialize the blob subfield
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "blob" not in read_schema[0]
+
+
+def test_round2b_tpch_plan_shapes(spark):
+    """Plan pins for the Q11/Q12/Q16/Q20/Q21 shapes: exclusion and
+    dimension sides broadcast, EXISTS/NOT-EXISTS compile to hash
+    semi/anti joins (never nested loops), the fraction-of-global HAVING
+    reuses one aggregation rather than rescanning lineitem, and top-k is
+    TakeOrderedAndProject."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    p11 = _formatted_plan(q.REGISTRY["q_tpch_important_stock"].fn(spark, SF_DIR))
+    # global threshold = agg over the per-part agg, broadcast back — the
+    # filtered lineitem⋈supplier join must appear ONCE in the plan
+    assert p11.count("Scan parquet") <= 3, p11[:2000]  # lineitem+supplier+nation
+    assert "BroadcastHashJoin" in p11 or "BroadcastExchange" in p11
+
+    p12 = _formatted_plan(q.REGISTRY["q_tpch_priority_lines"].fn(spark, SF_DIR))
+    assert "LessThan(l_shipdate" in p12  # upper bound pushed to scan
+    assert "HashAggregate" in p12
+
+    p16 = _formatted_plan(q.REGISTRY["q_tpch_supplier_cnt"].fn(spark, SF_DIR))
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16
+    assert "BroadcastNestedLoopJoin" not in p16
+    assert "In(p_size" in p16  # IN-list pushed to the part scan
+
+    p20 = _formatted_plan(q.REGISTRY["q_tpch_part_promotion"].fn(spark, SF_DIR))
+    assert "LeftSemi" in p20
+    assert "StringStartsWith(p_name,red)" in p20  # LIKE 'red%' pushed down
+    assert "GreaterThanOrEqual(l_shipdate" in p20
+
+    p21 = _formatted_plan(q.REGISTRY["q_tpch_waiting_supplier"].fn(spark, SF_DIR))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "TakeOrderedAndProject" in p21
+    assert "BroadcastNestedLoopJoin" not in p21  # inequality rides the equi key
+    assert "EqualTo(o_orderstatus,F)" in p21
