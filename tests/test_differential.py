@@ -284,3 +284,146 @@ def test_random_join_matches_duckdb(spark, pred, how):
     cols, rows = run_oracle(sql, SF_DIR)
     problems = compare(got, cols, rows, rel_tol=0.0)
     assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.sets(
+        st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]), min_size=1
+    ).map(sorted),
+    aggs=st.sets(
+        st.sampled_from(["min_qty", "max_qty", "avg_qty", "nd_line", "min_flag"]),
+        min_size=1,
+    ).map(sorted),
+    pred=predicates(),
+)
+def test_random_agg_functions_match_duckdb(spark, keys, aggs, pred):
+    """Random aggregate-function subset over random keys: min/max/avg on
+    integer-valued doubles (exact — sums stay under 2^53), exact
+    count distinct, and string min. Exercises partial-aggregation merge
+    paths the fixed oracle queries touch only one way."""
+    parts, joiners = pred
+    li = load_table(spark, "lineitem", SF_DIR).filter(_to_spark(parts, joiners))
+    spark_aggs = {
+        "min_qty": F.min("l_quantity").alias("min_qty"),
+        "max_qty": F.max("l_quantity").alias("max_qty"),
+        "avg_qty": F.avg("l_quantity").alias("avg_qty"),
+        "nd_line": F.count_distinct("l_linenumber").alias("nd_line"),
+        "min_flag": F.min("l_returnflag").alias("min_flag"),
+    }
+    sql_aggs = {
+        "min_qty": "min(l_quantity) AS min_qty",
+        "max_qty": "max(l_quantity) AS max_qty",
+        "avg_qty": "avg(l_quantity) AS avg_qty",
+        "nd_line": "CAST(count(DISTINCT l_linenumber) AS BIGINT) AS nd_line",
+        "min_flag": "min(l_returnflag) AS min_flag",
+    }
+    got = li.groupBy(*keys).agg(*[spark_aggs[a] for a in aggs])
+    sql = (
+        f"SELECT {', '.join(keys)}, {', '.join(sql_aggs[a] for a in aggs)} "
+        f"FROM lineitem WHERE {_to_sql(parts, joiners)} GROUP BY {', '.join(keys)}"
+    )
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.sets(
+        st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]), min_size=1
+    ).map(sorted),
+    threshold=st.integers(1, 2000),
+    pred=predicates(),
+)
+def test_random_having_matches_duckdb(spark, keys, threshold, pred):
+    """Random HAVING over grouped counts — the filter-after-aggregate
+    path (Catalyst keeps it above the agg, never pushes it into the
+    pre-shuffle partial)."""
+    parts, joiners = pred
+    li = load_table(spark, "lineitem", SF_DIR).filter(_to_spark(parts, joiners))
+    got = (
+        li.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > threshold)
+    )
+    sql = (
+        f"SELECT {', '.join(keys)}, count(*) AS n FROM lineitem "
+        f"WHERE {_to_sql(parts, joiners)} GROUP BY {', '.join(keys)} "
+        f"HAVING count(*) > {threshold}"
+    )
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicates(), else_val=st.integers(-5, 5))
+def test_random_case_expression_matches_duckdb(spark, pred, else_val):
+    """Random CASE WHEN <predicate> THEN <int> ELSE <int> projected and
+    summed as BIGINT — conditional-expression evaluation incl. NULL
+    predicate semantics (NULL condition takes the ELSE branch in both
+    engines)."""
+    parts, joiners = pred
+    li = load_table(spark, "lineitem", SF_DIR)
+    case_col = F.when(_to_spark(parts, joiners), F.lit(1)).otherwise(F.lit(else_val))
+    got = li.agg(
+        F.sum(case_col.cast("bigint")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sql = (
+        f"SELECT CAST(sum(CASE WHEN {_to_sql(parts, joiners)} THEN 1 "
+        f"ELSE {else_val} END) AS BIGINT) AS s, count(*) AS n FROM lineitem"
+    )
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pkey=st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+    okey=st.sampled_from(["l_quantity", "l_extendedprice", "l_discount"]),
+    fn=st.sampled_from(["row_number", "rank", "dense_rank"]),
+    pred=predicates(),
+)
+def test_random_window_rank_matches_duckdb(spark, pkey, okey, fn, pred):
+    """Random ranking function over random partition/order keys with a
+    full (orderkey, linenumber) tiebreak so both engines rank
+    identically — covers the window shuffle+sort path with every
+    ranking-function/key combination."""
+    from pyspark.sql import Window
+
+    parts, joiners = pred
+    li = load_table(spark, "lineitem", SF_DIR).filter(_to_spark(parts, joiners))
+    w = Window.partitionBy(pkey).orderBy(okey, "l_orderkey", "l_linenumber")
+    spark_fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}
+    got = li.select(
+        "l_orderkey", "l_linenumber", F.col(pkey).alias("pk"),
+        spark_fn[fn]().over(w).alias("rnk"),
+    )
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {pkey} AS pk, "
+        f"CAST({fn}() OVER (PARTITION BY {pkey} "
+        f"ORDER BY {okey}, l_orderkey, l_linenumber) AS BIGINT) AS rnk "
+        f"FROM lineitem WHERE {_to_sql(parts, joiners)}"
+    )
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
