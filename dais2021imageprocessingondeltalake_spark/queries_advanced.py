@@ -593,3 +593,82 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     cents_sum = (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0))
     return TEMP.gap_fill(ev, "event_type", "ts", cents_sum, step="1 hour")
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ), numbered AS (
+      SELECT user_id, ts, event_type,
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+      FROM marked
+    ), runs AS (
+      SELECT user_id, event_type, min(ts) AS valid_from
+      FROM numbered GROUP BY user_id, run, event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER v AS valid_to,
+           lead(valid_from) OVER v IS NULL AS is_current
+    FROM runs
+    WINDOW v AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event history:
+    per-user runs of the tracked attribute with [valid_from, valid_to)
+    validity and is_current — consecutive equal values collapse into one
+    version. Two window passes over one key-partitioned shuffle; the
+    oracle replays the same run numbering in SQL. The incremental form
+    (scd2_apply: batch MERGE folding new events into an existing
+    dimension without rewriting untouched keys) is equivalence-tested
+    against this full rebuild in tests/test_advanced.py."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    return TEMP.scd2_from_history(ev, key="user_id", ts="ts", attr="event_type")
+
+
+@query(
+    "q_time_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN date_trunc('hour', ts) END AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                            (date_trunc('day', ts)))
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass produces BOTH the
+    hourly and the daily rollup via GROUPING SETS over derived time
+    buckets (hour rows carry their day; day rows have hour NULL). The
+    hour->day hierarchy means Spark computes the day tier by partial
+    re-aggregation of the hour tier, not a second scan — the batch
+    analogue of a streaming continuous aggregate, and the layout a
+    100 TB metrics store materializes per time grain. Money in cents."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    cents = agg.money_cents(F.col("value"))
+    return (
+        ev.select(day, hour, cents.alias("cents"))
+        .groupingSets(
+            [[F.col("day"), F.col("hour")], [F.col("day")]],
+            F.col("day"),
+            F.col("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents") / F.lit(100.0)).alias("total_value"),
+        )
+    )

@@ -118,3 +118,57 @@ def test_gap_fill_rejects_calendar_steps(spark):
     df = spark.createDataFrame([("a", datetime(2024, 1, 1), 1.0)], ["k", "ts", "v"])
     with pytest.raises(ValueError, match="step unit"):
         gap_fill(df, "k", "ts", F.sum("v"), step="1 month")
+
+
+def test_scd2_from_history_collapses_noop_runs(spark):
+    """Consecutive equal attribute values must collapse into ONE version;
+    out-of-order input must not change the result (order comes from ts)."""
+    from dais2021imageprocessingondeltalake_spark.operators.temporal import (
+        scd2_from_history,
+    )
+
+    t = lambda d: datetime(2024, 1, d)
+    rows = [(1, t(3), "a"), (1, t(1), "a"), (1, t(2), "a"),
+            (1, t(5), "b"), (1, t(7), "a"), (2, t(1), "x")]
+    ev = spark.createDataFrame(rows, "id int, ts timestamp, v string")
+    out = scd2_from_history(ev, key="id", ts="ts", attr="v")
+    got = sorted(
+        (r["id"], r["v"], r["valid_from"].day,
+         r["valid_to"].day if r["valid_to"] else None, r["is_current"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "a", 1, 5, False),   # days 1-3 collapse into one version
+        (1, "a", 7, None, True),  # the value RETURNS — a new run, not merged
+        (1, "b", 5, 7, False),
+        (2, "x", 1, None, True),
+    ]
+
+
+def test_scd2_apply_history_equals_full_rebuild(spark):
+    """Folding event batches incrementally through scd2_apply_history must
+    produce exactly the dimension a full-history rebuild produces — for
+    every batch split point, including out-of-order batches."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators.temporal import (
+        scd2_apply_history,
+        scd2_from_history,
+    )
+
+    from .conftest import SF_DIR
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts", "event_type")
+    )
+    full = scd2_from_history(ev, key="user_id", ts="ts", attr="event_type")
+    split = F.col("user_id") % 2 == 0  # key-disjoint split
+    ts_split = F.dayofmonth("ts") <= 15
+    for b1_pred in (split, ts_split):
+        b1, b2 = ev.filter(b1_pred), ev.filter(~b1_pred)
+        dim = scd2_from_history(b1, key="user_id", ts="ts", attr="event_type")
+        folded = scd2_apply_history(dim, b2, key="user_id", ts="ts", attr="event_type")
+        assert sorted(map(tuple, folded.collect())) == sorted(
+            map(tuple, full.collect())
+        )
