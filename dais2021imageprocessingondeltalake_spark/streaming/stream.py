@@ -205,3 +205,46 @@ def run_stream_upsert_foreachbatch(
         .start()
         .awaitTermination()
     )
+
+
+def run_stream_scd2_foreachbatch(
+    streaming_df: DataFrame,
+    table_path: str,
+    key: str,
+    ts_col: str,
+    attr_col: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming SCD2 dimension maintenance via foreachBatch: each
+    micro-batch of change events folds into the dimension table with
+    scd2_apply_history — only keys present in the batch have their
+    version runs rebuilt; untouched keys pass through.
+
+    Replay-safe by construction: scd2_apply_history rebuilds touched
+    keys from (current version rows + batch events) with run-collapse,
+    and a replayed event either coincides with an existing version's
+    (valid_from, attr) — collapsing into it — or falls inside a run with
+    the same attribute — a no-op. So a re-delivered micro-batch leaves
+    the table bit-identical, giving exactly-once TABLE STATE on top of
+    at-least-once delivery, same as the MERGE sink above."""
+    from ..operators.temporal import scd2_apply_history, scd2_from_history
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        events = batch_df.select(key, ts_col, attr_col)
+        try:
+            dim = spark.read.parquet(table_path)
+        except Exception:  # first batch: bootstrap the dimension
+            out = scd2_from_history(events, key=key, ts=ts_col, attr=attr_col)
+            out.write.mode("overwrite").parquet(table_path)
+            return
+        folded = scd2_apply_history(dim, events, key=key, ts=ts_col, attr=attr_col)
+        folded.localCheckpoint().write.mode("overwrite").parquet(table_path)
+
+    (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -498,3 +498,15 @@ def test_round2b_tpch_plan_shapes(spark):
     assert "TakeOrderedAndProject" in p21
     assert "BroadcastNestedLoopJoin" not in p21  # inequality rides the equi key
     assert "EqualTo(o_orderstatus,F)" in p21
+
+
+def test_scd2_single_shuffle_plan(spark):
+    """The whole SCD2 build — change marking, run numbering, per-run
+    aggregate, validity lead — must ride ONE hash exchange on the key:
+    every downstream operator's required distribution is satisfied by
+    the first window's user_id partitioning."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    df = q.REGISTRY["q_scd2"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

@@ -111,3 +111,41 @@ def test_foreachbatch_stream_upsert(spark, tmp_path):
     }
     for r in got.collect():
         assert r["ts"] == expect[(r["user_id"], r["event_type"])]
+
+
+def test_foreachbatch_stream_scd2(spark, tmp_path):
+    """Streaming SCD2 sink: folding the event stream micro-batch by
+    micro-batch must leave the dimension table EQUAL to the full-history
+    batch rebuild — versions, validity ranges, is_current flags, all of
+    it. Then re-applying the final batch (simulated replay) must leave
+    the table unchanged (exactly-once table state on at-least-once
+    delivery)."""
+    from dais2021imageprocessingondeltalake_spark.operators.temporal import (
+        scd2_apply_history,
+        scd2_from_history,
+    )
+    from dais2021imageprocessingondeltalake_spark.streaming.stream import (
+        events_batch,
+        events_stream,
+        run_stream_scd2_foreachbatch,
+    )
+
+    table = str(tmp_path / "dim_table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, SF_DIR, max_files_per_trigger=1).select(
+        "user_id", "ts", "event_type"
+    )
+    run_stream_scd2_foreachbatch(stream, table, "user_id", "ts", "event_type", ckpt)
+    got = spark.read.parquet(table)
+    full = scd2_from_history(
+        events_batch(spark, SF_DIR).select("user_id", "ts", "event_type"),
+        key="user_id", ts="ts", attr="event_type",
+    )
+    g = sorted(map(tuple, got.collect()))
+    assert g == sorted(map(tuple, full.collect()))
+    # replay: folding the whole history again must be a no-op
+    replayed = scd2_apply_history(
+        got, events_batch(spark, SF_DIR).select("user_id", "ts", "event_type"),
+        key="user_id", ts="ts", attr="event_type",
+    )
+    assert sorted(map(tuple, replayed.collect())) == g
