@@ -80,3 +80,33 @@ def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> Da
 def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
     """Grouping-sets cube (Spark builtin `df.cube`)."""
     return df.cube(*keys).agg(*aggs)
+
+
+def sketch_rollup(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: Column,
+    distinct_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Two-tier distinct-count rollup over MERGEABLE HLL sketches (Apache
+    DataSketches via hll_sketch_agg/hll_union_agg): tier 1 builds one
+    sketch per (group, bucket); tier 2 unions buckets into a per-group
+    sketch and estimates.
+
+    This is THE pattern behind 100 TB distinct-count dashboards: the
+    per-bucket (e.g. per-day, per-partition) sketches are small fixed-size
+    binaries that persist alongside the data, and any time range or
+    regrouping is answered by unioning sketches — never rescanning raw
+    rows. exact count(DISTINCT) can't pre-aggregate this way (distinct
+    sets don't merge by addition); sketches trade a ~1-2% relative error
+    (lg_k=12 -> ~1.6%) for mergeability. Both tiers are ordinary
+    map-side-combinable aggregates: tier 1 shuffles (group, bucket)
+    partials, tier 2 shuffles |buckets| sketch binaries per group."""
+    tier1 = df.groupBy(F.col(group_col), bucket_col.alias("__bucket")).agg(
+        F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("sketch")
+    )
+    return tier1.groupBy(group_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )

@@ -672,3 +672,21 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents") / F.lit(100.0)).alias("total_value"),
         )
     )
+
+
+@query("q_sketch_rollup", oracle=None)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via a two-tier mergeable-HLL rollup:
+    daily sketches unioned per type, then estimated (rows-only — sketch
+    binaries and estimates are engine-specific; the <=2% relative-error
+    contract against exact count(DISTINCT) is asserted in
+    tests/test_advanced.py). The sketch tier is what a 100 TB metrics
+    pipeline materializes per day/partition so distinct counts roll up
+    without rescanning raw events."""
+    ev = _events(spark, sf_dir)
+    out = agg.sketch_rollup(
+        ev, "event_type", F.date_trunc("day", F.col("ts")), "user_id", lg_k=12
+    )
+    return out.select(
+        "event_type", F.col("est_distinct").cast("bigint").alias("est_users"), "n_buckets"
+    )

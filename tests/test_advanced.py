@@ -172,3 +172,39 @@ def test_scd2_apply_history_equals_full_rebuild(spark):
         assert sorted(map(tuple, folded.collect())) == sorted(
             map(tuple, full.collect())
         )
+
+
+def test_sketch_rollup_accuracy_and_mergeability(spark):
+    """The two-tier HLL rollup must estimate within lg_k=12's error bound
+    of the exact per-group distinct count, and the union-of-buckets
+    estimate must equal the single-pass sketch estimate (mergeability —
+    splitting into buckets loses nothing)."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators.aggregates import (
+        sketch_rollup,
+    )
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR)
+    got = {
+        r["event_type"]: r["est_distinct"]
+        for r in sketch_rollup(
+            ev, "event_type", F.date_trunc("day", F.col("ts")), "user_id"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+    # mergeability: one bucket == many buckets
+    single = {
+        r["event_type"]: r["est_distinct"]
+        for r in sketch_rollup(ev, "event_type", F.lit(1), "user_id").collect()
+    }
+    assert got == single
