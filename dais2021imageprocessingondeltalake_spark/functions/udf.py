@@ -93,3 +93,18 @@ def model_udf(
         return df.withColumn(out_col, _udf(F.struct(*input_cols)))
 
     return apply
+
+
+def map_batches_arrow(
+    df: DataFrame,
+    fn: Callable[[Iterator["pa.RecordBatch"]], Iterator["pa.RecordBatch"]],
+    schema: str | T.StructType,
+) -> DataFrame:
+    """Partition-local batch transform over RAW ARROW RecordBatches
+    (mapInPandas minus the pandas materialization): the lowest-overhead
+    Python boundary — no pandas Series construction, no index, no
+    object-dtype round-trips for strings. The right boundary when the
+    Python side is itself Arrow-native (pyarrow.compute, polars, DuckDB,
+    tokenizers with Arrow bindings). Same no-shuffle, partition-
+    preserving contract as map_batches."""
+    return df.mapInArrow(fn, schema)

@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
-from .functions.udf import grouped_apply, map_batches, model_udf, scalar_pandas_udf
+from .functions.udf import (
+    grouped_apply,
+    map_batches,
+    map_batches_arrow,
+    model_udf,
+    scalar_pandas_udf,
+)
 from .operators.sampling import random_split
 from .registry import query
 from .sources.binaryfiles import scan_binary_files
@@ -254,4 +260,54 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         median_agg,
         "event_type string, median_value double, n long",
+    )
+
+
+@query(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT event_id,
+           value * 2 AS value_x2,
+           CAST(length(props) AS INT) AS props_len,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+    FROM events
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same batch transform as q_map_in_pandas but over raw Arrow
+    RecordBatches (mapInArrow) — pyarrow.compute kernels end-to-end, no
+    pandas materialization. Proves the fastest Python boundary gives the
+    identical answer to both the pandas form and SQL; at 100 TB this is
+    the boundary for Arrow-native tooling (tokenizers, polars, DuckDB)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for rb in it:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("event_id")),
+                    pc.multiply(
+                        rb.column(rb.schema.get_field_index("value")), pa.scalar(2.0)
+                    ),
+                    pc.cast(
+                        pc.utf8_length(
+                            rb.column(rb.schema.get_field_index("props"))
+                        ),
+                        pa.int32(),
+                    ),
+                    pc.cast(
+                        pc.equal(
+                            rb.column(rb.schema.get_field_index("event_type")),
+                            pa.scalar("purchase"),
+                        ),
+                        pa.int32(),
+                    ),
+                ],
+                names=["event_id", "value_x2", "props_len", "is_purchase"],
+            )
+
+    events = load_table(spark, "events", sf_dir)
+    return map_batches_arrow(
+        events, batches, "event_id long, value_x2 double, props_len int, is_purchase int"
     )
