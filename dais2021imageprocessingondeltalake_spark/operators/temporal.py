@@ -239,7 +239,10 @@ def scd2_from_history(
     but the per-key window state is O(1) (lag/cumsum stream through
     sorted rows); hot keys cost sort time, not memory. Ties on ts within
     a key are broken by the attribute value so run numbering is
-    deterministic under any input order."""
+    deterministic under any input order, and the validity chain orders by
+    (valid_from, run) — two runs share a valid_from when duplicate
+    timestamps carry different attributes, and the run id keeps the
+    lead() deterministic there too."""
     order = W.partitionBy(key).orderBy(ts, attr)
     marked = events.select(key, ts, attr).withColumn(
         "__chg",
@@ -255,7 +258,7 @@ def scd2_from_history(
         F.first(attr).alias(attr),
         F.min(ts).alias("valid_from"),
     )
-    nxt = W.partitionBy(key).orderBy("valid_from")
+    nxt = W.partitionBy(key).orderBy("valid_from", "__run")
     return runs.select(
         key,
         attr,

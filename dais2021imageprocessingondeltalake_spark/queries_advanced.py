@@ -611,14 +611,14 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
       FROM marked
     ), runs AS (
-      SELECT user_id, event_type, min(ts) AS valid_from
+      SELECT user_id, run, event_type, min(ts) AS valid_from
       FROM numbered GROUP BY user_id, run, event_type
     )
     SELECT user_id, event_type, valid_from,
            lead(valid_from) OVER v AS valid_to,
            lead(valid_from) OVER v IS NULL AS is_current
     FROM runs
-    WINDOW v AS (PARTITION BY user_id ORDER BY valid_from)
+    WINDOW v AS (PARTITION BY user_id ORDER BY valid_from, run)
     """,
 )
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,3 +94,61 @@ def test_observe_metrics_piggyback(spark):
     assert got["n_rows"] == n
     assert got["n_empty"] == 0
     assert got["min_len"] >= 1
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 5),               # key
+            st.integers(0, 30),              # ts (days)
+            st.sampled_from(["a", "b", "c"]),  # attr
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    split_day=st.integers(0, 30),
+)
+def test_scd2_invariants_random_histories(spark, events, split_day):
+    """SCD2 structural invariants on random event sequences: per key,
+    versions tile time with no gaps or overlaps (valid_to == next
+    valid_from), exactly one open current version, no two consecutive
+    versions share an attribute (full collapse), and incremental folding
+    at ANY time split equals the full rebuild."""
+    from datetime import datetime, timedelta
+
+    from dais2021imageprocessingondeltalake_spark.operators.temporal import (
+        scd2_apply_history,
+        scd2_from_history,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [(k, base + timedelta(days=d), a) for k, d, a in events]
+    ev = spark.createDataFrame(rows, "id int, ts timestamp, v string")
+    dim = scd2_from_history(ev, key="id", ts="ts", attr="v").collect()
+
+    by_key: dict[int, list] = {}
+    for r in sorted(dim, key=lambda r: (r["id"], r["valid_from"])):
+        by_key.setdefault(r["id"], []).append(r)
+    assert set(by_key) == {k for k, _, _ in events}
+    for k, versions in by_key.items():
+        assert sum(v["is_current"] for v in versions) == 1
+        assert versions[-1]["is_current"] and versions[-1]["valid_to"] is None
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]  # tiling
+            assert prev["v"] != nxt["v"]  # full collapse
+        key_events = sorted((ts, a) for kk, ts, a in rows if kk == k)
+        assert versions[0]["valid_from"] == key_events[0][0]
+
+    cut = base + timedelta(days=split_day)
+    b1, b2 = ev.filter(F.col("ts") <= cut), ev.filter(F.col("ts") > cut)
+    if b1.count() and b2.count():
+        folded = scd2_apply_history(
+            scd2_from_history(b1, key="id", ts="ts", attr="v"),
+            b2, key="id", ts="ts", attr="v",
+        )
+        assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, dim))
