@@ -192,3 +192,36 @@ def overwrite_partitions_dynamic(
         df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write a catalog table hash-bucketed (and sorted) on the join key.
+    Two tables co-bucketed on the same key with the same bucket count
+    join with ZERO exchanges — the scan's bucket layout already satisfies
+    the join's required distribution, and sortBy lets sort-merge skip its
+    sort. THE co-location lever for 100 TB fact-fact joins that recur on
+    one key (events⋈users, lineitem⋈orders): pay one shuffle at write
+    time, never again at read time. Requires saveAsTable (bucket
+    metadata lives in the catalog, not in parquet)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def join_bucketed(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed catalog tables on their bucket key. With both
+    sides bucketed (same key, same count) Spark plans a sort-merge join
+    with NO Exchange on either side — asserted by the scale tests."""
+    return spark.table(left_table).join(spark.table(right_table), [on], how)

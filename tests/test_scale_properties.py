@@ -510,3 +510,55 @@ def test_scd2_single_shuffle_plan(spark):
     df = q.REGISTRY["q_scd2"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables must join with ZERO shuffles: bucketBy at write
+    time pre-partitions both sides on the join key, so the sort-merge
+    join's required distribution is satisfied straight off the scans —
+    the pay-once co-location strategy for recurring 100 TB joins. Also
+    asserts the bucketed join returns exactly the plain join's rows."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.sources.tables import (
+        join_bucketed,
+        write_bucketed,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).select("user_id", "event_id", "value")
+    users = (
+        load_table(spark, "events", SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    import shutil
+    from pathlib import Path
+
+    for t in ("t_ev_bucketed", "t_users_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = Path(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")) / t
+        shutil.rmtree(loc, ignore_errors=True)
+    write_bucketed(ev, "t_ev_bucketed", "user_id", n_buckets=4)
+    write_bucketed(users, "t_users_bucketed", "user_id", n_buckets=4)
+    # at test scale both sides fit the broadcast threshold, which would
+    # sidestep the bucketed path entirely; disable broadcast to expose the
+    # plan a 100 TB fact-fact join (neither side broadcastable) gets
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = join_bucketed(spark, "t_ev_bucketed", "t_users_bucketed", "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # zero shuffles end-to-end
+        assert "Bucketed: true" in plan, plan
+        expect = ev.join(users, ["user_id"]).count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_users_bucketed")
