@@ -554,6 +554,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert "Bucketed: true" in plan, plan
         expect = ev.join(users, ["user_id"]).count()
         assert joined.count() == expect
+        # aggregation on the bucket key also rides the layout: no Exchange
+        agg_plan = (
+            spark.table("t_ev_bucketed")
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("s"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in agg_plan, agg_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         if prev_aqe:
