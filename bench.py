@@ -22,6 +22,8 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from pyspark.sql import functions as F
+
 from dais2021imageprocessingondeltalake_spark import queries_all as q
 from dais2021imageprocessingondeltalake_spark.session import get_spark
 
@@ -32,9 +34,25 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     # warm up the JVM, codegen, and parquet reader so per-query timings
-    # measure the queries, not session startup
+    # measure the queries, not session startup. The second statement runs
+    # the expression shapes the heavy headliners JIT-compile (split/
+    # transform/xxhash64/explode/window/join) on 100 synthetic rows —
+    # without it the alphabetically-first heavy query absorbs several
+    # seconds of whole-stage-codegen compilation that belongs to the JVM,
+    # not the query.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = spark.range(100).selectExpr(
+        "id", "concat('w', id, ' x y z w v u t s r q p') AS text"
+    )
+    warm.selectExpr(
+        "id",
+        "explode(transform(split(text, ' '), s -> xxhash64(s))) AS h",
+    ).groupBy("h").count().join(
+        warm.selectExpr("id AS id2"), F.col("h") % 100 == F.col("id2")
+    ).selectExpr(
+        "count(*) OVER (PARTITION BY id2 ORDER BY h) AS w"
+    ).write.format("noop").mode("overwrite").save()
 
     specs = q.headline_queries()
     timings: dict[str, float] = {}

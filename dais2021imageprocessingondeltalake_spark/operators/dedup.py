@@ -184,9 +184,20 @@ def ngram_jaccard_pairs_prefix(
         exploded.join(dfreq, ["s"])
         .withColumn("rn", F.row_number().over(rarity))
         .filter(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
-        .select("doc", "n_sh", "s")
+        .select("doc", "n_sh", "s", "rn")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # positional filter (PPJoin proper): a prefix collision at positions
+    # (rn_a, rn_b) bounds the total overlap by 1 + min(remaining shingles
+    # on each side); if that bound can't reach the overlap the threshold
+    # requires (J >= t  <=>  |A∩B| >= t/(1+t)*(|A|+|B|)), the pair can't
+    # qualify and never reaches verification.
+    overlap_needed = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
+    overlap_ubound = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
+    )
     cand = (
         a.join(
             b,
@@ -194,7 +205,8 @@ def ngram_jaccard_pairs_prefix(
             & (F.col("a.doc") < F.col("b.doc"))
             # size filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
             & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
-            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+            & (overlap_ubound >= overlap_needed),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
