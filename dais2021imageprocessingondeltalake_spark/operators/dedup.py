@@ -462,16 +462,18 @@ def connected_components(
     each component labeled with its minimum member. Returns (id, cluster_root).
 
     This turns PAIRS into dedup CLUSTERS — the step a curation pipeline
-    actually needs (keep cluster_root, drop the rest). Converges in
-    O(component diameter) rounds; near-dup components are shallow (most
-    are cliques from a shared source doc), so a handful of iterations
-    suffice — max_iter bounds adversarial chains.
+    actually needs (keep cluster_root, drop the rest). Each round ALSO
+    flattens labels through one level of indirection (pointer jumping:
+    label <- label-of-label), so convergence is O(log diameter) rounds,
+    not O(diameter) — a 1M-node chain needs ~20 rounds, not 1M. Near-dup
+    components are usually shallow cliques (1-2 rounds); the log bound is
+    what makes adversarial chain-shaped components safe at scale.
 
     Scale shape per round: one join edges⋈labels (shuffle on the label
-    key) + a groupBy min — both AQE-planned; `localCheckpoint` truncates
-    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
-    The convergence probe is a count() action per round (a scalar to the
-    driver, never data).
+    key) + a groupBy min + one labels self-join for the flattening — all
+    AQE-planned; `localCheckpoint` truncates the growing lineage so round
+    N's plan doesn't replay rounds 1..N-1. The convergence probe is a
+    count() action per round (a scalar to the driver, never data).
 
     If the fixpoint is NOT reached within max_iter (component diameter >
     max_iter), the labels are only partially propagated — one component
@@ -500,17 +502,28 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # one join produces both the new label and the change flag; the
-        # checkpoint is LAZY so the convergence count() is the single job
-        # that both materializes this round's labels and reports progress
+        half = labels.join(nbr_min, labels["id"] == nbr_min["src"], "left").select(
+            labels["id"],
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: chase one level of indirection (my label's
+        # label). Every label IS some node's id (labels are mins over node
+        # ids), so the lookup always resolves; coalesce guards the left
+        # join anyway. Labels only decrease, so this is monotone-safe.
+        # The checkpoint is LAZY so the convergence count() is the single
+        # job that materializes this round's labels and reports progress.
+        parent = half.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
         stepped = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            half.join(parent, half["label"] == parent["p_id"], "left")
             .select(
-                labels["id"],
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                half["id"],
+                "old_label",
+                F.coalesce(F.col("p_label"), half["label"]).alias("label"),
             )
             .localCheckpoint(eager=False)
         )

@@ -329,3 +329,16 @@ def test_operators_tolerate_empty_input(spark):
         ),
     )
     assert gap_fill(empty_ev, "k", "ts", F.sum("v")).count() == 0
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer jumping makes convergence O(log diameter): a 120-node
+    chain (diameter 119) must fully merge within the default max_iter=25
+    — impossible for plain per-round min propagation, which needs one
+    round per hop."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], ["doc_a", "doc_b"]
+    )
+    out = D.connected_components(edges).collect()
+    assert len(out) == 121
+    assert all(r["cluster_root"] == 0 for r in out)
