@@ -298,3 +298,28 @@ def scd2_apply_history(
     )
     rebuilt = scd2_from_history(touched_history, key=key, ts=ts, attr=attr)
     return untouched.unionByName(rebuilt)
+
+
+def scd2_from_history_multi(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Multi-attribute SCD2: track a SET of columns as one version — a
+    new version opens when ANY tracked attribute changes. Implemented by
+    packing the attributes into a struct (Spark structs compare
+    field-wise, so lag()-based change marking and the rarity ordering
+    work unchanged) and unpacking after the single-attribute core runs.
+    Same one-shuffle plan as scd2_from_history."""
+    packed = events.select(
+        key, ts, F.struct(*[F.col(a) for a in attrs]).alias("__attrs")
+    )
+    out = scd2_from_history(packed, key=key, ts=ts, attr="__attrs")
+    return out.select(
+        key,
+        *[F.col(f"__attrs.{a}").alias(a) for a in attrs],
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

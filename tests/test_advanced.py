@@ -208,3 +208,32 @@ def test_sketch_rollup_accuracy_and_mergeability(spark):
         for r in sketch_rollup(ev, "event_type", F.lit(1), "user_id").collect()
     }
     assert got == single
+
+
+def test_scd2_multi_attribute(spark):
+    """A version opens when ANY tracked attribute changes; single-attr
+    tracking must reduce to scd2_from_history exactly."""
+    from dais2021imageprocessingondeltalake_spark.operators.temporal import (
+        scd2_from_history,
+        scd2_from_history_multi,
+    )
+
+    t = lambda d: datetime(2024, 1, d)
+    rows = [
+        (1, t(1), "a", 10),
+        (1, t(2), "a", 10),   # nothing changed: collapses
+        (1, t(3), "a", 20),   # second attr changed: new version
+        (1, t(4), "b", 20),   # first attr changed: new version
+    ]
+    ev = spark.createDataFrame(rows, "id int, ts timestamp, v string, w int")
+    out = sorted(
+        (r["v"], r["w"], r["valid_from"].day, r["is_current"])
+        for r in scd2_from_history_multi(ev, "id", "ts", ["v", "w"]).collect()
+    )
+    assert out == [("a", 10, 1, False), ("a", 20, 3, False), ("b", 20, 4, True)]
+
+    single = scd2_from_history(
+        ev.select("id", "ts", "v"), key="id", ts="ts", attr="v"
+    )
+    multi = scd2_from_history_multi(ev.select("id", "ts", "v"), "id", "ts", ["v"])
+    assert sorted(map(tuple, multi.collect())) == sorted(map(tuple, single.collect()))
