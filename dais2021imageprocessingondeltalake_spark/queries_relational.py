@@ -553,3 +553,35 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("running_total"),
     )
+
+
+@query(
+    "q_null_handling",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN 'buy' ELSE event_type END AS type_n,
+           COALESCE(CASE WHEN value < 1.0 THEN NULL ELSE value END, -1.0) AS value_filled
+    FROM events
+    WHERE event_type <> 'view'
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrameNaFunctions surface (na.replace / na.fill / na.drop)
+    over deterministically derived NULLs (the corpus base tables are
+    NULL-free): small values null out then fill to a sentinel, one
+    category nulls out then drops its rows, another rewrites via the
+    replace map. All three compile to CASE/COALESCE projections and a
+    filter — no shuffle; the oracle states them directly in SQL."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "view", None)
+        .otherwise(F.col("event_type"))
+        .alias("type_n"),
+        F.when(F.col("value") < 1.0, None).otherwise(F.col("value")).alias("value_n"),
+    )
+    return (
+        ev.na.replace({"purchase": "buy"}, subset=["type_n"])
+        .na.fill({"value_n": -1.0})
+        .na.drop(subset=["type_n"])
+        .select("event_id", "type_n", F.col("value_n").alias("value_filled"))
+    )
