@@ -210,3 +210,54 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         output_mode="append",
     )
+
+
+@query(
+    "q_stream_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows: the same native session_window grouping
+    as the batch q_session_window, but over the micro-batched file
+    stream — sessions must merge correctly ACROSS micro-batches (the
+    stateful store holds open sessions; adjacent-batch events within the
+    gap fuse into one session). Complete output mode so the bounded
+    drain emits trailing sessions too (append mode would hold back any
+    session not yet past the watermark — exactly the kind of
+    batch/stream divergence this query pins down). Oracle is the manual
+    lag/cumsum sessionization in SQL."""
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)).alias(
+            "total_value"
+        ),
+    )
+    result = run_stream_to_memory(agg, output_mode="complete")
+    return result.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
