@@ -572,3 +572,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_ev_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_users_bucketed")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE skew-join config must actually engage: a join
+    where 95% of rows share one key gets its hot partition SPLIT at
+    runtime (SortMergeJoin(skew=true) + 'coalesced and skewed'
+    AQEShuffleRead in the final adaptive plan) — the mechanism that
+    keeps one hot key from pinning a 1000-executor job on one task.
+    Thresholds are lowered to make the tiny test corpus register as
+    skewed; the mechanism is identical at production sizes."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 190_000, 0).otherwise(F.col("id") % 50).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(50).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = left.join(right, "k")
+        qe = j._jdf.queryExecution()
+        n = qe.executedPlan().execute().count()
+        plan = qe.executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert n == 200_000  # every row joins exactly once despite the split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
