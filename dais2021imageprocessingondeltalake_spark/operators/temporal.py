@@ -29,10 +29,14 @@ def asof_join(
     ts: str,
     right_cols: list[str],
     suffix: str = "_right",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join: for each left row, attach the right row with the
     greatest right.ts <= left.ts within the same key group (DuckDB/kdb
     `ASOF JOIN` semantics, pandas merge_asof direction='backward').
+    `tolerance` (an INTERVAL string like '45 minutes') bounds staleness:
+    a match older than left.ts - tolerance is dropped (all carried
+    columns NULL), matching pandas merge_asof's tolerance.
 
     Requires right (on, ts) pairs to be unique — pre-aggregate the right
     side otherwise (ambiguous matches are engine-defined everywhere).
@@ -77,6 +81,16 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.withColumn("__m", F.last("__match", ignorenulls=True).over(w))
+    if tolerance is not None:
+        # the filled struct carries the matched right ts; null the whole
+        # match (one struct, so all carried columns together) when it is
+        # staler than the tolerance window
+        within = F.col(f"__m.{ts}{suffix}") >= F.col(ts) - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        filled = filled.withColumn(
+            "__m", F.when(within, F.col("__m")).otherwise(F.lit(None))
+        )
     return (
         filled.filter(F.col("__side") == 1)
         .select(

@@ -237,3 +237,23 @@ def test_scd2_multi_attribute(spark):
     )
     multi = scd2_from_history_multi(ev.select("id", "ts", "v"), "id", "ts", ["v"])
     assert sorted(map(tuple, multi.collect())) == sorted(map(tuple, single.collect()))
+
+
+def test_asof_join_tolerance(spark):
+    """A match staler than the tolerance drops (all carried columns NULL
+    together); within-tolerance matches are unchanged."""
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 4000, "p2")], "k int, t long, name string"
+    ).withColumn("t", F.timestamp_micros(F.col("t") * 1_000_000))
+    right = spark.createDataFrame(
+        [(1, 90, "c1")], "k int, t long, rname string"
+    ).withColumn("t", F.timestamp_micros(F.col("t") * 1_000_000))
+    out = {
+        r["name"]: (r["rname_r"], r["t_r"])
+        for r in asof_join(
+            left, right, on="k", ts="t", right_cols=["rname"], suffix="_r",
+            tolerance="60 seconds",
+        ).collect()
+    }
+    assert out["p1"][0] == "c1"        # 10s stale: within tolerance
+    assert out["p2"] == (None, None)   # ~65min stale: dropped entirely
