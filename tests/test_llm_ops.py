@@ -330,6 +330,36 @@ def test_operators_tolerate_empty_input(spark):
     )
     assert gap_fill(empty_ev, "k", "ts", F.sum("v")).count() == 0
 
+    from dais2021imageprocessingondeltalake_spark.operators.aggregates import sketch_rollup
+    from dais2021imageprocessingondeltalake_spark.operators.temporal import (
+        scd2_apply_history,
+        scd2_from_history,
+    )
+
+    empty_hist = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("v", T.StringType()),
+            ]
+        ),
+    )
+    assert scd2_from_history(empty_hist, key="id", ts="ts", attr="v").count() == 0
+    # empty batch folded into a real dimension: pass-through unchanged
+    from datetime import datetime
+
+    dim = scd2_from_history(
+        spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), "a")], "id long, ts timestamp, v string"
+        ),
+        key="id", ts="ts", attr="v",
+    )
+    folded = scd2_apply_history(dim, empty_hist, key="id", ts="ts", attr="v")
+    assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, dim.collect()))
+    assert sketch_rollup(empty_ev, "k", F.lit(1), "k").count() == 0
+
 
 def test_connected_components_long_chain_log_rounds(spark):
     """Pointer jumping makes convergence O(log diameter): a 120-node
