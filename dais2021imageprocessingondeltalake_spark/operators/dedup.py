@@ -541,3 +541,41 @@ def connected_components(
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id"), F.col("label").alias("cluster_root"))
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    train_fraction: float = 0.8,
+    seed: int = 0,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates across the
+    boundary: documents are split by their near-dup CLUSTER, not
+    individually — every member of a connected component lands on the
+    same side. A per-document random split puts one copy of a duplicated
+    document in train and another in validation, silently inflating eval
+    scores; splitting on the cluster root closes that hole.
+
+    Assignment is hash(seed, cluster_root) — deterministic, reproducible
+    across runs and engines, and rebalancing train_fraction reassigns
+    whole clusters, never splits one. Docs in no near-dup pair are their
+    own singleton cluster (left join; root = own id).
+
+    Scale shape: connected_components over the (already banded/pruned)
+    edge list, one broadcast-able left join of the corpus against the
+    cluster map (|clustered docs| << |corpus|), and a pure projection
+    for the assignment. No extra shuffle of the corpus beyond the join."""
+    clusters = connected_components(edges, id_a=id_a, id_b=id_b)
+    joined = docs.join(
+        clusters.withColumnRenamed("id", id_col), [id_col], "left"
+    ).withColumn("cluster_root", F.coalesce(F.col("cluster_root"), F.col(id_col)))
+    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col("cluster_root")), F.lit(10_000))
+    return joined.withColumn(
+        "split",
+        F.when(bucket < F.lit(int(train_fraction * 10_000)), F.lit("train")).otherwise(
+            F.lit("validation")
+        ),
+    )

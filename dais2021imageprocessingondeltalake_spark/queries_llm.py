@@ -672,3 +672,18 @@ def q_embedding_ann_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     qv = _query_vector(spark, sf_dir)
     return SIM.quantized_ann_topk(emb, qv, k=10, shortlist=50)
+
+
+@query("q_leakage_safe_split", oracle=None)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/validation split (rows-only: assignment is
+    xxhash64-based): near-dup clusters from the exact prefix-Jaccard
+    edges land whole on one side, so no near-duplicate pair straddles
+    the split — the leakage guard a training-data pipeline runs before
+    handing off shards. Invariants (no straddling pair, determinism,
+    fraction sanity) are pinned in tests/test_llm_ops.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+    return D.leakage_safe_split(docs, "doc_id", pairs).select(
+        "doc_id", "cluster_root", "split"
+    )

@@ -372,3 +372,27 @@ def test_connected_components_long_chain_log_rounds(spark):
     out = D.connected_components(edges).collect()
     assert len(out) == 121
     assert all(r["cluster_root"] == 0 for r in out)
+
+
+def test_leakage_safe_split_invariants(spark):
+    """No near-dup pair may straddle the split; assignment is
+    deterministic under reruns; both sides are populated and the train
+    fraction is roughly honored; every doc appears exactly once."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    out = q.REGISTRY["q_leakage_safe_split"].fn(spark, SF_DIR)
+    rows = out.collect()
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    assert len(rows) == n_docs
+    side = {r["doc_id"]: r["split"] for r in rows}
+    docs = load_table(spark, "documents", SF_DIR)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+    for p in pairs.collect():
+        assert side[p["doc_a"]] == side[p["doc_b"]], (p["doc_a"], p["doc_b"])
+    again = {
+        r["doc_id"]: r["split"]
+        for r in q.REGISTRY["q_leakage_safe_split"].fn(spark, SF_DIR).collect()
+    }
+    assert side == again
+    n_train = sum(1 for v in side.values() if v == "train")
+    assert 0.6 < n_train / n_docs < 0.95
