@@ -303,3 +303,35 @@ def top_ngrams_per_group(
         .filter(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "ngram", "n_docs", "rank")
     )
+
+
+def pack_token_shards(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_col,
+    budget: int,
+) -> DataFrame:
+    """Assign documents to training shards under a per-shard token
+    budget: within each group (e.g. source), documents pack contiguously
+    in id order — shard_id = floor(exclusive-prefix-sum / budget). The
+    contiguous greedy is the standard pretraining-shard packing (true
+    bin packing is NP-hard and order-destroying); a document larger than
+    the budget gets its own shard(s) boundary like any other row.
+
+    Scale shape: one shuffle on the group key, one window cumsum —
+    groups pack independently and in parallel, so no global ordering
+    bottleneck; shard ids are deterministic for a fixed (group, id)
+    order. Output adds n_tokens, shard_id."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum(token_col).over(w)
+    return docs.withColumn("n_tokens", token_col).withColumn(
+        "shard_id",
+        F.floor((running - F.col("n_tokens")) / F.lit(budget)).cast("bigint"),
+    )

@@ -687,3 +687,36 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.leakage_safe_split(docs, "doc_id", pairs).select(
         "doc_id", "cluster_root", "split"
     )
+
+
+@query(
+    "q_token_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' '))
+                  + (length(text) - len(string_split(text, ' ')) + 1) // 4
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // 4096 AS BIGINT) AS shard_id
+    FROM t
+    """,
+)
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-shard packing: per-source contiguous greedy under a
+    4096-token budget (shard = floor of the exclusive token prefix-sum /
+    budget, BPE-estimate token counts). One shuffle on source + one
+    window cumsum; groups pack in parallel — no global-order bottleneck.
+    The oracle restates the identical window arithmetic in SQL, so the
+    whole packing is hash-checked."""
+    from .operators.text import bpe_ish_token_estimate, pack_token_shards
+
+    docs = load_table(spark, "documents", sf_dir)
+    packed = pack_token_shards(
+        docs, "source", "doc_id", bpe_ish_token_estimate(F.col("text")), 4096
+    )
+    return packed.select("doc_id", "source", "n_tokens", "shard_id")
