@@ -483,3 +483,83 @@ def test_random_grouping_sets_match_duckdb(spark, sets, pred):
     cols, rows = run_oracle(sql, SF_DIR)
     problems = compare(got, cols, rows, rel_tol=0.0)
     assert not problems, f"{sql}: {problems[:2]}"
+
+
+@st.composite
+def doc_atoms(draw):
+    """Atoms over the documents table: length ranges, language/source
+    equality, and LIKE patterns (prefix/suffix/containment)."""
+    kind = draw(st.sampled_from(["len", "lang", "source", "like"]))
+    if kind == "len":
+        lo = draw(st.integers(0, 400))
+        return ("len", lo, lo + draw(st.integers(10, 300)))
+    if kind == "lang":
+        return ("lang", draw(st.sampled_from(["en", "de", "fr", "es", "zz"])))
+    if kind == "source":
+        return ("source", draw(st.sampled_from(["web", "books", "code", "wiki", "none"])))
+    pat = draw(st.sampled_from(["the", "data", "q", "xyz"]))
+    shape = draw(st.sampled_from(["prefix", "suffix", "contains"]))
+    return ("like", pat, shape)
+
+
+def _doc_atom_spark(a):
+    if a[0] == "len":
+        return F.col("n_chars").between(a[1], a[2])
+    if a[0] == "lang":
+        return F.col("lang") == a[1]
+    if a[0] == "source":
+        return F.col("source") == a[1]
+    _, pat, shape = a
+    return {
+        "prefix": F.col("text").startswith(pat),
+        "suffix": F.col("text").endswith(pat),
+        "contains": F.col("text").contains(pat),
+    }[shape]
+
+
+def _doc_atom_sql(a):
+    if a[0] == "len":
+        return f"(n_chars BETWEEN {a[1]} AND {a[2]})"
+    if a[0] == "lang":
+        return f"(lang = '{a[1]}')"
+    if a[0] == "source":
+        return f"(source = '{a[1]}')"
+    _, pat, shape = a
+    return {
+        "prefix": f"(text LIKE '{pat}%')",
+        "suffix": f"(text LIKE '%{pat}')",
+        "contains": f"(text LIKE '%{pat}%')",
+    }[shape]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    atoms_=st.lists(doc_atoms(), min_size=1, max_size=3),
+    joiners=st.lists(st.sampled_from(["AND", "OR"]), min_size=2, max_size=2),
+)
+def test_random_document_predicates_match_duckdb(spark, atoms_, joiners):
+    """Random predicates over the documents corpus — startswith/endswith/
+    contains must translate to LIKE with identical semantics, grouped
+    counts per (lang, source) compare exactly."""
+    e = _doc_atom_spark(atoms_[0])
+    sql_pred = _doc_atom_sql(atoms_[0])
+    for a, j in zip(atoms_[1:], joiners):
+        nxt, nxt_sql = _doc_atom_spark(a), _doc_atom_sql(a)
+        e = (e & nxt) if j == "AND" else (e | nxt)
+        sql_pred = f"({sql_pred} {j} {nxt_sql})"
+    docs = load_table(spark, "documents", SF_DIR).filter(e)
+    got = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    sql = (
+        "SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars "
+        f"FROM documents WHERE {sql_pred} GROUP BY lang, source"
+    )
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
