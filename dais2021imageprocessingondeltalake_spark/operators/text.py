@@ -335,3 +335,49 @@ def pack_token_shards(
         "shard_id",
         F.floor((running - F.col("n_tokens")) / F.lit(budget)).cast("bigint"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    embedding/RAG preprocessing step. Chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens) with stride = chunk_tokens -
+    overlap; the last chunk is the remainder (possibly short); documents
+    shorter than one chunk yield exactly one chunk. Pure JVM expressions
+    (split/sequence/posexplode/slice/array_join) — one narrow explode,
+    no shuffle, no Python; output grows by ~1/(1-overlap/chunk_tokens)x,
+    not quadratically."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    # number of chunks: 1 + ceil(max(0, n_tok - chunk) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n_tok - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunked = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias(
+            "chunk_id", "__i"
+        ),
+    )
+    start = F.col("__i") * F.lit(stride)
+    return chunked.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("__toks"), start + F.lit(1), F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.size("__toks") - start, F.lit(chunk_tokens)
+        ).cast("bigint").alias("chunk_len"),
+    )

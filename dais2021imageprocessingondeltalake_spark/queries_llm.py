@@ -720,3 +720,32 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", "doc_id", bpe_ish_token_estimate(F.col("text")), 4096
     )
     return packed.select("doc_id", "source", "n_tokens", "shard_id")
+
+
+@query(
+    "q_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), n AS (
+      SELECT doc_id, w, len(w) AS n_tok,
+             1 + CAST(ceil(greatest(len(w) - 64, 0) / 48.0) AS INT) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(w[i*48 + 1 : i*48 + 64], ' ') AS chunk_text,
+           CAST(least(n_tok - i*48, 64) AS BIGINT) AS chunk_len
+    FROM n, unnest(range(n_chunks)) AS u(i)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16 overlap,
+    stride 48) — the RAG/embedding preprocessing pass, all JVM
+    (posexplode over a computed chunk range + array slices). The oracle
+    restates the same windows with DuckDB list slicing; every chunk's
+    text and length hash-compare."""
+    from .operators.text import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(docs, "doc_id", chunk_tokens=64, overlap=16)
