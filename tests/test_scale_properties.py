@@ -610,3 +610,52 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_llm_prep_plan_shapes(spark):
+    """Plan pins for the data-prep queries: chunking is a pure narrow
+    explode (ZERO Exchange — it must never shuffle the corpus), shard
+    packing rides ONE Exchange (the per-group window), and the
+    multi-grain rollup expands once over a single scan."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    chunk = q.REGISTRY["q_chunk_documents"].fn(spark, SF_DIR)
+    p = chunk._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "Generate" in p  # posexplode stays a narrow generator
+
+    pack = q.REGISTRY["q_token_packing"].fn(spark, SF_DIR)
+    p = pack._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, p
+
+    roll = q.REGISTRY["q_time_rollup"].fn(spark, SF_DIR)
+    p = roll._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Chunk windows: stride = chunk - overlap, remainder chunk kept,
+    sub-chunk docs yield exactly one chunk, and consecutive chunks
+    overlap by exactly `overlap` tokens."""
+    from dais2021imageprocessingondeltalake_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"w{i}" for i in range(130)))],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, "doc_id", chunk_tokens=64, overlap=16).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert [(r["chunk_id"], r["chunk_len"]) for r in sorted(by[1], key=lambda r: r["chunk_id"])] == [(0, 3)]
+    two = sorted(by[2], key=lambda r: r["chunk_id"])
+    assert [(r["chunk_id"], r["chunk_len"]) for r in two] == [(0, 64), (1, 64), (2, 34)]
+    # overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    c0, c1 = two[0]["chunk_text"].split(" "), two[1]["chunk_text"].split(" ")
+    assert c0[-16:] == c1[:16]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", chunk_tokens=16, overlap=16)
