@@ -749,3 +749,99 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return chunk_documents(docs, "doc_id", chunk_tokens=64, overlap=16)
+
+
+@query(
+    "q_pretrain_prep",
+    oracle="""
+    WITH RECURSIVE canon AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), survivors AS (
+      SELECT d.* FROM documents d JOIN canon USING (doc_id)
+      WHERE d.n_chars >= 100
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM survivors)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      WHERE shared / (n_a + n_b - shared) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ), roots AS (
+      SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id
+    ), kept AS (
+      SELECT s.* FROM survivors s
+      LEFT JOIN roots r USING (doc_id)
+      WHERE r.doc_id IS NULL OR r.cluster_root = s.doc_id
+    ), chunks AS (
+      SELECT doc_id, source, CAST(i AS BIGINT) AS chunk_id,
+             array_to_string(w[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
+      FROM (
+        SELECT doc_id, source, w,
+               1 + CAST(ceil(greatest(len(w) - 64, 0) / 48.0) AS INT) AS n_chunks
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM kept)
+      ), unnest(range(n_chunks)) AS u(i)
+    ), toks AS (
+      SELECT doc_id, source, chunk_id,
+             CAST(len(string_split(chunk_text, ' '))
+                  + (length(chunk_text) - len(string_split(chunk_text, ' ')) + 1) // 4
+                  AS BIGINT) AS n_tokens
+      FROM chunks
+    )
+    SELECT doc_id, source, chunk_id, n_tokens,
+           CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // 1024 AS BIGINT) AS shard_id
+    FROM toks
+    """,
+)
+def q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining-data-prep pipeline as one hash-checked
+    composite: exact dedup (md5 canon, min id) → quality floor
+    (n_chars >= 100) → near-dup clusters at J >= 0.5, keep each
+    cluster's root → 64/16 overlapping chunking → per-source shard
+    packing under a 1024-token budget. Every stage is the
+    individually-oracled operator (q_dedup_exact / q_dedup_end2end /
+    q_chunk_documents / q_token_packing); this query proves they
+    COMPOSE — the recursive-CTE + window oracle replays the full chain
+    in SQL. Scale: the only corpus-wide shuffles are the dedup groupBy,
+    the pruned prefix self-join, and the per-source packing window."""
+    from .operators.text import bpe_ish_token_estimate, chunk_documents, pack_token_shards
+
+    docs = load_table(spark, "documents", sf_dir)
+    survivors = D.drop_exact_duplicates(docs, "doc_id").filter(F.col("n_chars") >= 100)
+    pairs = D.ngram_jaccard_pairs_prefix(survivors, "doc_id", n=3, threshold=0.5)
+    clusters = D.connected_components(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster_root")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = survivors.join(drop, "doc_id", "left_anti")
+    chunks = chunk_documents(kept, "doc_id", chunk_tokens=64, overlap=16)
+    chunks = chunks.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "chunk_id",
+        bpe_ish_token_estimate(F.col("chunk_text")).alias("n_tokens"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return chunks.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(1024)).cast(
+            "bigint"
+        ),
+    )
