@@ -152,3 +152,33 @@ def test_scd2_invariants_random_histories(spark, events, split_day):
             b2, key="id", ts="ts", attr="v",
         )
         assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, dim))
+
+
+def test_new_ops_partitioning_invariance(spark):
+    """Operator results must be independent of the input's physical
+    layout: chunking, shard packing, and SCD2 give bit-identical output
+    whether the corpus arrives in 1 partition or 17."""
+    from dais2021imageprocessingondeltalake_spark.operators.temporal import (
+        scd2_from_history,
+    )
+    from dais2021imageprocessingondeltalake_spark.operators.text import (
+        bpe_ish_token_estimate,
+        chunk_documents,
+        pack_token_shards,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    ev = load_table(spark, "events", SF_DIR).select("user_id", "ts", "event_type")
+    for xform, frame in (
+        (lambda d: chunk_documents(d, "doc_id"), docs),
+        (
+            lambda d: pack_token_shards(
+                d, "source", "doc_id", bpe_ish_token_estimate(F.col("text")), 4096
+            ).select("doc_id", "shard_id"),
+            docs,
+        ),
+        (lambda d: scd2_from_history(d, key="user_id", ts="ts", attr="event_type"), ev),
+    ):
+        a = sorted(map(tuple, xform(frame.coalesce(1)).collect()))
+        b = sorted(map(tuple, xform(frame.repartition(17)).collect()))
+        assert a == b
