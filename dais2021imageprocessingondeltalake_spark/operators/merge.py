@@ -60,3 +60,53 @@ def scd2_apply(
     return history.unionByName(untouched_open).unionByName(closed).unionByName(
         new_rows.select(*current.columns)
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Derive a CDC feed by diffing two snapshots of a table: full outer
+    join on the key, classify each key as insert (new only), delete
+    (old only), or update (present in both with any compared column
+    changed); unchanged rows drop out. The parquet-world equivalent of
+    Delta's change-data-feed read — run it between daily snapshots to
+    feed incremental consumers (scd2_apply_history, streaming MERGE)
+    without replaying full tables.
+
+    Scale shape: one co-partitioned full outer join on the key; the
+    change classification is a projection. Output carries the key, the
+    change_type, and old/new values for every compared column."""
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, list(keys), "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~(
+            F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        )
+    ctype = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", ctype)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

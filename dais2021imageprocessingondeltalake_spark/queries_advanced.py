@@ -690,3 +690,53 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.col("est_distinct").cast("bigint").alias("est_users"), "n_buckets"
     )
+
+
+@query(
+    "q_table_diff",
+    oracle="""
+    WITH old_t AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    ), new_t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN round(o_totalprice + 1.0, 2) ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_totalprice <> n.o_totalprice THEN 'update' END AS change_type,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+    FROM old_t o FULL OUTER JOIN new_t n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff → CDC feed (the parquet-world Delta change-data-feed):
+    the 'new' snapshot is the orders table with deterministic deletes
+    (key % 97), price bumps (key % 13), and remapped inserts (key % 101
+    offset by 1e8); table_diff classifies every changed key as
+    insert/delete/update via ONE full outer join. Unchanged keys drop
+    out, so downstream incremental consumers (SCD2 fold, streaming
+    MERGE) touch |changes|, not |table|."""
+    from .operators.merge import table_diff
+
+    old = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    kept = old.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.round(F.col("o_totalprice") + 1.0, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = old.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"), "o_totalprice"
+    )
+    new = kept.unionByName(inserts)
+    return table_diff(old, new, ["o_orderkey"], ["o_totalprice"])
