@@ -257,3 +257,41 @@ def test_asof_join_tolerance(spark):
     }
     assert out["p1"][0] == "c1"        # 10s stale: within tolerance
     assert out["p2"] == (None, None)   # ~65min stale: dropped entirely
+
+
+def test_table_diff_upsert_roundtrip(spark):
+    """CDC closure property: applying the diff-derived change feed to the
+    old snapshot with MERGE semantics must reproduce the new snapshot
+    bit-for-bit — diff and apply are true inverses."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators.merge import (
+        table_diff,
+        upsert,
+    )
+
+    from .conftest import SF_DIR
+
+    old = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_totalprice")
+    new = (
+        old.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.round(F.col("o_totalprice") + 1.0, 2)
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    diff = table_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+    source = diff.select(
+        "o_orderkey",
+        F.coalesce("new_o_totalprice", "old_o_totalprice").alias("o_totalprice"),
+        (F.col("change_type") == "delete").alias("__del"),
+    )
+    applied = upsert(old, source, ["o_orderkey"], delete_col="__del")
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
