@@ -261,3 +261,53 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "q_stream_scd2",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ), numbered AS (
+      SELECT user_id, ts, event_type,
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+      FROM marked
+    ), runs AS (
+      SELECT user_id, run, event_type, min(ts) AS valid_from
+      FROM numbered GROUP BY user_id, run, event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER v AS valid_to,
+           lead(valid_from) OVER v IS NULL AS is_current
+    FROM runs
+    WINDOW v AS (PARTITION BY user_id ORDER BY valid_from, run)
+    """,
+)
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension maintenance, oracle-checked end to end:
+    drain the micro-batched event stream through the foreachBatch fold
+    (scd2_apply_history per batch — only touched keys rebuild) and
+    return the final dimension TABLE. Because incremental folding is
+    provably equivalent to the full-history rebuild, the batch SCD2 SQL
+    is a valid oracle for the STREAMING sink's final state — the
+    strongest check a side-effecting sink can get."""
+    import tempfile
+
+    from .streaming.stream import events_stream, run_stream_scd2_foreachbatch
+
+    base = tempfile.mkdtemp(prefix="dais_scd2_stream_")
+    stream = events_stream(spark, sf_dir, max_files_per_trigger=1).select(
+        "user_id", "ts", "event_type"
+    )
+    run_stream_scd2_foreachbatch(
+        stream, f"{base}/dim", "user_id", "ts", "event_type", f"{base}/ckpt"
+    )
+    return spark.read.parquet(f"{base}/dim").select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )

@@ -187,13 +187,16 @@ def run_stream_upsert_foreachbatch(
         )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pathlib import Path
+
         spark = batch_df.sparkSession
         compacted = compact(batch_df)
-        try:
-            target = spark.read.parquet(table_path)
-        except Exception:  # first batch: no table yet
+        # existence probe, not read-and-catch: a failed read logs a noisy
+        # WARN stack trace per first batch (a catalog lookup at real scale)
+        if not Path(table_path).exists():
             compacted.write.mode("overwrite").parquet(table_path)
             return
+        target = spark.read.parquet(table_path)
         merged = upsert(target, compacted, keys)
         # materialize before overwriting the directory being read
         merged.localCheckpoint().write.mode("overwrite").parquet(table_path)
@@ -230,14 +233,15 @@ def run_stream_scd2_foreachbatch(
     from ..operators.temporal import scd2_apply_history, scd2_from_history
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pathlib import Path
+
         spark = batch_df.sparkSession
         events = batch_df.select(key, ts_col, attr_col)
-        try:
-            dim = spark.read.parquet(table_path)
-        except Exception:  # first batch: bootstrap the dimension
+        if not Path(table_path).exists():  # first batch: bootstrap
             out = scd2_from_history(events, key=key, ts=ts_col, attr=attr_col)
             out.write.mode("overwrite").parquet(table_path)
             return
+        dim = spark.read.parquet(table_path)
         folded = scd2_apply_history(dim, events, key=key, ts=ts_col, attr=attr_col)
         folded.localCheckpoint().write.mode("overwrite").parquet(table_path)
 
