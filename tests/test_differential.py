@@ -563,3 +563,43 @@ def test_random_document_predicates_match_duckdb(spark, atoms_, joiners):
     cols, rows = run_oracle(sql, SF_DIR)
     problems = compare(got, cols, rows, rel_tol=0.0)
     assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    month=st.integers(1, 12),
+    year=st.sampled_from([1995, 1997, 1999, 2001]),
+    op=st.sampled_from(["<", ">=", "="]),
+    bucket=st.sampled_from(["year", "month", "quarter"]),
+)
+def test_random_timestamp_predicates_match_duckdb(spark, month, year, op, bucket):
+    """Random timestamp-literal comparisons + calendar-bucket grouping:
+    date_trunc/year/month/quarter extraction and timestamp ordering must
+    agree across engines at microsecond precision."""
+    lit = f"{year}-{month:02d}-01"
+    li = load_table(spark, "orders", SF_DIR)
+    spark_ops = {"<": F.col("o_orderdate") < F.lit(lit).cast("timestamp"),
+                 ">=": F.col("o_orderdate") >= F.lit(lit).cast("timestamp"),
+                 "=": F.col("o_orderdate") == F.lit(lit).cast("timestamp")}
+    spark_bucket = {
+        "year": F.year("o_orderdate"),
+        "month": F.month("o_orderdate"),
+        "quarter": F.quarter("o_orderdate"),
+    }[bucket].cast("bigint")
+    got = (
+        li.filter(spark_ops[op])
+        .groupBy(spark_bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("o_orderdate").alias("max_d"))
+    )
+    sql = (
+        f"SELECT CAST({bucket}(o_orderdate) AS BIGINT) AS b, count(*) AS n, "
+        f"max(o_orderdate) AS max_d FROM orders "
+        f"WHERE o_orderdate {op} TIMESTAMP '{lit}' GROUP BY 1"
+    )
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"

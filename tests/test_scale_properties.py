@@ -659,3 +659,18 @@ def test_chunk_documents_window_semantics(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", chunk_tokens=16, overlap=16)
+
+
+def test_table_diff_plan_single_full_outer_join(spark):
+    """Snapshot diffing must be ONE co-partitioned full outer join (plus
+    the classification projection) — never a nested loop, never two
+    passes over either snapshot."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    df = q.REGISTRY["q_table_diff"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1, plan
