@@ -603,3 +603,35 @@ def test_random_timestamp_predicates_match_duckdb(spark, month, year, op, bucket
     cols, rows = run_oracle(sql, SF_DIR)
     problems = compare(got, cols, rows, rel_tol=0.0)
     assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    k=st.integers(1, 30),
+    off=st.integers(0, 40),
+    desc=st.booleans(),
+)
+def test_random_limit_offset_matches_duckdb(spark, k, off, desc):
+    """ORDER BY + OFFSET + LIMIT with a full tiebreak: pagination must
+    select the identical row window in both engines."""
+    li = load_table(spark, "lineitem", SF_DIR)
+    sc = F.col("l_extendedprice").desc() if desc else F.col("l_extendedprice").asc()
+    got = (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(sc, F.col("l_orderkey"), F.col("l_linenumber"))
+        .offset(off)
+        .limit(k)
+    )
+    direction = "DESC" if desc else "ASC"
+    sql = (
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+        f"ORDER BY l_extendedprice {direction}, l_orderkey, l_linenumber "
+        f"LIMIT {k} OFFSET {off}"
+    )
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
