@@ -585,3 +585,28 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.drop(subset=["type_n"])
         .select("event_id", "type_n", F.col("value_n").alias("value_filled"))
     )
+
+
+@query(
+    "q_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination (ORDER BY + OFFSET + LIMIT with a full
+    tiebreak): Spark plans offset+limit into a single
+    CollectLimit/GlobalLimit over the sort — rows [100, 150) of the
+    price ranking, deterministic via the orderkey tiebreak. OFFSET is
+    the anti-pattern at depth (it scans offset+k rows); this pins the
+    semantics for the shallow pages where it is the right tool."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
