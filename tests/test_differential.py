@@ -635,3 +635,73 @@ def test_random_limit_offset_matches_duckdb(spark, k, off, desc):
     cols, rows = run_oracle(sql, SF_DIR)
     problems = compare(got, cols, rows, rel_tol=0.0)
     assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    p1=predicates(),
+    p2=predicates(),
+    setop=st.sampled_from(["union", "union_all", "intersect", "except"]),
+)
+def test_random_set_operations_match_duckdb(spark, p1, p2, setop):
+    """Random UNION [ALL] / INTERSECT / EXCEPT of two filtered subsets —
+    bag vs set semantics (UNION dedups, UNION ALL keeps multiplicity,
+    INTERSECT/EXCEPT are set-wise) must match exactly."""
+    a_parts, a_join = p1
+    b_parts, b_join = p2
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    a = li.filter(_to_spark(a_parts, a_join))
+    b = li.filter(_to_spark(b_parts, b_join))
+    got = {
+        "union": lambda: a.union(b).distinct(),
+        "union_all": lambda: a.union(b),
+        "intersect": lambda: a.intersect(b),
+        "except": lambda: a.subtract(b),  # subtract == SQL EXCEPT (set-wise)
+    }[setop]()
+    kw = {
+        "union": "UNION",
+        "union_all": "UNION ALL",
+        "intersect": "INTERSECT",
+        "except": "EXCEPT",
+    }[setop]
+    sub = "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE "
+    sql = f"({sub}{_to_sql(a_parts, a_join)}) {kw} ({sub}{_to_sql(b_parts, b_join)})"
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicates(), keys=st.sets(
+    st.sampled_from(["l_returnflag", "l_linestatus"]), min_size=1).map(sorted))
+def test_count_null_semantics_match_duckdb(spark, pred, keys):
+    """COUNT(col) skips NULLs, COUNT(*) doesn't, SUM over all-NULL groups
+    is NULL not 0 — the classic aggregate-null semantics, exercised over
+    a derived nullable column."""
+    parts, joiners = pred
+    li = load_table(spark, "lineitem", SF_DIR)
+    nullable = F.when(_to_spark(parts, joiners), F.col("l_quantity"))
+    got = li.groupBy(*keys).agg(
+        F.count(nullable).alias("n_nonnull"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(nullable).alias("s"),
+    )
+    case = f"CASE WHEN {_to_sql(parts, joiners)} THEN l_quantity END"
+    sql = (
+        f"SELECT {', '.join(keys)}, count({case}) AS n_nonnull, "
+        f"count(*) AS n_all, sum({case}) AS s "
+        f"FROM lineitem GROUP BY {', '.join(keys)}"
+    )
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
