@@ -36,10 +36,12 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one corpus table. Parquet scan → full Catalyst pushdown/pruning.
 
-    `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects by default — read nanos as long (dynamic SQL conf, safe to set
-    on any session incl. the driver's) and convert to a microsecond
-    timestamp, matching DuckDB's ns→us truncation of the same file.
+    `events.parquet` has shipped in two physical generations: TIMESTAMP
+    (NANOS) — which Spark's parquet reader rejects by default, so it is
+    read nanos-as-long and integer-divided to microseconds (matching
+    DuckDB's ns→us truncation of the same file) — and native
+    timestamp[us], which needs no conversion. Branch on the type the
+    reader actually produced, so either file works.
     """
     sf_dir = sf_dir or sf_dir_from_env()
     if name == "events":
@@ -47,8 +49,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer div — ts/1000 in double would lose precision at 1.7e18 ns
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] == "bigint":  # legacy TIMESTAMP(NANOS)
+            # integer div — ts/1000 in double loses precision at 1.7e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # native timestamp[us] reads as TIMESTAMP_NTZ; cast to the
+            # session-tz TIMESTAMP (UTC session → same instant) so every
+            # downstream unix_micros/window/oracle sees one type either way
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -27,29 +27,30 @@ from pyspark.sql import types as T
 
 Transform = Callable[[DataFrame], DataFrame]
 
-# Raw schema of events.parquet: ts is TIMESTAMP(NANOS) in the file, read
-# as long under nanosAsLong (see catalog.load_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Raw schema of events.parquet. The file has shipped in two physical
+# generations: TIMESTAMP(NANOS) — read as long under nanosAsLong (see
+# catalog.load_table) and divided down to microseconds — and native
+# timestamp[us], which passes through untouched. File-stream sources
+# need an explicit schema, so probe the footer once (driver-side
+# metadata read, not a data scan) and build the matching raw schema.
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes)["ts"] == "bigint":  # legacy TIMESTAMP(NANOS) file
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # native timestamp[us] reads as TIMESTAMP_NTZ → session-tz TIMESTAMP
+    # (UTC session, same instant) so both generations yield one type
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded side of the polymorphic pair."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(spark, sf_dir)
     return _normalize_events(
-        spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+        spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet")
     )
 
 
@@ -59,11 +60,11 @@ def events_stream(
     """Unbounded side (A7/H1): file-stream source over the same parquet,
     with the reference's admission-control option
     (`maxFilesPerTrigger`, `03. Inference.py:75`)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(spark, sf_dir)
     # file-stream sources take a directory: scan sf_dir filtered to the
     # events file (pathGlobFilter prunes at listing time)
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
