@@ -53,6 +53,23 @@ def main() -> None:
     ).selectExpr(
         "count(*) OVER (PARTITION BY id2 ORDER BY h) AS w"
     ).write.format("noop").mode("overwrite").save()
+    # shingle-shaped warmup (sequence/slice/concat_ws/array_distinct +
+    # broadcast-join + left-join-coalesce agg): the composition the
+    # n-gram dedup/decontamination headliners JIT-compile
+    sh = warm.selectExpr(
+        "id",
+        "explode(array_distinct(transform("
+        " sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))) AS s",
+    )
+    hits = (
+        sh.join(F.broadcast(sh.select("s").distinct().limit(50)), "s")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    warm.select("id").join(hits, "id", "left").selectExpr(
+        "coalesce(n, 0) AS n"
+    ).write.format("noop").mode("overwrite").save()
 
     specs = q.headline_queries()
     timings: dict[str, float] = {}

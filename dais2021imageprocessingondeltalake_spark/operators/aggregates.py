@@ -110,3 +110,66 @@ def sketch_rollup(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+    ps: Sequence[float] = (0.5, 0.95),
+) -> DataFrame:
+    """Per-group quantile estimates from a fixed-bin histogram sketch —
+    the MERGEABLE alternative to exact percentiles: a group's sketch is
+    just `nbins` counts, so partial aggregates combine associatively
+    (map-side combine works, re-grouping unions bin counts, a two-tier
+    rollup never rescans raw rows), unlike exact `percentile`, whose
+    state is the whole value multiset. The estimate returned for
+    probability p is the RIGHT EDGE of the first bin where the running
+    count covers a p-fraction of the group (cum/total >= p) — i.e. the
+    bin holding the lower-quantile ORDER STATISTIC, so the estimate is
+    within one bin width above it. The fraction compare (not
+    ceil(p*total) ranks) matters: 0.95*300 is 285.00000000000003 in
+    IEEE, so a ceil-rank rule silently targets rank 286 at exact
+    boundaries, while cum/total and the literal p round to the SAME
+    double when the true fraction equals p — deterministic and
+    reproducible cross-engine (the driver-gate property
+    approx_percentile's GK sketch lacks). Values outside [lo, hi)
+    clamp into the edge bins.
+
+    Output: (key, p_XX columns as double bin-edge estimates). Error is
+    bounded by one bin width — pick nbins for the precision the SLO
+    needs; 64 doubles per group is still ~nothing at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(val_col) - F.lit(lo)) / F.lit(width))
+    bin_col = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    hist = df.groupBy(F.col(key_col), bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key_col)
+    cum = hist.select(
+        key_col,
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    aggs = []
+    for p in ps:
+        covered = F.col("cum") / F.col("total") >= F.lit(p)
+        hit_bin = F.min(F.when(covered, F.col("bin")))
+        aggs.append(
+            (F.lit(lo) + (hit_bin + 1) * F.lit(width)).alias(
+                f"p{str(p).replace('0.', '').ljust(2, '0')}"
+            )
+        )
+    return cum.groupBy(key_col).agg(*aggs)

@@ -485,14 +485,15 @@ def connected_components(
 
     if on_nonconverge not in ("raise", "warn"):
         raise ValueError(f"on_nonconverge must be 'raise' or 'warn', got {on_nonconverge!r}")
-    # materialize the symmetrized edge list ONCE — edges often come from an
-    # expensive candidate join (prefix Jaccard, LSH banding); without this,
-    # every propagation round would replay that join from scratch
-    sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .localCheckpoint()
-    )
+    # materialize the edge list ONCE, BEFORE symmetrizing — edges often
+    # come from an expensive candidate join (prefix Jaccard, LSH banding);
+    # a union of two branches over the raw df would run that join twice
+    # (each branch recomputes), and without any checkpoint every
+    # propagation round would replay it from scratch
+    ed = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint()
+    sym = ed.union(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     nodes = sym.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
     changed = 0

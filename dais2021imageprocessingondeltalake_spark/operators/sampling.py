@@ -46,3 +46,64 @@ def stratified_sample(
     invariants — subset-of-input, only listed strata, approximate
     per-stratum rates, seed determinism — are asserted in tests."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def _md5_threshold(rate: float) -> str:
+    """First-8-hex-chars md5 threshold for a Bernoulli keep-rate.
+
+    md5 hex is lowercase in both Spark and DuckDB and hex digits sort
+    lexicographically in value order ('0'..'9' < 'a'..'f'), so a
+    fixed-width string compare IS a uniform numeric compare — no hex
+    parsing needed (the engines disagree on hex→int builtins, not on
+    md5 itself)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    md5(key || salt)[:8] < threshold(rate).
+
+    This is how a 100 TB curation pipeline samples — `df.sample()` is
+    seed-AND-partitioning dependent (a repartition changes the sample),
+    while a content-hash keep rule is reproducible across runs, engines,
+    cluster sizes, and incremental re-ingests: the same document always
+    makes the same keep/drop decision. `salt` derives independent
+    samples from the same keys (vary it to draw a fresh replicate).
+    Pure projection+filter, no shuffle, fully pushed down."""
+    from pyspark.sql import functions as F
+
+    if rate >= 1.0:
+        return df
+    thr = _md5_threshold(rate)
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return df.filter(F.substring(digest, 1, 8) < F.lit(thr))
+
+
+def hash_sample_stratified(
+    df: DataFrame, key_col: str, strata_col: str, rates: dict[str, float],
+    default_rate: float = 0.0, salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixing primitive
+    (sample web text at 10%, keep books at 100%, ...). The per-row
+    threshold is a CASE over the stratum column; everything else matches
+    hash_sample. Rates ≥ 1.0 keep the whole stratum; strata not listed
+    fall back to default_rate."""
+    from pyspark.sql import functions as F
+
+    thr_col = F.lit(_md5_threshold(min(default_rate, 1.0)))
+    for stratum, rate in sorted(rates.items()):
+        thr_col = F.when(
+            F.col(strata_col) == stratum, F.lit(_md5_threshold(min(rate, 1.0)))
+        ).otherwise(thr_col)
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    full = {s for s, r in rates.items() if r >= 1.0}
+    keep = F.substring(digest, 1, 8) < thr_col
+    if full:
+        keep = keep | F.col(strata_col).isin(*sorted(full))
+    if default_rate >= 1.0:
+        keep = keep | ~F.col(strata_col).isin(*sorted(rates))
+    return df.filter(keep)

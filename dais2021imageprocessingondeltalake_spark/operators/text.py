@@ -381,3 +381,101 @@ def chunk_documents(
             F.size("__toks") - start, F.lit(chunk_tokens)
         ).cast("bigint").alias("chunk_len"),
     )
+
+
+def benchmark_ngram_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per document, how many of its word
+    n-gram shingles appear anywhere in a benchmark corpus — the standard
+    n-gram-overlap test (GPT-3 appendix C / PaLM-style 'remove training
+    docs sharing an n-gram with an eval set'). Output: (id, n_hits,
+    contaminated) for EVERY input doc, zero-hit docs included.
+
+    Scale shape: the benchmark side is small (eval suites are MBs even
+    when the corpus is 100 TB) — its distinct shingle set BROADCASTs, so
+    the corpus side is a scan + explode + broadcast-hash semi-match with
+    NO shuffle of corpus data; the only shuffle is the per-doc count agg,
+    keyed by doc id (pre-aggregated map-side). Never materializes the
+    corpus shingle inventory."""
+    from .dedup import shingles
+    from .sampling import ensure_min_partitions
+
+    bench_sh = bench.select(
+        F.explode(shingles(F.col(text_col), n)).alias("s")
+    ).distinct()
+    # the explode multiplies rows ~|tokens|×; spread the corpus across
+    # cores BEFORE it so the shingle/match/partial-agg work parallelizes
+    # even when the scan is a single small file (a 100 TB corpus already
+    # arrives in thousands of splits — ensure_min_partitions is a no-op)
+    cores = docs.sparkSession.sparkContext.defaultParallelism
+    doc_sh = ensure_min_partitions(docs, cores).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(doc, term) Okapi BM25 — the sparse-retrieval scoring layer on
+    top of the TF-IDF inverted index: idf = ln(1 + (N-df+0.5)/(df+0.5)),
+    tf saturation k1, doc-length normalization b against the corpus mean
+    length. Output (id, term, tf, df, dl, bm25).
+
+    Scale shape: identical to tfidf_vectors (explode → (doc,term) agg →
+    df agg joined back) plus one broadcast scalar (N, avgdl in a single
+    1-row aggregate — avg of integer token counts is exact in both
+    engines, so it is oracle-safe unrounded). ln() is libm → callers
+    round bm25 before oracle comparison."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    consts = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, "id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            "dl",
+            (idf * tf_part).alias("bm25"),
+        )
+    )

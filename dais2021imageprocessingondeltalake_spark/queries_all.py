@@ -14,5 +14,6 @@ from . import queries_llm  # noqa: F401
 from . import queries_pipelines  # noqa: F401
 from . import queries_advanced  # noqa: F401
 from . import queries_tpch  # noqa: F401
+from . import queries_curation  # noqa: F401
 
 from .registry import REGISTRY, headline_queries, oracle_sql, queries  # noqa: F401,E402

@@ -1,0 +1,186 @@
+"""Corpus-curation query registrations (north-star tier, round 2):
+benchmark decontamination, deterministic hash sampling / domain mixing,
+BM25 sparse-retrieval scoring, and mergeable histogram-quantile rollups.
+All four are fully deterministic (no engine-private hash functions), so
+each carries a complete DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import aggregates as AGG
+from .operators import sampling as S
+from .operators import text as TX
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+# The "benchmark" stands in for an eval suite: every 97th document. The
+# scored corpus is everything else. 5-gram overlap is the GPT-3/PaLM-style
+# contamination test.
+_DECON_N = 5
+
+@query(
+    "q_decontaminate",
+    headline=True,
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+{_DECON_N - 1}], ' ')
+                            for i in range(1, len(w) - {_DECON_N - 2})]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT e.doc_id, count(*) AS n_hits
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 <> 0) e
+      JOIN bench USING (s)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing any
+    5-gram with the benchmark slice (doc_id % 97 == 0). The benchmark's
+    distinct shingle set broadcasts — corpus data never shuffles for the
+    match, only the per-doc hit count aggregates. This is the op every
+    production pretraining pipeline runs before training."""
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return TX.benchmark_ngram_overlap(corpus, bench, n=_DECON_N)
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling / domain mixing
+# --------------------------------------------------------------------------
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+def _thr(rate: float) -> str:
+    return S._md5_threshold(min(rate, 1.0))
+
+@query(
+    "q_hash_sample",
+    oracle=f"""
+    WITH thr AS (
+      SELECT doc_id, source,
+             CASE source
+               WHEN 'src0' THEN '{_thr(1.0)}'
+               WHEN 'src1' THEN '{_thr(0.5)}'
+               WHEN 'src2' THEN '{_thr(0.25)}'
+               ELSE '{_thr(_MIX_DEFAULT)}'
+             END AS t
+      FROM documents
+    )
+    SELECT doc_id, source FROM thr
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < t
+       OR source = 'src0'
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing via deterministic content-hash sampling: keep src0
+    fully, src1 at 50%, src2 at 25%, everything else at 10% — the same
+    document makes the same keep/drop decision on any engine, cluster
+    size, or re-run (md5 keying, not seed-and-partition-dependent
+    `sample()`). Pure filter, no shuffle; oracle replays the identical
+    md5-prefix rule in DuckDB."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = S.hash_sample_stratified(
+        docs, "doc_id", "source", _MIX_RATES, default_rate=_MIX_DEFAULT
+    )
+    return out.select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# BM25
+# --------------------------------------------------------------------------
+@query(
+    "q_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), consts AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    )
+    SELECT t.doc_id, t.term,
+           CAST(t.tf AS BIGINT) AS tf,
+           CAST(f.df AS BIGINT) AS df,
+           CAST(d.dl AS BIGINT) AS dl,
+           round(
+             ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+             * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)),
+             6
+           ) AS bm25
+    FROM tf t
+    JOIN dl d USING (doc_id)
+    JOIN dfreq f USING (term)
+    CROSS JOIN consts c
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) per (doc, term) — the retrieval
+    scoring layer over the TF-IDF inverted index, used for quality
+    filtering ('docs similar to a trusted seed set') and RAG indexing.
+    bm25 rounds to 6dp on both sides (ln is libm); tf/df/dl and the
+    avgdl scalar are exact integers/means cross-engine."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = TX.bm25_scores(docs, k1=1.2, b=0.75)
+    return out.withColumn("bm25", F.round("bm25", 6))
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram-quantile rollup
+# --------------------------------------------------------------------------
+_H_LO, _H_HI, _H_BINS = 0.0, 512000.0, 64
+_H_WIDTH = (_H_HI - _H_LO) / _H_BINS
+
+@query(
+    "q_histogram_quantile",
+    oracle=f"""
+    WITH hist AS (
+      SELECT o_orderpriority,
+             CAST(least({_H_BINS - 1}, greatest(0,
+                  floor((o_totalprice - {_H_LO!r}) / {_H_WIDTH!r}))) AS INT) AS bin,
+             count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), cum AS (
+      SELECT o_orderpriority, bin,
+             sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY o_orderpriority) AS total
+      FROM hist
+    )
+    SELECT o_orderpriority,
+           {_H_LO!r} + (min(CASE WHEN cum / CAST(total AS DOUBLE) >= 0.5
+                            THEN bin END) + 1) * {_H_WIDTH!r} AS p50,
+           {_H_LO!r} + (min(CASE WHEN cum / CAST(total AS DOUBLE) >= 0.95
+                            THEN bin END) + 1) * {_H_WIDTH!r} AS p95
+    FROM cum GROUP BY 1
+    """,
+)
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority p50/p95 of order value from a 64-bin histogram
+    sketch — the mergeable quantile shape (constant-size partial state,
+    map-side combine, rollup-able) that replaces exact `percentile` at
+    100 TB. Deterministic integer counts → bit-exact cross-engine,
+    unlike approx_percentile's engine-private GK sketch."""
+    orders = load_table(spark, "orders", sf_dir)
+    return AGG.histogram_quantiles(
+        orders, "o_orderpriority", "o_totalprice",
+        lo=_H_LO, hi=_H_HI, nbins=_H_BINS, ps=(0.5, 0.95),
+    )

@@ -1,0 +1,194 @@
+"""Invariant tests for the curation tier (queries_curation.py): hash
+sampling, decontamination, BM25, histogram quantiles. Oracle parity is
+covered by test_oracle_parity; these pin the properties oracles can't
+express (determinism under repartitioning, nesting, error bounds,
+planted-positive recall).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dais2021imageprocessingondeltalake_spark.catalog import load_table
+from dais2021imageprocessingondeltalake_spark.operators import aggregates as AGG
+from dais2021imageprocessingondeltalake_spark.operators import sampling as S
+from dais2021imageprocessingondeltalake_spark.operators import text as TX
+
+from .conftest import SF_DIR
+
+
+def _ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+class TestHashSample:
+    def test_rate_nesting(self, spark):
+        """Raising the rate only ADDS documents (threshold grows, the keep
+        predicate is monotone in rate) — the property that lets a pipeline
+        scale a sample up without resampling everything."""
+        docs = load_table(spark, "documents", SF_DIR)
+        s25 = _ids(S.hash_sample(docs, "doc_id", 0.25))
+        s50 = _ids(S.hash_sample(docs, "doc_id", 0.50))
+        assert s25 <= s50
+        assert len(s25) < len(s50)
+
+    def test_partitioning_invariant(self, spark):
+        """Same keep set regardless of physical layout — the reason this
+        exists instead of df.sample()."""
+        docs = load_table(spark, "documents", SF_DIR)
+        a = _ids(S.hash_sample(docs, "doc_id", 0.3))
+        b = _ids(S.hash_sample(docs.repartition(13), "doc_id", 0.3))
+        assert a == b
+
+    def test_rate_roughly_holds(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        n = docs.count()
+        kept = S.hash_sample(docs, "doc_id", 0.5).count()
+        assert abs(kept / n - 0.5) < 0.15  # 500 docs, binomial noise
+
+    def test_salt_gives_independent_sample(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        a = _ids(S.hash_sample(docs, "doc_id", 0.5))
+        b = _ids(S.hash_sample(docs, "doc_id", 0.5, salt="replicate-2"))
+        assert a != b
+
+    def test_edge_rates(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        assert S.hash_sample(docs, "doc_id", 0.0).count() == 0
+        assert S.hash_sample(docs, "doc_id", 1.0).count() == docs.count()
+
+    def test_stratified_full_stratum_kept(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        out = S.hash_sample_stratified(
+            docs, "doc_id", "source", {"src0": 1.0, "src1": 0.3}, default_rate=0.0
+        )
+        n_src0 = docs.filter(F.col("source") == "src0").count()
+        got = out.groupBy("source").count().collect()
+        by_src = {r.source: r["count"] for r in got}
+        assert by_src.get("src0") == n_src0  # rate 1.0 → whole stratum
+        assert 0 < by_src.get("src1", 0) < docs.filter(F.col("source") == "src1").count()
+        assert set(by_src) == {"src0", "src1"}  # default 0.0 drops the rest
+
+
+class TestDecontaminate:
+    def test_planted_contamination(self, spark):
+        """A corpus doc embedding a verbatim benchmark sentence is
+        flagged; an unrelated doc is not."""
+        bench = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                (10, "intro text then the quick brown fox jumps over the lazy dog and more"),
+                (11, "completely unrelated words about distributed query engines here"),
+                (12, "short doc"),  # < n tokens → zero shingles → clean
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in TX.benchmark_ngram_overlap(corpus, bench, n=5).collect()}
+        assert out[10].contaminated and out[10].n_hits >= 4
+        assert not out[11].contaminated and out[11].n_hits == 0
+        assert not out[12].contaminated
+        assert set(out) == {10, 11, 12}  # every corpus doc present
+
+    def test_zero_hit_docs_survive_with_zero(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        corpus = docs.filter(F.col("doc_id") % 97 != 0)
+        out = TX.benchmark_ngram_overlap(corpus, bench, n=5)
+        assert out.count() == corpus.count()
+
+
+class TestBM25:
+    def test_matches_hand_computation(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c"), (3, "d d d d")], ["doc_id", "text"]
+        )
+        rows = {
+            (r.doc_id, r.term): r
+            for r in TX.bm25_scores(docs, k1=1.2, b=0.75).collect()
+        }
+        # corpus: N=3, dl = {1:3, 2:2, 3:4}, avgdl = 3
+        # term 'a': df=2 → idf = ln(1 + 1.5/2.5)
+        r = rows[(1, "a")]
+        assert (r.tf, r.df, r.dl) == (2, 2, 3)
+        idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+        tf_part = (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / 3))
+        assert math.isclose(r.bm25, idf * tf_part, rel_tol=1e-12)
+        # rarer term ('c', df=1) outranks common term at same tf/dl
+        assert rows[(2, "c")].bm25 > rows[(2, "a")].bm25
+
+    def test_doc_length_normalization(self, spark):
+        """Same tf: the shorter doc scores higher (b>0 penalizes length)."""
+        docs = spark.createDataFrame(
+            [(1, "x y"), (2, "x y filler filler filler filler")],
+            ["doc_id", "text"],
+        )
+        rows = {
+            (r.doc_id, r.term): r.bm25 for r in TX.bm25_scores(docs).collect()
+        }
+        assert rows[(1, "x")] > rows[(2, "x")]
+
+
+class TestHistogramQuantiles:
+    def test_within_one_bin_of_exact(self, spark):
+        """The estimate is the right edge of the bin holding the lower
+        quantile order statistic q_p = min{v : F(v) >= p}, so it sits in
+        [q_p, q_p + width]. (The bound targets the order statistic, not
+        the INTERPOLATED percentile(), which can jump arbitrarily far
+        between adjacent order stats at the quantile boundary.)"""
+        from pyspark.sql import Window
+
+        orders = load_table(spark, "orders", SF_DIR)
+        lo, hi, nbins = 0.0, 512000.0, 64
+        width = (hi - lo) / nbins
+        est = {
+            r.o_orderpriority: r
+            for r in AGG.histogram_quantiles(
+                orders, "o_orderpriority", "o_totalprice", lo, hi, nbins
+            ).collect()
+        }
+        w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        frac = F.row_number().over(w) / F.count(F.lit(1)).over(
+            Window.partitionBy("o_orderpriority")
+        )
+        ranked = orders.select(
+            "o_orderpriority", "o_totalprice", frac.alias("frac")
+        )
+        exact = {}
+        for p, name in ((0.5, "e50"), (0.95, "e95")):
+            for r in (
+                ranked.filter(F.col("frac") >= p)
+                .groupBy("o_orderpriority")
+                .agg(F.min("o_totalprice").alias(name))
+                .collect()
+            ):
+                exact.setdefault(r.o_orderpriority, {})[name] = r[name]
+        for k, r in est.items():
+            assert exact[k]["e50"] <= r.p50 <= exact[k]["e50"] + width
+            assert exact[k]["e95"] <= r.p95 <= exact[k]["e95"] + width
+            assert r.p50 <= r.p95
+
+    def test_partitioning_invariant(self, spark):
+        """The sketch is mergeable: the estimate can't depend on how rows
+        were distributed across partial aggregates."""
+        orders = load_table(spark, "orders", SF_DIR)
+        a = AGG.histogram_quantiles(
+            orders, "o_orderpriority", "o_totalprice", 0.0, 512000.0, 64
+        ).collect()
+        b = AGG.histogram_quantiles(
+            orders.repartition(17), "o_orderpriority", "o_totalprice", 0.0, 512000.0, 64
+        ).collect()
+        key = lambda rows: sorted((r.o_orderpriority, r.p50, r.p95) for r in rows)
+        assert key(a) == key(b)
+
+    def test_out_of_range_values_clamp(self, spark):
+        df = spark.createDataFrame(
+            [("k", -5.0), ("k", 1.0), ("k", 2.0), ("k", 99.0)], ["g", "v"]
+        )
+        out = AGG.histogram_quantiles(df, "g", "v", 0.0, 10.0, 10, ps=(0.5,)).collect()
+        # -5 clamps to bin 0, 99 to bin 9; p50 target=ceil(.5*4)=2 → bin 1
+        assert out[0].p50 == 2.0
