@@ -580,3 +580,114 @@ def leakage_safe_split(
             F.lit("validation")
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus (incremental) near-dedup
+# --------------------------------------------------------------------------
+def cross_corpus_near_dup_flags(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Flag documents in a NEW batch that are near-duplicates (n-gram
+    Jaccard >= threshold) of ANY document in an existing REFERENCE
+    corpus — the incremental-ingest dedup every recurring crawl runs:
+    each snapshot dedups against everything already kept, not just
+    against itself. Returns (id, is_dup) for every new doc.
+
+    Same prefix-filter machinery as ngram_jaccard_pairs_prefix, but the
+    candidate join is new-prefix x ref-prefix instead of a self-join —
+    asymmetric by design. The global rarity order comes from the UNION's
+    doc-frequencies (prefix filtering is correct under ANY shared total
+    order; rarity is the pruning heuristic, and ref-side dfreq dominates
+    the union so stop-shingles still sort last). At scale the new batch
+    is orders of magnitude smaller than the corpus, so its prefix index
+    broadcasts (`broadcast_new`) — the ref corpus never shuffles for
+    candidate generation, it is scanned once to build prefixes and once
+    for verification.
+    """
+    from pyspark.sql import Window
+
+    def _shingle_sets(df: DataFrame) -> DataFrame:
+        return (
+            _parallelize(df)
+            .select(
+                F.col(id_col).alias("doc"),
+                F.transform(
+                    shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+                ).alias("sh"),
+            )
+            .filter(F.size("sh") > 0)
+            .localCheckpoint()
+        )
+
+    sh_new, sh_ref = _shingle_sets(new_df), _shingle_sets(ref_df)
+
+    def _exploded(sh: DataFrame) -> DataFrame:
+        return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+
+    ex_new, ex_ref = _exploded(sh_new), _exploded(sh_ref)
+    dfreq = (
+        ex_new.select("s").union(ex_ref.select("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+    )
+
+    def _prefix(ex: DataFrame) -> DataFrame:
+        rarity = Window.partitionBy("doc").orderBy("dfreq", "s")
+        return (
+            ex.join(dfreq, ["s"])
+            .withColumn("rn", F.row_number().over(rarity))
+            .filter(
+                F.col("rn")
+                <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+            )
+            .select("doc", "n_sh", "s", "rn")
+        )
+
+    p_new = _prefix(ex_new).alias("a")
+    p_ref = _prefix(ex_ref).alias("b")
+    if broadcast_new:
+        p_new = F.broadcast(p_new)
+    overlap_needed = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
+    overlap_ubound = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
+    )
+    cand = (
+        p_new.join(
+            p_ref,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+            & (overlap_ubound >= overlap_needed),
+        )
+        .select(F.col("a.doc").alias("doc_new"), F.col("b.doc").alias("doc_ref"))
+        .dropDuplicates(["doc_new", "doc_ref"])
+    )
+    jaccard = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    dup_ids = (
+        cand.join(
+            sh_new.select(F.col("doc").alias("doc_new"), F.col("sh").alias("sh_a"),
+                          F.size("sh").alias("n_a")),
+            ["doc_new"],
+        )
+        .join(
+            sh_ref.select(F.col("doc").alias("doc_ref"), F.col("sh").alias("sh_b"),
+                          F.size("sh").alias("n_b")),
+            ["doc_ref"],
+        )
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(jaccard >= threshold)
+        .select(F.col("doc_new").alias(id_col))
+        .distinct()
+    )
+    return new_df.select(id_col).join(
+        dup_ids.withColumn("is_dup", F.lit(True)), [id_col], "left"
+    ).select(F.col(id_col), F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"))

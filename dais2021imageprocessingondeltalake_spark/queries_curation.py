@@ -184,3 +184,47 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, "o_orderpriority", "o_totalprice",
         lo=_H_LO, hi=_H_HI, nbins=_H_BINS, ps=(0.5, 0.95),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental (cross-corpus) near-dedup
+# --------------------------------------------------------------------------
+@query(
+    "q_cross_dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS new_id, count(*) AS shared,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM e a JOIN e b ON a.s = b.s
+      WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+      GROUP BY a.doc_id, b.doc_id
+    ), dup AS (
+      SELECT DISTINCT new_id FROM pairs
+      WHERE shared / (n_a + n_b - shared) >= 0.5
+    )
+    SELECT d.doc_id, dup.new_id IS NOT NULL AS is_dup
+    FROM documents d LEFT JOIN dup ON d.doc_id = dup.new_id
+    WHERE d.doc_id % 3 = 0
+    """,
+)
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: treat doc_id % 3 == 0 as the NEW crawl
+    batch and the rest as the accumulated corpus; flag every new doc
+    that is a near-duplicate (3-gram Jaccard >= 0.5) of ANY kept doc.
+    The new batch's prefix index broadcasts — the corpus never shuffles
+    for candidate generation. This is the recurring shape of production
+    crawl ingestion (dedup each snapshot against everything kept so
+    far), distinct from the one-shot self-join dedup."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, "documents", sf_dir)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    return D.cross_corpus_near_dup_flags(new, ref, "doc_id", n=3, threshold=0.5)

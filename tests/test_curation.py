@@ -192,3 +192,52 @@ class TestHistogramQuantiles:
         out = AGG.histogram_quantiles(df, "g", "v", 0.0, 10.0, 10, ps=(0.5,)).collect()
         # -5 clamps to bin 0, 99 to bin 9; p50 target=ceil(.5*4)=2 → bin 1
         assert out[0].p50 == 2.0
+
+
+class TestCrossCorpusDedup:
+    def test_planted_cross_duplicate(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        ref = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            ["doc_id", "text"],
+        )
+        new = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta eta theta"),  # verbatim
+                (11, "totally different content with no shared trigrams at all"),
+                (12, "alpha beta gamma delta epsilon zeta eta iota"),  # near
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r.doc_id: r.is_dup
+            for r in D.cross_corpus_near_dup_flags(
+                new, ref, "doc_id", n=3, threshold=0.5
+            ).collect()
+        }
+        assert out[10] is True
+        assert out[11] is False
+        assert out[12] is True  # 5 of 6 shingles shared → J = 5/7 >= 0.5
+        assert set(out) == {10, 11, 12}
+
+    def test_new_side_broadcasts(self, spark):
+        """The candidate join must be a broadcast join with the NEW batch
+        as the build side — the corpus never shuffles for candidates."""
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        docs = load_table(spark, "documents", SF_DIR)
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        ref = docs.filter(F.col("doc_id") % 3 != 0)
+        out = D.cross_corpus_near_dup_flags(new, ref, "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_ref_side_never_flagged_and_count_preserved(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        docs = load_table(spark, "documents", SF_DIR)
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        ref = docs.filter(F.col("doc_id") % 3 != 0)
+        out = D.cross_corpus_near_dup_flags(new, ref, "doc_id")
+        assert out.count() == new.count()  # one verdict per new doc
