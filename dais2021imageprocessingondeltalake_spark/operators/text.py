@@ -479,3 +479,66 @@ def bm25_scores(
             (idf * tf_part).alias("bm25"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Substring-level dedup REWRITE (the transform behind Lee et al.,
+    'Deduplicating Training Data Makes Language Models Better'): remove
+    every token covered by an n-gram span that also occurs in another
+    document, KEEPING one canonical copy — the occurrence in the
+    smallest doc_id containing that span survives. Output: (id,
+    text_clean, n_removed) for every input doc.
+
+    Positional (not distinct) shingles: token j of doc d is removed iff
+    some span starting in [j-n+1, j] has cross-doc frequency > 1 and d
+    is not that span's canonical (min) doc. Deterministic, so fully
+    oracle-checkable.
+
+    Scale shape: one inverted-index shuffle over positional spans
+    (groupBy span → distinct-doc count + min doc, the same cost class
+    as TF-IDF), one join back, a bounded explode (n positions per dup
+    span start), and a per-row array rebuild (filter-by-index, JVM
+    higher-order functions — no Python, no window). The rewrite never
+    compares document pairs."""
+    toks = tokens(F.col(text_col))
+    L = F.size(toks)
+    spans = F.when(
+        L >= n,
+        F.transform(
+            F.sequence(F.lit(1), L - F.lit(n - 1)),
+            lambda i: F.struct(
+                i.alias("i"), F.concat_ws(" ", F.slice(toks, i, n)).alias("s")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,s:string>>"))
+    pos = df.select(
+        F.col(id_col).alias("doc"), F.explode(spans).alias("sp")
+    ).select("doc", F.col("sp.i").alias("i"), F.col("sp.s").alias("s"))
+    stats = pos.groupBy("s").agg(
+        F.count_distinct("doc").alias("span_df"), F.min("doc").alias("mindoc")
+    )
+    starts = (
+        pos.join(stats, ["s"])
+        .filter((F.col("span_df") > 1) & (F.col("mindoc") != F.col("doc")))
+        .select("doc", "i")
+    )
+    covered = (
+        starts.select(
+            "doc", F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))).alias("j")
+        )
+        .groupBy("doc")
+        .agg(F.collect_set("j").alias("cov"))
+    )
+    out = df.join(covered, df[id_col] == covered["doc"], "left")
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(toks, lambda t, idx: ~F.array_contains(cov, idx + F.lit(1)))
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size(cov).cast("bigint").alias("n_removed"),
+    )

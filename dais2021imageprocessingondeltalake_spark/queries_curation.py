@@ -228,3 +228,49 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 3 == 0)
     ref = docs.filter(F.col("doc_id") % 3 != 0)
     return D.cross_corpus_near_dup_flags(new, ref, "doc_id", n=3, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# Substring-level dedup rewrite (duplicate-span removal)
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(range(1, len(w) - 1)) AS i, w FROM toks
+    ), spans AS (
+      SELECT doc_id, i, array_to_string(w[i:i+2], ' ') AS s FROM pos
+    ), stats AS (
+      SELECT s, count(DISTINCT doc_id) AS span_df, min(doc_id) AS mindoc
+      FROM spans GROUP BY s
+    ), starts AS (
+      SELECT sp.doc_id, sp.i FROM spans sp JOIN stats USING (s)
+      WHERE stats.span_df > 1 AND stats.mindoc <> sp.doc_id
+    ), cov AS (
+      SELECT doc_id, list(DISTINCT j) AS cov FROM (
+        SELECT DISTINCT doc_id, unnest(range(i, i + 3)) AS j FROM starts
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(array_to_string(
+             [t.w[j] for j in range(1, len(t.w) + 1)
+              if NOT coalesce(list_contains(c.cov, j), false)], ' '
+           ), '') AS text_clean,
+           CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup rewrite (Lee et al.-style): strip every
+    3-gram span that occurs in more than one document, keeping the copy
+    in the span's minimum doc_id; emit the rewritten text and how many
+    tokens were dropped. The complement of the q_dup_span_coverage
+    METRIC — this is the actual corpus TRANSFORM a substring-dedup job
+    ships. One inverted-index shuffle + a bounded explode + per-row
+    array rebuild; no document pair is ever compared."""
+    from .operators import text as TXX
+
+    docs = load_table(spark, "documents", sf_dir)
+    return TXX.remove_duplicate_spans(docs, n=3)

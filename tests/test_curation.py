@@ -241,3 +241,51 @@ class TestCrossCorpusDedup:
         ref = docs.filter(F.col("doc_id") % 3 != 0)
         out = D.cross_corpus_near_dup_flags(new, ref, "doc_id")
         assert out.count() == new.count()  # one verdict per new doc
+
+
+class TestRemoveDuplicateSpans:
+    def test_canonical_copy_survives(self, spark):
+        """The min-doc occurrence of a duplicated span is kept verbatim;
+        every other doc loses exactly the covered tokens."""
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma unique one"),
+                (2, "intro alpha beta gamma outro"),
+                (3, "fresh content nothing shared here"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in TX.remove_duplicate_spans(docs, n=3).collect()}
+        # doc 1 is canonical for 'alpha beta gamma' → untouched
+        assert out[1].text_clean == "alpha beta gamma unique one"
+        assert out[1].n_removed == 0
+        # doc 2 loses the 3 covered tokens, keeps its frame
+        assert out[2].text_clean == "intro outro"
+        assert out[2].n_removed == 3
+        assert out[3].text_clean == docs.filter(F.col("doc_id") == 3).first().text
+        assert out[3].n_removed == 0
+
+    def test_overlapping_spans_union_coverage(self, spark):
+        """Two overlapping duplicated spans remove the UNION of their
+        positions, not double-count."""
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d"),          # canonical for both 'a b c' and 'b c d'
+                (2, "x a b c d y"),      # both spans dup → tokens 2-5 removed
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in TX.remove_duplicate_spans(docs, n=3).collect()}
+        assert out[2].text_clean == "x y"
+        assert out[2].n_removed == 4
+
+    def test_short_docs_untouched(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "one two"), (2, "one two")], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r for r in TX.remove_duplicate_spans(docs, n=3).collect()}
+        assert out[1].n_removed == 0 and out[2].n_removed == 0
+
+    def test_every_doc_present(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        assert TX.remove_duplicate_spans(docs, n=3).count() == docs.count()
