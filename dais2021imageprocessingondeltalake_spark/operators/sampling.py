@@ -107,3 +107,27 @@ def hash_sample_stratified(
     if default_rate >= 1.0:
         keep = keep | ~F.col(strata_col).isin(*sorted(rates))
     return df.filter(keep)
+
+
+def hash_sample_fixed_k(
+    df: DataFrame, key_col: str, strata_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic EXACTLY-k-per-stratum sample: rank rows within each
+    stratum by md5(key || salt) (ties by key) and keep the k smallest —
+    the fixed-budget companion to rate-based hash_sample (e.g. 'exactly
+    10k eval docs per domain'), equally layout/engine/rerun-stable.
+
+    Scale shape: one shuffle on the stratum key + a per-stratum sort on
+    an 8-byte digest prefix; k << |stratum|, and the rank filter
+    short-circuits via WindowGroupLimit (Spark pushes rn <= k into the
+    sort, keeping per-partition heaps of k, not full sorts)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(digest, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -274,3 +274,33 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return TXX.remove_duplicate_spans(docs, n=3)
+
+
+# --------------------------------------------------------------------------
+# Fixed-budget per-stratum sampling
+# --------------------------------------------------------------------------
+@query(
+    "q_group_sample",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5-docs-per-source deterministic sample (fixed-budget
+    domain mixing / eval-set carving): rank by md5(doc_id) within each
+    source, keep the 5 smallest — stable across engines, layouts, and
+    reruns, unlike seed-based sampling. Spark plans the rank filter as
+    WindowGroupLimit (per-partition top-k heaps, not full sorts)."""
+    from .operators.sampling import hash_sample_fixed_k
+
+    docs = load_table(spark, "documents", sf_dir)
+    return hash_sample_fixed_k(docs, "doc_id", "source", k=5).select(
+        "doc_id", "source"
+    )

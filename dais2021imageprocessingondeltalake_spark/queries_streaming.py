@@ -311,3 +311,46 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{base}/dim").select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )
+
+
+def _thr_half() -> str:
+    from .operators.sampling import _md5_threshold
+
+    return _md5_threshold(0.5)
+
+
+@query(
+    "q_stream_curate",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             least(len(string_split(text, ' ')) / 50, 1.0)
+               * (len(list_distinct(string_split(text, ' ')))
+                  / len(string_split(text, ' '))) AS q_score
+      FROM documents
+    )
+    SELECT doc_id, source, q_score FROM q
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_thr_half()}'
+      AND q_score >= 0.2
+    """,
+)
+def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: the batch curation tier (deterministic
+    hash sampling + quality scoring) applied UNCHANGED to a documents
+    file-stream — the in-flight filtering a 100 TB ingest runs so
+    rejected documents never land. Stateless projections/filters →
+    append mode, no state store; with availableNow the result equals the
+    batch filter, so the batch SQL oracle applies (H2 polymorphism on
+    the curation tier)."""
+    from .operators.sampling import hash_sample
+    from .operators.text import quality_score
+    from .streaming.stream import table_stream
+
+    stream = table_stream(spark, sf_dir, "documents")
+    scored = quality_score(stream.select("doc_id", "source", "text"))
+    kept = (
+        hash_sample(scored, "doc_id", 0.5)
+        .filter(F.col("q_score") >= 0.2)
+        .select("doc_id", "source", "q_score")
+    )
+    return run_stream_to_memory(kept, output_mode="append")

@@ -253,3 +253,26 @@ def run_stream_scd2_foreachbatch(
         .start()
         .awaitTermination()
     )
+
+
+def table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream source over any corpus table (generalizes
+    events_stream): probe the parquet footer for the schema (file-stream
+    sources require one), glob-filter the directory listing to the
+    table's file, optional admission control. Lets every batch operator
+    tier (curation filters, quality scoring, dedup predicates) run
+    unchanged as a stream transform — the H2 polymorphism property on
+    arbitrary tables."""
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(sf_dir)

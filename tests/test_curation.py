@@ -289,3 +289,24 @@ class TestRemoveDuplicateSpans:
     def test_every_doc_present(self, spark):
         docs = load_table(spark, "documents", SF_DIR)
         assert TX.remove_duplicate_spans(docs, n=3).count() == docs.count()
+
+
+class TestFixedKSample:
+    def test_exactly_k_per_stratum_and_deterministic(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        out = S.hash_sample_fixed_k(docs, "doc_id", "source", k=5)
+        sizes = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+        per_stratum = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+        for src, n in per_stratum.items():
+            assert sizes[src] == min(5, n)
+        again = S.hash_sample_fixed_k(docs.repartition(11), "doc_id", "source", k=5)
+        assert _ids(out) == _ids(again)
+
+    def test_plan_uses_window_group_limit(self, spark):
+        """rn <= k must push into the sort (per-partition top-k heaps,
+        not full per-stratum sorts) — the property that keeps the
+        fixed-k sample cheap at 100 TB."""
+        docs = load_table(spark, "documents", SF_DIR)
+        out = S.hash_sample_fixed_k(docs, "doc_id", "source", k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
