@@ -425,3 +425,30 @@ def quantized_ann_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed per-label centroid of an embedding column, in LONG
+    form (label, dim, centroid) — the building block of k-means
+    iterations, IVF coarse quantizers, and SemDeDup-style semantic
+    cluster pruning, computed WITHOUT collecting vectors to the driver
+    (contrast: the IVF fit's bounded driver sample is for centroid
+    SEEDING; this is the full-data aggregation step).
+
+    Shape: posexplode to (label, dim, value) rows, then one groupBy
+    (label, dim) average. The explode multiplies rows by `dim`, but
+    map-side partial aggregation collapses each partition to
+    |labels| x dim partial sums before the shuffle — the shuffle carries
+    sketch-sized state, not data. Float sums are order-dependent →
+    callers round before oracle comparison (same 6dp convention as
+    every merge-formula aggregate)."""
+    pos = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    return pos.groupBy("label", (F.col("pos") + 1).alias("dim")).agg(
+        F.avg(F.col("v").cast("double")).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

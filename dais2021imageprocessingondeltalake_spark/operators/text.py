@@ -516,7 +516,14 @@ def remove_duplicate_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<i:int,s:string>>"))
-    pos = df.select(
+    from .sampling import ensure_min_partitions
+
+    # parallelism floor before the span-building explode (single small
+    # file = one scan task; a real corpus arrives in many splits → no-op)
+    src = ensure_min_partitions(
+        df, df.sparkSession.sparkContext.defaultParallelism
+    )
+    pos = src.select(
         F.col(id_col).alias("doc"), F.explode(spans).alias("sp")
     ).select("doc", F.col("sp.i").alias("i"), F.col("sp.s").alias("s"))
     stats = pos.groupBy("s").agg(

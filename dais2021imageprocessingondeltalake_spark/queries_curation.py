@@ -304,3 +304,35 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample_fixed_k(docs, "doc_id", "source", k=5).select(
         "doc_id", "source"
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed embedding centroids
+# --------------------------------------------------------------------------
+@query(
+    "q_label_centroids",
+    oracle="""
+    SELECT label,
+           CAST(dim AS INT) AS dim,
+           round(avg(CAST(v AS DOUBLE)), 6) AS centroid,
+           count(*) AS n_vecs
+    FROM (
+      SELECT label,
+             unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of every embedding dimension — the distributed
+    aggregation step of k-means / IVF training / SemDeDup cluster
+    pruning. Map-side partial sums make the shuffle |labels| x dim
+    rows regardless of corpus size. avg over floats is order-dependent
+    → rounded to 6dp on both sides."""
+    from .operators import similarity as SIM
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = SIM.label_centroids(emb)
+    return out.withColumn("centroid", F.round("centroid", 6))

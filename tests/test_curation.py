@@ -310,3 +310,31 @@ class TestFixedKSample:
         out = S.hash_sample_fixed_k(docs, "doc_id", "source", k=5)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+class TestLabelCentroids:
+    def test_hand_computed(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0], 0),
+                (2, [3.0, 4.0], 0),
+                (3, [10.0, 20.0], 1),
+            ],
+            ["vec_id", "embedding", "label"],
+        )
+        out = {
+            (r.label, r.dim): r for r in SIM.label_centroids(df).collect()
+        }
+        assert out[(0, 1)].centroid == 2.0 and out[(0, 2)].centroid == 3.0
+        assert out[(0, 1)].n_vecs == 2
+        assert out[(1, 1)].centroid == 10.0 and out[(1, 2)].n_vecs == 1
+
+    def test_every_label_and_dim_present(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        dim = len(emb.first().embedding)
+        n_labels = emb.select("label").distinct().count()
+        assert SIM.label_centroids(emb).count() == n_labels * dim
