@@ -452,3 +452,45 @@ def label_centroids(
         F.avg(F.col("v").cast("double")).alias("centroid"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids_long: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """k-means assignment (E-step): give every vector the label of its
+    most-cosine-similar centroid. `centroids_long` is label_centroids
+    output (label, dim, centroid) — together they form one full k-means
+    iteration that never leaves the cluster: M-step is a map-side-
+    combined aggregate, E-step below is a broadcast nested loop.
+
+    The centroid table packs back into per-label arrays (sorted by dim —
+    collect_list order is partition-dependent, array_sort makes it
+    deterministic) and BROADCASTS: k centroids x dim doubles is KBs even
+    for k=64k, so the data side streams through one scan with no
+    shuffle; the per-vector argmax is a window over k rows. Similarity
+    is rounded BEFORE ranking with label tie-break, so the chosen
+    assignment is engine-deterministic even at exact ties."""
+    from pyspark.sql import Window
+
+    cents = centroids_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cvec")
+    )
+    sim = F.round(cosine(_to_double(F.col(vec_col)), F.col("cvec")), round_dp)
+    scored = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), F.col("label"), sim.alias("sim"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("label"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("label").alias("assigned_label"), F.col("sim"))
+    )

@@ -336,3 +336,46 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     out = SIM.label_centroids(emb)
     return out.withColumn("centroid", F.round("centroid", 6))
+
+
+# --------------------------------------------------------------------------
+# k-means iteration: M-step centroids + E-step assignment
+# --------------------------------------------------------------------------
+@query(
+    "q_kmeans_assign",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), pos AS (
+      SELECT label, unnest(ve) AS x, generate_subscripts(ve, 1) AS dim FROM v
+    ), cent AS (
+      SELECT label, list(round(c, 6) ORDER BY dim) AS cvec FROM (
+        SELECT label, dim, avg(x) AS c FROM pos GROUP BY label, dim
+      ) GROUP BY label
+    ), sims AS (
+      SELECT v.vec_id, c.label,
+             round(list_cosine_similarity(v.ve, c.cvec), 6) AS sim
+      FROM v CROSS JOIN cent c
+    )
+    SELECT vec_id, label AS assigned_label, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, label) AS rn
+      FROM sims
+    ) WHERE rn = 1
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full distributed k-means iteration over the embedding corpus:
+    M-step = label_centroids (map-side-combined aggregate, shuffle is
+    |labels| x dim), E-step = assign_to_centroids (broadcast nested loop,
+    zero data shuffle, windowed argmax). Centroids round to 6dp before
+    the distance so both engines rank identical inputs; similarity
+    rounds before ranking with label tie-break (engine-deterministic
+    choice at exact ties)."""
+    from .operators import similarity as SIM
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = SIM.label_centroids(emb).withColumn(
+        "centroid", F.round("centroid", 6)
+    )
+    return SIM.assign_to_centroids(emb, cents)

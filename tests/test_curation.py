@@ -338,3 +338,40 @@ class TestLabelCentroids:
         dim = len(emb.first().embedding)
         n_labels = emb.select("label").distinct().count()
         assert SIM.label_centroids(emb).count() == n_labels * dim
+
+
+class TestKMeansAssign:
+    def test_hand_computed_assignment(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], 0),
+                (2, [0.9, 0.1], 0),
+                (3, [0.0, 1.0], 1),
+                (4, [0.1, 0.9], 1),
+            ],
+            ["vec_id", "embedding", "label"],
+        )
+        cents = SIM.label_centroids(df)
+        out = {r.vec_id: r.assigned_label
+               for r in SIM.assign_to_centroids(df, cents).collect()}
+        assert out == {1: 0, 2: 0, 3: 1, 4: 1}
+
+    def test_assignment_beats_chance(self, spark):
+        """One E-step against the label centroids must re-assign vectors
+        to their own label far above the 1/n_labels chance rate (the
+        synthetic corpus's label clusters are noisy — ~37% observed vs
+        10% chance at 10 labels — so the bar is 2x chance, not purity)."""
+        from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        n_labels = emb.select("label").distinct().count()
+        cents = SIM.label_centroids(emb)
+        joined = SIM.assign_to_centroids(emb, cents).join(
+            emb.select("vec_id", "label"), "vec_id"
+        )
+        n = joined.count()
+        agree = joined.filter(F.col("assigned_label") == F.col("label")).count()
+        assert agree / n > 2.0 / n_labels, f"only {agree}/{n} self-assigned"
+        assert n == emb.count()  # exactly one assignment per vector
