@@ -379,3 +379,87 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid", F.round("centroid", 6)
     )
     return SIM.assign_to_centroids(emb, cents)
+
+
+# --------------------------------------------------------------------------
+# Full curation pipeline composite
+# --------------------------------------------------------------------------
+@query(
+    "q_curate_end2end",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+4], ' ')
+                            for i in range(1, len(w) - 2)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0
+    ), contaminated AS (
+      SELECT DISTINCT e.doc_id
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 <> 0) e
+      JOIN bench USING (s)
+    ), survivors AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS w FROM documents d
+      WHERE d.doc_id % 97 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), pos AS (
+      SELECT doc_id, unnest(range(1, len(w) - 1)) AS i, w FROM survivors
+    ), spans AS (
+      SELECT doc_id, i, array_to_string(w[i:i+2], ' ') AS s FROM pos
+    ), stats AS (
+      SELECT s, count(DISTINCT doc_id) AS span_df, min(doc_id) AS mindoc
+      FROM spans GROUP BY s
+    ), starts AS (
+      SELECT sp.doc_id, sp.i FROM spans sp JOIN stats USING (s)
+      WHERE stats.span_df > 1 AND stats.mindoc <> sp.doc_id
+    ), cov AS (
+      SELECT doc_id, list(DISTINCT j) AS cov FROM (
+        SELECT DISTINCT doc_id, unnest(range(i, i + 3)) AS j FROM starts
+      ) GROUP BY doc_id
+    ), cleaned AS (
+      SELECT t.doc_id,
+             coalesce(array_to_string(
+               [t.w[j] for j in range(1, len(t.w) + 1)
+                if NOT coalesce(list_contains(c.cov, j), false)], ' '
+             ), '') AS text_clean
+      FROM survivors t LEFT JOIN cov c USING (doc_id)
+    ), scored AS (
+      SELECT doc_id, text_clean,
+             least(len(string_split(text_clean, ' ')) / 50, 1.0)
+               * (len(list_distinct(string_split(text_clean, ' ')))
+                  / len(string_split(text_clean, ' '))) AS q_score
+      FROM cleaned
+    )
+    SELECT doc_id, text_clean, q_score FROM scored
+    WHERE q_score >= 0.1
+      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+    """,
+)
+def q_curate_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pipeline a pretraining-data job runs, as one
+    composed plan: 5-gram benchmark decontamination (drop any doc
+    sharing an n-gram with the eval slice) → duplicate-span removal over
+    the survivors (canonical copy kept) → quality re-score of the
+    REWRITTEN text → deterministic 50% hash sample. Every stage is the
+    already-oracle-checked operator; the composite is hash-checked end
+    to end by one chained-CTE oracle — integration bugs between stages
+    (wrong stage order, stats computed over the wrong population) would
+    break the hash even though each piece passes alone. Scale shape:
+    one broadcast match + two inverted-index shuffles + projections."""
+    from .operators.dedup import shingles as _  # noqa: F401 (parity with oracle)
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    flags = TX.benchmark_ngram_overlap(corpus, bench, n=5)
+    survivors = corpus.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    cleaned = TX.remove_duplicate_spans(survivors, n=3).select(
+        "doc_id", "text_clean"
+    )
+    scored = TX.quality_score(
+        cleaned.withColumnRenamed("text_clean", "text")
+    ).select("doc_id", F.col("text").alias("text_clean"), "q_score")
+    kept = S.hash_sample(scored.filter(F.col("q_score") >= 0.1), "doc_id", 0.5)
+    return kept.select("doc_id", "text_clean", "q_score")
