@@ -386,6 +386,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q_curate_end2end",
+    headline=True,
     oracle="""
     WITH sh AS (
       SELECT doc_id,
