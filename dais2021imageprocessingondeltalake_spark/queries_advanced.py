@@ -267,11 +267,28 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_merge_upsert", oracle=None)
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text, lang FROM documents),
+    src AS (
+      SELECT doc_id, 'updated: ' || text AS text, lang,
+             (doc_id % 21 = 0) AS del
+      FROM docs WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, false FROM docs WHERE doc_id % 11 = 0
+    )
+    SELECT d.doc_id, d.text, d.lang FROM docs d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
+    UNION ALL
+    SELECT doc_id, text, lang FROM src WHERE NOT del
+    """,
+)
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE emulation (anti-join + union): update half the docs, insert
-    new ones, delete flagged ones. Invariants in tests/test_advanced.py;
-    rows-only here (filesystem-free, but the op itself is the point)."""
+    new ones, delete flagged ones. The whole MERGE is deterministic, so
+    the oracle replays update/insert/delete set algebra in SQL —
+    upgraded from rows-only. Invariants in tests/test_advanced.py."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
     updates = (
         docs.filter(F.col("doc_id") % 7 == 0)

@@ -102,7 +102,10 @@ def q_scan_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_partitioned_write", oracle=None)
+@query(
+    "q_partitioned_write",
+    oracle="SELECT event_id, value FROM events WHERE event_type = 'purchase'",
+)
 def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-encoded layout (§1.3: the reference's label=daisy/ dirs,
     `00. Explore.py:41,49`): write events partitioned by event_type, read

@@ -201,10 +201,15 @@ def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # A5/A6 — write/read round-trip (rows-only: filesystem side effect)
 # --------------------------------------------------------------------------
-@query("q_write_roundtrip", oracle=None)
+@query(
+    "q_write_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
 def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sink + scan round-trip (A5/A6) with the §4.2 binary-payload
-    policies (uncompressed codec, small row groups, pre-write compaction)."""
+    policies (uncompressed codec, small row groups, pre-write compaction).
+    The round-trip is lossless, so the ORIGINAL table is the oracle —
+    the driver hash now verifies write-path fidelity, not just rows."""
     docs = load_table(spark, "documents", sf_dir)
     out = tempfile.mkdtemp(prefix="dais_roundtrip_") + "/documents"
     write_table(
