@@ -464,3 +464,42 @@ def q_curate_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("text").alias("text_clean"), "q_score")
     kept = S.hash_sample(scored.filter(F.col("q_score") >= 0.1), "doc_id", 0.5)
     return kept.select("doc_id", "text_clean", "q_score")
+
+
+# --------------------------------------------------------------------------
+# Corpus mix report
+# --------------------------------------------------------------------------
+@query(
+    "q_corpus_mix",
+    oracle="""
+    WITH g AS (
+      SELECT source, lang,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM g)
+    SELECT g.source, g.lang, g.n_docs, g.n_tokens,
+           g.n_tokens / CAST(t.total_tokens AS DOUBLE) AS token_share
+    FROM g CROSS JOIN tot t
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mix report every pretraining run is planned around:
+    docs/tokens per (source, lang) with each cell's share of total
+    tokens. The total ships as a broadcast 1-row aggregate, NOT an
+    unpartitioned window (a global window funnels every row through one
+    partition at 100 TB; the broadcast keeps the plan two shuffle-free
+    joins after one groupBy). Integer token sums are exact, the share
+    division is per-row IEEE — no rounding needed."""
+    from .operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    g = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tot = g.agg(F.sum("n_tokens").alias("total_tokens"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source", "lang", "n_docs", "n_tokens",
+        (F.col("n_tokens") / F.col("total_tokens").cast("double")).alias("token_share"),
+    )
