@@ -102,11 +102,14 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: filter to the query's LSH bucket (+ Hamming-1
     buckets when multiprobe), then exact cosine re-rank. The bucket
     filter is a scan-level predicate — at scale, write-time partitioning
-    by bucket turns it into partition pruning (read N/2^H of the data)."""
+    by bucket turns it into partition pruning (read N/2^H of the data).
+    `round_dp` rounds the similarity BEFORE the order/limit (see
+    cosine_topk) so k-boundary selection is engine-deterministic."""
     planes = _hyperplanes(len(query_vec), n_planes, seed)
     # driver-side query bucket (tiny, pure python — not on the data path)
     qb = 0
@@ -120,6 +123,8 @@ def lsh_ann_topk(
     cand = bucketed.filter(F.col("bucket").isin(probes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine(_to_double(F.col(vec_col)), q)
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
     return (
         cand.select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))

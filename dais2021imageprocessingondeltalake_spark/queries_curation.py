@@ -1,8 +1,11 @@
 """Corpus-curation query registrations (north-star tier, round 2):
-benchmark decontamination, deterministic hash sampling / domain mixing,
-BM25 sparse-retrieval scoring, and mergeable histogram-quantile rollups.
-All four are fully deterministic (no engine-private hash functions), so
-each carries a complete DuckDB oracle.
+benchmark decontamination, deterministic hash sampling / domain mixing
+(rate-based and exactly-k), BM25 scoring, mergeable histogram-quantile
+rollups, incremental cross-corpus dedup, duplicate-span removal,
+distributed k-means (centroids + assignment), the end-to-end curation
+composite, and the corpus mix report. Everything here is fully
+deterministic (no engine-private hash functions), so every query
+carries a complete DuckDB oracle.
 """
 
 from __future__ import annotations

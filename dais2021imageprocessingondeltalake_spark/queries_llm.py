@@ -192,16 +192,58 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, qv, k=10, round_dp=6)
 
 
-@query("q_embedding_ann", oracle=None)
+def _lsh_ann_oracle() -> str:
+    """Replay the ENTIRE sign-LSH path in SQL: the 6 seed-7 hyperplanes
+    are deterministic constants, so they embed as literals; the bucket is
+    the packed sign-bit sum, multiprobe = exact bucket or xor with one
+    bit. The dim is fixed at 64 across all corpus scales (asserted in
+    the query)."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6, seed=7)
+    def lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+    bits = "\n      + ".join(
+        f"(CASE WHEN list_dot_product(ve, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    qbits = "\n      + ".join(
+        f"(CASE WHEN list_dot_product(qv, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+    b AS (
+      SELECT vec_id, ve,
+      {bits} AS bucket
+      FROM v
+    ), qb AS (
+      SELECT
+      {qbits} AS qbucket
+      FROM q
+    )
+    SELECT vec_id, round(list_cosine_similarity(b.ve, q.qv), 6) AS cosine_sim
+    FROM b, q, qb
+    WHERE b.bucket = qb.qbucket OR xor(b.bucket, qb.qbucket) IN (1, 2, 4, 8, 16, 32)
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("q_embedding_ann", oracle=_lsh_ann_oracle())
 def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only; recall vs the exact
-    baseline asserted in tests). At scale the bucket predicate becomes
-    partition pruning when vectors are written bucketed."""
+    """LSH-bucketed approximate top-k — FULLY oracle-checked: the seeded
+    hyperplanes are deterministic constants, so DuckDB replays bucket
+    assignment, multiprobe expansion, and the rounded cosine re-rank
+    bit-for-bit. At scale the bucket predicate becomes partition pruning
+    when vectors are written bucketed."""
     emb = load_table(spark, "embeddings", sf_dir)
     qv = _query_vector(spark, sf_dir)
+    assert len(qv) == 64, "oracle hyperplanes are generated for dim=64"
     # 6 planes: random (near-orthogonal) embeddings need wide buckets for
     # useful recall; real clustered embeddings tolerate more planes
-    return SIM.lsh_ann_topk(emb, qv, k=10, n_planes=6, multiprobe=True)
+    return SIM.lsh_ann_topk(emb, qv, k=10, n_planes=6, multiprobe=True, round_dp=6)
 
 
 @query("q_embedding_ivf", oracle=None)
