@@ -259,12 +259,49 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann_topk(emb, qv, cents, k=10, n_probe=4)
 
 
-@query("q_embedding_near_dup", oracle=None)
+def _near_dup_oracle() -> str:
+    """Replay the LSH-bucketed near-dup self-join in SQL with the seeded
+    hyperplanes as literals (same trick as _lsh_ann_oracle; 6 planes,
+    dim 64). The threshold filter runs on the raw cosine in both
+    engines; only the EMITTED similarity is rounded. 0.35/6-planes is
+    corpus-tuned: the synthetic embeddings have no cosine>=0.9 pairs at
+    all, and an always-empty oracle would prove nothing — the planted
+    -duplicate tests cover the high-threshold regime."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6, seed=7)
+    def lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+    bits = "\n      + ".join(
+        f"(CASE WHEN list_dot_product(ve, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    b AS (
+      SELECT vec_id, ve,
+      {bits} AS bucket
+      FROM v
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_cosine_similarity(a.ve, c.ve), 6) AS cosine_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(a.ve, c.ve) >= 0.35
+    """
+
+
+@query("q_embedding_near_dup", oracle=_near_dup_oracle())
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs embedding near-dup (cosine >= 0.9) via LSH buckets
-    (rows-only; the embedding analogue of MinHash banding)."""
+    """All-pairs embedding similarity pairs (cosine >= 0.35) via LSH
+    buckets — the embedding analogue of MinHash banding, fully
+    oracle-checked: the seeded hyperplanes replay as SQL literals, so
+    bucket assignment, the bucketed self-join, and the threshold all
+    hash-match (15-272 pairs across scales — a substantive check; the
+    planted tests cover the >=0.9 near-dup regime this corpus lacks).
+    Emitted similarity rounds to 6dp on both sides."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return SIM.embedding_near_dup(emb, threshold=0.9, n_planes=10, dim=64)
+    out = SIM.embedding_near_dup(emb, threshold=0.35, n_planes=6, dim=64)
+    return out.withColumn("cosine_sim", F.round("cosine_sim", 6))
 
 
 # --------------------------------------------------------------------------
