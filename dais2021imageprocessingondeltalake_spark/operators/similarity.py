@@ -396,6 +396,7 @@ def quantized_ann_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Two-stage ANN with int8 candidate generation: score every vector
     by the dot product of its QUANTIZED bytes against the quantized query
@@ -425,6 +426,8 @@ def quantized_ann_topk(
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine(_to_double(F.col(vec_col)), q)
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
     return (
         short.select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))

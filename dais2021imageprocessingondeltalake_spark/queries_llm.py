@@ -743,14 +743,43 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.quantize_embeddings_int8(emb).select("vec_id", "embedding_q8", "q8_scale")
 
 
-@query("q_embedding_ann_q8", oracle=None)
+@query(
+    "q_embedding_ann_q8",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+    q8 AS (
+      SELECT vec_id, ve,
+             CASE WHEN ma > 0
+                  THEN list_transform(ve, x -> CAST(floor(x * 127.0 / ma + 0.5) AS INT))
+                  ELSE list_transform(ve, x -> 0) END AS vq,
+             CASE WHEN ma > 0 THEN ma / 127.0 ELSE 0.0 END AS sc
+      FROM (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS ma FROM v)
+    ), qq AS (
+      SELECT list_transform(qv, x -> CAST(floor(x * 127.0 / qma + 0.5) AS INT)) AS qvq
+      FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qma FROM q)
+    ), short AS (
+      SELECT vec_id, ve
+      FROM q8, qq
+      ORDER BY list_dot_product(q8.vq, qq.qvq) * q8.sc DESC, vec_id
+      LIMIT 50
+    )
+    SELECT s.vec_id, round(list_cosine_similarity(s.ve, q.qv), 6) AS cosine_sim
+    FROM short s, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
 def q_embedding_ann_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage quantized ANN (rows-only; recall vs the exact baseline
-    asserted in tests): int8 coarse scoring over 4x-smaller vectors →
-    full-precision re-rank of a 50-vector shortlist."""
+    """Two-stage quantized ANN, fully oracle-checked: the int8 coarse
+    score is EXACT cross-engine (integer dot < 2^53 in a double, times a
+    per-vector scale that is one division of exact inputs — one IEEE
+    rounding, identical everywhere), so DuckDB replays quantization, the
+    50-vector shortlist, and the rounded full-precision re-rank
+    bit-for-bit. Recall vs the exact baseline stays asserted in tests."""
     emb = load_table(spark, "embeddings", sf_dir)
     qv = _query_vector(spark, sf_dir)
-    return SIM.quantized_ann_topk(emb, qv, k=10, shortlist=50)
+    return SIM.quantized_ann_topk(emb, qv, k=10, shortlist=50, round_dp=6)
 
 
 @query("q_leakage_safe_split", oracle=None)
