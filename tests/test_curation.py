@@ -375,3 +375,32 @@ class TestKMeansAssign:
         agree = joined.filter(F.col("assigned_label") == F.col("label")).count()
         assert agree / n > 2.0 / n_labels, f"only {agree}/{n} self-assigned"
         assert n == emb.count()  # exactly one assignment per vector
+
+
+class TestPlanShapes:
+    """Plan pins for the curation tier: the scale-critical physical
+    choices must survive refactors."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_decontaminate_broadcasts_benchmark(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        corpus = docs.filter(F.col("doc_id") % 97 != 0)
+        plan = self._plan(TX.benchmark_ngram_overlap(corpus, bench, n=5))
+        assert "BroadcastHashJoin" in plan  # corpus never shuffles to match
+
+    def test_corpus_mix_total_broadcasts(self, spark):
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        plan = self._plan(q.REGISTRY["q_corpus_mix"].fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # no unpartitioned window anywhere in the mix report
+        assert "Window" not in plan
+
+    def test_kmeans_assignment_broadcasts_centroids(self, spark):
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        plan = self._plan(q.REGISTRY["q_kmeans_assign"].fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan  # k x dim centroids ship to data
