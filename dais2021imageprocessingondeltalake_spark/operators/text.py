@@ -549,3 +549,36 @@ def remove_duplicate_spans(
         F.concat_ws(" ", kept).alias("text_clean"),
         F.size(cov).cast("bigint").alias("n_removed"),
     )
+
+
+def quality_gate(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_tokens: int = 20, max_repetition: float = 0.4,
+) -> DataFrame:
+    """Gopher/MassiveText-style composite quality gate: one verdict per
+    document with per-rule flags, so downstream can both FILTER (keep)
+    and AUDIT (which rule fired, rule firing rates by source). Rules:
+    too short, too repetitive (1 - distinct/total tokens), no English
+    marker words, contains PII patterns. Pure projection — all four
+    rules evaluate in one whole-stage-codegen pass over the text, zero
+    shuffle at any scale."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    fail_short = n_tok < min_tokens
+    fail_rep = (F.lit(1.0) - n_distinct / n_tok) > max_repetition
+    fail_lang = F.size(F.array_intersect(F.array_distinct(toks), markers)) == 0
+    pii = None
+    for pat in PII_PATTERNS.values():
+        hit = F.regexp_count(t, F.lit(pat)) > 0
+        pii = hit if pii is None else (pii | hit)
+    return df.select(
+        F.col(id_col),
+        fail_short.alias("fail_short"),
+        fail_rep.alias("fail_repetitive"),
+        fail_lang.alias("fail_nonenglish"),
+        pii.alias("fail_pii"),
+        (~(fail_short | fail_rep | fail_lang | pii)).alias("keep_doc"),
+    )

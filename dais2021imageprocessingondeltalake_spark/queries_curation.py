@@ -506,3 +506,39 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "lang", "n_docs", "n_tokens",
         (F.col("n_tokens") / F.col("total_tokens").cast("double")).alias("token_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Composite quality gate
+# --------------------------------------------------------------------------
+@query(
+    "q_quality_gate",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) < 20 AS fail_short,
+           (1.0 - len(list_distinct(string_split(text, ' ')))
+                  / len(string_split(text, ' '))) > 0.4 AS fail_repetitive,
+           len(list_intersect(list_distinct(string_split(text, ' ')),
+                              ['the', 'a', 'and', 'of'])) = 0 AS fail_nonenglish,
+           (regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')
+            OR regexp_matches(text, '[0-9]{3}-[0-9]{4}')
+            OR regexp_matches(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS fail_pii,
+           NOT (len(string_split(text, ' ')) < 20
+                OR (1.0 - len(list_distinct(string_split(text, ' ')))
+                          / len(string_split(text, ' '))) > 0.4
+                OR len(list_intersect(list_distinct(string_split(text, ' ')),
+                                      ['the', 'a', 'and', 'of'])) = 0
+                OR regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')
+                OR regexp_matches(text, '[0-9]{3}-[0-9]{4}')
+                OR regexp_matches(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS keep_doc
+    FROM documents
+    """,
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate: per-rule fail flags (short /
+    repetitive / non-English / PII) plus the combined keep verdict for
+    every document — the auditable form of a crawl quality filter (rule
+    firing rates by source are one groupBy away). Single projection,
+    zero shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.quality_gate(docs)

@@ -404,3 +404,32 @@ class TestPlanShapes:
 
         plan = self._plan(q.REGISTRY["q_kmeans_assign"].fn(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" in plan  # k x dim centroids ship to data
+
+
+class TestQualityGate:
+    def test_planted_rule_hits(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over a lazy dog and then runs far away home tonight with friends of mine"),  # clean
+                (2, "short text"),                                     # fail_short
+                (3, "the " * 30 + "of a and"),                        # repetitive but english
+                (4, "contact me at john.doe@example.com " + "the a and of word " * 5),  # pii
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in TX.quality_gate(docs).collect()}
+        assert out[1].keep_doc and not any(
+            [out[1].fail_short, out[1].fail_repetitive, out[1].fail_nonenglish, out[1].fail_pii]
+        )
+        assert out[2].fail_short and not out[2].keep_doc
+        assert out[3].fail_repetitive and not out[3].keep_doc
+        assert out[4].fail_pii and not out[4].keep_doc
+
+    def test_keep_is_conjunction(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        out = TX.quality_gate(docs)
+        bad = out.filter(
+            out.keep_doc
+            & (out.fail_short | out.fail_repetitive | out.fail_nonenglish | out.fail_pii)
+        ).count()
+        assert bad == 0
