@@ -542,3 +542,63 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle."""
     docs = load_table(spark, "documents", sf_dir)
     return TX.quality_gate(docs)
+
+
+# --------------------------------------------------------------------------
+# Dedup audit: cluster-size distribution
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_audit",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      WHERE shared / (n_a + n_b - shared) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ), roots AS (
+      SELECT id, min(r) AS cluster_root FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT cluster_root, count(*) AS cluster_size FROM roots GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS docs_dropped
+    FROM sizes GROUP BY 1
+    """,
+)
+def q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup AUDIT report: the near-dup cluster-size distribution and how
+    many documents each size class drops — the numbers a data team reads
+    before signing off a dedup run ('how much of the corpus is
+    duplicated, in what clump sizes?'). Composes the prefix-Jaccard
+    candidate join and pointer-jumping connected components, then two
+    tiny aggregations; oracle replays the whole chain with a recursive
+    CTE. Only docs appearing in some qualifying pair are clustered
+    (singletons are implicitly size-1 and drop nothing)."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+    clusters = D.connected_components(pairs)
+    sizes = clusters.groupBy("cluster_root").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).alias("docs_dropped"),
+    )
