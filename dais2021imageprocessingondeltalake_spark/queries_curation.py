@@ -194,6 +194,7 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q_cross_dedup",
+    headline=True,
     oracle="""
     WITH sh AS (
       SELECT doc_id,

@@ -433,3 +433,52 @@ class TestQualityGate:
             & (out.fail_short | out.fail_repetitive | out.fail_nonenglish | out.fail_pii)
         ).count()
         assert bad == 0
+
+
+def test_curation_operators_tolerate_empty_input(spark):
+    """Round-2 curation operators must return empty, correctly typed
+    frames on empty input (first batch of a new pipeline is often
+    empty) — exercises the checkpoint/broadcast/window machinery."""
+    from pyspark.sql import types as T
+
+    from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+    from dais2021imageprocessingondeltalake_spark.operators.dedup import (
+        cross_corpus_near_dup_flags,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    assert TX.benchmark_ngram_overlap(empty_docs, empty_docs).count() == 0
+    assert TX.bm25_scores(empty_docs).count() == 0
+    assert TX.remove_duplicate_spans(empty_docs).count() == 0
+    assert TX.quality_gate(empty_docs).count() == 0
+    assert S.hash_sample(empty_docs, "doc_id", 0.5).count() == 0
+    assert S.hash_sample_fixed_k(empty_docs, "doc_id", "source", 5).count() == 0
+    assert (
+        cross_corpus_near_dup_flags(empty_docs, empty_docs, "doc_id").count() == 0
+    )
+    assert AGG.histogram_quantiles(
+        empty_docs.withColumn("v", F.lit(1.0)), "source", "v", 0.0, 1.0, 4
+    ).count() == 0
+
+    empty_emb = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("label", T.IntegerType()),
+            ]
+        ),
+    )
+    cents = SIM.label_centroids(empty_emb)
+    assert cents.count() == 0
+    assert SIM.assign_to_centroids(empty_emb, cents).count() == 0
