@@ -705,3 +705,81 @@ def test_count_null_semantics_match_duckdb(spark, pred, keys):
     cols, rows = run_oracle(sql, SF_DIR)
     problems = compare(got, cols, rows, rel_tol=0.0)
     assert not problems, f"{sql}: {problems[:2]}"
+
+
+# --------------------------------------------------------------------------
+# Curation-expression differentials over documents: the text-scalar and
+# deterministic-sampling surface the curation tier rests on (token counts,
+# distinct counts, md5-prefix Bernoulli predicates, LIKE shapes, modular
+# slicing), rendered to both engines and compared exactly.
+# --------------------------------------------------------------------------
+_CUR_WORDS = ["the", "data", "model", "learning", "and"]
+
+_CUR_EXPRS = {
+    # name -> (spark Column factory, SQL text)
+    "tok_count": (
+        lambda: F.size(F.split(F.col("text"), " ")).cast("bigint"),
+        "CAST(len(string_split(text, ' ')) AS BIGINT)",
+    ),
+    "distinct_toks": (
+        lambda: F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("bigint"),
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)",
+    ),
+    "n_chars_live": (
+        lambda: F.length(F.col("text")).cast("bigint"),
+        "CAST(len(text) AS BIGINT)",
+    ),
+    "ttr": (
+        lambda: F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        / F.size(F.split(F.col("text"), " ")),
+        "len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))",
+    ),
+}
+
+
+@st.composite
+def curation_queries(draw):
+    cols = draw(
+        st.lists(st.sampled_from(sorted(_CUR_EXPRS)), min_size=1, max_size=3, unique=True)
+    )
+    pred_kind = draw(st.sampled_from(["md5", "like", "mod", "tok"]))
+    if pred_kind == "md5":
+        rate16 = draw(st.integers(1, 15))
+        thr = format(rate16 * 16**7, "08x")
+        pred = (
+            lambda: F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thr,
+            f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}'",
+        )
+    elif pred_kind == "like":
+        w = draw(st.sampled_from(_CUR_WORDS))
+        pred = (lambda: F.col("text").like(f"%{w}%"), f"text LIKE '%{w}%'")
+    elif pred_kind == "mod":
+        k = draw(st.integers(2, 13))
+        r = draw(st.integers(0, 1))
+        pred = (lambda: F.col("doc_id") % k == r, f"doc_id % {k} = {r}")
+    else:
+        n = draw(st.integers(5, 120))
+        pred = (
+            lambda: F.size(F.split(F.col("text"), " ")) >= n,
+            f"len(string_split(text, ' ')) >= {n}",
+        )
+    return cols, pred
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=curation_queries())
+def test_random_curation_exprs_match_duckdb(spark, q):
+    cols, (spark_pred, sql_pred) = q
+    docs = load_table(spark, "documents", SF_DIR)
+    got = docs.filter(spark_pred()).select(
+        "doc_id", *[_CUR_EXPRS[c][0]().alias(c) for c in cols]
+    )
+    sel = ", ".join(f"{_CUR_EXPRS[c][1]} AS {c}" for c in cols)
+    sql = f"SELECT doc_id, {sel} FROM documents WHERE {sql_pred}"
+    oracle_cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, oracle_cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
