@@ -603,3 +603,57 @@ def q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum(F.col("cluster_size") - 1).alias("docs_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch-based winsorization (outlier clipping)
+# --------------------------------------------------------------------------
+@query(
+    "q_winsorize",
+    oracle=f"""
+    WITH hist AS (
+      SELECT o_orderpriority,
+             CAST(least({_H_BINS - 1}, greatest(0,
+                  floor((o_totalprice - {_H_LO!r}) / {_H_WIDTH!r}))) AS INT) AS bin,
+             count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), cum AS (
+      SELECT o_orderpriority, bin,
+             sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY o_orderpriority) AS total
+      FROM hist
+    ), caps AS (
+      SELECT o_orderpriority,
+             {_H_LO!r} + (min(CASE WHEN cum / CAST(total AS DOUBLE) >= 0.95
+                              THEN bin END) + 1) * {_H_WIDTH!r} AS cap
+      FROM cum GROUP BY 1
+    )
+    SELECT o.o_orderkey,
+           o.o_orderpriority,
+           least(o.o_totalprice, c.cap) AS totalprice_clipped,
+           o.o_totalprice > c.cap AS was_clipped
+    FROM orders o JOIN caps c USING (o_orderpriority)
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based winsorization: clip each order's value at its
+    priority group's p95 (from the mergeable histogram sketch) and flag
+    clipped rows — the outlier-capping step reward/score pipelines run
+    before aggregation so one pathological value can't dominate a mean.
+    The per-group cap table is tiny → broadcast join; the clip itself is
+    a projection. Fully deterministic (integer-count sketch + least),
+    oracle-exact."""
+    orders = load_table(spark, "orders", sf_dir)
+    caps = AGG.histogram_quantiles(
+        orders, "o_orderpriority", "o_totalprice",
+        lo=_H_LO, hi=_H_HI, nbins=_H_BINS, ps=(0.95,),
+    ).withColumnRenamed("p95", "cap")
+    return (
+        orders.join(F.broadcast(caps), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.least(F.col("o_totalprice"), F.col("cap")).alias("totalprice_clipped"),
+            (F.col("o_totalprice") > F.col("cap")).alias("was_clipped"),
+        )
+    )
