@@ -657,3 +657,38 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") > F.col("cap")).alias("was_clipped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum binning
+# --------------------------------------------------------------------------
+@query(
+    "q_curriculum",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source,
+             least(len(string_split(text, ' ')) / 50, 1.0)
+               * (len(list_distinct(string_split(text, ' ')))
+                  / len(string_split(text, ' '))) AS q_score
+      FROM documents
+    )
+    SELECT doc_id, source, q_score,
+           ntile(4) OVER (PARTITION BY source
+                          ORDER BY q_score DESC, doc_id) AS curriculum_bin
+    FROM q
+    """,
+)
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: quality quartiles within each source (bin 1 =
+    highest quality) — the assignment a quality-ordered data curriculum
+    or an annealed mix schedule trains from. ntile ties are broken by
+    doc_id so the assignment is engine-deterministic; one window shuffle
+    per source partition, parallel across sources."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = TX.quality_score(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", "q_score"
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q_score").desc(), F.col("doc_id"))
+    return scored.withColumn("curriculum_bin", F.ntile(4).over(w))
