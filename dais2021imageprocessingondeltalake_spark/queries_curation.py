@@ -692,3 +692,61 @@ def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("source").orderBy(F.col("q_score").desc(), F.col("doc_id"))
     return scored.withColumn("curriculum_bin", F.ntile(4).over(w))
+
+
+# --------------------------------------------------------------------------
+# BM25 search (retrieval top-k)
+# --------------------------------------------------------------------------
+_SEARCH_TERMS = ("data", "model", "learning")
+
+@query(
+    "q_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), consts AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), scored AS (
+      SELECT t.doc_id,
+             round(sum(
+               ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * (1.2 + 1))
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+             ), 6) AS score
+      FROM tf t
+      JOIN dl d USING (doc_id)
+      JOIN dfreq f USING (term)
+      CROSS JOIN consts c
+      WHERE t.term IN {_SEARCH_TERMS!r}
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 documents for a fixed 3-term query — what
+    the BM25 index exists FOR (seed-set expansion, RAG retrieval,
+    quality filtering by similarity to trusted docs). The term filter
+    pushes into the inverted index before any join, so only matching
+    postings flow; per-doc sums round to 6dp BEFORE the top-k with a
+    doc_id tie-break (engine-deterministic selection). Sum order within
+    a doc: <= 3 addends, summed in DuckDB's and Spark's group order —
+    both tiny and, with 6dp rounding, stable in practice at every
+    tested scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    scores = TX.bm25_scores(docs, k1=1.2, b=0.75)
+    out = (
+        scores.filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+    return out
