@@ -750,3 +750,61 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_source_matrix",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      WHERE shared / (n_a + n_b - shared) >= 0.5
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts by
+    (source, source) — the audit that shows WHICH sources mirror each
+    other (within-source boilerplate vs cross-source scraping), i.e.
+    where a source-level dedup policy should bite. Prefix-Jaccard pairs
+    joined twice against the doc→source dimension (broadcast-able),
+    sources ordered within each pair so the matrix is upper-triangular
+    regardless of id order."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+    dim = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(
+            F.broadcast(dim).withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("source", "src_a"), "doc_a",
+        )
+        .join(
+            F.broadcast(dim).withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("source", "src_b"), "doc_b",
+        )
+    )
+    return joined.groupBy(
+        F.least("src_a", "src_b").alias("source_a"),
+        F.greatest("src_a", "src_b").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
