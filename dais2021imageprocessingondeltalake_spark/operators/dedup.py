@@ -632,16 +632,20 @@ def cross_corpus_near_dup_flags(
         return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
 
     ex_new, ex_ref = _exploded(sh_new), _exploded(sh_ref)
-    dfreq = (
-        ex_new.select("s").union(ex_ref.select("s"))
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-    )
+    # rarity order from REF-side doc frequencies only: prefix filtering is
+    # correct under ANY total order both sides share, and (ref-df, s) is
+    # shared — shingles unseen in the corpus coalesce to df 0 (rarest,
+    # sort first: keeps them in prefixes, so recall is untouched). This
+    # matches how incremental ingest actually runs — the corpus dfreq
+    # table is precomputed once and reused for every snapshot; the new
+    # batch never has to contribute to (or wait for) a union-wide count.
+    dfreq = ex_ref.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
 
     def _prefix(ex: DataFrame) -> DataFrame:
         rarity = Window.partitionBy("doc").orderBy("dfreq", "s")
         return (
-            ex.join(dfreq, ["s"])
+            ex.join(dfreq, ["s"], "left")
+            .withColumn("dfreq", F.coalesce(F.col("dfreq"), F.lit(0)))
             .withColumn("rn", F.row_number().over(rarity))
             .filter(
                 F.col("rn")
