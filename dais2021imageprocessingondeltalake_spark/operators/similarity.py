@@ -502,3 +502,52 @@ def assign_to_centroids(
         .filter(F.col("__rn") == 1)
         .select(F.col(id_col), F.col("label").alias("assigned_label"), F.col("sim"))
     )
+
+
+def kmeans_fit_distributed(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed spherical k-means (Lloyd's): init centroids from k
+    deterministically-chosen vectors (md5-rank over ids — layout- and
+    rerun-stable, unlike a random sample), then alternate the broadcast
+    E-step (assign_to_centroids) and the map-side-combined M-step
+    (label_centroids shape, keyed by the assignment). Returns
+    (assignments, centroids_long) after `iters` rounds.
+
+    This is the FULL-data trainer complementing ivf_fit_centroids'
+    bounded driver-side seeding: every step is a distributed plan — the
+    data never leaves the cluster, per-round state is |k| x dim doubles
+    (localCheckpoint truncates the growing lineage, same pattern as
+    connected_components). Cost per round: one scan + one broadcast
+    nested loop + one aggregate whose shuffle is k x dim rows."""
+    from pyspark.sql import Window
+
+    digest = F.md5(F.col(id_col).cast("string"))
+    w = Window.orderBy(digest, F.col(id_col))
+    seeds = (
+        df.select(id_col, vec_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .select("label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("centroid"))
+        .localCheckpoint()
+    )
+    cents = seeds
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_to_centroids(df, cents, id_col=id_col, vec_col=vec_col)
+        joined = df.select(id_col, vec_col).join(assigned, id_col)
+        cents = (
+            label_centroids(
+                joined.withColumnRenamed("assigned_label", "label"),
+                label_col="label",
+                vec_col=vec_col,
+            )
+            .select("label", "dim", "centroid")
+            .localCheckpoint()
+        )
+    return assigned, cents

@@ -808,3 +808,24 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("src_a", "src_b").alias("source_a"),
         F.greatest("src_a", "src_b").alias("source_b"),
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means fit (iterative — rows-only per driver contract)
+# --------------------------------------------------------------------------
+@query("q_kmeans_fit", oracle=None)
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed spherical k-means (k=8, 3 Lloyd rounds) over the
+    embedding corpus; output = per-cluster size and mean assigned
+    similarity. Iterative float evolution is not SQL-expressible, so
+    this is a rows-only entry (the driver records rows; the convergence
+    property — the k-means objective improves across rounds — is
+    asserted in tests)."""
+    from .operators import similarity as SIM
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned, _ = SIM.kmeans_fit_distributed(emb, k=8, iters=3)
+    return assigned.groupBy("assigned_label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("sim"), 4).alias("mean_sim"),
+    )

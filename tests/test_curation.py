@@ -482,3 +482,19 @@ def test_curation_operators_tolerate_empty_input(spark):
     cents = SIM.label_centroids(empty_emb)
     assert cents.count() == 0
     assert SIM.assign_to_centroids(empty_emb, cents).count() == 0
+
+
+class TestKMeansFit:
+    def test_objective_improves_and_output_shape(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        a1, _ = SIM.kmeans_fit_distributed(emb, k=8, iters=1)
+        a3, c3 = SIM.kmeans_fit_distributed(emb, k=8, iters=3)
+        obj1 = a1.agg(F.sum("sim")).first()[0]
+        obj3 = a3.agg(F.sum("sim")).first()[0]
+        assert obj3 >= obj1  # Lloyd rounds only improve the objective
+        assert a3.count() == emb.count()  # every vector assigned once
+        assert a3.select("assigned_label").distinct().count() <= 8
+        dim = len(emb.first().embedding)
+        assert c3.count() <= 8 * dim  # k centroids in long form
