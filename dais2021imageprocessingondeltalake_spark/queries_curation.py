@@ -829,3 +829,35 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("sim"), 4).alias("mean_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source exact-duplication rate
+# --------------------------------------------------------------------------
+@query(
+    "q_dup_rate",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rate (1 - unique/total content
+    hashes) — the one-line health metric that decides whether a source
+    needs dedup at all. One groupBy with a distinct-count; at 100 TB
+    the same number comes from the mergeable HLL sketch_rollup when an
+    approximation suffices."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+        (
+            F.lit(1.0)
+            - F.count_distinct(F.md5(F.col("text").cast("binary")))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )
