@@ -34,6 +34,56 @@ def _parallelize(df: DataFrame) -> DataFrame:
     return ensure_min_partitions(df, df.sparkSession.sparkContext.defaultParallelism)
 
 
+#: Materialization strategies for hot intermediates that feed several plan
+#: branches (shingle tables, CC labels). The dedup entry points accept one
+#: of these via their `materialize=` parameter:
+#:
+#: - "localCheckpoint" (default): truncates lineage and stores blocks on
+#:   executor memory/local disk. Fastest, but NOT fault-tolerant — the
+#:   blocks live only on the executors that computed them, so on a real
+#:   cluster losing one executor mid-job kills the job with unrecoverable
+#:   lineage. Right for local mode and for jobs where retry-from-scratch
+#:   is acceptable.
+#: - "persist": persist(DISK_ONLY), lineage retained — a lost block
+#:   recomputes from source instead of failing the job. The cluster-mode
+#:   default for ONE-SHOT reuse (shingle tables). For ITERATIVE paths
+#:   (connected_components) it does not truncate lineage, so round N's
+#:   logical plan still embeds rounds 1..N-1 — prefer "checkpoint" there.
+#: - "checkpoint": reliable checkpoint — truncates lineage AND survives
+#:   executor loss by writing to `sparkContext.setCheckpointDir` storage
+#:   (HDFS/S3 on a cluster). The cluster-mode default for iterative paths.
+#: - None: no materialization; every branch recomputes the intermediate.
+MATERIALIZE_MODES = ("localCheckpoint", "persist", "checkpoint", None)
+
+
+def materialize_df(df: DataFrame, mode: str | bool | None, eager: bool = True) -> DataFrame:
+    """Pin `df` per the strategy table above. Booleans are accepted for
+    back-compat: True = "localCheckpoint", False = None."""
+    if mode is True:
+        mode = "localCheckpoint"
+    elif mode is False:
+        mode = None
+    if mode is None:
+        return df
+    if mode == "localCheckpoint":
+        return df.localCheckpoint(eager=eager)
+    if mode == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY)
+        if eager:
+            out.count()  # scalar action: populate the cache now
+        return out
+    if mode == "checkpoint":
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "materialize='checkpoint' needs sparkContext.setCheckpointDir "
+                "pointed at reliable storage (HDFS/S3 on a cluster)"
+            )
+        return df.checkpoint(eager=eager)
+    raise ValueError(f"materialize must be one of {MATERIALIZE_MODES}, got {mode!r}")
+
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -137,7 +187,7 @@ def ngram_jaccard_pairs_prefix(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
-    materialize: bool = True,
+    materialize: str | bool | None = "localCheckpoint",
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs with PREFIX FILTERING (the All-Pairs /
     PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — identical
@@ -160,21 +210,14 @@ def ngram_jaccard_pairs_prefix(
     |A|/t) prunes size-incompatible pairs before verification for free.
 
     The shingle table feeds THREE plan branches (prefix index + both
-    verify sides); `materialize=True` (default) localCheckpoints it so
+    verify sides); `materialize` (see MATERIALIZE_MODES) pins it so
     tokenize/shingle/hash runs once, not three times — the single-query
     analogue of persisting the shingle table, which is what a real
-    100 TB job does with this intermediate anyway.
+    100 TB job does with this intermediate anyway. Default
+    "localCheckpoint" suits local mode; pass "persist" on a cluster so an
+    executor loss recomputes blocks instead of killing the job.
     """
-    sh = (
-        _parallelize(df)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-    )
-    if materialize:
-        sh = sh.localCheckpoint()
+    sh = materialize_df(shingle_table(df, id_col, text_col, n), materialize)
     exploded = sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
     dfreq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
     from pyspark.sql import Window
@@ -455,6 +498,7 @@ def connected_components(
     id_b: str = "doc_b",
     max_iter: int = 25,
     on_nonconverge: str = "raise",
+    materialize: str | bool | None = "localCheckpoint",
 ) -> DataFrame:
     """Connected components over a near-dup pair list by iterative
     min-label propagation: every node starts labeled with itself; each
@@ -480,7 +524,12 @@ def connected_components(
     would silently split into several clusters and downstream
     keep-cluster-root dedup would under-merge. `on_nonconverge` controls
     the signal: 'raise' (default) raises RuntimeError; 'warn' logs and
-    returns the partial labels (for exploratory use)."""
+    returns the partial labels (for exploratory use).
+
+    `materialize` (see MATERIALIZE_MODES) picks how per-round state is
+    pinned: "localCheckpoint" (default) for local mode, "checkpoint" on a
+    cluster (reliable storage + lineage truncation — the iterative path
+    must not keep lineage, so prefer it over "persist" there)."""
     import warnings
 
     if on_nonconverge not in ("raise", "warn"):
@@ -490,12 +539,12 @@ def connected_components(
     # a union of two branches over the raw df would run that join twice
     # (each branch recomputes), and without any checkpoint every
     # propagation round would replay it from scratch
-    ed = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint()
+    ed = materialize_df(
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")), materialize
+    )
     sym = ed.union(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     nodes = sym.select(F.col("src").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    labels = materialize_df(nodes.select("id", F.col("id").alias("label")), materialize)
     changed = 0
     for _ in range(max_iter):
         nbr_min = (
@@ -519,14 +568,14 @@ def connected_components(
         parent = half.select(
             F.col("id").alias("p_id"), F.col("label").alias("p_label")
         )
-        stepped = (
-            half.join(parent, half["label"] == parent["p_id"], "left")
-            .select(
+        stepped = materialize_df(
+            half.join(parent, half["label"] == parent["p_id"], "left").select(
                 half["id"],
                 "old_label",
                 F.coalesce(F.col("p_label"), half["label"]).alias("label"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            materialize,
+            eager=False,
         )
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         labels = stepped.select("id", "label")
@@ -585,14 +634,46 @@ def leakage_safe_split(
 # --------------------------------------------------------------------------
 # Cross-corpus (incremental) near-dedup
 # --------------------------------------------------------------------------
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc, sh) — per-document distinct xxhash64 n-gram shingle sets,
+    the persistable intermediate every shingle-based dedup consumes.
+    In production this is written ONCE per corpus snapshot (partitioned
+    parquet) and handed to cross_corpus_near_dup_flags as `ref_shingles`
+    so incremental ingest never re-shingles the reference corpus."""
+    return (
+        _parallelize(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+
+
+def shingle_doc_freq(shingle_tbl: DataFrame) -> DataFrame:
+    """(s, dfreq) — document frequency per shingle hash over a shingle
+    table; the global rarity order for prefix filtering. Precompute it
+    alongside the shingle table and reuse for every incoming batch."""
+    return (
+        shingle_tbl.select("doc", F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+    )
+
+
 def cross_corpus_near_dup_flags(
     new_df: DataFrame,
-    ref_df: DataFrame,
+    ref_df: DataFrame | None,
     id_col: str,
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
     broadcast_new: bool = True,
+    materialize: str | bool | None = "localCheckpoint",
+    ref_shingles: DataFrame | None = None,
+    ref_dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Flag documents in a NEW batch that are near-duplicates (n-gram
     Jaccard >= threshold) of ANY document in an existing REFERENCE
@@ -610,23 +691,27 @@ def cross_corpus_near_dup_flags(
     broadcasts (`broadcast_new`) — the ref corpus never shuffles for
     candidate generation, it is scanned once to build prefixes and once
     for verification.
+
+    Production shape: pass `ref_shingles` (a persisted shingle_table()
+    output for the corpus, columns (doc, sh)) and `ref_dfreq`
+    (shingle_doc_freq() output, columns (s, dfreq)) and leave `ref_df`
+    None — the reference corpus is then never re-shingled per batch; the
+    per-snapshot cost is the new batch's shingles plus one prefix join
+    against the precomputed index. When only `ref_df` is given, both are
+    derived in-query (the self-computing path; flag-identical output —
+    pinned by tests/test_llm_ops.py).
     """
     from pyspark.sql import Window
 
-    def _shingle_sets(df: DataFrame) -> DataFrame:
-        return (
-            _parallelize(df)
-            .select(
-                F.col(id_col).alias("doc"),
-                F.transform(
-                    shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-                ).alias("sh"),
-            )
-            .filter(F.size("sh") > 0)
-            .localCheckpoint()
-        )
+    if ref_shingles is None and ref_df is None:
+        raise ValueError("need ref_df or a precomputed ref_shingles table")
 
-    sh_new, sh_ref = _shingle_sets(new_df), _shingle_sets(ref_df)
+    sh_new = materialize_df(shingle_table(new_df, id_col, text_col, n), materialize)
+    sh_ref = (
+        ref_shingles
+        if ref_shingles is not None
+        else materialize_df(shingle_table(ref_df, id_col, text_col, n), materialize)
+    )
 
     def _exploded(sh: DataFrame) -> DataFrame:
         return sh.select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
@@ -637,9 +722,9 @@ def cross_corpus_near_dup_flags(
     # shared — shingles unseen in the corpus coalesce to df 0 (rarest,
     # sort first: keeps them in prefixes, so recall is untouched). This
     # matches how incremental ingest actually runs — the corpus dfreq
-    # table is precomputed once and reused for every snapshot; the new
-    # batch never has to contribute to (or wait for) a union-wide count.
-    dfreq = ex_ref.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
+    # table is precomputed once (shingle_doc_freq) and reused for every
+    # snapshot; the new batch never contributes to a union-wide count.
+    dfreq = ref_dfreq if ref_dfreq is not None else shingle_doc_freq(sh_ref)
 
     def _prefix(ex: DataFrame) -> DataFrame:
         rarity = Window.partitionBy("doc").orderBy("dfreq", "s")

@@ -81,14 +81,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+#: Decimal places the sign-LSH dot product is rounded to before the sign
+#: test. Spark sums the dot sequentially (F.aggregate) while an oracle
+#: engine may sum in another order; a last-ulp difference at the 0 boundary
+#: (e.g. exact cancellation on sparse vectors) would flip a bucket bit.
+#: Rounding first maps both engines' near-zero values to ±0.0, which
+#: compare >= 0 identically. Oracles replaying buckets in SQL must round
+#: the same way (see queries_llm._lsh_ann_oracle).
+LSH_SIGN_DP = 6
+
+
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Pack sign(v·p) bits into a long bucket id (JVM expressions only)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         pc = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(vec_col, pc) >= 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.round(dot(vec_col, pc), LSH_SIGN_DP) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(bit)
     return bucket
 
@@ -111,10 +121,13 @@ def lsh_ann_topk(
     `round_dp` rounds the similarity BEFORE the order/limit (see
     cosine_topk) so k-boundary selection is engine-deterministic."""
     planes = _hyperplanes(len(query_vec), n_planes, seed)
-    # driver-side query bucket (tiny, pure python — not on the data path)
+    # driver-side query bucket (tiny, pure python — not on the data path);
+    # mirrors lsh_bucket's round-before-sign (python banker's rounding vs
+    # HALF_UP differs only at exact half-boundaries, unreachable for
+    # Gaussian dots)
     qb = 0
     for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+        if round(sum(a * b for a, b in zip(query_vec, p)), LSH_SIGN_DP) >= 0:
             qb |= 1 << i
     probes = [qb] + ([qb ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
 
@@ -306,7 +319,10 @@ def embedding_near_dup(
         F.col("b.doc").alias("id_b"),
         cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
     )
-    return pairs.filter(F.col("cosine_sim") >= threshold)
+    # threshold on the ROUNDED cosine so engines that sum the dot in a
+    # different order can't disagree on membership at the boundary (same
+    # convention as round-before-rank in cosine_topk)
+    return pairs.filter(F.round(F.col("cosine_sim"), 6) >= threshold)
 
 
 def knn_join(
@@ -526,6 +542,9 @@ def kmeans_fit_distributed(
     nested loop + one aggregate whose shuffle is k x dim rows."""
     from pyspark.sql import Window
 
+    if iters < 1:
+        raise ValueError(f"kmeans_fit_distributed needs iters >= 1, got {iters}")
+
     digest = F.md5(F.col(id_col).cast("string"))
     w = Window.orderBy(digest, F.col(id_col))
     seeds = (
@@ -538,9 +557,16 @@ def kmeans_fit_distributed(
     )
     cents = seeds
     assigned = None
+    stale = None
     for _ in range(iters):
         assigned = assign_to_centroids(df, cents, id_col=id_col, vec_col=vec_col)
         joined = df.select(id_col, vec_col).join(assigned, id_col)
+        # free the checkpoint from two rounds back: the CURRENT `assigned`
+        # plan still references this round's input `cents`, so that one
+        # must stay pinned until the next round replaces `assigned`
+        if stale is not None:
+            stale.rdd.unpersist()
+        stale = cents
         cents = (
             label_centroids(
                 joined.withColumnRenamed("assigned_label", "label"),

@@ -395,7 +395,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
       SELECT doc_id,
              list_distinct([array_to_string(w[i:i+4], ' ')
-                            for i in range(1, len(w) - 2)]) AS shingles
+                            for i in range(1, len(w) - 3)]) AS shingles
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
     ), bench AS (
       SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0

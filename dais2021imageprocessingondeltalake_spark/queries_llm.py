@@ -203,12 +203,14 @@ def _lsh_ann_oracle() -> str:
     planes = _hyperplanes(64, 6, seed=7)
     def lit(p):
         return "[" + ", ".join(repr(x) for x in p) + "]"
+    # round-before-sign mirrors similarity.lsh_bucket (LSH_SIGN_DP): a
+    # last-ulp cross-engine difference at the 0 boundary can't flip a bit
     bits = "\n      + ".join(
-        f"(CASE WHEN list_dot_product(ve, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN round(list_dot_product(ve, {lit(p)}), 6) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
     qbits = "\n      + ".join(
-        f"(CASE WHEN list_dot_product(qv, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN round(list_dot_product(qv, {lit(p)}), 6) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
     return f"""
@@ -262,8 +264,9 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _near_dup_oracle() -> str:
     """Replay the LSH-bucketed near-dup self-join in SQL with the seeded
     hyperplanes as literals (same trick as _lsh_ann_oracle; 6 planes,
-    dim 64). The threshold filter runs on the raw cosine in both
-    engines; only the EMITTED similarity is rounded. 0.35/6-planes is
+    dim 64). Both the bucket sign bits and the threshold filter compare
+    ROUNDED (6dp) quantities in both engines so boundary membership is
+    order-of-summation independent. 0.35/6-planes is
     corpus-tuned: the synthetic embeddings have no cosine>=0.9 pairs at
     all, and an always-empty oracle would prove nothing — the planted
     -duplicate tests cover the high-threshold regime."""
@@ -273,7 +276,7 @@ def _near_dup_oracle() -> str:
     def lit(p):
         return "[" + ", ".join(repr(x) for x in p) + "]"
     bits = "\n      + ".join(
-        f"(CASE WHEN list_dot_product(ve, {lit(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN round(list_dot_product(ve, {lit(p)}), 6) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
     return f"""
@@ -286,7 +289,7 @@ def _near_dup_oracle() -> str:
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
            round(list_cosine_similarity(a.ve, c.ve), 6) AS cosine_sim
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE list_cosine_similarity(a.ve, c.ve) >= 0.35
+    WHERE round(list_cosine_similarity(a.ve, c.ve), 6) >= 0.35
     """
 
 

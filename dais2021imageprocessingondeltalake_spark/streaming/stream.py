@@ -267,7 +267,11 @@ def table_stream(
     table's file, optional admission control. Lets every batch operator
     tier (curation filters, quality scoring, dedup predicates) run
     unchanged as a stream transform — the H2 polymorphism property on
-    arbitrary tables."""
+    arbitrary tables. `events` routes through the same raw-schema probe +
+    ts normalization as events_stream, so both physical generations of
+    that table (TIMESTAMP(NANOS) and timestamp[us]) stream identically."""
+    if table == "events":
+        return events_stream(spark, sf_dir, max_files_per_trigger)
     schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
     reader = (
         spark.readStream.schema(schema)

@@ -242,6 +242,108 @@ class TestCrossCorpusDedup:
         out = D.cross_corpus_near_dup_flags(new, ref, "doc_id")
         assert out.count() == new.count()  # one verdict per new doc
 
+    def test_precomputed_ref_tables_flag_identical(self, spark):
+        """The production path (persisted shingle_table + shingle_doc_freq
+        handed in, ref corpus never re-shingled) must produce the same
+        flags as the self-computing path."""
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        docs = load_table(spark, "documents", SF_DIR)
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        ref = docs.filter(F.col("doc_id") % 3 != 0)
+        baseline = {
+            r.doc_id: r.is_dup
+            for r in D.cross_corpus_near_dup_flags(new, ref, "doc_id").collect()
+        }
+        sh_ref = D.shingle_table(ref, "doc_id").localCheckpoint()
+        dfreq = D.shingle_doc_freq(sh_ref).localCheckpoint()
+        precomp = {
+            r.doc_id: r.is_dup
+            for r in D.cross_corpus_near_dup_flags(
+                new, None, "doc_id", ref_shingles=sh_ref, ref_dfreq=dfreq
+            ).collect()
+        }
+        assert precomp == baseline
+        assert any(baseline.values())  # non-vacuous: some dup exists
+
+    def test_requires_ref_source(self, spark):
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        docs = load_table(spark, "documents", SF_DIR)
+        with pytest.raises(ValueError, match="ref_df or a precomputed"):
+            D.cross_corpus_near_dup_flags(docs, None, "doc_id")
+
+
+class TestMaterializeModes:
+    """The dedup hot paths accept a materialization strategy; every mode
+    must be output-identical (the knob trades speed vs fault tolerance,
+    never semantics). VERDICT r2 item 4."""
+
+    def _pairs(self, spark, mode):
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        docs = load_table(spark, "documents", SF_DIR)
+        out = D.ngram_jaccard_pairs_prefix(docs, "doc_id", threshold=0.5, materialize=mode)
+        return {(r.doc_a, r.doc_b) for r in out.collect()}
+
+    def test_prefix_modes_identical(self, spark):
+        base = self._pairs(spark, "localCheckpoint")
+        assert self._pairs(spark, "persist") == base
+        assert self._pairs(spark, None) == base
+        assert self._pairs(spark, True) == base  # bool back-compat
+
+    def test_connected_components_persist_mode(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+            ["doc_a", "doc_b"],
+        )
+        base = {
+            (r.id, r.cluster_root)
+            for r in D.connected_components(edges).collect()
+        }
+        got = {
+            (r.id, r.cluster_root)
+            for r in D.connected_components(edges, materialize="persist").collect()
+        }
+        assert got == base
+
+    def test_checkpoint_mode_requires_dir(self, spark):
+        # runs BEFORE test_connected_components_checkpoint_mode sets the
+        # session's checkpoint dir (pytest preserves definition order)
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        if spark.sparkContext.getCheckpointDir() is not None:
+            pytest.skip("checkpoint dir already set in this session")
+        docs = load_table(spark, "documents", SF_DIR).limit(20)
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            D.ngram_jaccard_pairs_prefix(docs, "doc_id", materialize="checkpoint")
+
+    def test_connected_components_checkpoint_mode(self, spark, tmp_path):
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"])
+        got = {
+            (r.id, r.cluster_root)
+            for r in D.connected_components(edges, materialize="checkpoint").collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
+
+    def test_unknown_mode_rejected(self, spark):
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        docs = load_table(spark, "documents", SF_DIR).limit(5)
+        with pytest.raises(ValueError, match="materialize"):
+            D.ngram_jaccard_pairs_prefix(docs, "doc_id", materialize="mmap")
+
 
 class TestRemoveDuplicateSpans:
     def test_canonical_copy_survives(self, spark):

@@ -1,0 +1,119 @@
+"""DRIVER_WINDOW is the contract with the driver's CORRECTNESS gate — the
+gate reads exactly the first 50 registration-order entries of ``queries()``
+(CORRECTNESS_r01/_r02 are both precisely that prefix). These tests keep the
+manifest, the live registry order, and SURVEY §2 residency in lockstep so a
+refactor can't silently evict a gated query.
+"""
+
+from __future__ import annotations
+
+from dais2021imageprocessingondeltalake_spark import queries_all as qa
+
+# Every query id SURVEY.md §2 declares (column "Query id") — must stay inside
+# the driver window every round, per VERDICT r2 item 1/2.
+SURVEY_S2_IDS = {
+    "q_scan_binary",  # A1/A2
+    "q_scan_table",  # A3/A4
+    "q_write_roundtrip",  # A5/A6
+    "q_stream_agg",  # A7/A8, H1-H3
+    "q_project",  # B1-B4
+    "q_null_cast",  # B5
+    "q_cast",  # B6
+    "q_struct_ops",  # B7/B8
+    "q_filter",  # B9
+    "q_join_left",  # C1
+    "q_join_inner",  # C2
+    "q_join_anti",  # C3
+    "q_label_index_join",  # C4, I2
+    "q_count",  # D1
+    "q_distinct",  # D2
+    "q_count_distinct",  # D3
+    "q_groupby_agg",  # D4/D5
+    "q_limit",  # E1
+    "q_orderby",  # E2
+    "q_topk",  # E3
+    "q_union",  # F
+    "q_regexp_extract",  # G1
+    "q_string_funcs",  # G2
+    "q_json_funcs",  # G3
+    "q_date_funcs",  # G4
+    "q_math_funcs",  # G4
+    "q_array_funcs",  # G4
+    "q_stream_window",  # H4
+    "q_udf_struct",  # I1
+    "q_apply_in_pandas",  # I3
+    "q_model_udf",  # I4
+    "q_udaf_pandas",  # I5 (judge-credited)
+    "q_random_split",  # J1
+    "q_map_in_pandas",  # J5
+    # judge-credited §2 extras kept resident
+    "q_except_intersect",  # F
+}
+
+# VERDICT r2 "Next round: do this" item 1 — the 15 north-star ids that must
+# hold a driver-certified green row in CORRECTNESS_r03.
+NORTH_STAR_IDS = {
+    "q_dedup_exact",
+    "q_ngram_jaccard_prefix",
+    "q_minhash_lsh",
+    "q_dedup_clusters",
+    "q_dedup_end2end",
+    "q_cross_dedup",
+    "q_dedup_spans",
+    "q_decontaminate",
+    "q_embedding_topk",
+    "q_embedding_ann",
+    "q_embedding_ann_q8",
+    "q_text_stats",
+    "q_llm_pipeline",
+    "q_curate_end2end",
+    "q_bm25",
+}
+
+# Queries the driver contract allows as rows-only (no DuckDB-expressible
+# oracle); anything else inside the window must carry a full oracle.
+ROWS_ONLY_ALLOWED = {"q_limit", "q_random_split", "q_scan_binary", "q_minhash_lsh"}
+
+
+def test_window_is_exactly_fifty_unique():
+    assert len(qa.DRIVER_WINDOW) == 50
+    assert len(set(qa.DRIVER_WINDOW)) == 50
+
+
+def test_registry_prefix_matches_window():
+    assert tuple(qa.queries())[:50] == qa.DRIVER_WINDOW
+
+
+def test_rotation_queue_follows_window():
+    order = tuple(qa.queries())
+    n = len(qa.DRIVER_WINDOW)
+    assert order[n : n + len(qa.ROTATION_QUEUE)] == qa.ROTATION_QUEUE
+
+
+def test_survey_s2_ids_resident():
+    missing = SURVEY_S2_IDS - set(qa.DRIVER_WINDOW)
+    assert not missing, f"SURVEY §2 ids evicted from driver window: {missing}"
+
+
+def test_north_star_ids_resident():
+    missing = NORTH_STAR_IDS - set(qa.DRIVER_WINDOW)
+    assert not missing, f"north-star ids missing from driver window: {missing}"
+
+
+def test_window_ids_registered_and_nothing_lost():
+    names = set(qa.queries())
+    assert set(qa.DRIVER_WINDOW) <= names
+    assert set(qa.ROTATION_QUEUE) <= names
+    # reordering must not drop or duplicate registrations
+    assert len(names) == len(qa.REGISTRY)
+    assert len(names) >= 162  # r2 registry size; only grows
+
+
+def test_window_oracle_coverage():
+    for name in qa.DRIVER_WINDOW:
+        spec = qa.REGISTRY[name]
+        if spec.oracle is None:
+            assert name in ROWS_ONLY_ALLOWED, (
+                f"{name} is inside the driver window without an oracle and is "
+                "not a documented rows-only query"
+            )

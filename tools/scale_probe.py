@@ -1,0 +1,144 @@
+"""Scale-curve probe for the two heaviest dedup queries (VERDICT r2 item 6).
+
+Grows the documents corpus to kx the base scale with synthetic documents
+drawn from the base corpus's own token distribution, then times
+`ngram_jaccard_pairs_prefix` (the headline self-join dedup) and
+`cross_corpus_near_dup_flags` (incremental-ingest dedup) at each factor,
+recording wall time and candidate-pair counts. The prefix filter promises
+near-linear candidate growth when the corpus grows with the SAME df
+distribution — this probe is the local evidence (an uncapped inverted-index
+join would grow with Sigma df(s)^2, i.e. quadratically).
+
+Corpus growth model: each extra document samples a real document's token
+count, then draws that many tokens iid from the base corpus's unigram
+distribution (seeded numpy). That preserves token/df shape (so the probe
+stresses the same pruning the real corpus does) without planting artificial
+near-dup clusters that a naive "replicate 10x" would create.
+
+Usage:
+    python tools/scale_probe.py --base /root/testdata/sf0.01 --factors 1 3 10
+Writes one JSON line to stdout and SCALE_PROBE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def build_scaled_corpus(base_dir: str, factor: int, out_dir: Path, seed: int = 11) -> str:
+    """Write a factor-x documents.parquet under out_dir; factor=1 is the
+    base corpus unchanged."""
+    import duckdb
+
+    src = f"{base_dir}/documents.parquet"
+    if factor == 1:
+        return src
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars FROM '{src}'"
+    ).fetchall()
+    texts = [r[1] for r in rows]
+    rng = np.random.default_rng(seed)
+    # corpus unigram distribution + document length distribution
+    vocab: dict[str, int] = {}
+    lengths = []
+    for t in texts:
+        toks = t.split(" ")
+        lengths.append(len(toks))
+        for tok in toks:
+            vocab[tok] = vocab.get(tok, 0) + 1
+    words = np.array(list(vocab.keys()))
+    probs = np.array(list(vocab.values()), dtype=float)
+    probs /= probs.sum()
+    max_id = max(r[0] for r in rows)
+    synth = []
+    for i in range((factor - 1) * len(rows)):
+        n_tok = lengths[int(rng.integers(len(lengths)))]
+        toks = words[rng.choice(len(words), size=n_tok, p=probs)]
+        text = " ".join(toks.tolist())
+        synth.append((max_id + 1 + i, text, "syn", "scale-probe", len(text)))
+    all_rows = rows + synth
+    out = out_dir / f"x{factor}" / "documents.parquet"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?, ?, ?)", all_rows)
+    con.execute(f"COPY docs TO '{out}' (FORMAT PARQUET)")
+    return str(out)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.01")
+    ap.add_argument("--factors", nargs="*", type=int, default=[1, 3, 10])
+    ap.add_argument("--out", default=str(REPO / "SCALE_PROBE.json"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+    from dais2021imageprocessingondeltalake_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    scratch = Path(tempfile.mkdtemp(prefix="scale_probe_"))
+    result = {
+        "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "base": args.base,
+        "points": [],
+    }
+    try:
+        # JVM/codegen warmup so factor-1 doesn't absorb JIT cost
+        warm = spark.read.parquet(f"{args.base}/documents.parquet")
+        D.ngram_jaccard_pairs_prefix(warm.limit(200), "doc_id", n=3, threshold=0.5).count()
+
+        for k in sorted(args.factors):
+            path = build_scaled_corpus(args.base, k, scratch)
+            docs = spark.read.parquet(path)
+            n_docs = docs.count()
+
+            t0 = time.perf_counter()
+            pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+            n_pairs = pairs.count()
+            t_prefix = time.perf_counter() - t0
+
+            new = docs.filter(F.col("doc_id") % 3 == 0)
+            ref = docs.filter(F.col("doc_id") % 3 != 0)
+            t0 = time.perf_counter()
+            flags = D.cross_corpus_near_dup_flags(new, ref, "doc_id", n=3, threshold=0.5)
+            n_dups = flags.filter("is_dup").count()
+            t_cross = time.perf_counter() - t0
+
+            point = {
+                "factor": k,
+                "n_docs": n_docs,
+                "prefix_secs": round(t_prefix, 2),
+                "prefix_pairs": n_pairs,
+                "cross_secs": round(t_cross, 2),
+                "cross_dups": n_dups,
+            }
+            result["points"].append(point)
+            print(json.dumps(point), flush=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    Path(args.out).write_text(json.dumps(result) + "\n")
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
