@@ -577,3 +577,61 @@ def kmeans_fit_distributed(
             .localCheckpoint()
         )
     return assigned, cents
+
+
+def semantic_dedup_flags(
+    df: DataFrame,
+    centroids_long: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then mark as semantic duplicates the items whose
+    cosine to a LOWER-ID item in the SAME cluster meets the threshold —
+    min-id canonical, the embedding analogue of exact_dedup's keep-rule.
+    Returns (id, sem_cluster, is_semdup) for every input row.
+
+    The clustering is what makes this a 100 TB operator: the pair join
+    is keyed on the cluster assignment, so candidate pairs never cross
+    cluster boundaries — |cluster|² per cluster instead of |corpus|²,
+    with cluster count k tuned so clusters stay partition-sized (the
+    paper uses k ≈ sqrt(N)). Assignment itself is the broadcast E-step
+    (assign_to_centroids): no data shuffle beyond the cluster-keyed
+    self-join. Cosine rounds before the threshold compare (cross-engine
+    boundary convention, see embedding_near_dup).
+    """
+    assigned = assign_to_centroids(
+        df, centroids_long, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+    )
+    clustered = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(assigned.select(id_col, "assigned_label"), [id_col])
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("assigned_label").alias("sem_cluster"),
+            _to_double(F.col(vec_col)).alias("v"),
+        )
+    )
+    a, b = clustered.alias("a"), clustered.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.sem_cluster") == F.col("b.sem_cluster"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), round_dp) >= threshold)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("is_semdup", F.lit(True))
+    )
+    return (
+        clustered.select("id", "sem_cluster")
+        .join(dup_ids, ["id"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("sem_cluster"),
+            F.coalesce(F.col("is_semdup"), F.lit(False)).alias("is_semdup"),
+        )
+    )

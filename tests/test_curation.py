@@ -600,3 +600,42 @@ class TestKMeansFit:
         assert a3.select("assigned_label").distinct().count() <= 8
         dim = len(emb.first().embedding)
         assert c3.count() <= 8 * dim  # k centroids in long form
+
+
+class TestSemanticDedup:
+    def test_planted_within_cluster_dup_flagged(self, spark):
+        """Same-cluster near-identical pair: higher id flagged, min id
+        survives. An identical pair SPLIT across clusters is not flagged —
+        the pair join is cluster-bounded by design (SemDeDup semantics)."""
+        from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+        rows = [
+            # cluster around +x
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.99, 0.01, 0.0, 0.0], 0),   # near-dup of 1 → flagged
+            (3, [0.7, 0.7, 0.0, 0.0], 0),     # same cluster, not near-dup
+            # cluster around +y
+            (10, [0.0, 1.0, 0.0, 0.0], 1),
+            (11, [0.0, 0.0, 1.0, 0.0], 1),    # orthogonal → not flagged
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        cents = SIM.label_centroids(emb)
+        out = {
+            r.vec_id: (r.sem_cluster, r.is_semdup)
+            for r in SIM.semantic_dedup_flags(emb, cents, threshold=0.95).collect()
+        }
+        assert set(out) == {1, 2, 3, 10, 11}
+        assert out[1][1] is False and out[2][1] is True  # min-id canonical
+        assert out[3][1] is False
+        assert out[10][1] is False and out[11][1] is False
+
+    def test_all_rows_returned_once(self, spark):
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+        from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        cents = SIM.label_centroids(emb)
+        out = SIM.semantic_dedup_flags(emb, cents, threshold=0.35)
+        assert out.count() == emb.count()
+        assert out.select("vec_id").distinct().count() == emb.count()
+        assert out.filter("is_semdup").count() > 0  # non-vacuous at sf0.001

@@ -63,11 +63,16 @@ def build_scaled_corpus(base_dir: str, factor: int, out_dir: Path, seed: int = 1
     probs = np.array(list(vocab.values()), dtype=float)
     probs /= probs.sum()
     max_id = max(r[0] for r in rows)
+    n_synth = (factor - 1) * len(rows)
+    doc_lens = [lengths[int(i)] for i in rng.integers(len(lengths), size=n_synth)]
+    # one batched draw for every token of every synthetic doc — a per-doc
+    # choice() re-scans the vocab distribution each call
+    flat = words[rng.choice(len(words), size=sum(doc_lens), p=probs)]
     synth = []
-    for i in range((factor - 1) * len(rows)):
-        n_tok = lengths[int(rng.integers(len(lengths)))]
-        toks = words[rng.choice(len(words), size=n_tok, p=probs)]
-        text = " ".join(toks.tolist())
+    pos = 0
+    for i, n_tok in enumerate(doc_lens):
+        text = " ".join(flat[pos : pos + n_tok].tolist())
+        pos += n_tok
         synth.append((max_id + 1 + i, text, "syn", "scale-probe", len(text)))
     all_rows = rows + synth
     out = out_dir / f"x{factor}" / "documents.parquet"
