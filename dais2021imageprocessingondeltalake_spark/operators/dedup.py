@@ -780,3 +780,42 @@ def cross_corpus_near_dup_flags(
     return new_df.select(id_col).join(
         dup_ids.withColumn("is_dup", F.lit(True)), [id_col], "left"
     ).select(F.col(id_col), F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"))
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Canonical-selection policy over near-dup clusters: keep each
+    cluster's highest-`score_col` member (ties → min id). Production
+    pipelines prefer this over min-id canon — when a crawl captures the
+    same article five times, you keep the cleanest capture, not the one
+    with the smallest id. Rows absent from `clusters` (no near-dup edge)
+    are singletons and always survive.
+
+    `clusters` is connected_components output (id, cluster_root). Shape:
+    one left join to attach roots, one window argmax partitioned by the
+    root — both shuffle on cluster keys, cluster count << corpus size.
+    Returns (id, cluster_root, score) for the kept rows only.
+    """
+    from pyspark.sql import Window
+
+    rooted = (
+        df.select(F.col(id_col), F.col(score_col))
+        .join(clusters, df[id_col] == clusters["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_root"), F.col(id_col)).alias("cluster_root"),
+            F.col(score_col),
+        )
+    )
+    w = Window.partitionBy("cluster_root").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        rooted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

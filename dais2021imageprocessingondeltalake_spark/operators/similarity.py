@@ -635,3 +635,63 @@ def semantic_dedup_flags(
             F.coalesce(F.col("is_semdup"), F.lit(False)).alias("is_semdup"),
         )
     )
+
+
+def lsh_knn_join(
+    queries_df: DataFrame,
+    base_df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Batch ANN join: top-k base-side neighbors for EVERY query row —
+    the set-valued sibling of lsh_ann_topk (one query vector) and
+    knn_join (exact broadcast baseline). Both sides hash to sign-LSH
+    buckets; each query row explodes to its own bucket plus the
+    Hamming-1 probes, the candidate join keys on the bucket, and a
+    per-query window takes the exact-cosine top-k of the candidates.
+
+    Scale shape: the only wide operation is the bucket-keyed equi-join —
+    |queries| x (n_planes+1) probe rows against |base| bucketed rows,
+    never the |queries| x |base| cross product the exact kNN join pays.
+    With base vectors written bucket-partitioned the probe side prunes to
+    (n_planes+1)/2^n_planes of the files. Cosine rounds before ranking
+    (cross-engine k-boundary convention).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = base_df.select(
+        F.col(id_col).alias("base_id"),
+        _to_double(F.col(vec_col)).alias("bv"),
+    ).withColumn("bucket", lsh_bucket(F.col("bv"), planes))
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qb", lsh_bucket(F.col("qv"), planes))
+    probe_buckets = [F.col("qb")] + (
+        [F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        if multiprobe
+        else []
+    )
+    probes = q.select(
+        "query_id", "qv", F.explode(F.array(*probe_buckets)).alias("bucket")
+    )
+    from pyspark.sql import Window
+
+    cand = probes.join(base, ["bucket"]).select(
+        "query_id",
+        "base_id",
+        F.round(cosine(F.col("qv"), F.col("bv")), round_dp).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("base_id")
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -868,6 +868,7 @@ def q_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q_semdedup",
+    headline=True,
     oracle="""
     WITH v AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings

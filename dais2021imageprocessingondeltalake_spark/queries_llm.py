@@ -956,3 +956,113 @@ def q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ),
     )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      WHERE shared / (n_a + n_b - shared) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ), cl AS (
+      SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id
+    ), rooted AS (
+      SELECT d.doc_id, coalesce(cl.cluster_root, d.doc_id) AS cluster_root,
+             least(len(string_split(d.text, ' ')) / 50, 1.0)
+               * (len(list_distinct(string_split(d.text, ' ')))
+                  / len(string_split(d.text, ' '))) AS q_score
+      FROM documents d LEFT JOIN cl USING (doc_id)
+    )
+    SELECT doc_id, cluster_root, q_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY cluster_root
+                                   ORDER BY q_score DESC, doc_id) AS rn
+      FROM rooted
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (prefix
+    Jaccard >= 0.5 → connected components) keep their HIGHEST-quality
+    member instead of the min id — when a crawl captures the same page
+    several times, the cleanest capture survives. Singleton docs (no
+    near-dup edge) pass through as their own cluster. One window argmax
+    over the cluster key on top of the cluster pipeline; the oracle
+    replays CC as a recursive CTE and the quality score as the same
+    ratio arithmetic (per-row IEEE ops, bit-identical cross-engine)."""
+    from .operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+    clusters = D.connected_components(pairs)
+    scored = quality_score(docs.select("doc_id", "text")).select("doc_id", "q_score")
+    return D.keep_best_per_cluster(scored, clusters, "doc_id", "q_score")
+
+
+def _lsh_knn_join_oracle() -> str:
+    """Replay the bucketed batch ANN join with the seeded hyperplanes as
+    SQL literals (same honest-oracle trick as _lsh_ann_oracle): bucket
+    sign bits round the dot to 6dp before the sign test, candidates are
+    bucket-or-Hamming-1 matches, per-query top-3 ranks on the rounded
+    cosine with base-id tie-break."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6, seed=7)
+
+    def lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bits = "\n      + ".join(
+        f"(CASE WHEN round(list_dot_product(ve, {lit(p)}), 6) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    b AS (
+      SELECT vec_id, ve,
+      {bits} AS bucket
+      FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, ve AS qv, bucket AS qb FROM b WHERE vec_id % 97 = 0),
+    base AS (SELECT vec_id AS base_id, ve AS bv, bucket FROM b WHERE vec_id % 97 <> 0),
+    cand AS (
+      SELECT q.query_id, base.base_id,
+             round(list_cosine_similarity(q.qv, base.bv), 6) AS cosine_sim
+      FROM q JOIN base
+        ON base.bucket = q.qb OR xor(base.bucket, q.qb) IN (1, 2, 4, 8, 16, 32)
+    )
+    SELECT query_id, base_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, base_id) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    """
+
+
+@query("q_knn_join_lsh", oracle=_lsh_knn_join_oracle())
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed batch ANN join: top-3 approximate neighbors for every
+    query vector (vec_id % 97 == 0) against the rest of the corpus. The
+    bucket-keyed join replaces the |Q| x |N| cross product of the exact
+    kNN join — the shape that survives a batch of millions of queries at
+    100 TB. Fully oracle-checked via seeded hyperplanes replayed as SQL
+    literals; recall vs the exact join is asserted in tests."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    base = emb.filter(F.col("vec_id") % 97 != 0)
+    return SIM.lsh_knn_join(queries, base, dim=64, k=3, n_planes=6)

@@ -354,3 +354,74 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "q_score")
     )
     return run_stream_to_memory(kept, output_mode="append")
+
+
+@query(
+    "q_stream_cross_dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS new_id, count(*) AS shared,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM e a JOIN e b ON a.s = b.s
+      WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+      GROUP BY a.doc_id, b.doc_id
+    ), dup AS (
+      SELECT DISTINCT new_id FROM pairs
+      WHERE shared / (n_a + n_b - shared) >= 0.5
+    )
+    SELECT d.doc_id, dup.new_id IS NOT NULL AS is_dup
+    FROM documents d LEFT JOIN dup ON d.doc_id = dup.new_id
+    WHERE d.doc_id % 3 = 0
+    """,
+)
+def q_stream_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-ingest dedup — the production shape end to
+    end: the corpus side (doc_id % 3 != 0) precomputes its shingle table
+    and doc-frequency index ONCE (dedup.shingle_table /
+    shingle_doc_freq, the persisted-parquet intermediates at real
+    scale), then every arriving micro-batch of the documents stream
+    (doc_id % 3 == 0) flags its near-duplicates against that frozen
+    index inside foreachBatch via the broadcast prefix join — the
+    corpus is never re-shingled per batch. foreachBatch (not a stateless
+    stream transform) because the prefix machinery needs per-batch
+    windows/joins; with availableNow the union of batch outputs equals
+    the one-shot batch computation, so q_cross_dedup's SQL oracle
+    applies verbatim. Checkpointed parquet append sink → exactly-once
+    flags."""
+    import tempfile
+
+    from .catalog import load_table
+    from .operators import dedup as D
+    from .streaming.stream import table_stream
+
+    docs = load_table(spark, "documents", sf_dir)
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    sh_ref = D.shingle_table(ref, "doc_id", n=3).localCheckpoint()
+    dfreq = D.shingle_doc_freq(sh_ref).localCheckpoint()
+
+    out_dir = tempfile.mkdtemp(prefix="stream_xdedup_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_xdedup_ckpt_")
+    stream = table_stream(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flags = D.cross_corpus_near_dup_flags(
+            batch_df, None, "doc_id", n=3, threshold=0.5,
+            ref_shingles=sh_ref, ref_dfreq=dfreq,
+        )
+        flags.write.mode("append").parquet(out_dir)
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir)

@@ -149,3 +149,23 @@ def test_foreachbatch_stream_scd2(spark, tmp_path):
         key="user_id", ts="ts", attr="event_type",
     )
     assert sorted(map(tuple, replayed.collect())) == g
+
+
+class TestStreamCrossDedup:
+    def test_stream_flags_equal_batch_flags(self, spark):
+        """The foreachBatch incremental dedup (precomputed ref index) must
+        produce exactly the batch cross_corpus flags — the H2 polymorphism
+        property extended to the production dedup shape."""
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        sf = SF_DIR
+        stream_out = {
+            (r.doc_id, r.is_dup)
+            for r in q.REGISTRY["q_stream_cross_dedup"].fn(spark, sf).collect()
+        }
+        batch_out = {
+            (r.doc_id, r.is_dup)
+            for r in q.REGISTRY["q_cross_dedup"].fn(spark, sf).collect()
+        }
+        assert stream_out == batch_out
+        assert any(d for _, d in stream_out)  # non-vacuous: dups exist
