@@ -819,3 +819,63 @@ def keep_best_per_cluster(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with an ENGINE-PORTABLE hash family:
+    hash_i(s) = md5 hex string of "i:s", minimum taken in lexicographic
+    string order. Every engine with md5 + string min computes the
+    identical signature, so the full banding pipeline replays in SQL —
+    this is the oracle-certified sibling of minhash_lsh_pairs, whose
+    xxhash64 double-hash family is Spark-private (rows-only checkable)
+    but ~2x cheaper per shingle. Same LSH geometry: a pair with Jaccard
+    j collides w.p. 1-(1-j^r)^bands, r = num_hashes/bands.
+
+    Scale shape is unchanged: explode shingles -> num_hashes map-side
+    min aggs (shuffle carries |docs| x num_hashes hex strings — 32 bytes
+    each vs 8-byte longs, the price of portability) -> band explode ->
+    self-join on (band_id, band_value).
+    """
+    r = num_hashes // bands
+    if r * bands != num_hashes:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    exploded = _parallelize(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    mins = exploded.groupBy("doc").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.concat_ws("|", *[F.col(f"m{j * r + i}") for i in range(r)]).alias("bv"),
+        )
+        for j in range(bands)
+    ]
+    banded = mins.select(
+        "doc", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc", F.col("b.band_id").alias("band_id"), F.col("b.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )

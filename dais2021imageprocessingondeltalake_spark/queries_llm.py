@@ -1066,3 +1066,50 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     base = emb.filter(F.col("vec_id") % 97 != 0)
     return SIM.lsh_knn_join(queries, base, dim=64, k=3, n_planes=6)
+
+
+def _minhash_md5_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    """Replay the md5-string MinHash banding in SQL: same salt prefixes,
+    same lexicographic string min, same band concatenation."""
+    r = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || s)) AS m{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {j} AS band_id, {bv} AS bv FROM m".format(
+            j=j,
+            bv=" || '|' || ".join(f"m{j * r + i}" for i in range(r)),
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), m AS (
+      SELECT doc_id,
+             {mins}
+      FROM e GROUP BY doc_id
+    ), b AS (
+      {band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM b a JOIN b c ON a.band_id = c.band_id AND a.bv = c.bv
+                     AND a.doc_id < c.doc_id
+    """
+
+
+@query("q_minhash_lsh_md5", oracle=_minhash_md5_oracle())
+def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding with the engine-portable md5-string hash
+    family — the FULLY ORACLE-CHECKED certificate for the MinHash
+    algorithm (the production xxhash64 variant q_minhash_lsh stays
+    rows-only because its hash family is Spark-private; this query pins
+    signature construction, banding, and the candidate self-join
+    bit-for-bit against SQL). 8 hashes x 4 bands: j=0.5 pairs collide
+    w.p. 0.68, j=0.8 w.p. 0.98."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.minhash_lsh_pairs_md5(docs, "doc_id", num_hashes=8, bands=4)

@@ -497,3 +497,40 @@ class TestLshKnnJoin:
         per_q = out.groupBy("query_id").count().collect()
         assert all(r["count"] <= 3 for r in per_q)
         assert out.filter(F.col("query_id") == F.col("base_id")).count() == 0
+
+
+class TestMinhashMd5:
+    def test_identical_docs_always_collide(self, spark):
+        """Exact duplicates share every signature value → collide in every
+        band; an unrelated doc collides in none."""
+        rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta theta"),
+                (3, "totally different words entirely unrelated content here now")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = {(r.doc_a, r.doc_b)
+                 for r in D.minhash_lsh_pairs_md5(df, "doc_id").collect()}
+        assert pairs == {(1, 2)}
+
+    def test_recall_vs_exact(self, spark):
+        """Same recall contract as the xxhash64 variant: most true
+        Jaccard>=0.5 pairs collide (8 hashes x 4 bands → p=0.68 at j=0.5,
+        0.98 at j=0.8)."""
+        docs = load_table(spark, "documents", SF_DIR)
+        truth = {
+            (r.doc_a, r.doc_b)
+            for r in D.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5).collect()
+        }
+        cand = {
+            (r.doc_a, r.doc_b)
+            for r in D.minhash_lsh_pairs_md5(docs, "doc_id").collect()
+        }
+        if truth:
+            recall = len(truth & cand) / len(truth)
+            assert recall >= 0.5, f"md5-LSH recall {recall} over {len(truth)} pairs"
+
+    def test_bands_must_divide_hashes(self, spark):
+        import pytest
+
+        docs = load_table(spark, "documents", SF_DIR).limit(5)
+        with pytest.raises(ValueError, match="must divide"):
+            D.minhash_lsh_pairs_md5(docs, "doc_id", num_hashes=8, bands=3)
