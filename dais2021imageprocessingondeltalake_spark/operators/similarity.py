@@ -666,6 +666,7 @@ def lsh_knn_join(
     vec_col: str = "embedding",
     seed: int = 7,
     round_dp: int = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Batch ANN join: top-k base-side neighbors for EVERY query row —
     the set-valued sibling of lsh_ann_topk (one query vector) and
@@ -706,6 +707,12 @@ def lsh_knn_join(
     probes = q.select(
         "query_id", "qv", "qnrm", F.explode(F.array(*probe_buckets)).alias("bucket")
     )
+    if broadcast_queries:
+        # the 100 TB shape: the query batch is orders of magnitude smaller
+        # than the base corpus, so its exploded probe index broadcasts and
+        # the base side never shuffles (locally AQE would otherwise pick
+        # whichever side is smaller — usually the base in tests)
+        probes = F.broadcast(probes)
     from pyspark.sql import Window
 
     # norms hoisted per row (FP-identical to cosine(), 3x less pair work)

@@ -534,3 +534,19 @@ class TestMinhashMd5:
         docs = load_table(spark, "documents", SF_DIR).limit(5)
         with pytest.raises(ValueError, match="must divide"):
             D.minhash_lsh_pairs_md5(docs, "doc_id", num_hashes=8, bands=3)
+
+    def test_query_side_broadcasts(self, spark):
+        """The candidate join must build on the QUERY side — the base
+        corpus never shuffles for candidates (the 100 TB shape)."""
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+        from dais2021imageprocessingondeltalake_spark.operators.similarity import lsh_knn_join
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        out = lsh_knn_join(
+            emb.filter(F.col("vec_id") % 97 == 0),
+            emb.filter(F.col("vec_id") % 97 != 0),
+            dim=64, k=3, n_planes=6,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "BuildLeft" in plan
