@@ -582,3 +582,54 @@ def quality_gate(
         pii.alias("fail_pii"),
         (~(fail_short | fail_rep | fail_lang | pii)).alias("keep_doc"),
     )
+
+
+def winnowing_fingerprints_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS algorithm) with an ENGINE-PORTABLE hash family: token k-grams
+    hash to md5 hex strings, every window of `window` consecutive k-gram
+    hashes keeps its MINIMUM (lexicographic string order), and the
+    document's fingerprint set is the distinct selected minima. Guarantees
+    any shared run of window+k-1 tokens contributes at least one common
+    fingerprint — the substring-robust dedup/attribution primitive.
+
+    Unlike the xxhash64 rolling_hash_fingerprint (rows-only), every step
+    here replays in SQL: same k-gram strings, same md5, same window frame,
+    same string min — so the op is oracle-certifiable bit-for-bit.
+
+    Shape: one posexplode to (doc, pos, hash) rows, one window min over
+    (doc, pos) — shuffle keyed on doc, frame scan is O(tokens) per doc.
+    Returns exploded distinct (id, fp) rows.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    grams = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)).cast("binary"))),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_h = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
+    w_frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    n_pos = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    selected = (
+        pos_h.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.min("h").over(w_frame).alias("wmin"),
+            n_pos.alias("n_pos"),
+        )
+        # classic winnowing slides over exactly n-w+1 full windows; short
+        # docs (n_pos < window) keep the single clipped window at pos 0
+        .filter(F.col("pos") <= F.greatest(F.col("n_pos") - F.lit(window), F.lit(0)))
+    )
+    return selected.select(F.col(id_col), F.col("wmin").alias("fp")).distinct()

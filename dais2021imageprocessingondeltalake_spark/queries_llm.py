@@ -1113,3 +1113,37 @@ def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     w.p. 0.68, j=0.8 w.p. 0.98."""
     docs = load_table(spark, "documents", sf_dir)
     return D.minhash_lsh_pairs_md5(docs, "doc_id", num_hashes=8, bands=4)
+
+
+@query(
+    "q_doc_fingerprint_md5",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [md5(array_to_string(w[i:i+3], ' ')) for i in range(1, len(w) - 2)] AS hs
+      FROM t WHERE len(w) >= 4
+    ), ph AS (
+      SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS pos FROM g
+    ), wm AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             count(*) OVER (PARTITION BY doc_id) AS n_pos
+      FROM ph
+    )
+    SELECT DISTINCT doc_id, wmin AS fp
+    FROM wm WHERE pos <= greatest(n_pos - 4, 0) + 1
+    """,
+)
+def q_doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS algorithm) with the engine-portable
+    md5-string hash family — the oracle-certified upgrade of the
+    xxhash64 rolling-hash fingerprint (q_doc_fingerprint, rows-only):
+    4-gram hashes, window-of-4 string minima, distinct selected set.
+    Any shared 7-token run between two documents is guaranteed to
+    contribute a common fingerprint — the substring-robust attribution/
+    dedup primitive, replayed bit-for-bit by the SQL window frame."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.winnowing_fingerprints_md5(docs, "doc_id", k=4, window=4)

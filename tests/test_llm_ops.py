@@ -550,3 +550,48 @@ class TestMinhashMd5:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "BuildLeft" in plan
+
+
+class TestWinnowingMd5:
+    def test_shared_run_guarantees_common_fingerprint(self, spark):
+        """Winnowing guarantee: any shared run of window+k-1 = 7 tokens
+        must contribute at least one common fingerprint; disjoint docs
+        share none."""
+        from dais2021imageprocessingondeltalake_spark.operators.text import (
+            winnowing_fingerprints_md5,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+        docs = spark.createDataFrame(
+            [
+                (1, f"intro words here {shared} trailing content one"),
+                (2, f"{shared} totally different ending tokens now"),
+                (3, "unrelated corpus document with its own vocabulary entirely"),
+            ],
+            ["doc_id", "text"],
+        )
+        fps = winnowing_fingerprints_md5(docs, "doc_id", k=4, window=4).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        assert by_doc[1] & by_doc[2], "shared 7-token run must share a fingerprint"
+        assert not (by_doc[1] & by_doc[3])
+        assert not (by_doc[2] & by_doc[3])
+
+    def test_short_docs(self, spark):
+        """Docs under k tokens yield no fingerprints; docs with fewer
+        k-grams than the window yield exactly one (the clipped window)."""
+        from dais2021imageprocessingondeltalake_spark.operators.text import (
+            winnowing_fingerprints_md5,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c d e")],  # 0 k-grams; 2 k-grams < window
+            ["doc_id", "text"],
+        )
+        fps = winnowing_fingerprints_md5(docs, "doc_id", k=4, window=4).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        assert 1 not in by_doc
+        assert len(by_doc[2]) == 1
