@@ -879,3 +879,48 @@ def minhash_lsh_pairs_md5(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+
+
+def simhash_md5(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash signatures with an ENGINE-PORTABLE hash family: per
+    distinct token, bit j of the md5 hex digest (extracted by hex-digit
+    lookup — `position` in Spark, `strpos` in an oracle engine, identical
+    values) votes +1/-1; signature bit j is set iff the vote sum is
+    positive. Every step is INTEGER arithmetic on identical inputs, so
+    the packed signature replays exactly in SQL — the oracle-certified
+    sibling of the 64-bit xxhash64 `simhash` (rows-only, 4x wider, the
+    production path). 16 bits keeps the per-token expression count sane;
+    the banding geometry is the same, just coarser.
+    """
+    hexchars = "0123456789abcdef"
+    exploded = (
+        _parallelize(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        )
+        .withColumn("h", F.md5(F.col("tok").cast("binary")))
+    )
+
+    def bit(j: int):
+        digit = f"position(substring(h, {1 + j // 4}, 1), '{hexchars}') - 1"
+        return F.expr(f"shiftright({digit}, {j % 4}) & 1")
+
+    votes = exploded.select(
+        id_col,
+        *[
+            F.when(bit(j) == 1, F.lit(1)).otherwise(F.lit(-1)).alias(f"b{j}")
+            for j in range(bits)
+        ],
+    )
+    sums = votes.groupBy(id_col).agg(
+        *[F.sum(f"b{j}").alias(f"v{j}") for j in range(bits)]
+    )
+    packed = F.lit(0).cast("long")
+    for j in range(bits):
+        packed = packed + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0).cast(
+            "long"
+        )
+    return sums.select(F.col(id_col), packed.alias("simhash"))

@@ -1147,3 +1147,45 @@ def q_doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup primitive, replayed bit-for-bit by the SQL window frame."""
     docs = load_table(spark, "documents", sf_dir)
     return TX.winnowing_fingerprints_md5(docs, "doc_id", k=4, window=4)
+
+
+def _simhash_md5_oracle(bits: int = 16) -> str:
+    """Replay simhash_md5 in SQL: same hex-digit bit extraction (strpos
+    vs Spark's position — identical values), same integer vote sums,
+    same packing."""
+    hexchars = "0123456789abcdef"
+    vote_cols = ",\n             ".join(
+        "SUM(CASE WHEN ((strpos('{hx}', substr(h, {d}, 1)) - 1) >> {k}) & 1 = 1 "
+        "THEN 1 ELSE -1 END) AS v{j}".format(
+            hx=hexchars, d=1 + j // 4, k=j % 4, j=j
+        )
+        for j in range(bits)
+    )
+    pack = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+    WITH e AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), hh AS (
+      SELECT doc_id, md5(tok) AS h FROM e
+    ), v AS (
+      SELECT doc_id,
+             {vote_cols}
+      FROM hh GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM v
+    """
+
+
+@query("q_simhash_md5", oracle=_simhash_md5_oracle())
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures with the engine-portable md5 hash family — the
+    oracle-certified certificate for the SimHash algorithm (bit votes,
+    integer sums, sign packing replay exactly in SQL; the 64-bit
+    xxhash64 production variant q_simhash stays rows-only). Completes
+    oracle certification across every dedup family: exact, Jaccard,
+    prefix, MinHash, SimHash, winnowing, connected components."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.simhash_md5(docs, "doc_id", bits=16)

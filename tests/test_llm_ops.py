@@ -595,3 +595,23 @@ class TestWinnowingMd5:
             by_doc.setdefault(r.doc_id, set()).add(r.fp)
         assert 1 not in by_doc
         assert len(by_doc[2]) == 1
+
+
+class TestSimhashMd5:
+    def test_identical_equal_near_docs_close(self, spark):
+        """Identical docs get identical signatures; a one-token edit moves
+        few bit votes (small Hamming distance); unrelated docs differ."""
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                (3, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+                (4, "entirely different vocabulary with no shared words anywhere else"),
+            ],
+            ["doc_id", "text"],
+        )
+        sig = {r.doc_id: r.simhash for r in D.simhash_md5(docs, "doc_id").collect()}
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert sig[1] == sig[2]
+        assert ham(sig[1], sig[3]) <= 6  # one-token edit, 16-bit signature
+        assert ham(sig[1], sig[4]) > ham(sig[1], sig[3])
