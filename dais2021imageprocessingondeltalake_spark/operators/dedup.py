@@ -601,6 +601,7 @@ def leakage_safe_split(
     seed: int = 0,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Train/validation split that cannot leak near-duplicates across the
     boundary: documents are split by their near-dup CLUSTER, not
@@ -614,20 +615,33 @@ def leakage_safe_split(
     whole clusters, never splits one. Docs in no near-dup pair are their
     own singleton cluster (left join; root = own id).
 
+    `hash_family` picks the assignment hash: "xxhash64" (default, fast,
+    Spark-private → rows-only checkable) or "md5" (the first-8-hex-chars
+    threshold idiom — replayable in any engine, so the whole split
+    becomes oracle-certifiable; see q_leakage_split_md5).
+
     Scale shape: connected_components over the (already banded/pruned)
     edge list, one broadcast-able left join of the corpus against the
     cluster map (|clustered docs| << |corpus|), and a pure projection
     for the assignment. No extra shuffle of the corpus beyond the join."""
+    from .sampling import _md5_threshold
+
     clusters = connected_components(edges, id_a=id_a, id_b=id_b)
     joined = docs.join(
         clusters.withColumnRenamed("id", id_col), [id_col], "left"
     ).withColumn("cluster_root", F.coalesce(F.col("cluster_root"), F.col(id_col)))
-    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col("cluster_root")), F.lit(10_000))
+    if hash_family == "md5":
+        digest = F.md5(
+            F.concat(F.col("cluster_root").cast("string"), F.lit(f":split{seed}"))
+        )
+        is_train = F.substring(digest, 1, 8) < F.lit(_md5_threshold(train_fraction))
+    elif hash_family == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.lit(seed), F.col("cluster_root")), F.lit(10_000))
+        is_train = bucket < F.lit(int(train_fraction * 10_000))
+    else:
+        raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
     return joined.withColumn(
-        "split",
-        F.when(bucket < F.lit(int(train_fraction * 10_000)), F.lit("train")).otherwise(
-            F.lit("validation")
-        ),
+        "split", F.when(is_train, F.lit("train")).otherwise(F.lit("validation"))
     )
 
 

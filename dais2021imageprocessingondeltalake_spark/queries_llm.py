@@ -1189,3 +1189,55 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix, MinHash, SimHash, winnowing, connected components."""
     docs = load_table(spark, "documents", sf_dir)
     return D.simhash_md5(docs, "doc_id", bits=16)
+
+
+@query(
+    "q_leakage_split_md5",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      WHERE shared / (n_a + n_b - shared) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ), cl AS (
+      SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id
+    ), rooted AS (
+      SELECT d.doc_id, coalesce(cl.cluster_root, d.doc_id) AS cluster_root
+      FROM documents d LEFT JOIN cl USING (doc_id)
+    )
+    SELECT doc_id, cluster_root,
+           CASE WHEN substr(md5(CAST(cluster_root AS VARCHAR) || ':split0'), 1, 8)
+                     < 'cccccccc'
+                THEN 'train' ELSE 'validation' END AS split
+    FROM rooted
+    """,
+)
+def q_leakage_split_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation split with the md5-threshold
+    assignment — the oracle-certified form of q_leakage_safe_split
+    (whose xxhash64 bucketing is Spark-private): near-dup clusters from
+    the prefix-Jaccard edges land whole on one side, singletons are
+    their own cluster, and the cluster root's md5 prefix against the
+    0.8-rate threshold decides the side identically in any engine. The
+    no-straddling-pair invariant stays pinned in tests for both hash
+    families."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+    out = D.leakage_safe_split(
+        docs, "doc_id", pairs, train_fraction=0.8, seed=0, hash_family="md5"
+    )
+    return out.select("doc_id", "cluster_root", "split")

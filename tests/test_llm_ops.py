@@ -615,3 +615,22 @@ class TestSimhashMd5:
         assert sig[1] == sig[2]
         assert ham(sig[1], sig[3]) <= 6  # one-token edit, 16-bit signature
         assert ham(sig[1], sig[4]) > ham(sig[1], sig[3])
+
+
+def test_leakage_split_md5_family_invariants(spark):
+    """The md5 hash family honors the same contract as xxhash64: no
+    near-dup pair straddles the split, and an unknown family raises."""
+    import pytest
+
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    side = {
+        r.doc_id: r.split
+        for r in q.REGISTRY["q_leakage_split_md5"].fn(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, "documents", SF_DIR)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+    for p in pairs.collect():
+        assert side[p.doc_a] == side[p.doc_b]
+    with pytest.raises(ValueError, match="hash_family"):
+        D.leakage_safe_split(docs, "doc_id", pairs, hash_family="sha9")
