@@ -783,3 +783,86 @@ def test_random_curation_exprs_match_duckdb(spark, q):
     oracle_cols, rows = run_oracle(sql, SF_DIR)
     problems = compare(got, oracle_cols, rows, rel_tol=0.0)
     assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=predicates(),
+    how=st.sampled_from(["left_semi", "left_anti"]),
+)
+def test_random_semi_anti_join_matches_duckdb(spark, pred, how):
+    """Random filter on the EXISTS side of a semi/anti join — the
+    existence-test surface the fixed oracles only cover at two points.
+    Semi must not multiply rows; anti must be the exact complement."""
+    parts, joiners = pred
+    o = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, "lineitem", SF_DIR).filter(_to_spark(parts, joiners)).select(
+        "l_orderkey"
+    )
+    got = o.join(li, o["o_orderkey"] == li["l_orderkey"], how)
+    exists_kw = "EXISTS" if how == "left_semi" else "NOT EXISTS"
+    sql = (
+        "SELECT o_orderkey, o_orderpriority FROM orders o "
+        f"WHERE {exists_kw} (SELECT 1 FROM lineitem l "
+        f"WHERE l.l_orderkey = o.o_orderkey AND ({_to_sql(parts, joiners)}))"
+    )
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=predicates(),
+    frame=st.sampled_from(["rows_2p", "rows_unb", "rows_1f"]),
+    pkey=st.sampled_from(["l_returnflag", "l_linestatus"]),
+)
+def test_random_window_frames_match_duckdb(spark, pred, frame, pkey):
+    """Random ROWS-frame running aggregates over a random filtered input.
+    ROWS frames on integer sums are engine-exact (no float, no RANGE
+    peer-group ambiguity); the input pre-aggregates to one row per
+    (partition, orderkey, linenumber) because the synthetic lineitem has
+    duplicate line keys — a non-unique ROWS order would make frame
+    contents engine-dependent."""
+    from pyspark.sql import Window
+
+    parts, joiners = pred
+    li = (
+        load_table(spark, "lineitem", SF_DIR)
+        .filter(_to_spark(parts, joiners))
+        .groupBy("l_orderkey", "l_linenumber", pkey)
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    specs = {
+        "rows_2p": ((-2, 0), "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"),
+        "rows_unb": ((Window.unboundedPreceding, 0), "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"),
+        "rows_1f": ((0, 1), "ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING"),
+    }
+    (lo, hi), sql_frame = specs[frame]
+    w = (
+        Window.partitionBy(pkey)
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(lo, hi)
+    )
+    got = li.select(
+        "l_orderkey", "l_linenumber", pkey, F.sum("q").over(w).alias("running_q")
+    )
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {pkey}, "
+        f"CAST(sum(q) OVER (PARTITION BY {pkey} ORDER BY l_orderkey, l_linenumber "
+        f"{sql_frame}) AS BIGINT) AS running_q "
+        f"FROM (SELECT l_orderkey, l_linenumber, {pkey}, "
+        f"CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q FROM lineitem "
+        f"WHERE {_to_sql(parts, joiners)} GROUP BY 1, 2, 3)"
+    )
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
