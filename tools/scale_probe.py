@@ -127,6 +127,19 @@ def main() -> int:
             n_dups = flags.filter("is_dup").count()
             t_cross = time.perf_counter() - t0
 
+            # MinHash banding -> connected components -> keep-roots: the
+            # end-to-end dedup job shape (q_dedup_end2end)
+            t0 = time.perf_counter()
+            cand = D.minhash_lsh_pairs(docs, "doc_id", num_hashes=32, bands=8)
+            clusters = D.connected_components(cand.select("doc_a", "doc_b"))
+            kept = docs.join(
+                clusters.filter("id <> cluster_root").withColumnRenamed("id", "doc_id"),
+                ["doc_id"],
+                "left_anti",
+            )
+            n_kept = kept.count()
+            t_e2e = time.perf_counter() - t0
+
             point = {
                 "factor": k,
                 "n_docs": n_docs,
@@ -134,6 +147,8 @@ def main() -> int:
                 "prefix_pairs": n_pairs,
                 "cross_secs": round(t_cross, 2),
                 "cross_dups": n_dups,
+                "e2e_secs": round(t_e2e, 2),
+                "e2e_kept": n_kept,
             }
             result["points"].append(point)
             print(json.dumps(point), flush=True)
