@@ -913,3 +913,61 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     cents = SIM.label_centroids(emb).withColumn("centroid", F.round("centroid", 6))
     return SIM.semantic_dedup_flags(emb, cents, threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# Clean eval-set carving
+# --------------------------------------------------------------------------
+@query(
+    "q_eval_carve",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+4], ' ')
+                            for i in range(1, len(w) - 3)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0
+    ), contaminated AS (
+      SELECT DISTINCT e.doc_id
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 <> 0) e
+      JOIN bench USING (s)
+    ), clean AS (
+      SELECT d.doc_id, d.source FROM documents d
+      WHERE d.doc_id % 97 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'eval'), doc_id
+             ) AS rn
+      FROM clean
+    ) WHERE rn <= 3
+    """,
+)
+def q_eval_carve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out eval-set carving, the composite every training run needs
+    before it starts: drop documents sharing any 5-gram with the
+    benchmark slice (contamination would leak eval answers into the
+    carve), then take EXACTLY 3 docs per source by salted-md5 rank —
+    deterministic across engines, layouts, and reruns, so the eval set
+    is reproducible from the corpus alone. Decontamination broadcasts
+    the benchmark shingle set; the carve is one WindowGroupLimit shuffle
+    on the source key."""
+    from .operators.sampling import hash_sample_fixed_k
+    from .operators.text import benchmark_ngram_overlap
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    flags = benchmark_ngram_overlap(corpus, bench, n=5).select("doc_id", "contaminated")
+    clean = (
+        corpus.join(flags, ["doc_id"])
+        .filter(~F.col("contaminated"))
+        .select("doc_id", "source")
+    )
+    return hash_sample_fixed_k(clean, "doc_id", "source", k=3, salt="eval").select(
+        "doc_id", "source"
+    )
