@@ -674,3 +674,33 @@ def test_table_diff_plan_single_full_outer_join(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
         "BroadcastHashJoin"
     ) == 1, plan
+
+
+def test_round3_op_plan_shapes(spark):
+    """Plan shapes of the round-3 operators hold their 100 TB contracts:
+    SemDeDup broadcasts the centroid table (BroadcastNestedLoopJoin for
+    the k-row cross join) and window-limits the per-vector argmax;
+    keep-best's rn==1 filter plans as WindowGroupLimit (per-partition
+    top-1 heaps, no full sorts); eval-carve broadcasts the benchmark
+    shingle set and window-limits the per-source carve."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    def plan(name):
+        return (
+            q.REGISTRY[name]
+            .fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    sem = plan("q_semdedup")
+    assert "BroadcastNestedLoopJoin" in sem  # broadcast centroids (E-step)
+    assert "WindowGroupLimit" in sem  # per-vector argmax short-circuit
+
+    best = plan("q_dedup_keep_best")
+    assert "WindowGroupLimit" in best  # per-cluster top-1, not full sort
+
+    carve = plan("q_eval_carve")
+    assert "BroadcastHashJoin" in carve  # benchmark shingles broadcast
+    assert "WindowGroupLimit" in carve  # exactly-k-per-source heaps
