@@ -1241,3 +1241,64 @@ def q_leakage_split_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", pairs, train_fraction=0.8, seed=0, hash_family="md5"
     )
     return out.select("doc_id", "cluster_root", "split")
+
+
+@query(
+    "q_dedup_cap",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      WHERE shared / (n_a + n_b - shared) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ), cl AS (
+      SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id
+    ), rooted AS (
+      SELECT d.doc_id, coalesce(cl.cluster_root, d.doc_id) AS cluster_root
+      FROM documents d LEFT JOIN cl USING (doc_id)
+    )
+    SELECT doc_id, cluster_root FROM (
+      SELECT doc_id, cluster_root,
+             row_number() OVER (
+               PARTITION BY cluster_root
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id
+             ) AS rn
+      FROM rooted
+    ) WHERE rn <= 2
+    """,
+)
+def q_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency capping — the SOFT dedup policy: keep up to 2 members
+    per near-dup cluster (salted-md5 rank, deterministic) instead of
+    collapsing to one. Pretraining corpora often retain bounded natural
+    duplication — document frequency is signal — while still capping the
+    pathological thousand-copy clusters that distort the loss. Exactly
+    the keep-one pipeline with the WindowGroupLimit rank bound raised,
+    so the cost is identical; singletons pass through untouched."""
+    from .operators.sampling import hash_sample_fixed_k
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+    clusters = D.connected_components(pairs)
+    rooted = (
+        docs.select("doc_id")
+        .join(clusters.withColumnRenamed("id", "doc_id"), ["doc_id"], "left")
+        .withColumn("cluster_root", F.coalesce(F.col("cluster_root"), F.col("doc_id")))
+    )
+    return hash_sample_fixed_k(rooted, "doc_id", "cluster_root", k=2, salt="cap").select(
+        "doc_id", "cluster_root"
+    )

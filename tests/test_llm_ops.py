@@ -634,3 +634,22 @@ def test_leakage_split_md5_family_invariants(spark):
         assert side[p.doc_a] == side[p.doc_b]
     with pytest.raises(ValueError, match="hash_family"):
         D.leakage_safe_split(docs, "doc_id", pairs, hash_family="sha9")
+
+
+def test_dedup_cap_keeps_at_most_two_per_cluster(spark):
+    """Frequency capping keeps <= 2 members per near-dup cluster,
+    deterministically, and passes singletons through."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    out = q.REGISTRY["q_dedup_cap"].fn(spark, SF_DIR)
+    per_cluster = out.groupBy("cluster_root").count().collect()
+    assert all(r["count"] <= 2 for r in per_cluster)
+    docs = load_table(spark, "documents", SF_DIR)
+    # every kept doc exists; reruns identical
+    kept1 = {r.doc_id for r in out.collect()}
+    kept2 = {r.doc_id for r in q.REGISTRY["q_dedup_cap"].fn(spark, SF_DIR).collect()}
+    assert kept1 == kept2
+    assert kept1 <= {r.doc_id for r in docs.select("doc_id").collect()}
+    # the capped corpus keeps MORE than keep-one dedup (soft policy)
+    keep_one = q.REGISTRY["q_dedup_end2end"].fn(spark, SF_DIR).count()
+    assert len(kept1) >= keep_one
