@@ -633,3 +633,65 @@ def winnowing_fingerprints_md5(
         .filter(F.col("pos") <= F.greatest(F.col("n_pos") - F.lit(window), F.lit(0)))
     )
     return selected.select(F.col(id_col), F.col("wmin").alias("fp")).distinct()
+
+
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Span-level decontamination: strip from every corpus document the
+    tokens covered by an n-gram that occurs ANYWHERE in the benchmark
+    set, instead of dropping whole documents (the document-level
+    q_decontaminate policy throws away an entire page for one quoted
+    sentence; this keeps the clean remainder). Output: (id, text_clean,
+    n_removed) for every corpus doc.
+
+    Scale shape: the benchmark's distinct shingle set BROADCASTS (eval
+    suites are tiny next to the corpus), so the corpus is scanned once —
+    positional spans join the broadcast set, covered positions union per
+    doc (bounded explode: n positions per hit), and the rebuild is a
+    per-row JVM array filter. No corpus shuffle at all beyond the
+    per-doc covered-set aggregation."""
+    toks = tokens(F.col(text_col))
+    L = F.size(toks)
+    spans = F.when(
+        L >= n,
+        F.transform(
+            F.sequence(F.lit(1), L - F.lit(n - 1)),
+            lambda i: F.struct(
+                i.alias("i"), F.concat_ws(" ", F.slice(toks, i, n)).alias("s")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,s:string>>"))
+    from .dedup import shingles as _shingles
+    from .sampling import ensure_min_partitions
+
+    bench_spans = (
+        bench.select(F.explode(_shingles(F.col(text_col), n)).alias("s")).distinct()
+    )
+
+    src = ensure_min_partitions(
+        corpus, corpus.sparkSession.sparkContext.defaultParallelism
+    )
+    pos = src.select(
+        F.col(id_col).alias("doc"), F.explode(spans).alias("sp")
+    ).select("doc", F.col("sp.i").alias("i"), F.col("sp.s").alias("s"))
+    starts = pos.join(F.broadcast(bench_spans), ["s"]).select("doc", "i")
+    covered = (
+        starts.select(
+            "doc", F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))).alias("j")
+        )
+        .groupBy("doc")
+        .agg(F.collect_set("j").alias("cov"))
+    )
+    out = corpus.join(covered, corpus[id_col] == covered["doc"], "left")
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(toks, lambda t, idx: ~F.array_contains(cov, idx + F.lit(1)))
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size(cov).cast("bigint").alias("n_removed"),
+    )

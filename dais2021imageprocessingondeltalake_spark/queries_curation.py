@@ -971,3 +971,51 @@ def q_eval_carve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample_fixed_k(clean, "doc_id", "source", k=3, salt="eval").select(
         "doc_id", "source"
     )
+
+
+@query(
+    "q_decontaminate_spans",
+    oracle="""
+    WITH bsh AS (
+      SELECT DISTINCT unnest(
+        list_distinct([array_to_string(w[i:i+4], ' ')
+                       for i in range(1, len(w) - 3)])) AS s
+      FROM (SELECT string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 97 = 0)
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id % 97 <> 0
+    ), pos AS (
+      SELECT doc_id, unnest(range(1, len(w) - 3)) AS i, w FROM toks
+    ), spans AS (
+      SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS s FROM pos
+    ), starts AS (
+      SELECT sp.doc_id, sp.i FROM spans sp JOIN bsh USING (s)
+    ), cov AS (
+      SELECT doc_id, list(DISTINCT j) AS cov FROM (
+        SELECT DISTINCT doc_id, unnest(range(i, i + 5)) AS j FROM starts
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(array_to_string(
+             [t.w[j] for j in range(1, len(t.w) + 1)
+              if NOT coalesce(list_contains(c.cov, j), false)], ' '
+           ), '') AS text_clean,
+           CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: strip the tokens covered by any
+    5-gram shared with the benchmark slice instead of dropping the whole
+    document — the document-level q_decontaminate policy discards an
+    entire page for one quoted sentence; this keeps the clean remainder
+    (and removes nothing from untouched docs). Benchmark shingles
+    broadcast; the corpus never shuffles except the per-doc covered-set
+    aggregation. Emits the rewritten text for every corpus doc."""
+    from .operators.text import remove_contaminated_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return remove_contaminated_spans(corpus, bench, n=5)

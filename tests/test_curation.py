@@ -639,3 +639,32 @@ class TestSemanticDedup:
         assert out.count() == emb.count()
         assert out.select("vec_id").distinct().count() == emb.count()
         assert out.filter("is_semdup").count() > 0  # non-vacuous at sf0.001
+
+
+class TestSpanDecontamination:
+    def test_planted_benchmark_quote_stripped(self, spark):
+        """A doc quoting a benchmark sentence verbatim loses exactly the
+        covered tokens; a clean doc passes through unmodified."""
+        from dais2021imageprocessingondeltalake_spark.operators.text import (
+            remove_contaminated_spans,
+        )
+
+        bench = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                (10, "intro words the quick brown fox jumps over the lazy dog outro bits"),
+                (11, "completely unrelated sentence with none of those words present"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in remove_contaminated_spans(corpus, bench, n=5).collect()}
+        assert out[11].n_removed == 0
+        assert out[11].text_clean == "completely unrelated sentence with none of those words present"
+        # the 9 quoted tokens are all covered by shared 5-grams
+        assert out[10].n_removed == 9
+        assert "fox" not in out[10].text_clean
+        assert out[10].text_clean.startswith("intro words")
+        assert out[10].text_clean.endswith("outro bits")
