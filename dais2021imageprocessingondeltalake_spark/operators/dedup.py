@@ -860,6 +860,34 @@ def minhash_lsh_pairs_md5(
     r = num_hashes // bands
     if r * bands != num_hashes:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    banded = minhash_bands_md5(df, id_col, text_col, num_hashes, bands, shingle_n)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_bands_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, band_id, bv) — the md5-family MinHash band table. This is
+    the PERSISTABLE LSH index of a corpus: write it once per snapshot and
+    every incoming batch joins its own (tiny) band table against it for
+    candidates (cross_corpus_minhash_flags), exactly how an incremental
+    LSH index runs in production."""
+    r = num_hashes // bands
     exploded = _parallelize(df).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
@@ -879,20 +907,82 @@ def minhash_lsh_pairs_md5(
         )
         for j in range(bands)
     ]
-    banded = mins.select(
+    return mins.select(
         "doc", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc", F.col("b.band_id").alias("band_id"), F.col("b.bv").alias("bv"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
+
+
+def cross_corpus_minhash_flags(
+    new_df: DataFrame,
+    ref_df: DataFrame | None,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    ref_bands: DataFrame | None = None,
+    ref_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental-ingest dedup with a MinHash-LSH candidate index — the
+    approximate sibling of cross_corpus_near_dup_flags (exact prefix
+    filtering): candidates come from band-value collisions between the
+    new batch's band table and the corpus's PRECOMPUTED band index
+    (`ref_bands`, persisted once per snapshot via minhash_bands_md5),
+    then exact n-gram Jaccard verifies each candidate against the
+    corpus shingle table. Returns (id, is_dup) per new doc.
+
+    Trade vs the prefix path: candidate generation touches only
+    |docs| x bands index rows (no per-shingle rarity ranking, no df
+    table), at the price of LSH recall < 1 below the collision knee —
+    the right choice when the corpus index must be cheap to maintain.
+    Both ref-side tables are reusable across every incoming batch; when
+    not supplied they are derived from `ref_df` in-query.
+    """
+    if (ref_bands is None or ref_shingles is None) and ref_df is None:
+        raise ValueError("need ref_df or precomputed ref_bands + ref_shingles")
+    b_new = minhash_bands_md5(new_df, id_col, text_col, num_hashes, bands, n)
+    b_ref = (
+        ref_bands
+        if ref_bands is not None
+        else minhash_bands_md5(ref_df, id_col, text_col, num_hashes, bands, n)
+    )
+    sh_new = shingle_table(new_df, id_col, text_col, n)
+    sh_ref = (
+        ref_shingles
+        if ref_shingles is not None
+        else shingle_table(ref_df, id_col, text_col, n)
+    )
+    cand = (
+        F.broadcast(b_new.alias("a"))
+        .join(
+            b_ref.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.bv") == F.col("b.bv")),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(F.col("a.doc").alias("doc_new"), F.col("b.doc").alias("doc_ref"))
+        .dropDuplicates(["doc_new", "doc_ref"])
+    )
+    jaccard = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    dup_ids = (
+        cand.join(
+            sh_new.select(F.col("doc").alias("doc_new"), F.col("sh").alias("sh_a"),
+                          F.size("sh").alias("n_a")),
+            ["doc_new"],
+        )
+        .join(
+            sh_ref.select(F.col("doc").alias("doc_ref"), F.col("sh").alias("sh_b"),
+                          F.size("sh").alias("n_b")),
+            ["doc_ref"],
+        )
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(jaccard >= threshold)
+        .select(F.col("doc_new").alias(id_col))
         .distinct()
     )
+    return new_df.select(id_col).join(
+        dup_ids.withColumn("is_dup", F.lit(True)), [id_col], "left"
+    ).select(F.col(id_col), F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"))
 
 
 def simhash_md5(

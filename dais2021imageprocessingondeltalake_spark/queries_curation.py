@@ -1019,3 +1019,66 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return remove_contaminated_spans(corpus, bench, n=5)
+
+
+def _cross_minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    """Replay the incremental MinHash-LSH dedup: salted md5-string
+    minima, band concatenation, new x ref band-collision candidates,
+    exact string-shingle Jaccard verification."""
+    r = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || s)) AS m{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {j} AS band_id, {bv} AS bv FROM m".format(
+            j=j, bv=" || '|' || ".join(f"m{j * r + i}" for i in range(r))
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), m AS (
+      SELECT doc_id,
+             {mins}
+      FROM e GROUP BY doc_id
+    ), b AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_new, c.doc_id AS doc_ref
+      FROM b a JOIN b c ON a.band_id = c.band_id AND a.bv = c.bv
+      WHERE a.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+    ), dup AS (
+      SELECT DISTINCT cand.doc_new FROM cand
+      JOIN sh sa ON sa.doc_id = cand.doc_new
+      JOIN sh sb ON sb.doc_id = cand.doc_ref
+      WHERE len(list_intersect(sa.shingles, sb.shingles))
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+    )
+    SELECT d.doc_id, dup.doc_new IS NOT NULL AS is_dup
+    FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_new
+    WHERE d.doc_id % 3 = 0
+    """
+
+
+@query("q_cross_dedup_lsh", oracle=_cross_minhash_oracle())
+def q_cross_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup with a MinHash-LSH candidate index — the
+    approximate sibling of q_cross_dedup: the corpus side's band table
+    (minhash_bands_md5, persisted once per snapshot in production) is
+    probed by the new batch's broadcast band table for candidates, then
+    exact 3-gram Jaccard >= 0.5 verifies against the corpus shingle
+    table. Candidate generation touches |docs| x 4 index rows instead of
+    per-shingle prefixes — the cheap-to-maintain index variant, with
+    the md5-string family keeping the whole path oracle-replayable."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, "documents", sf_dir)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    return D.cross_corpus_minhash_flags(new, ref, "doc_id", n=3, threshold=0.5)

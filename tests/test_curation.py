@@ -668,3 +668,60 @@ class TestSpanDecontamination:
         assert "fox" not in out[10].text_clean
         assert out[10].text_clean.startswith("intro words")
         assert out[10].text_clean.endswith("outro bits")
+
+
+class TestCrossCorpusMinhash:
+    def test_precomputed_index_flag_identical(self, spark):
+        """The persisted-index path (band table + shingle table handed in)
+        must flag identically to the self-computing path."""
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        docs = load_table(spark, "documents", SF_DIR)
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        ref = docs.filter(F.col("doc_id") % 3 != 0)
+        base = {
+            r.doc_id: r.is_dup
+            for r in D.cross_corpus_minhash_flags(new, ref, "doc_id").collect()
+        }
+        bands = D.minhash_bands_md5(ref, "doc_id").localCheckpoint()
+        sh = D.shingle_table(ref, "doc_id").localCheckpoint()
+        pre = {
+            r.doc_id: r.is_dup
+            for r in D.cross_corpus_minhash_flags(
+                new, None, "doc_id", ref_bands=bands, ref_shingles=sh
+            ).collect()
+        }
+        assert pre == base
+        assert any(base.values())
+
+    def test_recall_vs_exact_prefix_path(self, spark):
+        """LSH candidates verified exactly can only MISS pairs (recall);
+        every flag it raises must also be raised by the exact path, and
+        it must catch the clear majority."""
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        docs = load_table(spark, "documents", SF_DIR)
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        ref = docs.filter(F.col("doc_id") % 3 != 0)
+        exact = {
+            r.doc_id
+            for r in D.cross_corpus_near_dup_flags(new, ref, "doc_id").collect()
+            if r.is_dup
+        }
+        lsh = {
+            r.doc_id
+            for r in D.cross_corpus_minhash_flags(new, ref, "doc_id").collect()
+            if r.is_dup
+        }
+        assert lsh <= exact  # verification is exact → no false flags
+        if exact:
+            assert len(lsh) / len(exact) >= 0.5
+
+    def test_requires_ref_source(self, spark):
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+
+        docs = load_table(spark, "documents", SF_DIR)
+        with pytest.raises(ValueError, match="ref_df or precomputed"):
+            D.cross_corpus_minhash_flags(docs, None, "doc_id")
