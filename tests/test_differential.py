@@ -866,3 +866,36 @@ def test_random_window_frames_match_duckdb(spark, pred, frame, pkey):
     cols, rows = run_oracle(sql, SF_DIR)
     problems = compare(got, cols, rows, rel_tol=0.0)
     assert not problems, f"{sql}: {problems[:2]}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    agg=st.sampled_from(["min", "max", "count"]),
+    op=st.sampled_from([">", "<", ">=", "<="]),
+    pred=predicates(),
+)
+def test_same_sql_correlated_subquery_matches_duckdb(spark, agg, op, pred):
+    """ONE SQL text executed by BOTH engines: a correlated scalar
+    subquery over a random-filtered lineitem compared against an order
+    column. Exercises Spark's decorrelation (Catalyst rewrites to an
+    aggregate + join) against DuckDB's native evaluation. Integer-safe
+    quantities only (count/min/max on BIGINT casts)."""
+    from dais2021imageprocessingondeltalake_spark.catalog import register_views
+
+    parts, joiners = pred
+    inner_pred = _to_sql(parts, joiners)
+    sql = (
+        "SELECT o_orderkey, o_orderpriority FROM orders o "
+        f"WHERE CAST(coalesce((SELECT {agg}(CAST(l.l_linenumber AS BIGINT)) "
+        f"FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND ({inner_pred})), 0) "
+        f"AS BIGINT) {op} 3"
+    )
+    register_views(spark, SF_DIR)
+    got = spark.sql(sql)
+    cols, rows = run_oracle(sql, SF_DIR)
+    problems = compare(got, cols, rows, rel_tol=0.0)
+    assert not problems, f"{sql}: {problems[:2]}"
