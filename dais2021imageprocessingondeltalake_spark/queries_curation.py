@@ -1082,3 +1082,60 @@ def q_cross_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 3 == 0)
     ref = docs.filter(F.col("doc_id") % 3 != 0)
     return D.cross_corpus_minhash_flags(new, ref, "doc_id", n=3, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted downsampling
+# --------------------------------------------------------------------------
+_QMIX_RATES = {1: 1.0, 2: 0.5, 3: 0.25, 4: 0.1}
+
+@query(
+    "q_quality_mix",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             least(len(string_split(text, ' ')) / 50, 1.0)
+               * (len(list_distinct(string_split(text, ' ')))
+                  / len(string_split(text, ' '))) AS q_score
+      FROM documents
+    ), binned AS (
+      SELECT doc_id, source,
+             ntile(4) OVER (PARTITION BY source
+                            ORDER BY q_score DESC, doc_id) AS curriculum_bin
+      FROM q
+    )
+    SELECT doc_id, source, curriculum_bin FROM binned
+    WHERE curriculum_bin = 1
+       OR substr(md5(CAST(doc_id AS VARCHAR) || 'qmix'), 1, 8) <
+          CASE curriculum_bin
+            WHEN 2 THEN '{S._md5_threshold(0.5)}'
+            WHEN 3 THEN '{S._md5_threshold(0.25)}'
+            ELSE '{S._md5_threshold(0.1)}'
+          END
+    """,
+)
+def q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling — the quality-aware mixing step a
+    pretraining corpus runs after scoring (keep the best quartile fully,
+    thin lower quartiles at 50%/25%/10%): per-source quality quartiles
+    (ntile, doc_id tie-break) gate a deterministic md5-threshold
+    Bernoulli per bin. Every decision is reproducible from the corpus
+    alone — same doc, same verdict on any engine, layout, or rerun; the
+    whole policy is one window + one projection filter."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = TX.quality_score(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", "q_score"
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q_score").desc(), F.col("doc_id"))
+    binned = scored.withColumn("curriculum_bin", F.ntile(4).over(w))
+    digest8 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("qmix"))), 1, 8
+    )
+    thr = F.when(F.col("curriculum_bin") == 2, F.lit(S._md5_threshold(0.5))).when(
+        F.col("curriculum_bin") == 3, F.lit(S._md5_threshold(0.25))
+    ).otherwise(F.lit(S._md5_threshold(0.1)))
+    return binned.filter(
+        (F.col("curriculum_bin") == 1) | (digest8 < thr)
+    ).select("doc_id", "source", "curriculum_bin")
