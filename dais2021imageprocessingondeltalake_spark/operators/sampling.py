@@ -109,6 +109,75 @@ def hash_sample_stratified(
     return df.filter(keep)
 
 
+def _hex_threshold_col(rate_col):
+    """Column form of `_md5_threshold` for DATA-DEPENDENT keep-rates.
+
+    `_md5_threshold` needs the rate at plan-build time; aggregated rates
+    (e.g. per-language balance factors) only exist inside the plan. The
+    same 8-hex-digit compare works in-engine: floor(rate * 2^32) → hex →
+    lower/lpad to width 8. Rates >= 1.0 map to 'g' (every md5 digit is
+    < 'g', so the stratum is kept whole — and it sidesteps lpad's
+    silent truncation of the 9-digit hex of 2^32). The rate must be
+    round()-ed BEFORE calling this (libm-derived rates differ by an ulp
+    across engines; floor would amplify that to a whole threshold step)."""
+    from pyspark.sql import functions as F
+
+    return F.when(rate_col >= 1.0, F.lit("g")).otherwise(
+        F.lower(
+            F.lpad(F.hex(F.floor(rate_col * F.lit(4294967296.0)).cast("bigint")), 8, "0")
+        )
+    )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weight_col,
+    alpha: float = 0.3,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the mT5/XLM-R α-sampling
+    policy, downsample-only form): strata (languages, domains) are kept
+    at rate (w_min / w_s)^(1-α), where w_s is the stratum's total weight
+    (token count) — α=1 keeps the natural distribution, α=0 thins every
+    stratum to the smallest one's weight, α≈0.3 is the multilingual
+    pretraining default. The rarest stratum always keeps everything, so
+    no upsampling/duplication is ever needed.
+
+    Unlike the static-rate `hash_sample_stratified`, the rates here are
+    DERIVED FROM THE DATA inside the plan (one tiny per-stratum
+    aggregate, broadcast back), so the policy self-adjusts as the corpus
+    grows — and stays fully deterministic: rates round to 6dp before the
+    in-engine hex-threshold conversion, and the per-row decision is the
+    same md5(key||salt) Bernoulli as every other sampler here. Scale
+    shape: one |strata|-row aggregate + a broadcast join + a projection
+    filter; the corpus never shuffles. Returns the kept rows with a
+    `keep_rate` audit column."""
+    from pyspark.sql import functions as F
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = df.groupBy(strata_col).agg(F.sum(weight.cast("double")).alias("__w"))
+    minw = w.agg(F.min("__w").alias("__minw"))
+    rates = (
+        w.crossJoin(F.broadcast(minw))
+        .select(
+            strata_col,
+            F.round(
+                F.pow(F.col("__minw") / F.col("__w"), F.lit(1.0 - alpha)), 6
+            ).alias("keep_rate"),
+        )
+    )
+    digest = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    return df.join(F.broadcast(rates), strata_col).filter(
+        digest < _hex_threshold_col(F.col("keep_rate"))
+    )
+
+
 def hash_sample_fixed_k(
     df: DataFrame, key_col: str, strata_col: str, k: int, salt: str = ""
 ) -> DataFrame:

@@ -276,6 +276,70 @@ def unigram_logprob_score(
     )
 
 
+def dsir_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", hashed-feature form
+    specialized to unigrams): score every raw-corpus document by
+    sum over its tokens of ln p_target(tok) - ln p_raw(tok), where both
+    unigram LMs are add-1 smoothed over the SHARED vocabulary. Positive
+    scores read "more target-like than raw-like" — the standard way to
+    skim a web crawl for docs resembling a small trusted corpus
+    (books, wiki) before pretraining.
+
+    Scale shape: two token-count aggregates (raw + target), a full-outer
+    vocab merge, one scalar aggregate (totals + vocab size), then the raw
+    token stream joins the per-term log-ratio dictionary and sums per
+    doc. The dictionary is |vocab| rows — broadcast here; at true 100 TB
+    vocab sizes Spark's AQE picks a shuffle join when it outgrows the
+    broadcast threshold (the join is written hint-free for that reason).
+    ln() is libm: per-term ratios round to 12dp (absorbs cross-engine
+    ulps ~1e-16) and the per-doc sum rounds to 4dp, per the registry
+    float-aggregate convention.
+
+    Returns (id_col, n_tokens, dsir_score) for every raw document."""
+    toks_raw = raw.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    toks_tgt = target.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    rcnt = toks_raw.groupBy("term").agg(F.count(F.lit(1)).alias("rn"))
+    tcnt = toks_tgt.groupBy("term").agg(F.count(F.lit(1)).alias("tn"))
+    lm = (
+        rcnt.join(tcnt, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce(F.col("rn"), F.lit(0)).alias("rn"),
+            F.coalesce(F.col("tn"), F.lit(0)).alias("tn"),
+        )
+    )
+    consts = lm.agg(
+        F.sum("rn").cast("double").alias("nr"),
+        F.sum("tn").cast("double").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("vsz"),
+    )
+    ratios = lm.crossJoin(F.broadcast(consts)).select(
+        "term",
+        F.round(
+            F.log((F.col("tn") + F.lit(1.0)) / (F.col("nt") + F.col("vsz")))
+            - F.log((F.col("rn") + F.lit(1.0)) / (F.col("nr") + F.col("vsz"))),
+            12,
+        ).alias("lr"),
+    )
+    return (
+        toks_raw.join(ratios, "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr"), 4).alias("dsir_score"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "dsir_score")
+    )
+
+
 def top_ngrams_per_group(
     df: DataFrame,
     group_col: str,

@@ -1139,3 +1139,99 @@ def q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.filter(
         (F.col("curriculum_bin") == 1) | (digest8 < thr)
     ).select("doc_id", "source", "curriculum_bin")
+
+
+# --------------------------------------------------------------------------
+# Temperature-based language rebalancing (mT5/XLM-R alpha-sampling)
+# --------------------------------------------------------------------------
+@query(
+    "q_temperature_mix",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), w AS (
+      SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS w FROM tok GROUP BY 1
+    ), r AS (
+      SELECT lang, round(pow((SELECT min(w) FROM w) / w, 0.7), 6) AS keep_rate
+      FROM w
+    ), t AS (
+      SELECT lang, keep_rate,
+             CASE WHEN keep_rate >= 1.0 THEN 'g'
+                  ELSE lower(lpad(hex(CAST(floor(keep_rate * 4294967296.0)
+                                           AS BIGINT)), 8, '0'))
+             END AS thr
+      FROM r
+    )
+    SELECT d.doc_id, d.lang, t.keep_rate
+    FROM tok d JOIN t USING (lang)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 8) < t.thr
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalancing over languages (alpha=0.3, the mT5
+    default): head languages are thinned toward the tail at rate
+    (w_min/w_lang)^0.7 by token weight, the rarest language keeps every
+    document. The rates are computed FROM the corpus inside the plan (one
+    |langs|-row aggregate broadcast back) and converted to md5 thresholds
+    in-engine — the whole policy is reproducible from the data alone and
+    the corpus itself never shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    kept = S.temperature_rebalance(
+        docs.select("doc_id", "lang", "text"),
+        key_col="doc_id",
+        strata_col="lang",
+        weight_col=TX.token_count(F.col("text")),
+        alpha=0.3,
+        salt="temp",
+    )
+    return kept.select("doc_id", "lang", "keep_rate")
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance selection
+# --------------------------------------------------------------------------
+@query(
+    "q_dsir_score",
+    oracle="""
+    WITH rt AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id % 7 <> 0
+    ), tt AS (
+      SELECT unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id % 7 = 0
+    ), rc AS (
+      SELECT term, count(*) AS rn FROM rt GROUP BY 1
+    ), tc AS (
+      SELECT term, count(*) AS tn FROM tt GROUP BY 1
+    ), v AS (
+      SELECT term FROM rc UNION SELECT term FROM tc
+    ), lm AS (
+      SELECT v.term, coalesce(rn, 0) AS rn, coalesce(tn, 0) AS tn
+      FROM v LEFT JOIN rc USING (term) LEFT JOIN tc USING (term)
+    ), c AS (
+      SELECT CAST(sum(rn) AS DOUBLE) AS nr, CAST(sum(tn) AS DOUBLE) AS nt,
+             CAST(count(*) AS DOUBLE) AS vsz
+      FROM lm
+    ), lr AS (
+      SELECT term,
+             round(ln((tn + 1.0) / (nt + vsz)) - ln((rn + 1.0) / (nr + vsz)),
+                   12) AS lr
+      FROM lm CROSS JOIN c
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lr), 4) AS dsir_score
+    FROM rt JOIN lr USING (term)
+    GROUP BY 1
+    """,
+)
+def q_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores for the whole raw slice (doc_id % 7 != 0)
+    against a small trusted target slice (doc_id % 7 == 0): per-doc
+    sum of add-1-smoothed unigram log-likelihood ratios. The downstream
+    selection (keep the most target-like docs) is a deterministic sort
+    on (dsir_score, doc_id) — emitted unfiltered here so the oracle pins
+    every score, not just the survivors."""
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return TX.dsir_logratio(raw, target)

@@ -725,3 +725,108 @@ class TestCrossCorpusMinhash:
         docs = load_table(spark, "documents", SF_DIR)
         with pytest.raises(ValueError, match="ref_df or precomputed"):
             D.cross_corpus_minhash_flags(docs, None, "doc_id")
+
+
+class TestTemperatureRebalance:
+    def test_rarest_stratum_kept_whole(self, spark):
+        """(w_min/w_min)^(1-a) == 1.0 — the smallest language never loses
+        a document (the policy is downsample-only by construction)."""
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "lang", "text")
+        kept = S.temperature_rebalance(
+            docs, "doc_id", "lang", TX.token_count(F.col("text")), alpha=0.3
+        )
+        w = (
+            docs.groupBy("lang")
+            .agg(F.sum(TX.token_count(F.col("text"))).alias("w"))
+            .orderBy("w")
+            .collect()
+        )
+        rarest = w[0]["lang"]
+        assert kept.filter(F.col("lang") == rarest).count() == docs.filter(
+            F.col("lang") == rarest
+        ).count()
+
+    def test_rates_monotone_in_weight(self, spark):
+        """Heavier strata get lower keep-rates — the head is thinned
+        toward the tail, never the reverse."""
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "lang", "text")
+        kept = S.temperature_rebalance(
+            docs, "doc_id", "lang", TX.token_count(F.col("text")), alpha=0.3
+        )
+        w = {
+            r["lang"]: r["w"]
+            for r in docs.groupBy("lang")
+            .agg(F.sum(TX.token_count(F.col("text"))).alias("w"))
+            .collect()
+        }
+        rates = {
+            r["lang"]: r["keep_rate"]
+            for r in kept.select("lang", "keep_rate").distinct().collect()
+        }
+        by_weight = sorted(rates, key=lambda lang: w[lang])
+        for lighter, heavier in zip(by_weight, by_weight[1:]):
+            assert rates[lighter] >= rates[heavier]
+
+    def test_alpha_one_keeps_everything(self, spark):
+        """alpha=1 is the identity policy: every rate is exactly 1.0."""
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "lang", "text")
+        kept = S.temperature_rebalance(
+            docs, "doc_id", "lang", TX.token_count(F.col("text")), alpha=1.0
+        )
+        assert kept.count() == docs.count()
+
+    def test_partitioning_invariant(self, spark):
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "lang", "text")
+        a = _ids(
+            S.temperature_rebalance(
+                docs, "doc_id", "lang", TX.token_count(F.col("text")), alpha=0.3
+            )
+        )
+        b = _ids(
+            S.temperature_rebalance(
+                docs.repartition(13), "doc_id", "lang",
+                TX.token_count(F.col("text")), alpha=0.3,
+            )
+        )
+        assert a == b
+
+    def test_alpha_validated(self, spark):
+        import pytest
+
+        docs = load_table(spark, "documents", SF_DIR)
+        with pytest.raises(ValueError):
+            S.temperature_rebalance(docs, "doc_id", "lang", F.lit(1), alpha=1.5)
+
+
+class TestDsir:
+    def test_planted_target_like_doc_scores_highest(self, spark):
+        """A raw doc that is a verbatim sample of the target vocabulary
+        must outscore raw docs sharing nothing with the target."""
+        target = spark.createDataFrame(
+            [(100 + i, "alpha beta gamma delta epsilon") for i in range(5)],
+            ["doc_id", "text"],
+        )
+        raw = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma alpha beta"),   # target-like
+                (2, "zulu yankee xray whiskey victor"),  # target-unlike
+                (3, "zulu alpha yankee beta xray"),   # mixed
+            ],
+            ["doc_id", "text"],
+        )
+        scores = {
+            r["doc_id"]: r["dsir_score"]
+            for r in TX.dsir_logratio(raw, target).collect()
+        }
+        assert scores[1] > scores[3] > scores[2]
+        assert scores[1] > 0 and scores[2] < 0
+
+    def test_smoothing_handles_oov(self, spark):
+        """Tokens absent from the target LM must not produce nulls/-inf —
+        add-1 smoothing covers the full shared vocabulary."""
+        target = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+        raw = spark.createDataFrame([(2, "omega omega omega")], ["doc_id", "text"])
+        rows = TX.dsir_logratio(raw, target).collect()
+        assert len(rows) == 1
+        assert rows[0]["dsir_score"] is not None
+        assert math.isfinite(rows[0]["dsir_score"])
