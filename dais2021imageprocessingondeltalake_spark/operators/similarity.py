@@ -731,3 +731,39 @@ def lsh_knn_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) over N ranked lists:
+    rrf(d) = sum over lists of 1/(k+rank_i(d)), items missing from a list
+    contribute 0. The standard zero-training way to merge lexical (BM25)
+    and dense (embedding) retrieval — rank-based, so the two scorers'
+    incomparable score scales never touch.
+
+    Scale shape: the inputs are already top-k lists (tiny), so the
+    full-outer join chain is trivially broadcastable; the heavy lifting
+    happened upstream in the retrievers. Emits rank_0..rank_{N-1} audit
+    columns (BIGINT, null = absent from that list) + rrf_score rounded
+    to `round_dp` (exact dyadic-rational sums still round identically
+    across engines)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    out = None
+    cols = []
+    for i, r in enumerate(rankings):
+        ri = r.select(
+            F.col(id_col), F.col(rank_col).cast("bigint").alias(f"rank_{i}")
+        )
+        out = ri if out is None else out.join(ri, id_col, "full_outer")
+        cols.append(f"rank_{i}")
+    score = None
+    for c in cols:
+        term = F.coalesce(F.lit(1.0) / (F.lit(k) + F.col(c)), F.lit(0.0))
+        score = term if score is None else score + term
+    return out.withColumn("rrf_score", F.round(score, round_dp))

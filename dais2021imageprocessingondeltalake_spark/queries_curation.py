@@ -1235,3 +1235,120 @@ def q_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.filter(F.col("doc_id") % 7 != 0)
     target = docs.filter(F.col("doc_id") % 7 == 0)
     return TX.dsir_logratio(raw, target)
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense, reciprocal-rank fusion
+# --------------------------------------------------------------------------
+@query(
+    "q_hybrid_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), consts AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), bm AS (
+      SELECT t.doc_id,
+             round(sum(
+               ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * (1.2 + 1))
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+             ), 6) AS score
+      FROM tf t
+      JOIN dl d USING (doc_id)
+      JOIN dfreq f USING (term)
+      CROSS JOIN consts c
+      WHERE t.term IN {_SEARCH_TERMS!r}
+      GROUP BY t.doc_id
+    ), bmr AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM bm
+      ) WHERE r <= 10
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), dn AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                          (SELECT qv FROM q)), 6) AS cs
+      FROM embeddings
+    ), dnr AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS r
+        FROM dn
+      ) WHERE r <= 10
+    )
+    SELECT doc_id, rank_bm25, rank_dense, rrf_score FROM (
+      SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+             CAST(b.r AS BIGINT) AS rank_bm25,
+             CAST(d.r AS BIGINT) AS rank_dense,
+             round(coalesce(1.0 / (60 + b.r), 0.0)
+                   + coalesce(1.0 / (60 + d.r), 0.0), 6) AS rrf_score
+      FROM bmr b FULL OUTER JOIN dnr d ON b.doc_id = d.doc_id
+    )
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-10 (lexical, 3-term query) fused with
+    exact dense cosine top-10 (query = embedding of vec 0, vec_id keyed
+    to doc_id) via reciprocal-rank fusion — the production RAG/seed-set
+    retrieval shape where neither scorer's scale is trusted, only its
+    ranks. Both retrievers round before ranking (engine-deterministic
+    lists), fusion joins two 10-row lists (trivially broadcast), and the
+    fused top-10 ties break by doc_id."""
+    from pyspark.sql import Window
+
+    from .operators import similarity as SIM
+    from .queries_llm import _query_vector
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    bm = (
+        TX.bm25_scores(docs, k1=1.2, b=0.75)
+        .filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25"), 6).alias("score"))
+    )
+    # top-10 FIRST (TakeOrderedAndProject: distributed per-partition heaps,
+    # no global sort), THEN rank the 10 survivors — the global row_number
+    # window only ever sees 10 rows, not the whole scored corpus.
+    w_bm = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bmr = (
+        bm.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w_bm))
+        .select("doc_id", "rank")
+    )
+
+    qv = _query_vector(spark, sf_dir)
+    dnr = (
+        SIM.cosine_topk(emb, qv, k=10, round_dp=6)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+
+    fused = SIM.rrf_fuse([bmr, dnr], id_col="doc_id", k=60, round_dp=6)
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rank_0").alias("rank_bm25"),
+            F.col("rank_1").alias("rank_dense"),
+            "rrf_score",
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(10)
+    )

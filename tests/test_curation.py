@@ -830,3 +830,48 @@ class TestDsir:
         assert len(rows) == 1
         assert rows[0]["dsir_score"] is not None
         assert math.isfinite(rows[0]["dsir_score"])
+
+
+class TestRrfFuse:
+    def test_hand_computed_fusion(self, spark):
+        """Two 3-item lists with one shared item: shared doc's score is
+        1/(60+r_a) + 1/(60+r_b); singletons get one term."""
+        from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+        a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+        b = spark.createDataFrame([(2, 1), (4, 2)], ["doc_id", "rank"])
+        out = {
+            r["doc_id"]: r["rrf_score"]
+            for r in SIM.rrf_fuse([a, b], id_col="doc_id").collect()
+        }
+        assert out[2] == round(1 / 62 + 1 / 61, 6)
+        assert out[1] == round(1 / 61, 6)
+        assert out[4] == round(1 / 62, 6)
+        assert set(out) == {1, 2, 3, 4}
+
+    def test_missing_rank_is_null_not_zero(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+        a = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
+        b = spark.createDataFrame([(2, 1)], ["doc_id", "rank"])
+        rows = {r["doc_id"]: r for r in SIM.rrf_fuse([a, b]).collect()}
+        assert rows[1]["rank_1"] is None and rows[1]["rank_0"] == 1
+        assert rows[2]["rank_0"] is None and rows[2]["rank_1"] == 1
+
+    def test_empty_rankings_rejected(self, spark):
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+        with pytest.raises(ValueError):
+            SIM.rrf_fuse([])
+
+    def test_hybrid_contains_both_retrievers_heads(self, spark):
+        """The fused top-10 must include the #1 item of each list (rank 1
+        contributes the single largest possible RRF term)."""
+        from dais2021imageprocessingondeltalake_spark.queries_curation import q_hybrid_search
+
+        rows = q_hybrid_search(spark, SF_DIR).collect()
+        assert len(rows) <= 10
+        assert any(r["rank_bm25"] == 1 for r in rows)
+        assert any(r["rank_dense"] == 1 for r in rows)
