@@ -181,6 +181,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT:
+    C(A→B) = |S_A ∩ S_B| / |S_A|. Jaccard misses the subset-duplication
+    shape entirely — a short doc quoted whole inside a much longer one
+    scores jaccard ≈ |A|/|B| (tiny) but containment 1.0. This is the
+    detector for wrapper pages, quote farms, and chunk-of-a-bigger-doc
+    duplication in crawl curation.
+
+    Same inverted-index scaffold (and Σ df(s)² cost model + `max_doc_freq`
+    knob) as `ngram_jaccard_pairs`; the only change is the verify metric,
+    computed in BOTH directions per ordered pair. A capped run UNDER-counts
+    `shared`, so containment is a lower bound: recall can drop, precision
+    can't. Emits (doc_a, doc_b, shared, cont_a_in_b, cont_b_in_a) where
+    max(directions) >= threshold."""
+    sh = _parallelize(df).select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("shingles")
+    )
+    exploded = sh.select(
+        F.col("doc"),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("s"),
+    ).select("doc", "n_sh", F.xxhash64("s").alias("s"))
+    if max_doc_freq is not None:
+        rare = (
+            exploded.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("s")
+        )
+        exploded = exploded.join(rare, ["s"], "left_semi")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    return (
+        pairs.withColumn("cont_a_in_b", F.col("shared") / F.col("n_a"))
+        .withColumn("cont_b_in_a", F.col("shared") / F.col("n_b"))
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select("doc_a", "doc_b", "shared", "cont_a_in_b", "cont_b_in_a")
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,

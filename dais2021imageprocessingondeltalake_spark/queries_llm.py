@@ -1302,3 +1302,36 @@ def q_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample_fixed_k(rooted, "doc_id", "cluster_root", k=2, salt="cap").select(
         "doc_id", "cluster_root"
     )
+
+
+@query(
+    "q_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    )
+    SELECT doc_a, doc_b, shared,
+           shared / n_a AS cont_a_in_b, shared / n_b AS cont_b_in_a
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    WHERE greatest(shared / n_a, shared / n_b) >= 0.5
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (C(A→B) = |S_A∩S_B|/|S_A|,
+    either direction >= 0.5): catches subset duplication — a doc quoted
+    whole inside a longer one — that symmetric Jaccard structurally
+    misses. Same inverted-index shape as q_ngram_jaccard; the result is
+    a strict superset of the Jaccard pairs at the same threshold
+    (max-containment >= jaccard always)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_containment_pairs(docs, "doc_id", n=3, threshold=0.5)
+    return pairs.withColumn("shared", F.col("shared").cast("bigint"))

@@ -653,3 +653,47 @@ def test_dedup_cap_keeps_at_most_two_per_cluster(spark):
     # the capped corpus keeps MORE than keep-one dedup (soft policy)
     keep_one = q.REGISTRY["q_dedup_end2end"].fn(spark, SF_DIR).count()
     assert len(kept1) >= keep_one
+
+
+class TestContainment:
+    def test_planted_subset_dup_found_where_jaccard_misses(self, spark):
+        """A 5-token doc quoted verbatim inside a 40-token doc: containment
+        of the small doc is 1.0 but jaccard is ~0.1 — the pair must appear
+        in containment pairs and must NOT pass a 0.5 jaccard filter."""
+        quote = "the quick brown fox jumps"
+        filler = " ".join(f"tok{i}" for i in range(35))
+        df = spark.createDataFrame(
+            [(1, quote), (2, filler + " " + quote), (3, "unrelated words only here")],
+            ["doc_id", "text"],
+        )
+        cont = D.ngram_containment_pairs(df, "doc_id", n=3, threshold=0.9).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in cont] == [(1, 2)]
+        assert cont[0]["cont_a_in_b"] == 1.0
+        jac = D.ngram_jaccard_pairs(df, "doc_id", n=3, threshold=0.5).collect()
+        assert jac == []
+
+    def test_superset_of_jaccard_at_same_threshold(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        jac = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5).collect()
+        }
+        cont = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.ngram_containment_pairs(docs, "doc_id", n=3, threshold=0.5).collect()
+        }
+        assert jac <= cont
+
+    def test_max_doc_freq_only_drops_pairs(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        full = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.ngram_containment_pairs(docs, "doc_id", threshold=0.5).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.ngram_containment_pairs(
+                docs, "doc_id", threshold=0.5, max_doc_freq=3
+            ).collect()
+        }
+        assert capped <= full
