@@ -187,6 +187,25 @@ def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     return out.withColumn("has_pii", flag)
 
 
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The redaction pass `pii_scan` flags for: rewrite `text_col` with
+    each PII class replaced by its typed placeholder ([EMAIL]/[SSN]/
+    [PHONE]). Replacement order is most-specific-first — SSN-like
+    ddd-dd-dddd before phone-like ddd-dddd — because the phone pattern
+    matches inside an SSN; email first since its local part can contain
+    digits. Same zero-shuffle whole-stage-codegen projection as the scan;
+    the same simple-class regexes keep Java/RE2 semantics identical, and
+    both engines' regexp_replace is replace-ALL here (Spark by default,
+    DuckDB via the 'g' flag in the oracle). All other columns pass
+    through unchanged."""
+    order = ["email", "ssn_like", "phone"]
+    placeholder = {"email": "[EMAIL]", "ssn_like": "[SSN]", "phone": "[PHONE]"}
+    out = F.col(text_col)
+    for name in order:
+        out = F.regexp_replace(out, PII_PATTERNS[name], placeholder[name])
+    return df.withColumn(text_col, out)
+
+
 def tfidf_vectors(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

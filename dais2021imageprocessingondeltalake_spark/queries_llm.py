@@ -1335,3 +1335,44 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = D.ngram_containment_pairs(docs, "doc_id", n=3, threshold=0.5)
     return pairs.withColumn("shared", F.col("shared").cast("bigint"))
+
+
+@query(
+    "q_pii_redact",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-0199 id 123-45-6789'
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+             '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS text
+    FROM aug
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction rewrite — the production follow-up to q_pii_scan:
+    every email / SSN-like / phone-like span replaced by a typed
+    placeholder, most-specific pattern first. Plants the same
+    deterministic PII as the scan (synthetic corpus is clean), so the
+    oracle checks real replacements on every 7th doc AND no-op passthrough
+    on the rest. Zero-shuffle projection at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-0199 id 123-45-6789"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, injected).otherwise(F.col("text")).alias("text"),
+    )
+    return TX.redact_pii(aug)

@@ -697,3 +697,31 @@ class TestContainment:
             ).collect()
         }
         assert capped <= full
+
+
+class TestPiiRedact:
+    def test_planted_pii_replaced_with_typed_placeholders(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail me at jo.doe+x@site.org or call 555-0199, ssn 123-45-6789")],
+            ["doc_id", "text"],
+        )
+        out = redact_pii(df).collect()[0]["text"]
+        assert out == "mail me at [EMAIL] or call [PHONE], ssn [SSN]"
+
+    def test_ssn_redacted_before_phone_pattern_can_split_it(self, spark):
+        """ddd-dd-dddd contains a ddd-dddd substring; ordering must yield
+        one [SSN], never a mangled partial [PHONE]."""
+        from dais2021imageprocessingondeltalake_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame([(1, "id 987-65-4321 end")], ["doc_id", "text"])
+        out = redact_pii(df).collect()[0]["text"]
+        assert out == "id [SSN] end"
+        assert "[PHONE]" not in out
+
+    def test_clean_text_passthrough(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame([(1, "no sensitive content here")], ["doc_id", "text"])
+        assert redact_pii(df).collect()[0]["text"] == "no sensitive content here"
