@@ -187,6 +187,55 @@ def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     return out.withColumn("has_pii", flag)
 
 
+def bigram_pmi(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information over adjacent
+    token bigrams, PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) with p(a,b) from
+    the bigram stream and p(a) from the unigram stream. High-PMI pairs
+    are multiword units ("new york"); LOW-PMI frequent pairs are
+    boilerplate glue — both ends of the ranking are curation signals
+    (template detection, tokenizer merge candidates). `min_count` drops
+    noise bigrams (PMI of a count-1 pair is meaningless and unbounded).
+
+    Scale shape: two token-stream aggregates (bigram + unigram counts),
+    two broadcast-able dictionary joins, one scalar totals row. The PMI
+    arithmetic is done in doubles (exact for counts < 2^53) and the ln
+    rounds to 6dp per the libm convention. Emits (w1, w2, n_pair, pmi)
+    unranked — callers order/limit; the full set avoids rank-boundary
+    nondeterminism in oracle comparison."""
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(1))
+    bg_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = df.select(F.explode(bg_arr).alias("bg")).select("bg.w1", "bg.w2")
+    uni = df.select(F.explode(toks).alias("w"))
+    bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    totals = bcnt.agg(F.sum("n_pair").cast("double").alias("nb")).crossJoin(
+        ucnt.agg(F.sum("n_w").cast("double").alias("nu"))
+    )
+    pmi = F.log(
+        (F.col("n_pair") * F.col("nu") * F.col("nu"))
+        / (F.col("nb") * F.col("na") * F.col("nbw"))
+    )
+    return (
+        bcnt.filter(F.col("n_pair") >= min_count)
+        .join(ucnt.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "na"), "w1")
+        .join(ucnt.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "nbw"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi"))
+    )
+
+
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The redaction pass `pii_scan` flags for: rewrite `text_col` with
     each PII class replaced by its typed placeholder ([EMAIL]/[SSN]/

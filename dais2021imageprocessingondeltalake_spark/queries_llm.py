@@ -1376,3 +1376,42 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 7 == 0, injected).otherwise(F.col("text")).alias("text"),
     )
     return TX.redact_pii(aug)
+
+
+@query(
+    "q_collocations",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+    ), ix AS (
+      SELECT unnest(range(1, len(w))) AS i, w FROM t WHERE len(w) >= 2
+    ), bg AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2 FROM ix
+    ), uni AS (
+      SELECT unnest(w) AS tok FROM t
+    ), bcnt AS (
+      SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2
+    ), ucnt AS (
+      SELECT tok, count(*) AS n_w FROM uni GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT CAST(sum(n_pair) AS DOUBLE) FROM bcnt) AS nb,
+             (SELECT CAST(sum(n_w) AS DOUBLE) FROM ucnt) AS nu
+    )
+    SELECT b.w1, b.w2, CAST(b.n_pair AS BIGINT) AS n_pair,
+           round(ln((b.n_pair * t.nu * t.nu) / (t.nb * ua.n_w * ub.n_w)), 6) AS pmi
+    FROM bcnt b
+    JOIN ucnt ua ON ua.tok = b.w1
+    JOIN ucnt ub ON ub.tok = b.w2
+    CROSS JOIN tot t
+    WHERE b.n_pair >= 5
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over the corpus: PMI of every adjacent-token
+    bigram occurring >= 5 times. The multiword-unit / boilerplate-glue
+    detector (tokenizer merge candidates at one end, template glue at
+    the other). Full unranked set — deterministic without a rank cut."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.bigram_pmi(docs, min_count=5).withColumn(
+        "n_pair", F.col("n_pair").cast("bigint")
+    )

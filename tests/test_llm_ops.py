@@ -725,3 +725,38 @@ class TestPiiRedact:
 
         df = spark.createDataFrame([(1, "no sensitive content here")], ["doc_id", "text"])
         assert redact_pii(df).collect()[0]["text"] == "no sensitive content here"
+
+
+class TestBigramPmi:
+    def test_hand_computed_pmi(self, spark):
+        """Corpus of 'a b' x6: bigrams {('a','b'): 6}, unigrams a=6, b=6,
+        nb=6, nu=12 -> pmi = ln(6*12*12/(6*6*6)) = ln(4)."""
+        import math
+
+        from dais2021imageprocessingondeltalake_spark.operators.text import bigram_pmi
+
+        df = spark.createDataFrame([(i, "a b") for i in range(6)], ["doc_id", "text"])
+        rows = bigram_pmi(df, min_count=5).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["w1"], r["w2"], r["n_pair"]) == ("a", "b", 6)
+        assert r["pmi"] == round(math.log(4.0), 6)
+
+    def test_collocation_outranks_glue(self, spark):
+        """A bigram that ALWAYS co-occurs ('new york') gets higher PMI
+        than one whose parts also appear apart."""
+        from dais2021imageprocessingondeltalake_spark.operators.text import bigram_pmi
+
+        rows = [(i, "new york is big and big is far") for i in range(5)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pmi = {
+            (r["w1"], r["w2"]): r["pmi"] for r in bigram_pmi(df, min_count=5).collect()
+        }
+        assert pmi[("new", "york")] > pmi[("is", "big")]
+
+    def test_min_count_filters_noise(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.text import bigram_pmi
+
+        df = spark.createDataFrame([(1, "x y"), (2, "x y"), (3, "p q")], ["doc_id", "text"])
+        pairs = {(r["w1"], r["w2"]) for r in bigram_pmi(df, min_count=2).collect()}
+        assert pairs == {("x", "y")}
