@@ -178,6 +178,59 @@ def temperature_rebalance(
     )
 
 
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    quality_col: str = "q_score",
+    token_col: str = "n_tokens",
+    bins: int = 32,
+) -> DataFrame:
+    """Greedy token-budget selection: keep documents in (quality desc, id)
+    order until the token budget is spent — "train on the best N tokens",
+    the data-constrained-training selection policy. A row is kept iff the
+    EXCLUSIVE prefix-sum of tokens before it (in that global order) is
+    still below `budget`, so the budget may be exceeded by at most one
+    document and the kept set is a deterministic function of the corpus.
+
+    The naive form is a global-order window cumsum — a single-partition
+    WindowExec that moves the whole corpus through one task. This
+    implementation decomposes it exactly: quality bins by value
+    (floor(q·bins), monotone in q, so bin order IS global order), a
+    |bins|-row cumulative total across bins, then a per-bin window for
+    the within-bin prefix — parallel across bins, each seeing ~1/bins of
+    the data. Quality must be in [0, 1] (values at 1.0 clamp into the
+    top bin); ties across a bin boundary are impossible because equal
+    quality means equal bin. Token counts are integers, so every prefix
+    sum is exact (oracle-safe without rounding)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    b = F.least(F.floor(F.col(quality_col) * bins), F.lit(bins - 1)).cast("int")
+    t = df.withColumn("__bin", b)
+    bin_tot = t.groupBy("__bin").agg(F.sum(token_col).alias("__bt"))
+    wb = (
+        Window.orderBy(F.col("__bin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bin_prior = bin_tot.select(
+        "__bin", F.coalesce(F.sum("__bt").over(wb), F.lit(0)).alias("__prior_bins")
+    )
+    ww = (
+        Window.partitionBy("__bin")
+        .orderBy(F.col(quality_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.join(F.broadcast(bin_prior), "__bin")
+        .withColumn("__prior_in_bin", F.coalesce(F.sum(token_col).over(ww), F.lit(0)))
+        .filter(F.col("__prior_bins") + F.col("__prior_in_bin") < budget)
+        .drop("__bin", "__prior_bins", "__prior_in_bin")
+    )
+
+
 def hash_sample_fixed_k(
     df: DataFrame, key_col: str, strata_col: str, k: int, salt: str = ""
 ) -> DataFrame:

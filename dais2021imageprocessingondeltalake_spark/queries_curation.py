@@ -1352,3 +1352,42 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget selection (data-constrained training)
+# --------------------------------------------------------------------------
+@query(
+    "q_token_budget",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             least(len(string_split(text, ' ')) / 50, 1.0)
+               * (len(list_distinct(string_split(text, ' ')))
+                  / len(string_split(text, ' '))) AS q_score
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens, q_score,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY q_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM q
+    )
+    SELECT doc_id, n_tokens, q_score FROM c WHERE prior < 8000
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: the best documents by quality score until
+    an 8000-token budget is spent — the data-constrained-training policy
+    ("train on the best N tokens"). The oracle is the naive global-order
+    cumsum; the engine computes the identical kept set via the
+    bin-decomposed parallel form (no single-partition window). Integer
+    token prefix-sums are exact, so no rounding is needed anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = TX.quality_score(docs.select("doc_id", "text")).select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        "q_score",
+    )
+    return S.select_token_budget(scored, budget=8000)

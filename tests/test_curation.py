@@ -875,3 +875,61 @@ class TestRrfFuse:
         assert len(rows) <= 10
         assert any(r["rank_bm25"] == 1 for r in rows)
         assert any(r["rank_dense"] == 1 for r in rows)
+
+
+class TestTokenBudget:
+    def _scored(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        return TX.quality_score(docs.select("doc_id", "text")).select(
+            "doc_id",
+            TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+            "q_score",
+        )
+
+    def test_matches_naive_global_cumsum(self, spark):
+        """The bin-decomposed parallel form must equal the single-window
+        greedy exactly, for several budgets including tiny ones."""
+        from pyspark.sql import Window
+
+        scored = self._scored(spark)
+        w = Window.orderBy(F.col("q_score").desc(), F.col("doc_id")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        for budget in (1, 137, 900):
+            naive = {
+                r["doc_id"]
+                for r in scored.withColumn(
+                    "prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                )
+                .filter(F.col("prior") < budget)
+                .collect()
+            }
+            fast = {
+                r["doc_id"]
+                for r in S.select_token_budget(scored, budget=budget).collect()
+            }
+            assert fast == naive, f"budget={budget}"
+
+    def test_budget_overrun_at_most_one_doc(self, spark):
+        scored = self._scored(spark)
+        budget = 500
+        kept = S.select_token_budget(scored, budget=budget).collect()
+        total = sum(r["n_tokens"] for r in kept)
+        largest = max(r["n_tokens"] for r in kept)
+        assert total >= min(budget, sum(r["n_tokens"] for r in scored.collect()))
+        assert total < budget + largest
+
+    def test_partitioning_invariant(self, spark):
+        scored = self._scored(spark)
+        a = {r["doc_id"] for r in S.select_token_budget(scored, 700).collect()}
+        b = {
+            r["doc_id"]
+            for r in S.select_token_budget(scored.repartition(17), 700).collect()
+        }
+        assert a == b
+
+    def test_budget_validated(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            S.select_token_budget(self._scored(spark), budget=0)
