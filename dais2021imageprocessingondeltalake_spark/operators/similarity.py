@@ -767,3 +767,78 @@ def rrf_fuse(
         term = F.coalesce(F.lit(1.0) / (F.lit(k) + F.col(c)), F.lit(0.0))
         score = term if score is None else score + term
     return out.withColumn("rrf_score", F.round(score, round_dp))
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    dim: int = 64,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: out_dim Gaussian
+    hyperplanes (seeded — the same `_hyperplanes` family the sign-LSH
+    tier replays as SQL literals) map each d-dim embedding to
+    round(dot(v, plane_j), 6) per output coordinate. Pairwise angles are
+    preserved in expectation, so a cosine shortlist on the projected
+    vectors is a faithful coarse stage at 1/(d/out_dim) of the shuffle
+    bytes (64→8 dims = 8x smaller than fp32, 2x smaller than the int8
+    path). No normalization constant: cosine is scale-invariant.
+
+    Rounding each coordinate (default 6dp) keeps the projection
+    oracle-replayable: the downstream coarse cosine then consumes
+    IDENTICAL doubles in both engines, so even order-sensitive
+    accumulation differences are bounded and absorbed by the coarse
+    score's own rounding. Output: (id_col, vec_col, rp) with the
+    original vector passed through for the re-rank stage."""
+    planes = _hyperplanes(dim, out_dim, seed)
+    v = _to_double(F.col(vec_col))
+    coords = []
+    for p in planes:
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        d = dot(v, lit)
+        coords.append(F.round(d, round_dp) if round_dp is not None else d)
+    return df.select(F.col(id_col), F.col(vec_col), F.array(*coords).alias("rp"))
+
+
+def rp_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    out_dim: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-stage ANN via random projection: coarse cosine top-`shortlist`
+    in the out_dim-projected space (cheap scan over small vectors), exact
+    full-precision cosine re-rank of the shortlist to top-k. Same
+    coarse→re-rank shape as the int8 path, trading quantization error
+    for dimensionality reduction — at 100 TB the projected index is the
+    artifact you'd persist (8 doubles/vector), the full vectors are only
+    touched for `shortlist` rows per query. Deterministic end to end:
+    seeded planes, rounded projections, rounded scores, id tie-breaks."""
+    dim = len(query_vec)
+    rp = random_projection(df, out_dim, id_col, vec_col, seed=seed, dim=dim)
+    planes = _hyperplanes(dim, out_dim, seed)
+    qp = []
+    for p in planes:
+        qp.append(round(sum(float(a) * float(b) for a, b in zip(query_vec, p)), round_dp))
+    q_rp = F.array(*[F.lit(x) for x in qp])
+    coarse = F.round(cosine(F.col("rp"), q_rp), round_dp)
+    short = (
+        rp.select(F.col(id_col), F.col(vec_col), coarse.alias("coarse_sim"))
+        .orderBy(F.col("coarse_sim").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    q_full = F.array(*[F.lit(float(x)) for x in query_vec])
+    fine = F.round(cosine(_to_double(F.col(vec_col)), q_full), round_dp)
+    return (
+        short.select(F.col(id_col), fine.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

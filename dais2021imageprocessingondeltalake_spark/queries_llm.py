@@ -1415,3 +1415,56 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_pmi(docs, min_count=5).withColumn(
         "n_pair", F.col("n_pair").cast("bigint")
     )
+
+
+def _rp_ann_oracle(out_dim: int = 8, seed: int = 11, shortlist: int = 50, k: int = 10) -> str:
+    """Replay the random-projection two-stage ANN in SQL: the seeded
+    Gaussian planes embed as literals (same trick as the sign-LSH
+    oracle), projections round to 6dp on both sides so the coarse cosine
+    consumes identical doubles."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, out_dim, seed)
+
+    def lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    rp = "[" + ",\n        ".join(
+        f"round(list_dot_product(ve, {lit(p)}), 6)" for p in planes
+    ) + "]"
+    qrp = "[" + ",\n        ".join(
+        f"round(list_dot_product(qv, {lit(p)}), 6)" for p in planes
+    ) + "]"
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+    proj AS (
+      SELECT vec_id, ve, {rp} AS rp FROM v
+    ), qproj AS (
+      SELECT {qrp} AS qrp FROM q
+    ), short AS (
+      SELECT vec_id, ve
+      FROM proj, qproj
+      ORDER BY round(list_cosine_similarity(rp, qrp), 6) DESC, vec_id
+      LIMIT {shortlist}
+    )
+    SELECT s.vec_id, round(list_cosine_similarity(s.ve, q.qv), 6) AS cosine_sim
+    FROM short s, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@query("q_embedding_rp", oracle=_rp_ann_oracle(out_dim=16, shortlist=100))
+def q_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN via Johnson-Lindenstrauss random projection
+    (64 -> 16 dims, seeded planes replayed as SQL literals): coarse
+    cosine top-100 in the projected space, full-precision re-rank to
+    top-10. The dimensionality-reduction sibling of the int8 two-stage
+    path — the projected index is 4x smaller than fp32, and at 100 TB it
+    is the artifact a pipeline would persist. out_dim/shortlist are the
+    recall knobs (measured on this corpus: 8d/50 -> 0.3, 16d/100 -> 0.8
+    recall@10); both tradeoff directions are asserted in tests."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    return SIM.rp_ann_topk(emb, qv, k=10, shortlist=100, out_dim=16, seed=11)

@@ -760,3 +760,40 @@ class TestBigramPmi:
         df = spark.createDataFrame([(1, "x y"), (2, "x y"), (3, "p q")], ["doc_id", "text"])
         pairs = {(r["w1"], r["w2"]) for r in bigram_pmi(df, min_count=2).collect()}
         assert pairs == {("x", "y")}
+
+
+class TestRandomProjection:
+    def test_rp_ann_recall_vs_bruteforce(self, spark):
+        """The registered knobs (16 dims, shortlist 100) must hold solid
+        recall; widening the shortlist must not hurt it (monotone knob)."""
+        emb = load_table(spark, "embeddings", SF_DIR)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        exact = [r["vec_id"] for r in SIM.cosine_topk(emb, qv, k=10, round_dp=6).collect()]
+        approx = [
+            r["vec_id"]
+            for r in SIM.rp_ann_topk(emb, qv, k=10, shortlist=100, out_dim=16).collect()
+        ]
+        assert approx[0] == 0  # query is its own nearest neighbor
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.6, f"RP ANN recall@10 = {recall}"
+        narrow = [
+            r["vec_id"]
+            for r in SIM.rp_ann_topk(emb, qv, k=10, shortlist=50, out_dim=16).collect()
+        ]
+        assert len(set(exact) & set(approx)) >= len(set(exact) & set(narrow))
+
+    def test_projection_shape_and_determinism(self, spark):
+        emb = load_table(spark, "embeddings", SF_DIR)
+        rp = SIM.random_projection(emb, out_dim=8)
+        row = rp.filter(F.col("vec_id") == 0).first()
+        assert len(row["rp"]) == 8
+        again = SIM.random_projection(emb.repartition(7), out_dim=8)
+        assert again.filter(F.col("vec_id") == 0).first()["rp"] == row["rp"]
+
+    def test_projection_preserves_self_similarity(self, spark):
+        """cosine(rp(v), rp(v)) == 1: the coarse stage ranks the query's
+        own vector first, so stage-1 can never evict the true top hit."""
+        emb = load_table(spark, "embeddings", SF_DIR)
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        shortlisted = SIM.rp_ann_topk(emb, qv, k=1, shortlist=1).collect()
+        assert shortlisted[0]["vec_id"] == 0
