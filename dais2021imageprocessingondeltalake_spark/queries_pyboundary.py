@@ -316,3 +316,39 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return map_batches_arrow(
         events, batches, "event_id long, value_x2 double, props_len int, is_purchase int"
     )
+
+
+@query(
+    "q_time_travel",
+    oracle="""
+    SELECT 'v0' AS snapshot, doc_id, lang FROM documents
+    UNION ALL
+    SELECT 'latest' AS snapshot, doc_id, lang FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'latest' AS snapshot, doc_id, lang FROM documents WHERE lang = 'fr'
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table lifecycle (the Delta semantics the reference runs:
+    versioned overwrite + time travel, `00. Explore.py:66`,
+    `03. Inference.py:73-77`) on the transaction-log layer: commit v0 =
+    full corpus, v1 = OVERWRITE with the even-id half, v2 = APPEND the
+    French slice — then read VERSION AS OF 0 alongside the latest
+    snapshot. The oracle reconstructs both snapshots straight from the
+    source table, so the driver hash verifies the log replay itself:
+    overwrite must actually reset the live set, append must stack on the
+    overwrite, and time travel must resurrect the pre-overwrite state."""
+    import tempfile
+
+    from .sources import versioned as V
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    table = tempfile.mkdtemp(prefix="dais_timetravel_") + "/docs"
+    V.versioned_write(docs, table, mode="overwrite")
+    V.versioned_write(docs.filter(F.col("doc_id") % 2 == 0), table, mode="overwrite")
+    V.versioned_write(docs.filter(F.col("lang") == "fr"), table, mode="append")
+    v0 = V.versioned_read(spark, table, version=0)
+    latest = V.versioned_read(spark, table)
+    return v0.select(F.lit("v0").alias("snapshot"), "doc_id", "lang").unionByName(
+        latest.select(F.lit("latest").alias("snapshot"), "doc_id", "lang")
+    )

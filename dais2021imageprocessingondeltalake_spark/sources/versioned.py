@@ -1,0 +1,181 @@
+"""Versioned table layer: a minimal Delta-style transaction log over
+parquet (SURVEY.md §2 A5/A6 extension; VERDICT r2 "What's missing" #2).
+
+The reference runs Delta-native everywhere — versioned overwrites, time
+travel, DESCRIBE HISTORY, VACUUM (`00. Explore.py:66,90`,
+`01. Ingest.py:180`, `03. Inference.py:73-77`). The delta-spark package
+does not exist in this container, so `sources/tables.py` degrades those
+semantics to plain parquet. This module restores the SEMANTICS with the
+same mechanism Delta itself uses: an append-only commit log of JSON
+entries, each naming the data directories that a version adds (append)
+or replaces the live set with (overwrite). A snapshot at version N is the
+log replayed through N; time travel is replay-to-an-older-N; history IS
+the log; vacuum deletes data directories no retained version references.
+
+Layout:
+    <table>/_txn_log/<020d version>.json   # one commit per version
+    <table>/v<version>/part-*.parquet      # that commit's data files
+
+Commit protocol: data files land first, then the log entry is published
+with an EXCLUSIVE create (os.O_CREAT | os.O_EXCL) — the version is taken
+by whoever creates the log file, readers never see a version whose data
+is incomplete, and a lost race surfaces as `VersionConflictError` (retry
+with the next number = optimistic concurrency, exactly Delta's protocol;
+on S3-class stores the atomic put-if-absent needs a coordination service,
+which is where the real Delta log store plugs in — documented seam).
+
+Scale note: replaying the log is O(#versions) driver-side JSON reads of
+a few hundred bytes each — never data-sized. Snapshot reads hand Spark
+the live directory list; partition pruning, pushdown, and parallelism
+are untouched parquet-scan behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txn_log"
+
+
+class VersionConflictError(RuntimeError):
+    """Another writer committed this version first (optimistic
+    concurrency): re-read the log and retry with the next number."""
+
+
+def _log_path(table: str) -> Path:
+    return Path(table) / _LOG_DIR
+
+
+def _entry_path(table: str, version: int) -> Path:
+    return _log_path(table) / f"{version:020d}.json"
+
+
+def _read_log(table: str) -> list[dict]:
+    log_dir = _log_path(table)
+    if not log_dir.is_dir():
+        return []
+    entries = []
+    for p in sorted(log_dir.glob("*.json")):
+        with open(p) as f:
+            entries.append(json.load(f))
+    return entries
+
+
+def latest_version(table: str) -> int | None:
+    log = _read_log(table)
+    return log[-1]["version"] if log else None
+
+
+def versioned_write(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit `df` as the next version of `table`; returns the version.
+
+    mode='append' adds the new files to the live set; mode='overwrite'
+    replaces the live set (prior versions stay readable via time travel
+    until vacuumed — the Delta overwrite semantics the plain-parquet
+    fallback cannot give)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    log = _read_log(table)
+    version = (log[-1]["version"] + 1) if log else 0
+    data_dir = f"v{version}"
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(Path(table) / data_dir))
+    entry = {
+        "version": version,
+        "timestamp": time.time(),
+        "operation": mode,
+        "data_dir": data_dir,
+        "num_columns": len(df.columns),
+    }
+    _log_path(table).mkdir(parents=True, exist_ok=True)
+    try:
+        fd = os.open(
+            _entry_path(table, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+    except FileExistsError as e:
+        raise VersionConflictError(
+            f"version {version} of {table} was committed concurrently"
+        ) from e
+    with os.fdopen(fd, "w") as f:
+        json.dump(entry, f)
+    return version
+
+
+def _live_dirs(log: list[dict], version: int | None) -> list[str]:
+    live: list[str] = []
+    for entry in log:
+        if version is not None and entry["version"] > version:
+            break
+        if entry["operation"] == "overwrite":
+            live = [entry["data_dir"]]
+        else:
+            live.append(entry["data_dir"])
+    return live
+
+
+def versioned_read(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> DataFrame:
+    """Snapshot read: latest by default, `version=` for VERSION AS OF,
+    `timestamp=` for TIMESTAMP AS OF (greatest version committed at or
+    before it)."""
+    log = _read_log(table)
+    if not log:
+        raise FileNotFoundError(f"no versioned table at {table}")
+    if version is not None and timestamp is not None:
+        raise ValueError("pass version or timestamp, not both")
+    if timestamp is not None:
+        at_or_before = [e["version"] for e in log if e["timestamp"] <= timestamp]
+        if not at_or_before:
+            raise ValueError(f"no version of {table} existed at {timestamp}")
+        version = at_or_before[-1]
+    if version is not None and version > log[-1]["version"]:
+        raise ValueError(
+            f"version {version} does not exist (latest is {log[-1]['version']})"
+        )
+    dirs = _live_dirs(log, version)
+    return spark.read.parquet(*[str(Path(table) / d) for d in dirs])
+
+
+def history(table: str) -> list[dict]:
+    """DESCRIBE HISTORY: the commit log, newest first (Delta's order)."""
+    return list(reversed(_read_log(table)))
+
+
+def vacuum(table: str, retain_last: int = 1) -> list[str]:
+    """Delete data directories referenced by NO retained snapshot: the
+    live sets of the newest `retain_last` versions survive, everything
+    else is removed. Time travel older than the retention horizon stops
+    working — same contract as Delta VACUUM. Returns the deleted dirs."""
+    import shutil
+
+    if retain_last < 1:
+        raise ValueError(f"retain_last must be >= 1, got {retain_last}")
+    log = _read_log(table)
+    if not log:
+        return []
+    keep: set[str] = set()
+    for entry in log[-retain_last:]:
+        keep.update(_live_dirs(log, entry["version"]))
+    removed = []
+    for entry in log:
+        d = entry["data_dir"]
+        if d not in keep and (Path(table) / d).is_dir():
+            shutil.rmtree(Path(table) / d)
+            removed.append(d)
+    return removed

@@ -56,3 +56,85 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_
         (r["part"], r["v"]) for r in spark.read.parquet(path).collect()
     }
     assert got == {("a", 1), ("a", 2), ("b", 99), ("c", 100)}
+
+
+class TestVersionedTable:
+    """Transaction-log layer (sources/versioned.py): the Delta semantics
+    the reference uses — versioned overwrite, time travel, history,
+    vacuum — restored over parquet with an exclusive-create commit."""
+
+    def _mk(self, spark, tmp_path):
+        from dais2021imageprocessingondeltalake_spark.sources import versioned as V
+
+        t = str(tmp_path / "tbl")
+        a = spark.range(0, 10).withColumnRenamed("id", "k")
+        b = spark.range(100, 105).withColumnRenamed("id", "k")
+        c = spark.range(200, 203).withColumnRenamed("id", "k")
+        assert V.versioned_write(a, t, mode="overwrite") == 0
+        assert V.versioned_write(b, t, mode="overwrite") == 1
+        assert V.versioned_write(c, t, mode="append") == 2
+        return V, t
+
+    def test_snapshot_semantics(self, spark, tmp_path):
+        V, t = self._mk(spark, tmp_path)
+        ks = lambda df: sorted(r["k"] for r in df.collect())
+        assert ks(V.versioned_read(spark, t)) == [100, 101, 102, 103, 104, 200, 201, 202]
+        assert ks(V.versioned_read(spark, t, version=0)) == list(range(10))
+        assert ks(V.versioned_read(spark, t, version=1)) == [100, 101, 102, 103, 104]
+
+    def test_timestamp_as_of(self, spark, tmp_path):
+        V, t = self._mk(spark, tmp_path)
+        h = V.history(t)  # newest first
+        ts_v1 = [e for e in h if e["version"] == 1][0]["timestamp"]
+        df = V.versioned_read(spark, t, timestamp=ts_v1)
+        assert sorted(r["k"] for r in df.collect()) == [100, 101, 102, 103, 104]
+        import pytest
+
+        with pytest.raises(ValueError, match="no version"):
+            V.versioned_read(spark, t, timestamp=h[-1]["timestamp"] - 1.0)
+
+    def test_history_is_newest_first_log(self, spark, tmp_path):
+        V, t = self._mk(spark, tmp_path)
+        h = V.history(t)
+        assert [e["version"] for e in h] == [2, 1, 0]
+        assert [e["operation"] for e in h] == ["append", "overwrite", "overwrite"]
+
+    def test_vacuum_keeps_retained_and_breaks_older_travel(self, spark, tmp_path):
+        import pytest
+
+        V, t = self._mk(spark, tmp_path)
+        removed = V.vacuum(t, retain_last=2)
+        # latest live set {v1,v2}; version-1 live set {v1}; only v0 goes
+        assert removed == ["v0"]
+        assert V.versioned_read(spark, t).count() == 8
+        assert V.versioned_read(spark, t, version=1).count() == 5
+        with pytest.raises(Exception):
+            V.versioned_read(spark, t, version=0).count()
+
+    def test_version_conflict_detected(self, spark, tmp_path, monkeypatch):
+        """Optimistic concurrency: a writer whose log read went stale
+        (another writer published the same version number between read
+        and publish) must fail the EXCLUSIVE create with
+        VersionConflictError, never silently clobber the log entry."""
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.sources import versioned as V
+
+        t = str(tmp_path / "tbl2")
+        df = spark.range(3).withColumnRenamed("id", "k")
+        V.versioned_write(df, t, mode="overwrite")
+        stale = V._read_log(t)  # sees only version 0
+        # racing writer publishes version 1 AFTER our log read
+        V._entry_path(t, 1).write_text(
+            '{"version": 1, "timestamp": 0, "operation": "append", "data_dir": "v1x"}'
+        )
+        monkeypatch.setattr(V, "_read_log", lambda _t: stale)
+        with pytest.raises(V.VersionConflictError):
+            V.versioned_write(df, t, mode="append")
+
+    def test_nonexistent_version_rejected(self, spark, tmp_path):
+        import pytest
+
+        V, t = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="does not exist"):
+            V.versioned_read(spark, t, version=9)
