@@ -179,3 +179,28 @@ def vacuum(table: str, retain_last: int = 1) -> list[str]:
             shutil.rmtree(Path(table) / d)
             removed.append(d)
     return removed
+
+
+def versioned_merge(
+    spark: SparkSession,
+    source: DataFrame,
+    table: str,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> int:
+    """MERGE INTO the versioned table (Delta's flagship write op,
+    `03. Inference.py` pattern): read the latest snapshot, apply the
+    engine's upsert set-algebra (update on key match, insert on miss,
+    optional delete flag), commit the result as a new OVERWRITE version.
+    The prior state stays time-travelable until vacuumed, so a bad merge
+    is one `versioned_read(version=n-1)` away from recovery — the
+    operational property that makes MERGE safe to automate. Returns the
+    new version."""
+    from ..operators.merge import upsert
+
+    current = versioned_read(spark, table)
+    merged = upsert(current, source, keys, delete_col=delete_col)
+    # materialize before the overwrite commit: `merged` reads the live
+    # snapshot lazily, and writing a new version does not disturb old
+    # dirs — but localCheckpoint keeps the read/write phases disjoint.
+    return versioned_write(merged.localCheckpoint(), table, mode="overwrite")

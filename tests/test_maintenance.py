@@ -138,3 +138,24 @@ class TestVersionedTable:
         V, t = self._mk(spark, tmp_path)
         with pytest.raises(ValueError, match="does not exist"):
             V.versioned_read(spark, t, version=9)
+
+    def test_versioned_merge_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dais2021imageprocessingondeltalake_spark.sources import versioned as V
+
+        t = str(tmp_path / "tbl3")
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+        )
+        V.versioned_write(base, t, mode="overwrite")
+        src = spark.createDataFrame(
+            [(2, "B", False), (3, "c", True), (4, "d", False)], ["k", "v", "del"]
+        )
+        v = V.versioned_merge(spark, src, t, keys=["k"], delete_col="del")
+        assert v == 1
+        latest = {(r["k"], r["v"]) for r in V.versioned_read(spark, t).collect()}
+        assert latest == {(1, "a"), (2, "B"), (4, "d")}  # update/delete/insert
+        # pre-merge state still time-travelable
+        old = {(r["k"], r["v"]) for r in V.versioned_read(spark, t, version=0).collect()}
+        assert old == {(1, "a"), (2, "b"), (3, "c")}
