@@ -204,3 +204,56 @@ def versioned_merge(
     # snapshot lazily, and writing a new version does not disturb old
     # dirs — but localCheckpoint keeps the read/write phases disjoint.
     return versioned_write(merged.localCheckpoint(), table, mode="overwrite")
+
+
+def versioned_stream_sink(
+    streaming_df: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once streaming appends into the versioned table — Delta's
+    idempotent-writes pattern (txnAppId/txnVersion) on the txn log:
+    foreachBatch commits each micro-batch as an append version whose log
+    entry records the stream `batch_id`; a restart that replays a batch
+    (checkpoint wrote offsets but the sink died mid-commit) finds the
+    batch_id already in the log and SKIPS it, so at-least-once foreachBatch
+    delivery becomes exactly-once table content. The structured-streaming
+    checkpoint handles source offsets; the log handles sink idempotence —
+    the two halves of the Delta sink contract."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        done = {
+            e.get("stream_batch_id") for e in _read_log(table)
+        }
+        if batch_id in done:
+            return  # replayed batch: already committed, exactly-once skip
+        log = _read_log(table)
+        version = (log[-1]["version"] + 1) if log else 0
+        data_dir = f"v{version}"
+        batch_df.write.mode("errorifexists").parquet(str(Path(table) / data_dir))
+        entry = {
+            "version": version,
+            "timestamp": time.time(),
+            "operation": "append",
+            "data_dir": data_dir,
+            "stream_batch_id": batch_id,
+        }
+        _log_path(table).mkdir(parents=True, exist_ok=True)
+        try:
+            fd = os.open(
+                _entry_path(table, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError as e:
+            raise VersionConflictError(
+                f"version {version} of {table} was committed concurrently"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(entry, f)
+
+    (
+        streaming_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

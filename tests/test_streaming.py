@@ -169,3 +169,43 @@ class TestStreamCrossDedup:
         }
         assert stream_out == batch_out
         assert any(d for _, d in stream_out)  # non-vacuous: dups exist
+
+
+def test_versioned_stream_sink_exactly_once(spark):
+    """Streaming appends into the versioned table: content equals the
+    batch source; rerun with the same checkpoint adds nothing; and a
+    LOST-CHECKPOINT rerun (batches replay with the same ids) is absorbed
+    by the log's stream_batch_id dedup — exactly-once table state on
+    at-least-once delivery, Delta's idempotent-writes contract."""
+    from dais2021imageprocessingondeltalake_spark.sources import versioned as V
+    from dais2021imageprocessingondeltalake_spark.streaming.stream import (
+        events_batch,
+        events_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="dais_vsink_")
+    table, ckpt = f"{base}/tbl", f"{base}/ckpt"
+    src = events_stream(spark, SF_DIR, max_files_per_trigger=1).select("event_id")
+    V.versioned_stream_sink(src, table, ckpt)
+    expected = events_batch(spark, SF_DIR).count()
+    v1 = V.latest_version(table)
+    assert V.versioned_read(spark, table).count() == expected
+
+    # rerun, same checkpoint: offsets committed, nothing new
+    V.versioned_stream_sink(
+        events_stream(spark, SF_DIR, max_files_per_trigger=1).select("event_id"),
+        table, ckpt,
+    )
+    assert V.versioned_read(spark, table).count() == expected
+    assert V.latest_version(table) == v1
+
+    # checkpoint lost: batches replay with the same batch ids -> skipped
+    import shutil
+
+    shutil.rmtree(ckpt)
+    V.versioned_stream_sink(
+        events_stream(spark, SF_DIR, max_files_per_trigger=1).select("event_id"),
+        table, f"{base}/ckpt2",
+    )
+    assert V.versioned_read(spark, table).count() == expected
+    assert V.latest_version(table) == v1
