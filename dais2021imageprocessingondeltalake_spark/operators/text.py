@@ -408,6 +408,57 @@ def dsir_logratio(
     )
 
 
+def ngram_novelty(
+    new: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty vs an existing corpus: the fraction of a new
+    doc's distinct n-grams that appear in NO reference document —
+    novelty 1.0 = entirely fresh content, 0.0 = fully covered. The
+    admission signal incremental crawl curation runs alongside near-dup
+    flags: near-dup catches whole-document copies, novelty quantifies
+    partial coverage ("this page is 85% already-crawled boilerplate").
+
+    Scale shape: identical to decontamination — the reference's DISTINCT
+    shingle set is the only thing joined against (broadcast-able after
+    dedup; at larger-than-broadcast sizes it is the persistable index the
+    cross-corpus dedup tier already maintains), new docs contribute one
+    explode + one per-doc agg. Docs with < n tokens have no shingles and
+    are emitted with NULL novelty (undefined, not zero). The ratio is
+    exact rational arithmetic — oracle-safe unrounded."""
+    from .dedup import shingles
+
+    sh = new.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    e = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    ref_sh = (
+        ref.select(F.explode(shingles(F.col(text_col), n)).alias("s")).distinct()
+    )
+    hits = (
+        e.join(F.broadcast(ref_sh.withColumn("__hit", F.lit(1))), ["s"], "left")
+        .groupBy("id")
+        .agg(
+            F.first("n_sh").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_covered"),
+        )
+    )
+    out = hits.select(
+        F.col("id").alias(id_col),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        (F.lit(1.0) - F.col("n_covered") / F.col("n_shingles")).alias("novelty"),
+    )
+    empties = sh.filter(F.size("sh") == 0).select(
+        F.col("id").alias(id_col),
+        F.lit(0).cast("bigint").alias("n_shingles"),
+        F.lit(None).cast("double").alias("novelty"),
+    )
+    return out.unionByName(empties)
+
+
 def top_ngrams_per_group(
     df: DataFrame,
     group_col: str,

@@ -1391,3 +1391,46 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_score",
     )
     return S.select_token_budget(scored, budget=8000)
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty vs the existing corpus
+# --------------------------------------------------------------------------
+@query(
+    "q_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), ref AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 3 <> 0
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh
+      FROM sh WHERE doc_id % 3 = 0 AND len(shingles) > 0
+    ), agg AS (
+      SELECT e.doc_id,
+             any_value(e.n_sh) AS n_sh,
+             sum(CASE WHEN ref.s IS NULL THEN 0 ELSE 1 END) AS n_cov
+      FROM e LEFT JOIN ref ON e.s = ref.s
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+           1.0 - n_cov / n_sh AS novelty
+    FROM agg
+    UNION ALL
+    SELECT doc_id, 0 AS n_shingles, NULL AS novelty
+    FROM sh WHERE doc_id % 3 = 0 AND len(shingles) = 0
+    """,
+)
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty of the incoming batch (doc_id % 3 == 0) against the
+    existing corpus (the rest): fraction of each new doc's 3-gram
+    shingles absent from every reference document — the partial-coverage
+    admission signal that complements whole-doc near-dup flags in
+    incremental crawl curation."""
+    docs = load_table(spark, "documents", sf_dir)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    return TX.ngram_novelty(new, ref)

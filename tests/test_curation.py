@@ -933,3 +933,29 @@ class TestTokenBudget:
 
         with pytest.raises(ValueError):
             S.select_token_budget(self._scored(spark), budget=0)
+
+
+class TestNovelty:
+    def test_planted_fresh_and_covered_docs(self, spark):
+        ref = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),        # fully covered
+                (2, "one two three four five"),        # fully novel
+                (3, "alpha beta gamma nine ten"),      # mixed
+                (4, "ab"),                             # < n tokens: undefined
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in TX.ngram_novelty(new, ref).collect()}
+        assert rows[1]["novelty"] == 0.0
+        assert rows[2]["novelty"] == 1.0
+        assert 0.0 < rows[3]["novelty"] < 1.0
+        assert rows[4]["novelty"] is None and rows[4]["n_shingles"] == 0
+
+    def test_novelty_against_self_is_zero(self, spark):
+        docs = load_table(spark, "documents", SF_DIR).limit(50)
+        rows = TX.ngram_novelty(docs, docs).filter(F.col("n_shingles") > 0).collect()
+        assert rows and all(r["novelty"] == 0.0 for r in rows)
