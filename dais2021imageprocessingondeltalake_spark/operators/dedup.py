@@ -1084,3 +1084,94 @@ def simhash_md5(
             "long"
         )
     return sums.select(F.col(id_col), packed.alias("simhash"))
+
+
+def minhash_oph_signature_cols(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_bins: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One-Permutation-Hashing MinHash signatures (Li et al. 2012, with
+    rotation densification per Shrivastava & Li 2014): ONE md5 per
+    shingle instead of num_hashes — the digest's first hex char picks the
+    bin (requires num_bins=16; hex digits are uniform) and the remaining
+    31 chars are the value min-aggregated per bin. Hashing is the
+    dominant cost of MinHash at corpus scale (measured here: the r2 bench
+    cut 23% just by halving hash work), so collapsing k hash evaluations
+    to 1 is the standard production optimization.
+
+    Empty bins (short docs) densify by cyclic rotation: sig[j] borrows
+    the nearest non-empty bin to the right — expressed as a 16-way
+    COALESCE over the flat min columns, so the WHOLE construction is
+    engine-portable string ops (oracle-replayable, like the md5 k-hash
+    family). Docs with zero shingles are absent from the output.
+
+    Returns (doc, sig_0..sig_{num_bins-1})."""
+    if num_bins != 16:
+        raise ValueError("md5-family OPH uses the first hex digit: num_bins must be 16")
+    exploded = _parallelize(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).select(
+        F.col("doc"),
+        F.md5(F.col("s").cast("binary")).alias("d"),
+    ).withColumn(
+        "bin",
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.col("d"), 1, 1)) - 1,
+    ).withColumn("v", F.substring(F.col("d"), 2, 31))
+    mins = exploded.groupBy("doc").agg(
+        *[
+            F.min(F.when(F.col("bin") == j, F.col("v"))).alias(f"b{j}")
+            for j in range(num_bins)
+        ]
+    )
+    sig = [
+        F.coalesce(*[F.col(f"b{(j + d) % num_bins}") for d in range(num_bins)]).alias(
+            f"sig_{j}"
+        )
+        for j in range(num_bins)
+    ]
+    return mins.select("doc", *sig)
+
+
+def minhash_lsh_pairs_oph(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_bins: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over OPH signatures: the banding and
+    candidate self-join of minhash_lsh_pairs_md5, but the signature costs
+    ONE hash per shingle instead of num_hashes (see
+    minhash_oph_signature_cols). Same LSH geometry per band count;
+    per-bin minima are slightly noisier than independent hashes (a bin
+    sees only ~1/16 of the shingles), which planted/recall tests bound."""
+    r = num_bins // bands
+    if r * bands != num_bins:
+        raise ValueError(f"bands={bands} must divide num_bins={num_bins}")
+    sig = minhash_oph_signature_cols(df, id_col, text_col, num_bins, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.concat_ws("|", *[F.col(f"sig_{j * r + i}") for i in range(r)]).alias("bv"),
+        )
+        for j in range(bands)
+    ]
+    banded = sig.select("doc", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc", F.col("b.band_id").alias("band_id"), F.col("b.bv").alias("bv")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )

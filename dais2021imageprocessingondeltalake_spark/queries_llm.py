@@ -1468,3 +1468,62 @@ def q_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     qv = _query_vector(spark, sf_dir)
     return SIM.rp_ann_topk(emb, qv, k=10, shortlist=100, out_dim=16, seed=11)
+
+
+def _minhash_oph_oracle(num_bins: int = 16, bands: int = 4, shingle_n: int = 3) -> str:
+    """Replay the OPH pipeline in SQL: one md5 per shingle, first hex
+    digit -> bin, per-bin string min, cyclic-rotation densification as a
+    generated 16-way coalesce, band concatenation, self-join."""
+    r = num_bins // bands
+    mins = ",\n             ".join(
+        f"min(CASE WHEN bin = {j} THEN v END) AS b{j}" for j in range(num_bins)
+    )
+    sigs = ",\n             ".join(
+        "coalesce(" + ", ".join(f"b{(j + d) % num_bins}" for d in range(num_bins)) + f") AS sig_{j}"
+        for j in range(num_bins)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {j} AS band_id, {bv} AS bv FROM sig".format(
+            j=j,
+            bv=" || '|' || ".join(f"sig_{j * r + i}" for i in range(r)),
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+{shingle_n - 1}], ' ')
+                            for i in range(1, len(w) - {shingle_n - 2})]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), h AS (
+      SELECT doc_id, md5(unnest(shingles)) AS d FROM sh
+    ), b AS (
+      SELECT doc_id, strpos('0123456789abcdef', substr(d, 1, 1)) - 1 AS bin,
+             substr(d, 2, 31) AS v
+      FROM h
+    ), m AS (
+      SELECT doc_id,
+             {mins}
+      FROM b GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+             {sigs}
+      FROM m
+    ), bands AS (
+      {band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM bands a JOIN bands c ON a.band_id = c.band_id AND a.bv = c.bv
+                             AND a.doc_id < c.doc_id
+    """
+
+
+@query("q_minhash_oph", oracle=_minhash_oph_oracle())
+def q_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Permutation-Hashing MinHash-LSH candidates, fully
+    oracle-checked: ONE md5 per shingle (vs num_hashes in the classic
+    family — hashing dominates MinHash cost at corpus scale), first hex
+    digit -> bin, per-bin minima, cyclic-rotation densification for empty
+    bins, then the standard banded self-join. 16 bins x 4 bands."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.minhash_lsh_pairs_oph(docs, "doc_id", num_bins=16, bands=4)

@@ -797,3 +797,50 @@ class TestRandomProjection:
         qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
         shortlisted = SIM.rp_ann_topk(emb, qv, k=1, shortlist=1).collect()
         assert shortlisted[0]["vec_id"] == 0
+
+
+class TestMinhashOph:
+    def test_planted_exact_duplicates_always_collide(self, spark):
+        """Identical texts have identical shingle sets, hence identical
+        OPH signatures — every band collides."""
+        docs = load_table(spark, "documents", SF_DIR).limit(30)
+        clone = docs.filter(F.col("doc_id") == docs.first()["doc_id"]).withColumn(
+            "doc_id", F.lit(99999).cast("bigint")
+        )
+        pairs = D.minhash_lsh_pairs_oph(docs.unionByName(clone), "doc_id").collect()
+        assert any(r["doc_b"] == 99999 for r in pairs)
+
+    def test_densification_fills_every_bin(self, spark):
+        """A short doc (1 shingle -> 1 non-empty bin) must still emit a
+        complete 16-slot signature, every slot equal to that one value."""
+        df = spark.createDataFrame([(1, "only three tokens")], ["doc_id", "text"])
+        row = D.minhash_oph_signature_cols(df, "doc_id").collect()[0]
+        vals = {row[f"sig_{j}"] for j in range(16)}
+        assert len(vals) == 1 and None not in vals
+
+    def test_recall_vs_exact_jaccard(self, spark):
+        """OPH banding must recover a solid fraction of high-Jaccard
+        pairs (noisier per-bin minima than independent hashes, so the
+        bound is looser than the classic family's)."""
+        docs = load_table(spark, "documents", SF_DIR)
+        truth = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.7).collect()
+        }
+        if not truth:
+            import pytest
+
+            pytest.skip("no 0.7-Jaccard pairs at this scale")
+        cand = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.minhash_lsh_pairs_oph(docs, "doc_id").collect()
+        }
+        recall = len(truth & cand) / len(truth)
+        assert recall >= 0.5, f"OPH recall {recall} over {len(truth)} true pairs"
+
+    def test_one_hash_per_shingle(self, spark):
+        """The plan must contain exactly ONE md5 call (the OPH point:
+        hashing work is 1/num_hashes of the classic family)."""
+        docs = load_table(spark, "documents", SF_DIR).limit(5)
+        plan = D.minhash_oph_signature_cols(docs, "doc_id")._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("md5") == 1, plan
