@@ -337,3 +337,49 @@ def scd2_from_history_multi(
         "valid_to",
         "is_current",
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the earliest time of step
+    1, then the earliest step-2 event STRICTLY AFTER it, and so on — the
+    product-analytics primitive (view -> click -> purchase conversion)
+    that plain groupBy can't express because each step's window depends
+    on the previous step's result.
+
+    Implementation: one min-aggregate per step, each joined back on the
+    user key with the strictly-after predicate. Every shuffle is on the
+    same key, so Spark reuses the exchange across steps; no windows, no
+    per-user sorting — per step it is filter + co-partitioned join +
+    partial-agg min. Strict `>` makes same-timestamp events not advance
+    the funnel (deterministic, engine-portable).
+
+    Returns one row per user who completed step 1: t_<step> timestamp
+    columns (NULL once the funnel is abandoned) + `stage` = number of
+    completed steps."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    u, t = F.col(user_col), F.col(ts_col)
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{steps[0]}"))
+    )
+    for prev, step in zip(steps, steps[1:]):
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .join(cur.select(user_col, f"t_{prev}"), user_col)
+            .filter(t > F.col(f"t_{prev}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{step}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    stage = F.lit(1)
+    for step in steps[1:]:
+        stage = stage + F.when(F.col(f"t_{step}").isNotNull(), 1).otherwise(0)
+    return cur.withColumn("stage", stage.cast("bigint"))

@@ -757,3 +757,37 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = kept.unionByName(inserts)
     return table_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t_view
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t_click
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           CAST(1 + CAST(s2.user_id IS NOT NULL AS INT)
+                  + CAST(s3.user_id IS NOT NULL AS INT) AS BIGINT) AS stage
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase per user:
+    each step's earliest event strictly after the previous step. All
+    step aggregates and joins share the user key (one exchange reused);
+    `stage` counts completed steps."""
+    from .operators.temporal import funnel
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    return funnel(ev, ["view", "click", "purchase"])

@@ -295,3 +295,45 @@ def test_table_diff_upsert_roundtrip(spark):
     )
     applied = upsert(old, source, ["o_orderkey"], delete_col="__del")
     assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+class TestFunnel:
+    def test_hand_built_funnel(self, spark):
+        """u1 completes all steps in order; u2 has the purchase BEFORE
+        the click (must not count); u3 only views."""
+        from datetime import datetime
+
+        from dais2021imageprocessingondeltalake_spark.operators.temporal import funnel
+
+        t = lambda m: datetime(2024, 1, 1, 0, m)
+        rows = [
+            (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+            (2, t(0), "view"), (2, t(1), "purchase"), (2, t(5), "click"),
+            (3, t(0), "view"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        out = {r["user_id"]: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+        assert out[1]["stage"] == 3
+        assert out[2]["stage"] == 2 and out[2]["t_purchase"] is None
+        assert out[3]["stage"] == 1 and out[3]["t_click"] is None
+
+    def test_same_timestamp_does_not_advance(self, spark):
+        from datetime import datetime
+
+        from dais2021imageprocessingondeltalake_spark.operators.temporal import funnel
+
+        ts = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, ts, "view"), (1, ts, "click")], ["user_id", "ts", "event_type"]
+        )
+        out = funnel(df, ["view", "click"]).collect()[0]
+        assert out["stage"] == 1 and out["t_click"] is None
+
+    def test_needs_two_steps(self, spark):
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators.temporal import funnel
+
+        df = spark.createDataFrame([(1, 1, "view")], ["user_id", "ts", "event_type"])
+        with pytest.raises(ValueError):
+            funnel(df, ["view"])
