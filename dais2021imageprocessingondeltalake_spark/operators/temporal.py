@@ -383,3 +383,29 @@ def funnel(
     for step in steps[1:]:
         stage = stage + F.when(F.col(f"t_{step}").isNotNull(), 1).otherwise(0)
     return cur.withColumn("stage", stage.cast("bigint"))
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their first-seen
+    week; each (cohort_week, week_offset) cell counts distinct users from
+    that cohort active `week_offset` weeks later — the standard
+    engagement-decay report. Weeks are epoch-day // 7 (fixed 7-day
+    buckets from the epoch: engine-portable, no locale/week-start
+    dependence).
+
+    Scale shape: one min-agg per user (first seen), a co-partitioned
+    join back on the user key, then one distinct-count agg over
+    (cohort, offset) — shuffle keys only, never event payloads."""
+    week = (F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date"))
+            / 7).cast("bigint")
+    ev = df.select(F.col(user_col), week.alias("wk"))
+    first = ev.groupBy(user_col).agg(F.min("wk").alias("cohort_week"))
+    return (
+        ev.join(first, user_col)
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+    )

@@ -791,3 +791,29 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
     return funnel(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+      FROM events
+    ), first AS (
+      SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1
+    )
+    SELECT f.cohort_week, e.wk - f.cohort_week AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM ev e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event stream: first-seen-week
+    cohorts x week offsets x distinct active users — the engagement
+    decay report. Epoch-fixed 7-day buckets keep the bucketing
+    engine-portable."""
+    from .operators.temporal import cohort_retention
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return cohort_retention(ev)

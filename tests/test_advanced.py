@@ -337,3 +337,65 @@ class TestFunnel:
         df = spark.createDataFrame([(1, 1, "view")], ["user_id", "ts", "event_type"])
         with pytest.raises(ValueError):
             funnel(df, ["view"])
+
+
+class TestCohortRetention:
+    def test_hand_built_matrix(self, spark):
+        """u1 active weeks 0 and 2; u2 joins week 1, active weeks 1+2:
+        cohort 0 -> offsets {0, 2}; cohort 1 -> offsets {0, 1}."""
+        from datetime import datetime
+
+        from dais2021imageprocessingondeltalake_spark.operators.temporal import (
+            cohort_retention,
+        )
+
+        d = lambda day: datetime(1970, 1, 1 + day)
+        rows = [
+            (1, d(0)), (1, d(15)),          # weeks 0 and 2
+            (2, d(8)), (2, d(15)),          # weeks 1 and 2
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        got = {
+            (r["cohort_week"], r["week_offset"]): r["n_active"]
+            for r in cohort_retention(df).collect()
+        }
+        assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+    def test_offset_zero_counts_whole_cohort(self, spark):
+        """Every user is active in their own first week, so offset 0 per
+        cohort equals the cohort size."""
+        from dais2021imageprocessingondeltalake_spark.operators.temporal import (
+            cohort_retention,
+        )
+        from dais2021imageprocessingondeltalake_spark.queries_advanced import _events
+
+        from .conftest import SF_DIR
+
+        ev = _events(spark, SF_DIR).select("user_id", "ts")
+        m = cohort_retention(ev)
+        zero = {
+            r["cohort_week"]: r["n_active"]
+            for r in m.filter(F.col("week_offset") == 0).collect()
+        }
+        sizes = {
+            r["cohort_week"]: r["n"]
+            for r in ev.groupBy("user_id")
+            .agg(
+                (
+                    F.min(
+                        (
+                            F.datediff(
+                                F.col("ts").cast("date"),
+                                F.lit("1970-01-01").cast("date"),
+                            )
+                            / 7
+                        ).cast("bigint")
+                    )
+                ).alias("cw")
+            )
+            .groupBy("cw")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumnRenamed("cw", "cohort_week")
+            .collect()
+        }
+        assert zero == sizes
