@@ -1,0 +1,66 @@
+"""Graph analytics over edge lists (north-star extension): PageRank.
+
+Complements `dedup.connected_components` (pointer-jumping min-label):
+where CC answers "which docs form one duplicate cluster", PageRank ranks
+nodes by random-walk centrality — over a near-dup/citation/link graph it
+scores canonical-ness (which copy is the hub), and over the catalog's
+part–supplier graph it is the classic supply-centrality report.
+
+Scale design: one edge-list DataFrame, degree computed once; every
+iteration is contribution-join → per-node sum → damping projection, all
+shuffling on the node key so the exchange layout is reused. Ranks round
+to 12dp per iteration — sums of doubles are accumulation-order-dependent
+across engines, so rounding at each fixpoint step is what lets a SQL
+oracle replay EVERY iteration bit-for-bit (same convention as the
+round-before-rank rule in the ANN tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    round_dp: int = 12,
+) -> DataFrame:
+    """PageRank with a FIXED iteration count (deterministic, replayable;
+    production runs pick iters ~ 10-20 or monitor the L1 delta).
+
+    `edges` is a DIRECTED edge list; pass both directions for an
+    undirected graph. Every node must appear as a source of at least one
+    edge (dangling nodes would leak rank mass; callers symmetrize or
+    self-loop first — the part–supplier bipartite graph used by the
+    registry query is symmetrized, so the constraint holds by
+    construction). Returns (node, rank) with ranks rounded to
+    `round_dp`; Σ rank = |nodes| under this normalization (init 1.0 per
+    node)."""
+    if iters < 1:
+        raise ValueError(f"pagerank needs iters >= 1, got {iters}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"))
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+        )
+        sums = contribs.groupBy("node").agg(F.round(F.sum("c"), round_dp).alias("s"))
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                round_dp,
+            ).alias("rank"),
+        )
+    return ranks

@@ -817,3 +817,58 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "ts")
     return cohort_retention(ev)
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85, round_dp: int = 12) -> str:
+    """Unroll the fixed-iteration PageRank as a generated CTE chain.
+    The damping constants embed as the EXACT repr of the Python doubles
+    the Spark side uses (1.0-0.85 != the SQL literal 0.15 in the last
+    ulp), so both engines iterate on identical values."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    ctes = [
+        """e AS (
+      SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+      UNION
+      SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM e GROUP BY 1
+    ), n AS (
+      SELECT src AS node FROM deg
+    ), r0 AS (
+      SELECT node, 1.0 AS rank FROM n
+    )"""
+    ]
+    for i in range(iters):
+        ctes.append(f"""s{i} AS (
+      SELECT e.dst AS node, round(sum(r.rank / d.deg), {round_dp}) AS s
+      FROM e JOIN r{i} r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY 1
+    ), r{i + 1} AS (
+      SELECT n.node,
+             round({base} + {d} * coalesce(s.s, 0.0), {round_dp}) AS rank
+      FROM n LEFT JOIN s{i} s ON n.node = s.node
+    )""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, rank FROM r{iters}"
+    )
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, damping 0.85) over the symmetrized
+    part–supplier bipartite graph from lineitem — random-walk centrality,
+    the canonical iterative graph workload. Every iteration's per-node
+    sums round to 12dp so the generated unrolled-CTE oracle replays all
+    five fixpoint steps bit-for-bit (the iterative sibling of the
+    connected-components recursive-CTE oracle)."""
+    from .operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    fwd = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return pagerank(fwd.unionByName(rev).distinct(), iters=5, damping=0.85)

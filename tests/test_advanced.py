@@ -399,3 +399,43 @@ class TestCohortRetention:
             .collect()
         }
         assert zero == sizes
+
+
+class TestPagerank:
+    def test_symmetric_pair_is_fixed_point(self, spark):
+        """Two nodes pointing at each other: every iteration maps rank 1.0
+        to 0.15 + 0.85*1.0 = 1.0 exactly."""
+        from dais2021imageprocessingondeltalake_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+        got = {r["node"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+        assert got == {"a": 1.0, "b": 1.0}
+
+    def test_hub_outranks_leaves(self, spark):
+        """Star graph (symmetrized): the center accumulates every leaf's
+        whole rank, leaves split the center's."""
+        from dais2021imageprocessingondeltalake_spark.operators.graph import pagerank
+
+        edges = [("c", f"l{i}") for i in range(5)] + [(f"l{i}", "c") for i in range(5)]
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["node"]: r["rank"] for r in pagerank(e, iters=5).collect()}
+        assert all(got["c"] > got[f"l{i}"] for i in range(5))
+
+    def test_rank_mass_conserved(self, spark):
+        """No dangling nodes (symmetrized graph) => sum of ranks stays
+        |nodes| up to the per-iteration rounding."""
+        from dais2021imageprocessingondeltalake_spark.operators.graph import pagerank
+
+        edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c")]
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        ranks = pagerank(e, iters=4).collect()
+        assert abs(sum(r["rank"] for r in ranks) - 3.0) < 1e-9
+
+    def test_iters_validated(self, spark):
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        with pytest.raises(ValueError):
+            pagerank(e, iters=0)
