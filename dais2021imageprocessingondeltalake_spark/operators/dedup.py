@@ -1097,10 +1097,18 @@ def minhash_oph_signature_cols(
     rotation densification per Shrivastava & Li 2014): ONE md5 per
     shingle instead of num_hashes — the digest's first hex char picks the
     bin (requires num_bins=16; hex digits are uniform) and the remaining
-    31 chars are the value min-aggregated per bin. Hashing is the
-    dominant cost of MinHash at corpus scale (measured here: the r2 bench
-    cut 23% just by halving hash work), so collapsing k hash evaluations
-    to 1 is the standard production optimization.
+    31 chars are the value min-aggregated per bin — k hash evaluations
+    collapse to 1, the standard production MinHash optimization for
+    hash-bound workloads.
+
+    Measured honestly at sf0.1 (equal signature width 16, best-of-2):
+    classic md5 1.64s vs OPH 2.19s — at THIS corpus scale the explode +
+    16-column conditional-min agg dominates, not hashing, so OPH does
+    not win locally. It wins when hashing is the bottleneck: long
+    documents (shingle count >> doc count), wide signatures (k >= 64),
+    or CPU-bound executors — the regime 100 TB crawls actually occupy.
+    Registered for algorithm coverage + the oracle certificate, with the
+    tradeoff stated rather than assumed.
 
     Empty bins (short docs) densify by cyclic rotation: sig[j] borrows
     the nearest non-empty bin to the right — expressed as a 16-way
