@@ -178,6 +178,60 @@ def temperature_rebalance(
     )
 
 
+def _md5_uniform(key_col: str, salt: str):
+    """Deterministic uniform in (0, 1]: (int(md5[:8], 16) + 1) / (2^32+1).
+    Engines disagree on hex→int BUILTINS, not on arithmetic — so the
+    integer is rebuilt portably as a positional polynomial of strpos
+    lookups over the hex alphabet (8 terms, constant-folded weights)."""
+    from pyspark.sql import functions as F
+
+    d = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    val = None
+    for i in range(8):
+        term = (F.instr(F.lit("0123456789abcdef"), F.substring(d, i + 1, 1)) - 1) * F.lit(
+            float(16 ** (7 - i))
+        )
+        val = term if val is None else val + term
+    return (val + F.lit(1.0)) / F.lit(float(16**8 + 1))
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsk",
+    round_dp: int = 12,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k rows
+    (Efraimidis–Spirakis 2006): each row draws u ~ Uniform(0,1] from its
+    content hash and keeps key = u^(1/w); the k largest keys are a
+    weighted sample without replacement. The curation use: draw a
+    quality-weighted eval/inspection set where a 2x-quality doc is 2x as
+    likely, reproducibly — same corpus, same sample, on any engine,
+    layout, or rerun (df.sample can do none of this, and rate-based
+    hash_sample can't target EXACTLY k).
+
+    Scale shape: pure projection (md5 + 8-term polynomial + one pow) then
+    global top-k = TakeOrderedAndProject (per-partition heaps of k, no
+    full sort). Keys round to `round_dp` before ranking with an id
+    tie-break, so selection is engine-deterministic (round-before-rank
+    convention). Rows with weight <= 0 are excluded (u^(1/w) undefined).
+    Emits the input columns + `sample_key`."""
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = _md5_uniform(key_col, salt)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), round_dp)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
 def select_token_budget(
     df: DataFrame,
     budget: int,

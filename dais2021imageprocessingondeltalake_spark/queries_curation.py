@@ -1434,3 +1434,46 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 3 == 0)
     ref = docs.filter(F.col("doc_id") % 3 != 0)
     return TX.ngram_novelty(new, ref)
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis)
+# --------------------------------------------------------------------------
+def _wsk_u_sql(salt: str = "wsk") -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(d, {i + 1}, 1)) - 1) * {float(16 ** (7 - i))!r}"
+        for i in range(8)
+    )
+    return f"({terms} + 1.0) / {float(16 ** 8 + 1)!r}"
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             least(len(string_split(text, ' ')) / 50, 1.0)
+               * (len(list_distinct(string_split(text, ' ')))
+                  / len(string_split(text, ' '))) AS q_score
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 1
+    ), keyed AS (
+      SELECT doc_id, q_score,
+             round(pow({_wsk_u_sql()}, 1.0 / q_score), 12) AS sample_key
+      FROM (SELECT doc_id, q_score, md5(CAST(doc_id AS VARCHAR) || 'wsk') AS d
+            FROM q WHERE q_score > 0)
+    )
+    SELECT doc_id, q_score, sample_key FROM keyed
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted exactly-100 sample without replacement
+    (Efraimidis-Spirakis keys u^(1/quality) from a portable md5
+    uniform): the reproducible draw-an-inspection-set policy where
+    better docs are proportionally likelier. Pure projection +
+    TakeOrderedAndProject."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = TX.quality_score(docs.select("doc_id", "text")).select("doc_id", "q_score")
+    return S.weighted_sample_k(scored, "doc_id", "q_score", k=100, salt="wsk")

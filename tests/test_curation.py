@@ -959,3 +959,44 @@ class TestNovelty:
         docs = load_table(spark, "documents", SF_DIR).limit(50)
         rows = TX.ngram_novelty(docs, docs).filter(F.col("n_shingles") > 0).collect()
         assert rows and all(r["novelty"] == 0.0 for r in rows)
+
+
+class TestWeightedSample:
+    def test_weight_proportional_inclusion(self, spark):
+        """Over many derived samples (salts), a weight-4 item should be
+        picked roughly 4x as often as a weight-1 item when k=1 of 2."""
+        rows = [(1, 4.0), (2, 1.0)]
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        wins = 0
+        n = 40
+        for i in range(n):
+            got = S.weighted_sample_k(df, "doc_id", "w", k=1, salt=f"s{i}").collect()
+            wins += got[0]["doc_id"] == 1
+        # expectation 0.8; binomial(40, .8) leaves [24, 39] at ~4 sigma
+        assert 24 <= wins <= 39, wins
+
+    def test_exactly_k_and_deterministic(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        scored = TX.quality_score(docs.select("doc_id", "text")).select(
+            "doc_id", "q_score"
+        )
+        a = [r["doc_id"] for r in S.weighted_sample_k(scored, "doc_id", "q_score", 20).collect()]
+        b = [
+            r["doc_id"]
+            for r in S.weighted_sample_k(
+                scored.repartition(9), "doc_id", "q_score", 20
+            ).collect()
+        ]
+        assert len(a) == 20 and a == b
+
+    def test_nonpositive_weights_excluded(self, spark):
+        df = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 2.0)], ["doc_id", "w"])
+        got = S.weighted_sample_k(df, "doc_id", "w", k=5).collect()
+        assert [r["doc_id"] for r in got] == [3]
+
+    def test_k_validated(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1, 1.0)], ["doc_id", "w"])
+        with pytest.raises(ValueError):
+            S.weighted_sample_k(df, "doc_id", "w", k=0)
