@@ -1,0 +1,132 @@
+"""Distributed BPE tokenizer training (north-star extension).
+
+The assignment's text tier ships token COUNTING (whitespace + BPE-ish
+regex estimates in `text.py`); this module adds the training side: the
+adjacent-pair counting + merge iteration that byte-pair encoding
+tokenizers are built from (Sennrich et al. 2016). The expensive part —
+counting symbol pairs over the corpus — is pure explode/groupBy over the
+DISTINCT-WORD table (|vocab| rows, not |tokens|: each word's pairs count
+once, weighted by word frequency), so one merge round costs one small
+shuffle regardless of corpus size. The driver sees exactly ONE row per
+round (the argmax pair) — the same bounded-scalar pattern as k-means
+centroids and CC convergence counts.
+
+Merging inside symbol arrays is a JVM `aggregate` fold (leftmost-first,
+non-overlapping — standard BPE greedy semantics), zero Python on the
+data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, syms): distinct corpus words with frequencies and
+    their initial character-level symbol arrays. The |vocab|-sized table
+    every BPE round iterates on."""
+    w = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    return w.withColumn("syms", chars)
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over the word table, weighted by word
+    frequency: the per-round statistic BPE maximizes. One explode + one
+    (a, b) agg."""
+    idx = F.sequence(F.lit(1), F.size("syms") - F.lit(1))
+    pairs = words.filter(F.size("syms") >= 2).select(
+        "freq",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("a"),
+                    F.element_at("syms", i + F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("freq").alias("cnt")
+    )
+
+
+def _merge_pair(syms: Column, a: str, b: str) -> Column:
+    """Fold that merges every non-overlapping leftmost occurrence of
+    (a, b) into the single symbol a+b — greedy BPE apply semantics
+    ("aaa" under (a,a) -> [aa, a])."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn `num_merges` BPE merges from the corpus. Each round: count
+    pairs (one shuffle over the vocab table), pick the argmax with a
+    deterministic (count desc, a, b) tie-break — a ONE-row driver
+    action — and fold the merge into every word's symbol array.
+    Returns (merges as (a, b, count) in order, final word table).
+
+    The vocab table localCheckpoints per round (bounded size: |distinct
+    words|), truncating the k-round lineage like the other iterative
+    operators; at cluster scale pass the table through
+    `dedup.materialize_df` semantics instead if fault tolerance across
+    rounds matters more than round latency."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    words = word_symbol_table(df, text_col).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        top = (
+            pair_counts(words)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # corpus exhausted (every word is one symbol)
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((a, b, cnt))
+        words = words.withColumn("syms", _merge_pair(F.col("syms"), a, b)).localCheckpoint()
+    return merges, words
+
+
+def segment_with_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list to new text: per-word char split, then
+    the merge folds in training order — the BPE ENCODE step. Emits
+    (word, pieces). Pure projection chain, no shuffle beyond the word
+    dedup."""
+    out = word_symbol_table(df, text_col)
+    for m in merges:
+        a, b = m[0], m[1]
+        out = out.withColumn("syms", _merge_pair(F.col("syms"), a, b))
+    return out.select(F.col("word"), F.col("syms").alias("pieces"))

@@ -1477,3 +1477,53 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     scored = TX.quality_score(docs.select("doc_id", "text")).select("doc_id", "q_score")
     return S.weighted_sample_k(scored, "doc_id", "q_score", k=100, salt="wsk")
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (pair statistics + merge rounds)
+# --------------------------------------------------------------------------
+@query(
+    "q_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) GROUP BY 1
+    ), sy AS (
+      SELECT word, freq, [word[i:i] for i in range(1, len(word) + 1)] AS syms
+      FROM w
+    ), p AS (
+      SELECT freq, syms[i] AS a, syms[i + 1] AS b
+      FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM sy
+            WHERE len(syms) >= 2)
+    )
+    SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round-1 statistics: adjacent character-pair counts over the
+    distinct-word table, weighted by word frequency — the aggregate a
+    byte-pair-encoding trainer maximizes each round. |vocab|-sized
+    explode, one shuffle; corpus size only enters through the word
+    frequencies."""
+    from .operators import bpe as B
+
+    docs = load_table(spark, "documents", sf_dir)
+    return B.pair_counts(B.word_symbol_table(docs)).withColumn(
+        "cnt", F.col("cnt").cast("bigint")
+    )
+
+
+@query("q_bpe_merges", oracle=None)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten learned BPE merges (rows-only: each round's argmax feeds the
+    next round's fold — iterative, not SQL-expressible; the round-1
+    statistic is oracle-certified by q_bpe_pair_counts and the merge
+    semantics by hand-computed tests). Emits (step, a, b, cnt)."""
+    from .operators import bpe as B
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges, _ = B.bpe_train(docs, num_merges=10)
+    rows = [(i + 1, a, b, int(c)) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(rows, ["step", "a", "b", "cnt"])

@@ -1000,3 +1000,50 @@ class TestWeightedSample:
         df = spark.createDataFrame([(1, 1.0)], ["doc_id", "w"])
         with pytest.raises(ValueError):
             S.weighted_sample_k(df, "doc_id", "w", k=0)
+
+
+class TestBpe:
+    def test_hand_computed_merges(self, spark):
+        """Corpus 'low low low lower': chars pairs -> (l,o) and (o,w)
+        both appear 4x; tie breaks lexicographically so (l,o) merges
+        first, then (lo,w) at 4."""
+        from dais2021imageprocessingondeltalake_spark.operators import bpe as B
+
+        df = spark.createDataFrame(
+            [(1, "low low low"), (2, "lower")], ["doc_id", "text"]
+        )
+        merges, words = B.bpe_train(df, num_merges=2)
+        assert [(a, b) for a, b, _ in merges] == [("l", "o"), ("lo", "w")]
+        pieces = {
+            r["word"]: r["syms"] for r in words.select("word", "syms").collect()
+        }
+        assert pieces["low"] == ["low"]
+        assert pieces["lower"] == ["low", "e", "r"]
+
+    def test_greedy_leftmost_nonoverlapping(self, spark):
+        """'aaa' under merge (a,a): leftmost pair merges, remainder
+        stays — [aa, a], never [a, aa] or a double merge."""
+        from dais2021imageprocessingondeltalake_spark.operators import bpe as B
+
+        df = spark.createDataFrame([(1, "aaa")], ["doc_id", "text"])
+        merges, words = B.bpe_train(df, num_merges=1)
+        assert [(a, b) for a, b, _ in merges] == [("a", "a")]
+        assert words.collect()[0]["syms"] == ["aa", "a"]
+
+    def test_encode_matches_training_segmentation(self, spark):
+        """segment_with_merges on the training corpus reproduces the
+        trainer's final symbol tables."""
+        from dais2021imageprocessingondeltalake_spark.operators import bpe as B
+
+        df = spark.createDataFrame([(1, "banana bandana")], ["doc_id", "text"])
+        merges, words = B.bpe_train(df, num_merges=3)
+        enc = {r["word"]: r["pieces"] for r in B.segment_with_merges(df, merges).collect()}
+        trained = {r["word"]: r["syms"] for r in words.collect()}
+        assert enc == trained
+
+    def test_exhausted_corpus_stops_early(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators import bpe as B
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        merges, _ = B.bpe_train(df, num_merges=5)  # single-char words: no pairs
+        assert merges == []
