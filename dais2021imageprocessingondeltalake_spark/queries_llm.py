@@ -1527,3 +1527,99 @@ def q_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins, then the standard banded self-join. 16 bins x 4 bands."""
     docs = load_table(spark, "documents", sf_dir)
     return D.minhash_lsh_pairs_oph(docs, "doc_id", num_bins=16, bands=4)
+
+
+@query(
+    "q_lang_confusion",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_intersect(toks, ['the','a','and','of'])) AS INT) AS score_en,
+             CAST(len(list_intersect(toks, ['der','die','das','und'])) AS INT) AS score_de,
+             CAST(len(list_intersect(toks, ['le','la','et','les'])) AS INT) AS score_fr,
+             CAST(len(list_intersect(toks, ['el','los','que','y'])) AS INT) AS score_es
+      FROM t
+    ), p AS (
+      SELECT lang,
+             CASE
+               WHEN score_en = greatest(score_en, score_de, score_fr, score_es) AND score_en > 0 THEN 'en'
+               WHEN score_de = greatest(score_en, score_de, score_fr, score_es) AND score_de > 0 THEN 'de'
+               WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) AND score_fr > 0 THEN 'fr'
+               WHEN score_es = greatest(score_en, score_de, score_fr, score_es) AND score_es > 0 THEN 'es'
+               ELSE 'unknown'
+             END AS lang_pred
+      FROM s
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared label x heuristic
+    prediction x doc counts — the per-corpus classifier-drift audit a
+    curation pipeline runs before trusting lang-based mixing policies.
+    One projection + one tiny agg on top of the oracle-certified
+    language_id path."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    return (
+        TX.language_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q_zipf_slope",
+    oracle="""
+    WITH tf AS (
+      SELECT term, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY 1
+    ), ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rnk
+      FROM tf
+    ), pts AS (
+      SELECT round(ln(CAST(rnk AS DOUBLE)), 12) AS x,
+             round(ln(CAST(freq AS DOUBLE)), 12) AS y
+      FROM ranked WHERE rnk <= 1000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(covar_pop(y, x) / var_pop(x), 6) AS zipf_slope
+    FROM pts
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law slope of the corpus: OLS fit of ln(freq) against
+    ln(rank) over the top-1000 terms — the one-number sanity check that a
+    text corpus has natural-language frequency structure (slope near -1)
+    rather than template/generated degeneracy. Per-point lns round to
+    12dp (libm) and the slope to 6dp; covar/var moment formulas match
+    both engines on the identical rounded inputs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # top-1000 FIRST (TakeOrderedAndProject) so the global rank window
+    # sees 1000 rows, not the whole term dictionary
+    ranked = (
+        tf.orderBy(F.col("freq").desc(), F.col("term"))
+        .limit(1000)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("term"))),
+        )
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 12).alias("y"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.covar_pop("y", "x") / F.var_pop("x"), 6).alias("zipf_slope"),
+    )

@@ -844,3 +844,60 @@ class TestMinhashOph:
         docs = load_table(spark, "documents", SF_DIR).limit(5)
         plan = D.minhash_oph_signature_cols(docs, "doc_id")._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("md5") == 1, plan
+
+
+class TestCorpusDiagnostics:
+    def test_zipf_slope_near_minus_one_on_zipfian_corpus(self, spark):
+        """A synthetic corpus with freq(rank) ~ 1/rank must fit a slope
+        close to -1; a uniform-frequency corpus fits ~0."""
+        import math
+
+        from dais2021imageprocessingondeltalake_spark.queries_llm import q_zipf_slope
+
+        # build zipfian text: term_r repeated ceil(200/r) times
+        words = []
+        for r in range(1, 51):
+            words += [f"t{r:03d}"] * math.ceil(200 / r)
+        df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+        df.createOrReplaceTempView("__zipf_tmp")
+        from dais2021imageprocessingondeltalake_spark.operators import text as TXx
+        tf = (
+            df.select(F.explode(TXx.tokens(F.col("text"))).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+        )
+        from pyspark.sql import Window
+        ranked = (
+            tf.orderBy(F.col("freq").desc(), F.col("term")).limit(1000)
+            .withColumn("rnk", F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("term"))))
+        )
+        pts = ranked.select(
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+        slope = pts.agg(
+            (F.covar_pop("y", "x") / F.var_pop("x")).alias("s")
+        ).collect()[0]["s"]
+        assert -1.2 < slope < -0.8, slope
+
+    def test_lang_confusion_counts_partition_langs(self, spark):
+        """Planted corpus where marker words determine the language: the
+        matrix diagonal holds exactly the planted counts."""
+        from dais2021imageprocessingondeltalake_spark.queries_llm import q_lang_confusion
+        from dais2021imageprocessingondeltalake_spark.operators.text import language_id
+
+        rows = [
+            (1, "en", "the cat and the hat"),
+            (2, "en", "a dog of note"),
+            (3, "de", "der hund und die katze"),
+            (4, "fr", "le chat et les chiens"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        m = {
+            (r["lang"], r["lang_pred"]): r["n"]
+            for r in language_id(df)
+            .groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert m == {("en", "en"): 2, ("de", "de"): 1, ("fr", "fr"): 1}
