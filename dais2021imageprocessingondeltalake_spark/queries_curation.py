@@ -1527,3 +1527,74 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = B.bpe_train(docs, num_merges=10)
     rows = [(i + 1, a, b, int(c)) for i, (a, b, c) in enumerate(merges)]
     return spark.createDataFrame(rows, ["step", "a", "b", "cnt"])
+
+
+# --------------------------------------------------------------------------
+# Curation composite v2: gate -> temperature rebalance -> token budget
+# --------------------------------------------------------------------------
+@query(
+    "q_curate_v2",
+    headline=True,
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             least(len(string_split(text, ' ')) / 50, 1.0)
+               * (len(list_distinct(string_split(text, ' ')))
+                  / len(string_split(text, ' '))) AS q_score
+      FROM documents
+    ), gated AS (
+      SELECT * FROM q WHERE q_score >= 0.1
+    ), w AS (
+      SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS w FROM gated GROUP BY 1
+    ), t AS (
+      SELECT lang,
+             CASE WHEN round(pow((SELECT min(w) FROM w) / w, 0.7), 6) >= 1.0 THEN 'g'
+                  ELSE lower(lpad(hex(CAST(floor(round(pow((SELECT min(w) FROM w) / w, 0.7), 6)
+                                                 * 4294967296.0) AS BIGINT)), 8, '0'))
+             END AS thr
+      FROM w
+    ), balanced AS (
+      SELECT g.* FROM gated g JOIN t USING (lang)
+      WHERE substr(md5(CAST(g.doc_id AS VARCHAR) || 'cv2'), 1, 8) < t.thr
+    ), c AS (
+      SELECT doc_id, lang, n_tok, q_score,
+             coalesce(sum(n_tok) OVER (
+               ORDER BY q_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM balanced
+    ), kept AS (
+      SELECT * FROM c WHERE prior < 5000
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY 1
+    """,
+)
+def q_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composite v2 — the round-3 policy stack end to end:
+    quality gate (q_score >= 0.1) -> mT5 temperature rebalance over
+    languages (alpha=0.3, data-dependent in-engine thresholds) ->
+    5000-token budget selection (best-first exact prefix sum) -> per-lang
+    kept-tokens report. One chained oracle covers all four stages, so the
+    driver hash certifies their COMPOSITION, not just each piece."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = TX.quality_score(docs.select("doc_id", "lang", "text")).select(
+        "doc_id",
+        "lang",
+        "text",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        "q_score",
+    )
+    gated = scored.filter(F.col("q_score") >= 0.1)
+    balanced = S.temperature_rebalance(
+        gated, key_col="doc_id", strata_col="lang",
+        weight_col=F.col("n_tokens"), alpha=0.3, salt="cv2",
+    ).drop("keep_rate", "text")
+    kept = S.select_token_budget(
+        balanced, budget=5000, quality_col="q_score", token_col="n_tokens"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )

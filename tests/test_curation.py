@@ -1047,3 +1047,23 @@ class TestBpe:
         df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
         merges, _ = B.bpe_train(df, num_merges=5)  # single-char words: no pairs
         assert merges == []
+
+
+class TestCurateV2:
+    def test_composite_invariants(self, spark):
+        """Every kept doc passed the gate; total tokens respect the
+        budget-overrun-by-one bound; report covers only surviving langs."""
+        from dais2021imageprocessingondeltalake_spark.queries_curation import q_curate_v2
+
+        rows = q_curate_v2(spark, SF_DIR).collect()
+        assert rows
+        total = sum(r["n_tokens"] for r in rows)
+        # budget 5000, max doc ~50 tokens
+        assert total < 5000 + 60
+
+    def test_composite_deterministic(self, spark):
+        from dais2021imageprocessingondeltalake_spark.queries_curation import q_curate_v2
+
+        a = sorted((r["lang"], r["n_docs"], r["n_tokens"]) for r in q_curate_v2(spark, SF_DIR).collect())
+        b = sorted((r["lang"], r["n_docs"], r["n_tokens"]) for r in q_curate_v2(spark, SF_DIR).collect())
+        assert a == b
