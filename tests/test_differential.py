@@ -899,3 +899,48 @@ def test_same_sql_correlated_subquery_matches_duckdb(spark, agg, op, pred):
     cols, rows = run_oracle(sql, SF_DIR)
     problems = compare(got, cols, rows, rel_tol=0.0)
     assert not problems, f"{sql}: {problems[:2]}"
+
+
+# ---------------------------------------------------------------------------
+# Data-dependent hex-threshold sampling family: random rates + salts, the
+# in-engine rate->md5-threshold conversion (sampling._hex_threshold_col)
+# rendered on both engines and compared exactly. This is the idiom behind
+# temperature rebalancing and curate_v2 — boundary bugs here (lpad
+# truncation at rate>=1, floor at the 2^32 edge, hex case) silently skew
+# samples, so the family sweeps rates across [0, 1.2] including exact 0,
+# 1, and just-under-1 values.
+# ---------------------------------------------------------------------------
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rate=st.one_of(
+        st.sampled_from([0.0, 1.0, 0.999999, 1.2, 0.5]),
+        st.floats(0.0, 1.2, allow_nan=False, allow_infinity=False),
+    ),
+    salt=st.sampled_from(["", "x", "temp", "q"]),
+)
+def test_random_hex_threshold_sampling_matches_duckdb(spark, rate, salt):
+    from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+        _hex_threshold_col,
+    )
+
+    r6 = round(rate, 6)
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id")
+    digest = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8
+    )
+    got = docs.withColumn("r", F.lit(float(r6))).filter(
+        digest < _hex_threshold_col(F.col("r"))
+    ).select("doc_id")
+    sql = f"""
+    SELECT doc_id FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8) <
+          CASE WHEN {r6!r} >= 1.0 THEN 'g'
+               ELSE lower(lpad(hex(CAST(floor({r6!r} * 4294967296.0) AS BIGINT)), 8, '0'))
+          END
+    """
+    problems = compare(got, *run_oracle(sql, SF_DIR), rel_tol=0.0)
+    assert not problems, problems
