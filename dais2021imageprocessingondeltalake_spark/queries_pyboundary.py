@@ -352,3 +352,45 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v0.select(F.lit("v0").alias("snapshot"), "doc_id", "lang").unionByName(
         latest.select(F.lit("latest").alias("snapshot"), "doc_id", "lang")
     )
+
+
+@query(
+    "q_udtf_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), n AS (
+      SELECT doc_id, w, CAST(ceil(len(w) / 32.0) AS INT) AS n_chunks FROM t
+      WHERE len(w) >= 1
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           array_to_string(w[i*32 + 1 : i*32 + 32], ' ') AS chunk
+    FROM n, unnest(range(n_chunks)) AS u(i)
+    """,
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function, Arrow-optimized)
+    in a LATERAL join: each document expands to non-overlapping 32-token
+    chunks. This exists to cover the UDTF API surface of the Python
+    boundary tier (I) — one row in, N typed rows out, driven from SQL —
+    NOT as the production chunker: `text.chunk_documents` is the JVM
+    path for scale, and the oracle certifies the UDTF emits identical
+    rows to the declarative form."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_id: int, chunk: string", useArrow=True)
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            words = text.split(" ")
+            for i in range(0, len(words), 32):
+                yield doc_id, i // 32, " ".join(words[i : i + 32])
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    view = "__udtf_chunk_docs"
+    docs.createOrReplaceTempView(view)
+    spark.udtf.register("chunk_udtf", ChunkDoc)
+    return spark.sql(
+        f"SELECT c.doc_id, c.chunk_id, c.chunk "
+        f"FROM {view}, LATERAL chunk_udtf(doc_id, text) c"
+    )

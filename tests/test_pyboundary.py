@@ -61,3 +61,24 @@ def test_binary_scan_fixture(spark):
 def test_png_codec_roundtrip():
     png = make_png(12, 7, gray=100)
     assert png_size(png) == (12, 7)
+
+
+def test_udtf_chunks_match_jvm_chunker_on_nonoverlap_config(spark):
+    """The UDTF's 32/0-overlap chunks must equal chunk_documents with
+    chunk_tokens=32, overlap=0 (modulo that op's extra chunk_len/ids) —
+    one semantics, two execution paths."""
+    from dais2021imageprocessingondeltalake_spark.operators.text import chunk_documents
+    from dais2021imageprocessingondeltalake_spark.queries_pyboundary import q_udtf_chunks
+
+    from .conftest import SF_DIR
+
+    udtf_rows = {
+        (r["doc_id"], r["chunk_id"], r["chunk"])
+        for r in q_udtf_chunks(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, "documents", SF_DIR)
+    jvm_rows = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(docs, "doc_id", chunk_tokens=32, overlap=0).collect()
+    }
+    assert udtf_rows == jvm_rows
