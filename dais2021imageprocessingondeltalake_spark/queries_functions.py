@@ -291,3 +291,30 @@ def q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "top_event_id", "top_value_cents")
     )
+
+
+@query(
+    "q_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_var,
+           CAST(json_extract(props, '$.k') IS NOT NULL AS BOOLEAN) AS has_k,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    """,
+)
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse_json into the
+    binary variant encoding, then typed variant_get path extraction —
+    the open-schema ingestion path that skips per-dataset schemas while
+    keeping columnar pushdown on extracted paths. The oracle pins the
+    extracted values against DuckDB's JSON functions (the variant
+    ENCODING is engine-private; its extraction semantics are not)."""
+    e = load_table(spark, "events", sf_dir)
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_var"),
+        F.try_variant_get(v, "$.k", "string").isNotNull().alias("has_k"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+    )
