@@ -130,6 +130,29 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_tpch_supplier_cnt",
     "q_tpch_part_promotion",
     "q_tpch_waiting_supplier",
+    # round-3 additions, certified by the r3 dual-scale sweep; rotate into
+    # freed window slots after the TPC-H analogues hold driver rows
+    "q_curate_v2",
+    "q_temperature_mix",
+    "q_token_budget",
+    "q_dsir_score",
+    "q_hybrid_search",
+    "q_containment",
+    "q_minhash_oph",
+    "q_time_travel",
+    "q_novelty",
+    "q_weighted_sample",
+    "q_pii_redact",
+    "q_pagerank",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_collocations",
+    "q_embedding_rp",
+    "q_bpe_pair_counts",
+    "q_zipf_slope",
+    "q_lang_confusion",
+    "q_udtf_chunks",
+    "q_variant",
 )
 
 
