@@ -704,3 +704,45 @@ def test_round3_op_plan_shapes(spark):
     carve = plan("q_eval_carve")
     assert "BroadcastHashJoin" in carve  # benchmark shingles broadcast
     assert "WindowGroupLimit" in carve  # exactly-k-per-source heaps
+
+
+def test_round3b_op_plan_shapes(spark):
+    """Scale contracts of the late-round-3 operators: temperature
+    rebalancing broadcasts its |langs|-row rate table (corpus never
+    shuffles for the policy); token-budget selection has NO
+    unpartitioned window over the corpus (every WindowExec is keyed by
+    the quality bin — the exact parallel decomposition); hybrid search
+    and weighted sampling select their top-k via TakeOrderedAndProject
+    heaps, never a global sort."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    def plan(name):
+        return (
+            q.REGISTRY[name]
+            .fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    temp = plan("q_temperature_mix")
+    assert "BroadcastHashJoin" in temp or "BroadcastExchange" in temp
+
+    tb = plan("q_token_budget")
+    # the corpus-side window must be partitioned by the bin column; the
+    # only unpartitioned window is the |bins|-row cumulative total
+    for line in tb.splitlines():
+        if "windowspecdefinition(" in line and "__bin" not in line:
+            # unpartitioned window: must be the tiny bin-total frame,
+            # whose input aggregates to at most `bins` rows
+            assert "__bt" in line or "__prior_bins" in line, line
+
+    hyb = plan("q_hybrid_search")
+    assert "TakeOrderedAndProject" in hyb
+
+    ws = plan("q_weighted_sample")
+    assert "TakeOrderedAndProject" in ws
+    assert "Sort" not in ws.replace("TakeOrderedAndProject", "")
+
+    rp = plan("q_embedding_rp")
+    assert "TakeOrderedAndProject" in rp
