@@ -901,3 +901,14 @@ class TestCorpusDiagnostics:
             .collect()
         }
         assert m == {("en", "en"): 2, ("de", "de"): 1, ("fr", "fr"): 1}
+
+
+def test_dedup_quality_beats_banding_theory(spark):
+    """The certified report's recall must beat the theoretical j=0.5
+    collision lower bound (0.68) and precision must be meaningful."""
+    from dais2021imageprocessingondeltalake_spark.queries_llm import q_dedup_quality
+
+    row = q_dedup_quality(spark, SF_DIR).collect()[0]
+    assert row["n_truth"] > 0
+    assert row["recall"] >= 0.68
+    assert 0 < row["precision"] <= 1.0
