@@ -1692,3 +1692,80 @@ def q_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
         )
     )
+
+
+def _ann_quality_oracle() -> str:
+    """Exact top-10 + the three certified ANN pipelines (sign-LSH, int8
+    two-stage, random-projection two-stage), each as a parenthesized
+    WITH-subquery reusing its own certified SQL; recall@10 per family in
+    one row."""
+    exact = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT ve AS qv FROM v WHERE vec_id = 0)
+    SELECT vec_id FROM (
+      SELECT vec_id, round(list_cosine_similarity(ve, (SELECT qv FROM q)), 6) AS cs
+      FROM v
+    ) ORDER BY cs DESC, vec_id LIMIT 10
+    """
+    q8 = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+    q8 AS (
+      SELECT vec_id, ve,
+             CASE WHEN ma > 0
+                  THEN list_transform(ve, x -> CAST(floor(x * 127.0 / ma + 0.5) AS INT))
+                  ELSE list_transform(ve, x -> 0) END AS vq,
+             CASE WHEN ma > 0 THEN ma / 127.0 ELSE 0.0 END AS sc
+      FROM (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS ma FROM v)
+    ), qq AS (
+      SELECT list_transform(qv, x -> CAST(floor(x * 127.0 / qma + 0.5) AS INT)) AS qvq
+      FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qma FROM q)
+    ), short AS (
+      SELECT vec_id, ve
+      FROM q8, qq
+      ORDER BY list_dot_product(q8.vq, qq.qvq) * q8.sc DESC, vec_id
+      LIMIT 50
+    )
+    SELECT s.vec_id FROM (
+      SELECT s.vec_id, round(list_cosine_similarity(s.ve, q.qv), 6) AS cs
+      FROM short s, q
+    ) s ORDER BY cs DESC, vec_id LIMIT 10
+    """
+    lsh = _lsh_ann_oracle()
+    rp = _rp_ann_oracle(out_dim=16, shortlist=100)
+    return f"""
+    WITH exact10 AS (SELECT vec_id FROM ({exact}) t),
+    lsh10 AS (SELECT vec_id FROM ({lsh}) t),
+    q810 AS (SELECT vec_id FROM ({q8}) t),
+    rp10 AS (SELECT vec_id FROM ({rp}) t)
+    SELECT
+      round((SELECT count(*) FROM exact10 JOIN lsh10 USING (vec_id)) / 10.0, 6) AS recall_lsh,
+      round((SELECT count(*) FROM exact10 JOIN q810 USING (vec_id)) / 10.0, 6) AS recall_q8,
+      round((SELECT count(*) FROM exact10 JOIN rp10 USING (vec_id)) / 10.0, 6) AS recall_rp
+    """
+
+
+@query("q_ann_quality", oracle=_ann_quality_oracle())
+def q_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-quality certification: recall@10 of every certified ANN
+    family (sign-LSH multiprobe, int8 two-stage, random-projection
+    two-stage) against the exact brute-force baseline, as one
+    driver-hashed row — each family's whole pipeline AND the comparison
+    replay in a single oracle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    exact = SIM.cosine_topk(emb, qv, k=10, round_dp=6).select("vec_id")
+    lsh = SIM.lsh_ann_topk(emb, qv, k=10, n_planes=6).select("vec_id")
+    q8 = SIM.quantized_ann_topk(emb, qv, k=10, shortlist=50, round_dp=6).select("vec_id")
+    rp = SIM.rp_ann_topk(emb, qv, k=10, shortlist=100, out_dim=16).select("vec_id")
+
+    def recall(approx, name):
+        return exact.join(approx, "vec_id").agg(
+            F.round(F.count(F.lit(1)) / F.lit(10.0), 6).alias(name)
+        )
+
+    return (
+        recall(lsh, "recall_lsh")
+        .crossJoin(recall(q8, "recall_q8"))
+        .crossJoin(recall(rp, "recall_rp"))
+    )

@@ -912,3 +912,12 @@ def test_dedup_quality_beats_banding_theory(spark):
     assert row["n_truth"] > 0
     assert row["recall"] >= 0.68
     assert 0 < row["precision"] <= 1.0
+
+
+def test_ann_quality_row_sane(spark):
+    from dais2021imageprocessingondeltalake_spark.queries_llm import q_ann_quality
+
+    row = q_ann_quality(spark, SF_DIR).collect()[0]
+    for k in ("recall_lsh", "recall_q8", "recall_rp"):
+        assert 0.0 <= row[k] <= 1.0
+    assert row["recall_q8"] >= 0.8  # 50-of-500 shortlist: near-exact
