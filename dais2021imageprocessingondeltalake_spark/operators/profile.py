@@ -1,0 +1,104 @@
+"""Data-quality expectations + table profiling (analytics-engine surface).
+
+Two shapes a production lakehouse runs on every ingest:
+- `profile_columns`: one row per column with null fraction, distinct
+  count, min/max — the dataset card / drift-detection input. One pass,
+  one aggregate; every statistic is a builtin JVM agg.
+- constraint checks (not-null, unique-key, referential integrity):
+  violation COUNTS, not booleans — a gate that reports how broken a
+  batch is, cheap enough to run inline before a write. Each check is a
+  single agg or anti-join; nothing materializes the violating rows
+  unless a caller asks.
+
+Scale notes: profiling numeric/short-string min/max and exact distinct
+counts shuffles once per aggregate batch; at 100 TB swap exact distinct
+for the engine's HLL sketch tier (aggregates.sketch_rollup) — the seam
+is the `exact_distinct` flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(column, n_rows, n_null, null_frac, n_distinct, min_str, max_str)
+    per column — min/max rendered as strings so one schema fits every
+    column type (the profile is a report, not a typed feed)."""
+    cols = cols or df.columns
+    total = df.count()
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(F.col(c).cast("string")).alias("min_str"),
+                F.max(F.col(c).cast("string")).alias("max_str"),
+            ).alias(f"__p_{c}")
+        )
+    row = df.agg(*aggs)
+    profiles = row.select(
+        F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p")
+    )
+    return profiles.select(
+        F.col("p.column").alias("column"),
+        F.lit(total).cast("bigint").alias("n_rows"),
+        F.col("p.n_null").alias("n_null"),
+        F.round(F.col("p.n_null") / F.lit(float(total)), 6).alias("null_frac"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_str").alias("min_str"),
+        F.col("p.max_str").alias("max_str"),
+    )
+
+
+def check_not_null(df: DataFrame, col: str) -> DataFrame:
+    """1-row (check, violations): rows where `col` IS NULL."""
+    return df.agg(
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("violations")
+    ).select(F.lit(f"not_null:{col}").alias("check"), "violations")
+
+
+def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """1-row (check, violations): rows beyond the first per key — the
+    duplicate surplus (0 == key is unique)."""
+    name = ",".join(cols)
+    dup = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
+    return dup.agg(
+        F.sum(F.col("__n") - 1).cast("bigint").alias("violations")
+    ).select(F.lit(f"unique:{name}").alias("check"), "violations")
+
+
+def check_foreign_key(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> DataFrame:
+    """1-row (check, violations): child rows whose key has no parent
+    (anti-join count) — referential integrity."""
+    orphans = child.select(F.col(child_col)).join(
+        parent.select(F.col(parent_col).alias(child_col)),
+        [child_col],
+        "left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("bigint").alias("violations")).select(
+        F.lit(f"fk:{child_col}").alias("check"), "violations"
+    )
+
+
+def check_accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
+    """1-row (check, violations): non-null rows outside the accepted
+    set."""
+    return df.agg(
+        F.sum(
+            F.when(
+                F.col(col).isNotNull() & ~F.col(col).isin(*values), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("violations")
+    ).select(F.lit(f"accepted:{col}").alias("check"), "violations")

@@ -872,3 +872,103 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return pagerank(fwd.unionByName(rev).distinct(), iters=5, damping=0.85)
+
+
+@query(
+    "q_data_profile",
+    oracle="""
+    WITH t AS (SELECT count(*) AS n FROM documents)
+    SELECT 'doc_id' AS column, (SELECT CAST(n AS BIGINT) FROM t) AS n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           round(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                 / (SELECT CAST(n AS DOUBLE) FROM t), 6) AS null_frac,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           min(CAST(doc_id AS VARCHAR)) AS min_str,
+           max(CAST(doc_id AS VARCHAR)) AS max_str
+    FROM documents
+    UNION ALL
+    SELECT 'lang', (SELECT CAST(n AS BIGINT) FROM t),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                 / (SELECT CAST(n AS DOUBLE) FROM t), 6),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           min(lang), max(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', (SELECT CAST(n AS BIGINT) FROM t),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                 / (SELECT CAST(n AS DOUBLE) FROM t), 6),
+           CAST(count(DISTINCT source) AS BIGINT),
+           min(source), max(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', (SELECT CAST(n AS BIGINT) FROM t),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                 / (SELECT CAST(n AS DOUBLE) FROM t), 6),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+    FROM documents
+    """,
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table (null fraction, distinct
+    count, stringified min/max per column) — the dataset-card /
+    drift-detection report, one aggregate pass. min/max stringify so a
+    single report schema fits every column type; note string min/max of
+    numerics is LEXICOGRAPHIC by design (both engines agree)."""
+    from .operators.profile import profile_columns
+
+    docs = load_table(spark, "documents", sf_dir)
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+@query(
+    "q_integrity_checks",
+    oracle="""
+    SELECT 'not_null:o_custkey' AS check,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(sum(n - 1) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'fk:o_custkey',
+           CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'fk:l_orderkey',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'accepted:o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                         AND o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    """,
+)
+def q_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over the warehouse tables: not-null, unique-key,
+    two referential-integrity checks, and an accepted-values domain
+    check, each a violation COUNT (dbt-style expectations run inline
+    before a write). All five are single aggs or anti-joins unioned into
+    one report."""
+    from .operators import profile as P
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return (
+        P.check_not_null(orders, "o_custkey")
+        .unionByName(P.check_unique(orders, ["o_orderkey"]))
+        .unionByName(P.check_foreign_key(orders, "o_custkey", customer, "c_custkey"))
+        .unionByName(P.check_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey"))
+        .unionByName(
+            P.check_accepted_values(orders, "o_orderstatus", ["F", "O", "P"])
+        )
+    )

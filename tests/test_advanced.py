@@ -439,3 +439,57 @@ class TestPagerank:
         e = spark.createDataFrame([("a", "b")], ["src", "dst"])
         with pytest.raises(ValueError):
             pagerank(e, iters=0)
+
+
+class TestDataQuality:
+    def test_planted_violations_counted(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators import profile as P
+
+        child = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, None), (9, "z")], ["k", "v"]
+        )
+        parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+        checks = {
+            r["check"]: r["violations"]
+            for df in (
+                P.check_not_null(child, "v"),
+                P.check_unique(child, ["k"]),
+                P.check_foreign_key(child, "k", parent, "pk"),
+                P.check_accepted_values(child, "v", ["x", "y"]),
+            )
+            for r in df.collect()
+        }
+        assert checks["not_null:v"] == 1
+        assert checks["unique:k"] == 1   # one surplus row for k=1
+        assert checks["fk:k"] == 1       # k=9 orphan
+        assert checks["accepted:v"] == 1 # 'z' outside domain (NULL ignored)
+
+    def test_profile_matches_hand_counts(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.profile import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a")], ["k", "v"]
+        )
+        prof = {r["column"]: r for r in profile_columns(df).collect()}
+        assert prof["k"]["n_rows"] == 3 and prof["k"]["n_null"] == 0
+        assert prof["k"]["n_distinct"] == 3
+        assert prof["v"]["n_null"] == 1 and prof["v"]["n_distinct"] == 1
+        assert prof["v"]["null_frac"] == round(1 / 3, 6)
+
+    def test_corpus_integrity_is_clean(self, spark):
+        """The synthetic warehouse must pass its own constraint suite —
+        and the check names enumerate exactly the suite."""
+        from dais2021imageprocessingondeltalake_spark.queries_advanced import (
+            q_integrity_checks,
+        )
+
+        from .conftest import SF_DIR
+
+        rows = {r["check"]: r["violations"] for r in q_integrity_checks(spark, SF_DIR).collect()}
+        assert set(rows) == {
+            "not_null:o_custkey", "unique:o_orderkey", "fk:o_custkey",
+            "fk:l_orderkey", "accepted:o_orderstatus",
+        }
+        assert all(v == 0 for v in rows.values()), rows
