@@ -173,3 +173,42 @@ def histogram_quantiles(
             )
         )
     return cum.groupBy(key_col).agg(*aggs)
+
+
+def partial_agg_states(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Mergeable per-group aggregate STATE (n, sum, min, max) over
+    `value_col` — the materialized form an incremental pipeline persists
+    per batch/partition instead of final answers. States compose under
+    `merge_agg_states`, so re-aggregation never rescans source rows (the
+    algebraic-aggregate half of the story; the HLL sketch_rollup tier
+    covers distinct counts)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_agg_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Combine partial states from any number of batches: counts and
+    sums add, mins/maxes fold — one union + one shuffle over STATE rows
+    (|groups| x |batches|, never source-sized). Emits the final
+    (n, sum_v, min_v, max_v, avg_v) per group."""
+    if not states:
+        raise ValueError("merge_agg_states needs at least one state frame")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return (
+        u.groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        .withColumn("avg_v", F.round(F.col("sum_v") / F.col("n"), 6))
+    )

@@ -972,3 +972,38 @@ def q_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             P.check_accepted_values(orders, "o_orderstatus", ["F", "O", "P"])
         )
     )
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_v,
+           min(n_chars) AS min_v, max(n_chars) AS max_v,
+           round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6) AS avg_v
+    FROM documents GROUP BY 1
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: three disjoint batches of the
+    corpus each produce a mergeable per-lang state (n/sum/min/max), and
+    the states combine into the final answer WITHOUT rescanning any
+    batch — the materialized-view refresh pattern. The oracle computes
+    the same stats from the full table directly, so the hash certifies
+    state merging == recomputation."""
+    from .operators.aggregates import merge_agg_states, partial_agg_states
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+    batches = [
+        partial_agg_states(docs.filter(F.col("doc_id") % 3 == i), ["lang"], "n_chars")
+        for i in range(3)
+    ]
+    merged = merge_agg_states(batches, ["lang"])
+    return merged.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_v").cast("bigint").alias("sum_v"),
+        "min_v",
+        "max_v",
+        "avg_v",
+    )

@@ -394,3 +394,59 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT c.doc_id, c.chunk_id, c.chunk "
         f"FROM {view}, LATERAL chunk_udtf(doc_id, text) c"
     )
+
+
+@query(
+    "q_version_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, lang FROM documents
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, lang FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'insert'
+                WHEN n.doc_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.lang AS old_lang, n.lang AS new_lang
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.lang <> n.lang
+    """,
+)
+def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two VERSIONS of a versioned table
+    (Delta's CDF read, reconstructed): commit v0 = the corpus, v1 = an
+    edited snapshot (updates every 5th lang, deletes every 7th doc,
+    inserts shifted copies of every 11th), then time-travel both
+    versions back out and table_diff them into insert/update/delete
+    rows. The oracle rebuilds both snapshots and the classification from
+    the source table — certifying log replay AND diff classification in
+    one hash."""
+    import tempfile
+
+    from .operators.merge import table_diff
+    from .sources import versioned as V
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    table = tempfile.mkdtemp(prefix="dais_vdiff_") + "/docs"
+    V.versioned_write(docs, table, mode="overwrite")
+    edited = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )
+        )
+    )
+    V.versioned_write(edited, table, mode="overwrite")
+    old = V.versioned_read(spark, table, version=0)
+    new = V.versioned_read(spark, table, version=1)
+    return table_diff(old, new, keys=["doc_id"], compare_cols=["lang"])

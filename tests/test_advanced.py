@@ -493,3 +493,33 @@ class TestDataQuality:
             "fk:l_orderkey", "accepted:o_orderstatus",
         }
         assert all(v == 0 for v in rows.values()), rows
+
+
+class TestIncrementalAgg:
+    def test_merge_equals_recompute(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.aggregates import (
+            merge_agg_states,
+            partial_agg_states,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 5), ("b", 2), ("b", 8), ("a", 3)], ["k", "v"]
+        )
+        parts = [
+            partial_agg_states(df.filter(F.col("v") % 2 == i), ["k"], "v")
+            for i in range(2)
+        ]
+        merged = {r["k"]: r for r in merge_agg_states(parts, ["k"]).collect()}
+        assert merged["a"]["n"] == 3 and merged["a"]["sum_v"] == 9
+        assert merged["a"]["min_v"] == 1 and merged["a"]["max_v"] == 5
+        assert merged["b"]["avg_v"] == 5.0
+
+    def test_empty_states_rejected(self, spark):
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators.aggregates import (
+            merge_agg_states,
+        )
+
+        with pytest.raises(ValueError):
+            merge_agg_states([], ["k"])
