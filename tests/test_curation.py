@@ -1067,3 +1067,81 @@ class TestCurateV2:
         a = sorted((r["lang"], r["n_docs"], r["n_tokens"]) for r in q_curate_v2(spark, SF_DIR).collect())
         b = sorted((r["lang"], r["n_docs"], r["n_tokens"]) for r in q_curate_v2(spark, SF_DIR).collect())
         assert a == b
+
+
+class TestEmptyInputsRound3:
+    def test_new_ops_tolerate_empty_corpus(self, spark):
+        """Every round-3 operator must yield an empty (or degenerate-
+        but-valid) result on an empty corpus, never raise — the guard a
+        scheduled pipeline needs when an ingest batch is empty."""
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        from dais2021imageprocessingondeltalake_spark.operators import bpe as B
+        from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+        from dais2021imageprocessingondeltalake_spark.operators import graph as G
+        from dais2021imageprocessingondeltalake_spark.operators import profile as P
+        from dais2021imageprocessingondeltalake_spark.operators.temporal import (
+            cohort_retention,
+            funnel,
+        )
+
+        docs = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("lang", StringType()),
+                    StructField("text", StringType()),
+                ]
+            ),
+        )
+        assert (
+            S.temperature_rebalance(
+                docs, "doc_id", "lang", TX.token_count(F.col("text"))
+            ).count()
+            == 0
+        )
+        scored = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("n_tokens", LongType()),
+                    StructField("q_score", DoubleType()),
+                ]
+            ),
+        )
+        assert S.select_token_budget(scored, 100).count() == 0
+        assert S.weighted_sample_k(
+            scored.withColumnRenamed("q_score", "w"), "doc_id", "w", 5
+        ).count() == 0
+        assert TX.dsir_logratio(docs, docs).count() == 0
+        assert TX.bigram_pmi(docs).count() == 0
+        assert TX.ngram_novelty(docs, docs).count() == 0
+        assert D.ngram_containment_pairs(docs, "doc_id").count() == 0
+        assert D.minhash_lsh_pairs_oph(docs, "doc_id").count() == 0
+        edges = spark.createDataFrame(
+            [], StructType([StructField("src", StringType()), StructField("dst", StringType())])
+        )
+        assert G.pagerank(edges, iters=2).count() == 0
+        assert len(P.profile_columns(docs).collect()) == 3
+        assert B.bpe_train(docs, 2)[0] == []
+        events = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("user_id", LongType()),
+                    StructField("ts", TimestampType()),
+                    StructField("event_type", StringType()),
+                ]
+            ),
+        )
+        assert funnel(events, ["view", "click"]).count() == 0
+        assert cohort_retention(events).count() == 0
