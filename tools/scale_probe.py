@@ -86,6 +86,38 @@ def build_scaled_corpus(base_dir: str, factor: int, out_dir: Path, seed: int = 1
     return str(out)
 
 
+def build_scaled_embeddings(base_dir: str, factor: int, out_dir: Path, seed: int = 12) -> str:
+    """Write a factor-x embeddings.parquet: synthetic vectors are noisy
+    copies of real ones (sigma=0.05 around a random base vector, label
+    preserved), so cluster structure — what SemDeDup's cost depends on —
+    scales with the corpus instead of dissolving into noise."""
+    import duckdb
+
+    src = f"{base_dir}/embeddings.parquet"
+    if factor == 1:
+        return src
+    con = duckdb.connect()
+    rows = con.execute(f"SELECT vec_id, embedding, label FROM '{src}'").fetchall()
+    rng = np.random.default_rng(seed)
+    base_vecs = np.array([r[1] for r in rows], dtype=np.float32)
+    labels = [r[2] for r in rows]
+    max_id = max(r[0] for r in rows)
+    n_synth = (factor - 1) * len(rows)
+    picks = rng.integers(len(rows), size=n_synth)
+    noise = rng.normal(0.0, 0.05, size=(n_synth, base_vecs.shape[1])).astype(np.float32)
+    synth_vecs = base_vecs[picks] + noise
+    synth = [
+        (int(max_id + 1 + i), synth_vecs[i].tolist(), int(labels[picks[i]]))
+        for i in range(n_synth)
+    ]
+    out = out_dir / f"x{factor}" / "embeddings.parquet"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    con.execute("CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO emb VALUES (?, ?, ?)", rows + synth)
+    con.execute(f"COPY emb TO '{out}' (FORMAT PARQUET)")
+    return str(out)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.01")
@@ -140,9 +172,41 @@ def main() -> int:
             n_kept = kept.count()
             t_e2e = time.perf_counter() - t0
 
+            # similarity tier: SemDeDup (centroid assign + in-cluster
+            # pair flags) and the bucketed batch kNN join on a grown
+            # embeddings corpus — the |cluster|^2-bounded and
+            # bucket-bounded joins whose scale curves matter
+            from dais2021imageprocessingondeltalake_spark.operators import (
+                similarity as SIM,
+            )
+
+            epath = build_scaled_embeddings(args.base, k, scratch)
+            emb = spark.read.parquet(epath)
+            n_vecs = emb.count()
+            t0 = time.perf_counter()
+            cents = SIM.label_centroids(emb).withColumn(
+                "centroid", F.round("centroid", 6)
+            )
+            n_semdup = (
+                SIM.semantic_dedup_flags(emb, cents, threshold=0.35)
+                .filter("is_semdup")
+                .count()
+            )
+            t_sem = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            queries = emb.filter(F.col("vec_id") % 97 == 0)
+            base_side = emb.filter(F.col("vec_id") % 97 != 0)
+            n_knn = SIM.lsh_knn_join(queries, base_side, dim=64, k=3, n_planes=6).count()
+            t_knn = time.perf_counter() - t0
+
             point = {
                 "factor": k,
                 "n_docs": n_docs,
+                "n_vecs": n_vecs,
+                "sem_secs": round(t_sem, 2),
+                "sem_dups": n_semdup,
+                "knn_secs": round(t_knn, 2),
+                "knn_rows": n_knn,
                 "prefix_secs": round(t_prefix, 2),
                 "prefix_pairs": n_pairs,
                 "cross_secs": round(t_cross, 2),
