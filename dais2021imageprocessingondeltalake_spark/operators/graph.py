@@ -64,3 +64,37 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def triangles(
+    edges: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+) -> DataFrame:
+    """Triangle enumeration over an UNDIRECTED edge list given in
+    canonical (a < b) order: rows (node_a < node_b < node_c) where all
+    three edges exist. Over a near-dup graph a triangle is a 3-clique of
+    mutual duplicates — the signal that a cluster is a true template
+    family rather than a chain of borderline pairs (chains inflate
+    connected components; cliques justify aggressive dropping).
+
+    The ordered-edge form IS the standard scale optimization: each
+    triangle is generated exactly once (no 6x duplication), and the two
+    joins degree-bound the intermediate to Σ deg(v)² over LOW-id
+    endpoints. For skew-heavy graphs the further refinement is
+    degree-ordering instead of id-ordering; near-dup graphs are
+    cluster-shaped (bounded cliques), so id-ordering suffices."""
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    ab = e.alias("ab")
+    bc = e.alias("bc")
+    ac = e.alias("ac")
+    return (
+        ab.join(bc, F.col("ab.b") == F.col("bc.a"))
+        .join(
+            ac,
+            (F.col("ac.a") == F.col("ab.a")) & (F.col("ac.b") == F.col("bc.b")),
+        )
+        .select(
+            F.col("ab.a").alias("node_a"),
+            F.col("ab.b").alias("node_b"),
+            F.col("bc.b").alias("node_c"),
+        )
+    )

@@ -1769,3 +1769,41 @@ def q_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(recall(q8, "recall_q8"))
         .crossJoin(recall(rp, "recall_rp"))
     )
+
+
+@query(
+    "q_dedup_triangles",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), p AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) WHERE shared / (n_a + n_b - shared) >= 0.5
+    )
+    SELECT ab.doc_a AS node_a, ab.doc_b AS node_b, bc.doc_b AS node_c
+    FROM p ab
+    JOIN p bc ON ab.doc_b = bc.doc_a
+    JOIN p ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+    """,
+)
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-cliques of mutual near-duplicates (triangles in the 0.5-Jaccard
+    graph): distinguishes template families (cliques — drop aggressively)
+    from chains of borderline pairs (which inflate connected components
+    but share little pairwise content). Ordered-edge enumeration emits
+    each triangle once."""
+    from .operators.graph import triangles
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    return triangles(pairs)

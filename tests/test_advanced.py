@@ -523,3 +523,23 @@ class TestIncrementalAgg:
 
         with pytest.raises(ValueError):
             merge_agg_states([], ["k"])
+
+
+class TestTriangles:
+    def test_hand_built_graph(self, spark):
+        """K4 on {1,2,3,4} minus edge (3,4): triangles are (1,2,3) and
+        (1,2,4) exactly, each emitted once."""
+        from dais2021imageprocessingondeltalake_spark.operators.graph import triangles
+
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+        e = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = sorted(
+            (r["node_a"], r["node_b"], r["node_c"]) for r in triangles(e).collect()
+        )
+        assert got == [(1, 2, 3), (1, 2, 4)]
+
+    def test_chain_has_no_triangles(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.graph import triangles
+
+        e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"])
+        assert triangles(e).count() == 0
