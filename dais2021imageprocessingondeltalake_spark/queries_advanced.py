@@ -1007,3 +1007,43 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_v",
         "avg_v",
     )
+
+
+@query(
+    "q_rolling_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT) / 100.0
+             AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling aggregate: per-user trailing-1-hour event count
+    and value sum at every event — the sliding-window feature/alerting
+    query. The RANGE frame runs over epoch MICROSECONDS (bigint), which
+    both engines frame identically (interval-typed ranges differ in
+    edge conventions across engines; integer ranges don't), and value
+    sums in integer cents. Same-timestamp events share one frame by
+    RANGE semantics — no tie-break dependence."""
+    from pyspark.sql import Window
+
+    from .operators import aggregates as agg
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        (F.sum(agg.money_cents(F.col("value"))).over(w) / F.lit(100.0)).alias(
+            "value_last_hour"
+        ),
+    )
