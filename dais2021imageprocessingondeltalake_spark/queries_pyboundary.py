@@ -450,3 +450,42 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = V.versioned_read(spark, table, version=0)
     new = V.versioned_read(spark, table, version=1)
     return table_diff(old, new, keys=["doc_id"], compare_cols=["lang"])
+
+
+@query(
+    "q_csv_roundtrip",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema'd scan round-trip (interchange-format coverage
+    beside the parquet path): header on, explicit read schema (CSV is
+    untyped — schema-on-read is the only faithful way back), text column
+    excluded because CSV quoting of free text is interchange-lossy by
+    nature; the typed columns round-trip exactly and the ORIGINAL table
+    is the oracle."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="dais_csv_") + "/documents"
+    docs.write.option("header", True).csv(out)
+    return spark.read.schema(
+        "doc_id bigint, lang string, source string, n_chars bigint"
+    ).option("header", True).csv(out)
+
+
+@query(
+    "q_jsonl_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + scan round-trip — the interchange format LLM
+    corpora actually ship as. Unlike CSV, JSON escapes free text
+    losslessly, so the FULL row (text included) round-trips; the schema
+    is still pinned on read (schema inference samples — never rely on it
+    for a contract)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = tempfile.mkdtemp(prefix="dais_jsonl_") + "/documents"
+    docs.write.json(out)
+    return spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(out)
