@@ -1047,3 +1047,62 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_last_hour"
         ),
     )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS spend
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ), g AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(spend), 6) AS mean_spend,
+             round(var_samp(spend), 6) AS var_spend
+      FROM per_user GROUP BY 1
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           a.mean_spend AS mean_a, b.mean_spend AS mean_b,
+           round((a.mean_spend - b.mean_spend)
+                 / sqrt(a.var_spend / a.n + b.var_spend / b.n), 4) AS t_stat
+    FROM g a JOIN g b ON a.variant = 0 AND b.variant = 1
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test readout: Welch's t-statistic on per-user purchase spend
+    between two variants (user_id parity as the assignment — in
+    production this is the experiment's hash bucket, same md5 idiom as
+    the samplers). Spend sums in exact cents; means/variances round to
+    6dp BEFORE the t formula (var_samp accumulates in engine-specific
+    order), so the t-stat is computed from identical operands and rounds
+    to 4dp. Two aggregates + a 2x2 join — scale-free."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    from .operators import aggregates as agg
+
+    per_user = ev.groupBy("user_id").agg(
+        (F.sum(agg.money_cents(F.col("value"))) / F.lit(100.0)).alias("spend")
+    ).withColumn("variant", F.col("user_id") % 2)
+    g = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("spend"), 6).alias("mean_spend"),
+        F.round(F.var_samp("spend"), 6).alias("var_spend"),
+    )
+    a = g.filter(F.col("variant") == 0).alias("a")
+    b = g.filter(F.col("variant") == 1).alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.mean_spend").alias("mean_a"),
+        F.col("b.mean_spend").alias("mean_b"),
+        F.round(
+            (F.col("a.mean_spend") - F.col("b.mean_spend"))
+            / F.sqrt(
+                F.col("a.var_spend") / F.col("a.n")
+                + F.col("b.var_spend") / F.col("b.n")
+            ),
+            4,
+        ).alias("t_stat"),
+    )
