@@ -156,20 +156,46 @@ def temperature_rebalance(
     `keep_rate` audit column."""
     from pyspark.sql import functions as F
 
+    rates = temperature_rates(df, strata_col, weight_col, alpha)
+    return apply_rate_table(df, rates, key_col, strata_col, salt)
+
+
+def temperature_rates(
+    df: DataFrame, strata_col: str, weight_col, alpha: float
+) -> DataFrame:
+    """The (stratum, keep_rate) table temperature_rebalance derives —
+    exposed separately because the STREAMING shape computes rates from
+    the existing corpus SNAPSHOT (batch aggregate) and applies them
+    in-flight to arriving documents via a stream-static broadcast join
+    (a global aggregate can't run statelessly inside the stream)."""
+    from pyspark.sql import functions as F
+
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     w = df.groupBy(strata_col).agg(F.sum(weight.cast("double")).alias("__w"))
     minw = w.agg(F.min("__w").alias("__minw"))
-    rates = (
-        w.crossJoin(F.broadcast(minw))
-        .select(
-            strata_col,
-            F.round(
-                F.pow(F.col("__minw") / F.col("__w"), F.lit(1.0 - alpha)), 6
-            ).alias("keep_rate"),
-        )
+    return w.crossJoin(F.broadcast(minw)).select(
+        strata_col,
+        F.round(
+            F.pow(F.col("__minw") / F.col("__w"), F.lit(1.0 - alpha)), 6
+        ).alias("keep_rate"),
     )
+
+
+def apply_rate_table(
+    df: DataFrame,
+    rates: DataFrame,
+    key_col: str,
+    strata_col: str,
+    salt: str = "temp",
+) -> DataFrame:
+    """Apply a (stratum, keep_rate) table to rows (batch OR streaming
+    micro-batch): broadcast join + the md5 hex-threshold Bernoulli.
+    Stateless per row given the rate table, so it runs unchanged as a
+    stream-static join transform."""
+    from pyspark.sql import functions as F
+
     digest = F.substring(
         F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
     )

@@ -209,3 +209,38 @@ def test_versioned_stream_sink_exactly_once(spark):
     )
     assert V.versioned_read(spark, table).count() == expected
     assert V.latest_version(table) == v1
+
+
+def test_stream_temperature_rebalance_matches_batch(spark):
+    """The temperature policy's streaming shape: rates derived from the
+    corpus SNAPSHOT (batch aggregate), applied in-flight to the document
+    stream via a stream-static broadcast join — with availableNow the
+    kept set equals the batch rebalance exactly (H2 polymorphism extends
+    to data-dependent policies when the statistic is snapshot-derived)."""
+    from pyspark.sql import functions as F
+
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators import sampling as S
+    from dais2021imageprocessingondeltalake_spark.operators import text as TX
+    from dais2021imageprocessingondeltalake_spark.streaming.stream import (
+        run_stream_to_memory,
+        table_stream,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "lang", "text")
+    rates = S.temperature_rates(
+        docs, "lang", TX.token_count(F.col("text")), alpha=0.3
+    ).localCheckpoint()
+
+    batch_kept = {
+        r["doc_id"]
+        for r in S.apply_rate_table(docs, rates, "doc_id", "lang").collect()
+    }
+
+    stream = table_stream(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    streamed = run_stream_to_memory(
+        S.apply_rate_table(stream, rates, "doc_id", "lang").select("doc_id"),
+        output_mode="append",
+    )
+    stream_kept = {r["doc_id"] for r in streamed.collect()}
+    assert stream_kept == batch_kept and batch_kept
