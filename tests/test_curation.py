@@ -1145,3 +1145,34 @@ class TestEmptyInputsRound3:
         )
         assert funnel(events, ["view", "click"]).count() == 0
         assert cohort_retention(events).count() == 0
+
+
+class TestSamplerInvariances:
+    def test_weighted_sample_invariant_under_weight_scaling(self, spark):
+        """E-S keys u^(1/(c*w)) = (u^(1/w))^(1/c) are a monotone
+        transform of the unscaled keys, so multiplying every weight by a
+        constant must select the SAME k rows — only relative weights
+        matter."""
+        docs = load_table(spark, "documents", SF_DIR)
+        scored = TX.quality_score(docs.select("doc_id", "text")).select(
+            "doc_id", "q_score"
+        )
+        a = [r["doc_id"] for r in S.weighted_sample_k(scored, "doc_id", "q_score", 25).collect()]
+        scaled = scored.withColumn("q_score", F.col("q_score") * 7.0)
+        b = [r["doc_id"] for r in S.weighted_sample_k(scaled, "doc_id", "q_score", 25).collect()]
+        assert a == b
+
+    def test_temperature_rates_invariant_under_weight_scaling(self, spark):
+        """Rates are ratios (w_min/w)^(1-a): scaling every stratum weight
+        by a constant must leave every keep_rate unchanged."""
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "lang", "text")
+        w = TX.token_count(F.col("text"))
+        a = {
+            r["lang"]: r["keep_rate"]
+            for r in S.temperature_rates(docs, "lang", w, 0.3).collect()
+        }
+        b = {
+            r["lang"]: r["keep_rate"]
+            for r in S.temperature_rates(docs, "lang", w * 13, 0.3).collect()
+        }
+        assert a == b
