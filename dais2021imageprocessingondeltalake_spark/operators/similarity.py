@@ -537,6 +537,7 @@ def kmeans_fit_distributed(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed spherical k-means (Lloyd's): init centroids from k
     deterministically-chosen vectors (md5-rank over ids — layout- and
@@ -566,6 +567,12 @@ def kmeans_fit_distributed(
         .select("label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("centroid"))
         .localCheckpoint()
     )
+    if round_dp is not None:
+        # round seeds AND every M-step centroid: each iteration then
+        # consumes identical doubles on any engine, which is what lets an
+        # unrolled SQL oracle replay the whole fit (the certified-sibling
+        # convention; production runs keep full precision with round_dp=None)
+        seeds = seeds.withColumn("centroid", F.round("centroid", round_dp))
     cents = seeds
     assigned = None
     stale = None
@@ -578,15 +585,16 @@ def kmeans_fit_distributed(
         if stale is not None:
             stale.rdd.unpersist()
         stale = cents
-        cents = (
-            label_centroids(
-                joined.withColumnRenamed("assigned_label", "label"),
-                label_col="label",
-                vec_col=vec_col,
+        new_cents = label_centroids(
+            joined.withColumnRenamed("assigned_label", "label"),
+            label_col="label",
+            vec_col=vec_col,
+        ).select("label", "dim", "centroid")
+        if round_dp is not None:
+            new_cents = new_cents.withColumn(
+                "centroid", F.round("centroid", round_dp)
             )
-            .select("label", "dim", "centroid")
-            .localCheckpoint()
-        )
+        cents = new_cents.localCheckpoint()
     return assigned, cents
 
 

@@ -1598,3 +1598,69 @@ def q_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+def _kmeans_cert_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unroll the whole k-means fit in SQL: md5-rank seeds, then per
+    iteration an argmax assignment (round-before-rank) and a per-dim
+    mean M-step (rounded 6dp — avg accumulation order differs across
+    engines, and the Spark side rounds identically via round_dp=6), so
+    every round consumes identical doubles. Same generated-CTE idiom as
+    the PageRank oracle."""
+    ctes = [f"""v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), c0 AS (
+      SELECT CAST(rn - 1 AS INT) AS label, list_transform(ve, x -> round(x, 6)) AS cvec
+      FROM (
+        SELECT vec_id, ve,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM v
+      ) WHERE rn <= {k}
+    )"""]
+    for i in range(iters):
+        ctes.append(f"""a{i} AS (
+      SELECT vec_id, ve, label, sim FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, label) AS rn
+        FROM (
+          SELECT v.vec_id, v.ve, c.label,
+                 round(list_cosine_similarity(v.ve, c.cvec), 6) AS sim
+          FROM v CROSS JOIN c{i} c
+        ) s
+      ) WHERE rn = 1
+    )""")
+        if i < iters - 1:
+            ctes.append(f"""c{i + 1} AS (
+      SELECT label, list(round(c, 6) ORDER BY dim) AS cvec FROM (
+        SELECT label, dim, avg(x) AS c FROM (
+          SELECT label, unnest(ve) AS x, generate_subscripts(ve, 1) AS dim
+          FROM a{i}
+        ) GROUP BY label, dim
+      ) GROUP BY label
+    )""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT label AS assigned_label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(sim), 4) AS mean_sim
+    FROM a{iters - 1} GROUP BY 1"""
+    )
+
+
+@query("q_kmeans_fit_cert", oracle=_kmeans_cert_oracle())
+def q_kmeans_fit_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means fit, FULLY oracle-certified (k=8, 3 Lloyd
+    rounds, round_dp=6): centroids round to 6dp at the seeds and after
+    every M-step, so an unrolled generated-CTE oracle replays the whole
+    iterative fit — seeds, three assignments, two centroid updates —
+    bit-for-bit (the certified sibling of the full-precision rows-only
+    q_kmeans_fit, same pattern as the md5 MinHash family). Output:
+    per-cluster size + mean assigned similarity."""
+    from .operators import similarity as SIM
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assigned, _ = SIM.kmeans_fit_distributed(emb, k=8, iters=3, round_dp=6)
+    return assigned.groupBy("assigned_label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("sim"), 4).alias("mean_sim"),
+    )
