@@ -1515,12 +1515,54 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bpe_merges", oracle=None)
+def _bpe_merges_oracle(num_merges: int = 10) -> str:
+    """Unroll the full BPE training loop in SQL: per round, pair counts
+    over the current symbol tables, a (cnt DESC, a, b) argmax, and the
+    greedy leftmost merge applied via list_reduce with a list
+    accumulator (DuckDB lambdas reference the joined argmax row's
+    columns) — the same generated-CTE certification idiom as the
+    PageRank and k-means oracles, here over an iterative STRING
+    algorithm."""
+    ctes = ["""w0 AS (
+      SELECT word, count(*) AS freq,
+             [word[i:i] for i in range(1, len(word) + 1)] AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    )"""]
+    for i in range(num_merges):
+        ctes.append(f"""p{i} AS (
+      SELECT a, b, sum(freq) AS cnt FROM (
+        SELECT freq, syms[j] AS a, syms[j + 1] AS b
+        FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS j
+              FROM w{i} WHERE len(syms) >= 2)
+      ) GROUP BY 1, 2
+    ), t{i} AS (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+    ), w{i + 1} AS (
+      SELECT word, freq,
+             list_reduce(
+               list_transform(w.syms, s -> [s]),
+               (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                                THEN acc[:-2] || [t.a || t.b]
+                                ELSE acc || x END
+             ) AS syms
+      FROM w{i} w CROSS JOIN t{i} t
+    )""")
+    steps = "\n    UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, a, b, CAST(cnt AS BIGINT) AS cnt FROM t{i}"
+        for i in range(num_merges)
+    )
+    return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + steps
+
+
+@query("q_bpe_merges", oracle=_bpe_merges_oracle())
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ten learned BPE merges (rows-only: each round's argmax feeds the
-    next round's fold — iterative, not SQL-expressible; the round-1
-    statistic is oracle-certified by q_bpe_pair_counts and the merge
-    semantics by hand-computed tests). Emits (step, a, b, cnt)."""
+    """Ten learned BPE merges, FULLY oracle-certified: the unrolled SQL
+    replays every round's pair counts, argmax, and greedy leftmost merge
+    fold (list_reduce with a list accumulator), so the whole iterative
+    tokenizer-training loop is pinned cross-engine — upgraded from
+    rows-only once the fold proved SQL-expressible. Emits
+    (step, a, b, cnt)."""
     from .operators import bpe as B
 
     docs = load_table(spark, "documents", sf_dir)
