@@ -1807,3 +1807,103 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return triangles(pairs)
+
+
+def _ivf_cert_oracle(k: int = 8, iters: int = 2, n_probe: int = 2, topk: int = 10) -> str:
+    """IVF over the certified k-means coarse quantizer, fully unrolled:
+    seeds -> `iters` assignment/update rounds -> probe the query's
+    n_probe nearest partition centroids -> exact re-rank of probed
+    partitions' members. The inverted lists are the final assignment,
+    the probe uses the centroids REFIT from that assignment (both
+    replayed)."""
+    ctes = [f"""v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+    c0 AS (
+      SELECT CAST(rn - 1 AS INT) AS label, list_transform(ve, x -> round(x, 6)) AS cvec
+      FROM (
+        SELECT vec_id, ve,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM v
+      ) WHERE rn <= {k}
+    )"""]
+    for i in range(iters):
+        ctes.append(f"""a{i} AS (
+      SELECT vec_id, ve, label FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, label) AS rn
+        FROM (
+          SELECT v.vec_id, v.ve, c.label,
+                 round(list_cosine_similarity(v.ve, c.cvec), 6) AS sim
+          FROM v CROSS JOIN c{i} c
+        ) s
+      ) WHERE rn = 1
+    ), c{i + 1} AS (
+      SELECT label, list(round(c, 6) ORDER BY dim) AS cvec FROM (
+        SELECT label, dim, avg(x) AS c FROM (
+          SELECT label, unnest(ve) AS x, generate_subscripts(ve, 1) AS dim
+          FROM a{i}
+        ) GROUP BY label, dim
+      ) GROUP BY label
+    )""")
+    last_a, last_c = f"a{iters - 1}", f"c{iters}"
+    ctes.append(f"""probe AS (
+      SELECT label FROM (
+        SELECT c.label, row_number() OVER (
+          ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC, c.label
+        ) AS rn
+        FROM {last_c} c, q
+      ) WHERE rn <= {n_probe}
+    )""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT a.vec_id, round(list_cosine_similarity(a.ve, q.qv), 6) AS cosine_sim
+    FROM {last_a} a JOIN probe USING (label), q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT {topk}"""
+    )
+
+
+@query("q_embedding_ivf_cert", oracle=_ivf_cert_oracle())
+def q_embedding_ivf_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, FULLY oracle-certified: the coarse quantizer is the
+    certified distributed k-means (k=8, 2 rounds, round_dp=6 — no
+    driver-side sample fit anywhere), the inverted lists are its final
+    assignment, the query probes its 2 nearest refit centroids, and
+    probed partitions re-rank exactly. Certified sibling of the
+    sample-seeded production q_embedding_ivf (rows-only)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vector(spark, sf_dir)
+    assigned, cents_long = SIM.kmeans_fit_distributed(emb, k=8, iters=2, round_dp=6)
+    cents = cents_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cvec")
+    )
+    q_arr = F.array(*[F.lit(float(x)) for x in qv])
+    probe = (
+        cents.select(
+            "label",
+            F.round(SIM.cosine(F.col("cvec"), q_arr), 6).alias("s"),
+        )
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("s").desc(), F.col("label")))
+        )
+        .filter(F.col("rn") <= 2)
+        .select(F.col("label").alias("assigned_label"))
+    )
+    cand = emb.join(
+        assigned.join(F.broadcast(probe), "assigned_label").select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    fine = F.round(SIM.cosine(SIM._to_double(F.col("embedding")), q_arr), 6)
+    return (
+        cand.select("vec_id", fine.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
