@@ -878,3 +878,54 @@ def remove_contaminated_spans(
         F.concat_ws(" ", kept).alias("text_clean"),
         F.size(cov).cast("bigint").alias("n_removed"),
     )
+
+
+def edit_distance_join_1(
+    df: DataFrame, id_col: str, str_col: str
+) -> DataFrame:
+    """Fuzzy self-join at edit distance <= 1 for EQUAL-LENGTH strings
+    (entity matching on code-like identifiers: typo'd SKUs, account
+    names, near-identical titles). Pigeonhole blocking makes it exact
+    AND scalable: same-length strings within distance 1 differ by at
+    most one substitution, so they must agree EXACTLY on the left half
+    or the right half — candidates come from two equi-joins on
+    (half, length) keys (hash-shuffle blocking, the PartEnum scheme's
+    d+1=2 case), never an all-pairs product; levenshtein verifies each
+    candidate. Emits (id_a, id_b, dist) with id_a < id_b.
+
+    Length-changing edits are excluded BY DEFINITION here (the
+    equal-length precondition is what makes 2-segment pigeonhole
+    complete); the general-d variant needs d+1 segments with positional
+    tolerance."""
+    half = F.floor(F.length(F.col(str_col)) / 2).cast("int")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(str_col).alias("s"),
+        F.length(F.col(str_col)).alias("slen"),
+        F.substring(F.col(str_col), 1, half).alias("h1"),
+        F.col(str_col).substr(half + 1, F.length(F.col(str_col))).alias("h2"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+
+    def block(key):
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.slen") == F.col("b.slen"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.s").alias("s_a"),
+                F.col("b.s").alias("s_b"),
+            )
+        )
+
+    cand = block("h1").unionByName(block("h2")).distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", F.col("dist").cast("bigint").alias("dist"))
+    )

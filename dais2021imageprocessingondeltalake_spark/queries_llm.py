@@ -1907,3 +1907,28 @@ def q_embedding_ivf_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b
+      ON a.c_custkey < b.c_custkey
+     AND len(a.c_name) = len(b.c_name)
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: customer-name pairs at edit distance <= 1
+    (typo-level identity). The engine blocks via the exact 2-segment
+    pigeonhole (two equi-joins on name halves — hash-shuffle candidates,
+    no all-pairs product); the oracle states the naive quadratic
+    semantics the blocking provably equals on equal-length strings. The
+    %5 slice keeps the oracle's quadratic verify tractable at sf0.1."""
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") % 5 == 0)
+    return TX.edit_distance_join_1(c, "c_custkey", "c_name")

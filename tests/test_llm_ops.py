@@ -921,3 +921,48 @@ def test_ann_quality_row_sane(spark):
     for k in ("recall_lsh", "recall_q8", "recall_rp"):
         assert 0.0 <= row[k] <= 1.0
     assert row["recall_q8"] >= 0.8  # 50-of-500 shortlist: near-exact
+
+
+class TestFuzzyJoin:
+    def test_planted_typo_found(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.text import (
+            edit_distance_join_1,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "acme corp"), (2, "acme corq"), (3, "zzzz zzzz"), (4, "acme co..")],
+            ["id", "name"],
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_join_1(df, "id", "name").collect()
+        }
+        assert pairs == {(1, 2): 1}  # 4 is two edits away from 1; 3 unrelated
+
+    def test_blocking_equals_naive(self, spark):
+        """Pigeonhole candidates + verify must equal the naive quadratic
+        levenshtein filter on equal-length strings."""
+        from dais2021imageprocessingondeltalake_spark.operators.text import (
+            edit_distance_join_1,
+        )
+
+        c = load_table(spark, "customer", SF_DIR).select("c_custkey", "c_name")
+        fast = {
+            (r["id_a"], r["id_b"])
+            for r in edit_distance_join_1(c, "c_custkey", "c_name").collect()
+        }
+        a, b = c.alias("a"), c.alias("b")
+        naive = {
+            (r["id_a"], r["id_b"])
+            for r in a.join(
+                b,
+                (F.col("a.c_custkey") < F.col("b.c_custkey"))
+                & (F.length("a.c_name") == F.length("b.c_name"))
+                & (F.levenshtein("a.c_name", "b.c_name") <= 1),
+            )
+            .select(
+                F.col("a.c_custkey").alias("id_a"), F.col("b.c_custkey").alias("id_b")
+            )
+            .collect()
+        }
+        assert fast == naive and naive
