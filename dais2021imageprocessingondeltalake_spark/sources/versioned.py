@@ -130,10 +130,13 @@ def versioned_read(
     table: str,
     version: int | None = None,
     timestamp: float | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read: latest by default, `version=` for VERSION AS OF,
     `timestamp=` for TIMESTAMP AS OF (greatest version committed at or
-    before it)."""
+    before it). `merge_schema=True` unions the live directories' schemas
+    (columns added by later appends surface as NULL in older files) —
+    Delta's mergeSchema evolution semantics on the txn-log layer."""
     log = _read_log(table)
     if not log:
         raise FileNotFoundError(f"no versioned table at {table}")
@@ -149,7 +152,10 @@ def versioned_read(
             f"version {version} does not exist (latest is {log[-1]['version']})"
         )
     dirs = _live_dirs(log, version)
-    return spark.read.parquet(*[str(Path(table) / d) for d in dirs])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", True)
+    return reader.parquet(*[str(Path(table) / d) for d in dirs])
 
 
 def history(table: str) -> list[dict]:

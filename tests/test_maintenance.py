@@ -159,3 +159,25 @@ class TestVersionedTable:
         # pre-merge state still time-travelable
         old = {(r["k"], r["v"]) for r in V.versioned_read(spark, t, version=0).collect()}
         assert old == {(1, "a"), (2, "b"), (3, "c")}
+
+    def test_schema_evolution_across_versions(self, spark, tmp_path):
+        """An append with an extra column + mergeSchema read: new column
+        surfaces, old rows show NULL — Delta's mergeSchema semantics on
+        the txn log. Without mergeSchema the first file's schema wins."""
+        from dais2021imageprocessingondeltalake_spark.sources import versioned as V
+
+        t = str(tmp_path / "tbl4")
+        V.versioned_write(
+            spark.createDataFrame([(1, "a")], ["k", "v"]), t, mode="overwrite"
+        )
+        V.versioned_write(
+            spark.createDataFrame([(2, "b", 9.5)], ["k", "v", "score"]),
+            t,
+            mode="append",
+        )
+        evolved = V.versioned_read(spark, t, merge_schema=True)
+        assert set(evolved.columns) == {"k", "v", "score"}
+        rows = {r["k"]: r["score"] for r in evolved.collect()}
+        assert rows == {1: None, 2: 9.5}
+        # time travel to v0 keeps the original schema
+        assert set(V.versioned_read(spark, t, version=0).columns) == {"k", "v"}
