@@ -153,6 +153,21 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_lang_confusion",
     "q_udtf_chunks",
     "q_variant",
+    "q_dedup_quality",
+    "q_ann_quality",
+    "q_kmeans_fit_cert",
+    "q_embedding_ivf_cert",
+    "q_bpe_merges",
+    "q_fuzzy_join",
+    "q_dedup_triangles",
+    "q_data_profile",
+    "q_integrity_checks",
+    "q_version_diff",
+    "q_incremental_agg",
+    "q_rolling_window",
+    "q_ab_test",
+    "q_csv_roundtrip",
+    "q_jsonl_roundtrip",
 )
 
 
