@@ -1706,3 +1706,106 @@ def q_kmeans_fit_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("sim"), 4).alias("mean_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source quality calibration
+# --------------------------------------------------------------------------
+@query(
+    "q_quality_calibrate",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source,
+             least(len(string_split(text, ' ')) / 50, 1.0)
+               * (len(list_distinct(string_split(text, ' ')))
+                  / len(string_split(text, ' '))) AS q_score
+      FROM documents
+    )
+    SELECT doc_id, source, q_score,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY q_score, doc_id), 6) AS q_calibrated
+    FROM q
+    """,
+)
+def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality calibration: per-source percent_rank of the
+    raw quality score. Raw scores are not comparable across sources
+    (each source has its own score distribution), so a global top-k on
+    raw scores over-selects from easy sources; rank-calibrated scores
+    make 'top 10% of every source' a single global threshold. One
+    source-keyed window; ties break by doc_id; ranks round to 6dp
+    (percent_rank divides by n-1 — one IEEE division, rounded for
+    engine parity)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = TX.quality_score(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", "q_score"
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q_score"), F.col("doc_id"))
+    return scored.withColumn("q_calibrated", F.round(F.percent_rank().over(w), 6))
+
+
+# --------------------------------------------------------------------------
+# Distribution drift (two-sample Kolmogorov-Smirnov)
+# --------------------------------------------------------------------------
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH a AS (
+      SELECT len(string_split(text, ' ')) AS v FROM documents WHERE doc_id % 2 = 0
+    ), b AS (
+      SELECT len(string_split(text, ' ')) AS v FROM documents WHERE doc_id % 2 = 1
+    ), vals AS (
+      SELECT DISTINCT v FROM (SELECT v FROM a UNION ALL SELECT v FROM b)
+    ), cdfs AS (
+      SELECT vals.v,
+             (SELECT count(*) FROM a WHERE a.v <= vals.v)
+               / (SELECT CAST(count(*) AS DOUBLE) FROM a) AS cdf_a,
+             (SELECT count(*) FROM b WHERE b.v <= vals.v)
+               / (SELECT CAST(count(*) AS DOUBLE) FROM b) AS cdf_b
+      FROM vals
+    )
+    SELECT round(max(abs(cdf_a - cdf_b)), 6) AS ks_stat,
+           CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b
+    FROM cdfs
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on document token-length
+    between two corpus halves — the distribution-drift alarm a pipeline
+    runs between yesterday's and today's crawl (here: even vs odd ids,
+    so the expected answer is 'no drift'). The engine computes both
+    empirical CDFs in ONE pass over the distinct value grid (window
+    cumsums of per-value counts — no correlated subqueries), where the
+    oracle states the textbook definition; CDF values are exact rational
+    counts/n, the max rounds to 6dp."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    v = TX.token_count(F.col("text")).alias("v")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(v)
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(v)
+    counts = (
+        a.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
+        .join(b.groupBy("v").agg(F.count(F.lit(1)).alias("cb")), ["v"], "full_outer")
+        .select(
+            "v",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    na = a.count()
+    nb = b.count()
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdfs = counts.select(
+        "v",
+        (F.sum("ca").over(w) / F.lit(float(na))).alias("cdf_a"),
+        (F.sum("cb").over(w) / F.lit(float(nb))).alias("cdf_b"),
+    )
+    return cdfs.agg(
+        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("ks_stat"),
+        F.lit(na).cast("bigint").alias("n_a"),
+        F.lit(nb).cast("bigint").alias("n_b"),
+    )

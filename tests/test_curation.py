@@ -1176,3 +1176,51 @@ class TestSamplerInvariances:
             for r in S.temperature_rates(docs, "lang", w * 13, 0.3).collect()
         }
         assert a == b
+
+
+class TestCalibrationAndDrift:
+    def test_calibration_makes_sources_comparable(self, spark):
+        """After percent_rank calibration every source's max is 1.0 and
+        min is 0.0 — a global threshold cuts each source at the same
+        quantile."""
+        from dais2021imageprocessingondeltalake_spark.queries_curation import (
+            q_quality_calibrate,
+        )
+
+        rows = q_quality_calibrate(spark, SF_DIR).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r["q_calibrated"])
+        for src, vals in by_src.items():
+            assert min(vals) == 0.0 and max(vals) == 1.0, src
+
+    def test_ks_zero_for_identical_samples(self, spark):
+        from pyspark.sql import Window
+
+        from dais2021imageprocessingondeltalake_spark.queries_curation import q_ks_drift
+
+        row = q_ks_drift(spark, SF_DIR).collect()[0]
+        # even/odd halves of the same corpus: tiny KS (no drift)
+        assert 0.0 <= row["ks_stat"] < 0.25
+        assert row["n_a"] + row["n_b"] > 0
+
+    def test_ks_detects_planted_shift(self, spark):
+        """A shifted distribution must give a large KS statistic —
+        reimplement the one-pass CDF on planted samples."""
+        from dais2021imageprocessingondeltalake_spark.operators import text as TXx
+        from pyspark.sql import Window
+
+        a = spark.createDataFrame([(i, "w " * 10) for i in range(50)], ["doc_id", "text"])
+        b = spark.createDataFrame([(i, "w " * 40) for i in range(50)], ["doc_id", "text"])
+        va = a.select(TXx.token_count(F.col("text")).alias("v"))
+        vb = b.select(TXx.token_count(F.col("text")).alias("v"))
+        counts = (
+            va.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
+            .join(vb.groupBy("v").agg(F.count(F.lit(1)).alias("cb")), ["v"], "full_outer")
+            .select("v", F.coalesce("ca", F.lit(0)).alias("ca"), F.coalesce("cb", F.lit(0)).alias("cb"))
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ks = counts.select(
+            (F.sum("ca").over(w) / 50.0 - F.sum("cb").over(w) / 50.0).alias("d")
+        ).agg(F.max(F.abs(F.col("d")))).collect()[0][0]
+        assert ks == 1.0  # fully separated distributions
