@@ -1183,3 +1183,38 @@ def minhash_lsh_pairs_oph(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+
+
+def kfold_leakage_safe(
+    docs: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    k: int = 5,
+    seed: int = 0,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Leakage-safe k-fold cross-validation assignment: every near-dup
+    CLUSTER lands whole in one fold (the k-way generalization of
+    leakage_safe_split — per-document folding leaks duplicate content
+    into the held-out fold of every round). Fold boundaries are the
+    md5 hex-threshold idiom at rates i/k, so assignment is UNIFORM,
+    deterministic, engine-portable, and fully oracle-replayable.
+    Returns docs + (cluster_root, fold)."""
+    from .sampling import _md5_threshold
+
+    if k < 2:
+        raise ValueError(f"kfold needs k >= 2, got {k}")
+    clusters = connected_components(edges, id_a=id_a, id_b=id_b)
+    joined = docs.join(
+        clusters.withColumnRenamed("id", id_col), [id_col], "left"
+    ).withColumn("cluster_root", F.coalesce(F.col("cluster_root"), F.col(id_col)))
+    digest = F.substring(
+        F.md5(F.concat(F.col("cluster_root").cast("string"), F.lit(f":fold{seed}"))),
+        1,
+        8,
+    )
+    fold = F.lit(k - 1)
+    for i in range(k - 1, 0, -1):
+        fold = F.when(digest < F.lit(_md5_threshold(i / k)), F.lit(i - 1)).otherwise(fold)
+    return joined.withColumn("fold", fold.cast("bigint"))

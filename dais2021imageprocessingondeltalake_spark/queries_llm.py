@@ -1932,3 +1932,58 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     %5 slice keeps the oracle's quadratic verify tractable at sf0.1."""
     c = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") % 5 == 0)
     return TX.edit_distance_join_1(c, "c_custkey", "c_name")
+
+
+def _kfold_oracle(k: int = 5, seed: int = 0) -> str:
+    from .operators.sampling import _md5_threshold
+
+    case = "CASE "
+    for i in range(1, k):
+        case += (
+            f"WHEN substr(md5(CAST(cluster_root AS VARCHAR) || ':fold{seed}'), 1, 8)"
+            f" < '{_md5_threshold(i / k)}' THEN {i - 1} "
+        )
+    case += f"ELSE {k - 1} END"
+    return f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      WHERE shared / (n_a + n_b - shared) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ), cl AS (
+      SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id
+    ), rooted AS (
+      SELECT d.doc_id, coalesce(cl.cluster_root, d.doc_id) AS cluster_root
+      FROM documents d LEFT JOIN cl USING (doc_id)
+    )
+    SELECT doc_id, cluster_root, CAST({case} AS BIGINT) AS fold
+    FROM rooted
+    """
+
+
+@query("q_kfold_split", oracle=_kfold_oracle())
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 5-fold cross-validation assignment: near-dup
+    clusters land whole in one fold (no duplicate content straddles any
+    train/held-out boundary in any CV round), folds are uniform via
+    md5 thresholds at i/5 — the k-way generalization of the certified
+    leakage split."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+    return D.kfold_leakage_safe(docs, "doc_id", pairs, k=5).select(
+        "doc_id", "cluster_root", "fold"
+    )

@@ -966,3 +966,41 @@ class TestFuzzyJoin:
             .collect()
         }
         assert fast == naive and naive
+
+
+class TestKfoldSplit:
+    def test_no_cluster_straddles_folds(self, spark):
+        """Every near-dup pair's two members must share a fold — the
+        leakage guarantee, per CV round."""
+        docs = load_table(spark, "documents", SF_DIR)
+        pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+        folds = D.kfold_leakage_safe(docs, "doc_id", pairs, k=5).select(
+            "doc_id", "fold"
+        )
+        a = folds.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("fold", "fa")
+        b = folds.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("fold", "fb")
+        straddle = pairs.join(a, "doc_a").join(b, "doc_b").filter("fa <> fb")
+        assert straddle.count() == 0
+
+    def test_folds_cover_range_and_roughly_uniform(self, spark):
+        docs = load_table(spark, "documents", SF_DIR)
+        pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+        sizes = {
+            r["fold"]: r["n"]
+            for r in D.kfold_leakage_safe(docs, "doc_id", pairs, k=5)
+            .groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert set(sizes) == {0, 1, 2, 3, 4}
+        n = sum(sizes.values())
+        for f, c in sizes.items():
+            assert abs(c / n - 0.2) < 0.1, sizes
+
+    def test_k_validated(self, spark):
+        import pytest
+
+        docs = load_table(spark, "documents", SF_DIR)
+        pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+        with pytest.raises(ValueError):
+            D.kfold_leakage_safe(docs, "doc_id", pairs, k=1)
