@@ -1106,3 +1106,56 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("t_stat"),
     )
+
+
+@query(
+    "q_decay_features",
+    oracle="""
+    WITH anchor AS (SELECT max(ts) AS a FROM events),
+    w AS (
+      SELECT user_id,
+             CAST(round(value * 100, 0) AS BIGINT) / 100.0 AS v,
+             round(exp(-0.023104906018664842
+                       * ((epoch_us((SELECT a FROM anchor)) - epoch_us(ts))
+                          / 86400000000.0)), 12) AS decay
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(v * decay), 4) AS decayed_spend
+    FROM w GROUP BY 1
+    """,
+)
+def q_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user features: exponentially decayed purchase
+    spend with a 30-day half-life, anchored at the corpus's latest event
+    (the feature-engineering shape behind churn/value models — recent
+    behavior dominates, anchor shifts with each batch). The decay
+    constant embeds as the repr of the Python double (ln(2)/30 computed
+    in SQL differs in the last ulp); per-event decay factors round to
+    12dp and the weighted sum to 4dp per the libm convention; spend is
+    cents-exact before weighting."""
+    all_ev = _events(spark, sf_dir)
+    ev = all_ev.filter(F.col("event_type") == "purchase")
+    from .operators import aggregates as agg
+
+    anchor = all_ev.agg(F.max("ts").alias("a"))
+    decay = F.round(
+        F.exp(
+            F.lit(-0.023104906018664842)
+            * (
+                (F.unix_micros(F.col("a")) - F.unix_micros(F.col("ts")))
+                / F.lit(86400000000.0)
+            )
+        ),
+        12,
+    )
+    w = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (agg.money_cents(F.col("value")) / F.lit(100.0)).alias("v"),
+        decay.alias("decay"),
+    )
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(F.col("v") * F.col("decay")), 4).alias("decayed_spend"),
+    )
