@@ -1159,3 +1159,49 @@ def q_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(F.sum(F.col("v") * F.col("decay")), 4).alias("decayed_spend"),
     )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), c AS (
+      SELECT cur, nxt, count(*) AS n FROM ordered WHERE nxt IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+    FROM c
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    journey: P(next | current) from consecutive event pairs (lead window
+    ordered by ts with event_id tie-break). The user-behavior model
+    behind next-action prediction and anomaly scoring. One user-keyed
+    window + one (cur, next) agg; probabilities are exact integer ratios
+    rounded to 6dp."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wc).cast("double"), 6).alias("p"),
+    )

@@ -543,3 +543,46 @@ class TestTriangles:
 
         e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"])
         assert triangles(e).count() == 0
+
+
+class TestMarkovTransitions:
+    def test_rows_are_probability_distributions(self, spark):
+        from dais2021imageprocessingondeltalake_spark.queries_advanced import (
+            q_markov_transitions,
+        )
+
+        from .conftest import SF_DIR
+
+        rows = q_markov_transitions(spark, SF_DIR).collect()
+        by_cur = {}
+        for r in rows:
+            by_cur.setdefault(r["cur"], 0.0)
+            by_cur[r["cur"]] += r["p"]
+        assert by_cur and all(abs(s - 1.0) < 1e-4 for s in by_cur.values()), by_cur
+
+    def test_hand_built_chain(self, spark):
+        from datetime import datetime
+
+        from dais2021imageprocessingondeltalake_spark.queries_advanced import (
+            q_markov_transitions,
+        )
+        from dais2021imageprocessingondeltalake_spark.operators.temporal import funnel  # noqa: F401
+
+        # direct on a tiny frame via the same plan pieces
+        from pyspark.sql import Window
+
+        t = lambda m: datetime(2024, 1, 1, 0, m)
+        ev = spark.createDataFrame(
+            [(1, t(0), 1, "a"), (1, t(1), 2, "b"), (1, t(2), 3, "a"), (1, t(3), 4, "b")],
+            ["user_id", "ts", "event_id", "event_type"],
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (
+            ev.select(F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt"))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("cur", "nxt")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        got = {(r["cur"], r["nxt"]): r["n"] for r in pairs}
+        assert got == {("a", "b"): 2, ("b", "a"): 1}
