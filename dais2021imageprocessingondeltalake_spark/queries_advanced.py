@@ -1205,3 +1205,69 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.sum("n").over(wc).cast("double"), 6).alias("p"),
     )
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(ts) AS a FROM events),
+    per_user AS (
+      SELECT user_id,
+             (epoch_us((SELECT a FROM anchor)) - epoch_us(max(ts))) // 86400000000 AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment
+    FROM (
+      SELECT *,
+             ntile(5) OVER (ORDER BY recency_days, user_id) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f,
+             ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m
+      FROM per_user
+    )
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (days since last purchase,
+    integer-floored), frequency, and cents-exact monetary value, each
+    quintiled (ntile, user_id tie-break) into the classic 'rfm' segment
+    code — the marketing-analytics workhorse. The three global ntile
+    windows run over the |users| aggregate, not events; at larger
+    |users| swap ntile for histogram_quantiles bucketing (documented
+    seam, same output contract)."""
+    from pyspark.sql import Window
+
+    from .operators import aggregates as agg
+
+    ev = _events(spark, sf_dir)
+    anchor = ev.agg(F.max("ts").alias("a"))
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (F.unix_micros(F.first("a")) - F.unix_micros(F.max("ts")))
+                / F.lit(86400000000)
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            (F.sum(agg.money_cents(F.col("value"))) / F.lit(100.0)).alias("monetary"),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days"), F.col("user_id")))
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
+    seg = per_user.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        r.cast("bigint").alias("r"), f.cast("bigint").alias("f"), m.cast("bigint").alias("m"),
+    )
+    return seg.withColumn(
+        "segment",
+        F.concat(
+            F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
+        ),
+    )
