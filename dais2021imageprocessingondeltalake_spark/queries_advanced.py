@@ -1271,3 +1271,65 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
         ),
     )
+
+
+@query(
+    "q_basket_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ), n_orders AS (
+      SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n FROM items
+    ), part_n AS (
+      SELECT part, count(*) AS cnt FROM items GROUP BY 1
+    ), pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_both
+      FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+           round(n_both / n.n, 6) AS support,
+           round((n_both / n.n) / ((pa.cnt / n.n) * (pb.cnt / n.n)), 4) AS lift
+    FROM pairs
+    JOIN part_n pa ON pa.part = part_a
+    JOIN part_n pb ON pb.part = part_b
+    CROSS JOIN n_orders n
+    WHERE n_both >= 2
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: co-purchase support and lift
+    for part pairs appearing together in >= 2 orders (lift > 1 = bought
+    together more than chance — the cross-sell signal). Distinct
+    (order, part) first so line-level duplicates don't inflate counts;
+    the within-order self-join is bounded by Σ basket_size² per order,
+    never |parts|². Ratios of exact integer counts, rounded."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.agg(F.count_distinct("okey").cast("double").alias("n"))
+    part_n = items.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") < F.col("b.part")))
+        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    return (
+        pairs.join(part_n.withColumnRenamed("part", "part_a").withColumnRenamed("cnt", "ca"), "part_a")
+        .join(part_n.withColumnRenamed("part", "part_b").withColumnRenamed("cnt", "cb"), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(F.col("n_both") / F.col("n"), 6).alias("support"),
+            F.round(
+                (F.col("n_both") / F.col("n"))
+                / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n"))),
+                4,
+            ).alias("lift"),
+        )
+    )
