@@ -1333,3 +1333,43 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "q_rolling_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM du
+    )
+    SELECT d.day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d JOIN du u
+      ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+    GROUP BY 1
+    """,
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — the sliding-window
+    DISTINCT count that window frames cannot express (distinct doesn't
+    decompose over frames): the (day, user) activity pairs range-join
+    the day grid, then count distinct per day. Cost is bounded by
+    |days| x |daily actives| x 7, never the raw event count — the
+    standard exact formulation; the HLL sketch tier is the
+    approximate seam when |actives| explodes."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), F.col("user_id")
+    ).distinct()
+    days = du.select("day").distinct()
+    d, u = days.alias("d"), du.alias("u")
+    return (
+        d.join(
+            u,
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct(F.col("u.user_id")).alias("wau"))
+    )
