@@ -850,3 +850,103 @@ def rp_ann_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA (Gram partials + certified power iteration)
+# --------------------------------------------------------------------------
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", round_dp: int | None = None
+) -> DataFrame:
+    """(i, j, g) entries of the d x d Gram matrix X'X, 1-based indices.
+
+    The data-sized work is distributed the only way that scales: each
+    partition accumulates its own d x d partial (numpy X'X per Arrow
+    batch inside mapInPandas — n x d^2 flops stay on the executors),
+    emits d^2 (i, j, partial) rows, and one tiny shuffle of
+    d^2 x n_partitions rows sums the partials. Nothing data-sized moves:
+    at 100 TB the reduce input is still just d^2 doubles per partition.
+    `round_dp` rounds the summed entries (engine-order-independent
+    consumption downstream — the oracle convention)."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        acc = None
+        for batch in batches:
+            X = np.array(batch[vec_col].tolist(), dtype=np.float64)
+            if X.size == 0:
+                continue
+            g = X.T @ X
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {"i": ii.ravel() + 1, "j": jj.ravel() + 1, "part": acc.ravel()}
+            )
+
+    out = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="i int, j int, part double")
+        .groupBy("i", "j")
+        .agg(F.sum("part").alias("g"))
+    )
+    if round_dp is not None:
+        out = out.withColumn("g", F.round("g", round_dp))
+    return out
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Decimal half-away-from-zero on the shortest repr — the same
+    boundary behavior as Spark's round() (BigDecimal.valueOf + HALF_UP),
+    so driver-side iteration math lands on the exact doubles a Spark/SQL
+    replay produces."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP))
+
+
+def pca_power_iteration(
+    gram_rows: list, d: int, iters: int = 8, round_dp: int = 6
+) -> list[float]:
+    """Top principal direction of a ROUNDED Gram matrix by power
+    iteration with per-step rounding (v0 = all-ones; each step rounds
+    the matvec, the norm, and the normalized vector to `round_dp`), so
+    the whole fit is replayable as an unrolled SQL oracle — the same
+    certification idiom as kmeans_fit_distributed(round_dp=6). Sign is
+    canonicalized so component 1 is non-negative. The input is the
+    COLLECTED d x d Gram — model-sized (d^2 doubles), never data-sized —
+    the same bounded-fit exemption as the IVF/k-means seeds."""
+    import numpy as np
+
+    G = np.zeros((d, d))
+    for r in gram_rows:
+        G[r["i"] - 1, r["j"] - 1] = r["g"]
+    v = np.ones(d)
+    for _ in range(iters):
+        w = np.array([_round_half_up(x, round_dp) for x in (G @ v)])
+        nrm = _round_half_up(float(np.sqrt((w * w).sum())), round_dp)
+        v = np.array([_round_half_up(x, round_dp) for x in w / nrm])
+    if v[0] < 0:
+        v = -v
+    return [float(x) for x in v]
+
+
+def pca_project(
+    df: DataFrame,
+    component: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Project each vector onto a (broadcast-literal) principal
+    component: one JVM-side zip_with/aggregate dot product per row, zero
+    shuffle — the embedding-compression scan a 100 TB corpus runs after
+    fitting the component on Gram partials."""
+    comp = F.array(*[F.lit(float(x)) for x in component])
+    proj = F.round(dot(_to_double(F.col(vec_col)), comp), round_dp)
+    return df.select(F.col(id_col), *extra_cols, proj.alias("proj"))

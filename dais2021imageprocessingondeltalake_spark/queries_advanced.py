@@ -1289,7 +1289,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
            round(n_both / n.n, 6) AS support,
-           round((n_both / n.n) / ((pa.cnt / n.n) * (pb.cnt / n.n)), 4) AS lift
+           CAST(floor(10000.0 * n_both * n.n / (pa.cnt * pb.cnt)) AS BIGINT)
+             AS lift_x10k
     FROM pairs
     JOIN part_n pa ON pa.part = part_a
     JOIN part_n pb ON pb.part = part_b
@@ -1303,7 +1304,14 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     together more than chance — the cross-sell signal). Distinct
     (order, part) first so line-level duplicates don't inflate counts;
     the within-order self-join is bounded by Σ basket_size² per order,
-    never |parts|². Ratios of exact integer counts, rounded."""
+    never |parts|². Lift is emitted as floor(1e4 * n_both * n /
+    (ca * cb)) — the exact-rational form as a scaled integer — because
+    round(x, 4) of the factored ratio landed EXACTLY on a half-boundary
+    (1.84125) at sf0.001 and Spark (BigDecimal HALF_UP on shortest repr)
+    and DuckDB (scale-multiply) round opposite ways there; the floor of
+    a single IEEE division of exact integers is bit-identical in both
+    engines (quotient sits >=1/(ca*cb) from any integer, far above the
+    ~1e-12 double error)."""
     li = load_table(spark, "lineitem", sf_dir)
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
@@ -1326,11 +1334,12 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_b",
             F.col("n_both").cast("bigint").alias("n_both"),
             F.round(F.col("n_both") / F.col("n"), 6).alias("support"),
-            F.round(
-                (F.col("n_both") / F.col("n"))
-                / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n"))),
-                4,
-            ).alias("lift"),
+            F.floor(
+                F.lit(10000.0) * F.col("n_both") * F.col("n")
+                / (F.col("ca") * F.col("cb"))
+            )
+            .cast("bigint")
+            .alias("lift_x10k"),
         )
     )
 

@@ -15,6 +15,7 @@ from . import queries_pipelines  # noqa: F401
 from . import queries_advanced  # noqa: F401
 from . import queries_tpch  # noqa: F401
 from . import queries_curation  # noqa: F401
+from . import queries_sketches  # noqa: F401
 
 from .registry import REGISTRY, headline_queries, oracle_sql, queries  # noqa: F401,E402
 
@@ -168,6 +169,12 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_ab_test",
     "q_csv_roundtrip",
     "q_jsonl_roundtrip",
+    "q_basket_lift",
+    "q_rolling_wau",
+    "q_heavy_hitters",
+    "q_bloom_join",
+    "q_embedding_gram",
+    "q_embedding_pca",
 )
 
 

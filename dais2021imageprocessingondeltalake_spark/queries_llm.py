@@ -1987,3 +1987,101 @@ def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.kfold_leakage_safe(docs, "doc_id", pairs, k=5).select(
         "doc_id", "cluster_root", "fold"
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA over embeddings (round 3)
+# --------------------------------------------------------------------------
+_PCA_DIM = 64  # embeddings dim is fixed across corpus scales (test-asserted)
+_PCA_ITERS = 8
+
+
+@query(
+    "q_embedding_gram",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), u AS (
+      SELECT vec_id, generate_subscripts(ve, 1) AS i, unnest(ve) AS x FROM v
+    )
+    SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 6) AS g
+    FROM u a JOIN u b ON a.vec_id = b.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d x d Gram matrix X'X of the embedding corpus — the
+    sufficient statistic for PCA/whitening/linear probes — computed the
+    only way that scales: per-partition numpy partials inside
+    mapInPandas (n x d^2 flops never leave the executors), one
+    d^2-per-partition reduce. The oracle recomputes it relationally
+    (unnest self-join); round(6) absorbs engine summation order."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.gram_matrix(emb, "embedding", round_dp=6)
+
+
+def _pca_cert_oracle(d: int = _PCA_DIM, iters: int = _PCA_ITERS) -> str:
+    """Unroll the whole PCA fit in SQL: the rounded Gram, v0 = ones,
+    then per iteration a rounded matvec, rounded norm, and rounded
+    normalization — the kmeans_fit_cert idiom. Both engines consume
+    identical 6dp doubles at every step, so the final projection is
+    hash-exact. Every chained CTE is AS MATERIALIZED: DuckDB inlines
+    CTEs by default, and the doubly-referenced per-iteration CTEs would
+    re-evaluate the whole chain below them — exponential in `iters`
+    (measured: the inlined form runs minutes at sf0.001, materialized
+    is sub-second)."""
+    ctes = [
+        """v AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), u AS MATERIALIZED (
+      SELECT vec_id, label, generate_subscripts(ve, 1) AS i, unnest(ve) AS x
+      FROM v
+    ), G AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 6) AS g
+      FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ), p0 AS MATERIALIZED (
+      SELECT CAST(t.i AS INT) AS i, 1.0 AS pv FROM range(1, %d) t(i)
+    )"""
+        % (d + 1)
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""w{t} AS MATERIALIZED (
+      SELECT g.i, round(sum(g.g * p.pv), 6) AS w
+      FROM G g JOIN p{t - 1} p ON g.j = p.i GROUP BY 1
+    ), n{t} AS MATERIALIZED (
+      SELECT round(sqrt(sum(w * w)), 6) AS nrm FROM w{t}
+    ), p{t} AS MATERIALIZED (
+      SELECT i, round(w / (SELECT nrm FROM n{t}), 6) AS pv FROM w{t}
+    )""")
+    ctes.append(f"""pc AS (
+      SELECT i, CASE WHEN (SELECT pv FROM p{iters} WHERE i = 1) < 0
+                     THEN -pv ELSE pv END AS pv
+      FROM p{iters}
+    )""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT u.vec_id, u.label, round(sum(u.x * pc.pv), 6) AS proj
+    FROM u JOIN pc ON u.i = pc.i
+    GROUP BY 1, 2"""
+    )
+
+
+@query("q_embedding_pca", oracle=_pca_cert_oracle())
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, FULLY oracle-certified: fit the top principal
+    direction by power iteration over the 6dp-rounded Gram (8 steps,
+    every matvec/norm/normalize rounded — so an unrolled generated-CTE
+    oracle replays the fit bit-for-bit, the kmeans_fit_cert idiom), then
+    project every embedding onto the component as a broadcast-literal
+    zip_with dot product. The split of labor is the 100 TB shape: the
+    data-sized pass (Gram partials, projection scan) is distributed; the
+    model-sized iteration (d x d) runs on the driver under the
+    bounded-fit exemption. (The synthetic corpus is near-isotropic
+    (lambda2/lambda1 ~ 0.93), so 8 steps certify the FIT REPLAY and the
+    captured variance, not direction convergence — a planted-spike test
+    covers direction recovery; see tests/test_pca.py.)"""
+    emb = load_table(spark, "embeddings", sf_dir)
+    gram = SIM.gram_matrix(emb, "embedding", round_dp=6).collect()
+    comp = SIM.pca_power_iteration(gram, d=_PCA_DIM, iters=_PCA_ITERS, round_dp=6)
+    return SIM.pca_project(emb, comp, extra_cols=("label",))

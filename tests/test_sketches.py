@@ -1,0 +1,124 @@
+"""Tests for operators/sketches.py: the exactness preconditions and the
+bounded-memory claims the module docstring makes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dais2021imageprocessingondeltalake_spark.catalog import load_table
+from dais2021imageprocessingondeltalake_spark.operators import sketches as SK
+
+from .conftest import SF_DIR
+
+
+def _tokens(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    return docs.select(F.explode(F.split("text", " ")).alias("tok"))
+
+
+def test_heavy_hitters_equals_plain_topk(spark):
+    """Two-pass Misra-Gries must be EXACT when the recovery threshold
+    holds — compare against the straight groupBy top-k."""
+    toks = _tokens(spark)
+    got = SK.heavy_hitters_exact(toks, "tok", k=15, counters=256).collect()
+    want = (
+        toks.groupBy(F.col("tok").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("item"))
+        .limit(15)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_heavy_hitters_recovery_threshold_holds(spark):
+    """The oracle-validity precondition: the true k-th count must exceed
+    n/(counters+1), otherwise the sketch could miss a top-k item. This
+    is the sizing rule a 100 TB run applies up front."""
+    toks = _tokens(spark)
+    n = toks.count()
+    kth = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"))
+        .limit(20)
+        .collect()[-1]["cnt"]
+    )
+    assert kth > n / (256 + 1), (kth, n)
+
+
+def test_misra_gries_partials_bounded(spark):
+    """Pass 1 emits at most `counters` rows per partition — the bounded-
+    memory contract (and the bound on what pass 2 broadcasts)."""
+    toks = _tokens(spark).repartition(4)
+    partials = SK.misra_gries_partials(toks, "tok", counters=64)
+    per_part = (
+        partials.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= 64 for r in per_part), per_part
+    # ... and the union still contains every sufficiently-frequent item
+    n = toks.count()
+    heavy = {
+        r["tok"]
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > n / 65)
+        .collect()
+    }
+    cand = {r["item"] for r in partials.select("item").distinct().collect()}
+    assert heavy <= cand, heavy - cand
+
+
+def test_heavy_hitters_counters_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        SK.misra_gries_partials(None, "x", counters=0)
+
+
+def test_bloom_semi_join_exact(spark):
+    """Bloom pruning + confirming join == plain semi-join, exactly."""
+    li = load_table(spark, "lineitem", SF_DIR)
+    hot = (
+        load_table(spark, "orders", SF_DIR)
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    got = SK.bloom_filter_semi_join(li, hot, "l_orderkey", n_bits=1 << 14)
+    want = li.join(hot.distinct(), "l_orderkey", "left_semi")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_filter_prunes_scan(spark):
+    """The broadcast-literal probe must kill most non-matching rows
+    BEFORE the join: survivors ~= matches + fpp x non-matches, far below
+    the full scan. With m >> n the false-positive add-on is tiny."""
+    li = load_table(spark, "lineitem", SF_DIR)
+    hot = (
+        load_table(spark, "orders", SF_DIR)
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    n_total = li.count()
+    n_match = li.join(hot.distinct(), "l_orderkey", "left_semi").count()
+    bitmap = SK.bloom_bitmap(hot, "l_orderkey", n_bits=1 << 16, n_hashes=5)
+    assert len(bitmap) == (1 << 16) // 64
+    lut = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    cond = F.lit(True)
+    for pos in SK._bloom_positions(F.col("l_orderkey"), 1 << 16, 5):
+        word = F.element_at(lut, (pos / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    n_survivors = li.filter(cond).count()
+    assert n_match <= n_survivors < n_match + 0.1 * (n_total - n_match), (
+        n_match,
+        n_survivors,
+        n_total,
+    )
