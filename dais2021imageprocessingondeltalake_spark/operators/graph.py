@@ -98,3 +98,53 @@ def triangles(
             F.col("bc.b").alias("node_c"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    materialize: str | bool | None = "localCheckpoint",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (<= max_hops) from any
+    seed node, over a DIRECTED edge list (pass both directions for
+    undirected). Returns (node, dist) for every REACHED node — the
+    k-hop neighborhood query behind blast-radius analysis on a near-dup
+    graph, supply-chain reach, and feature propagation.
+
+    Frontier-based, the shape that scales: round h joins ONLY the
+    newly-discovered frontier against the edge list (|frontier| x deg
+    rows, never |visited| x deg), anti-joins the visited set, and tags
+    survivors with distance h. Distances are INTEGERS assigned at first
+    discovery, so the result is exactly min-distance with no float
+    determinism caveats — a recursive-CTE oracle (UNION-dedup per level
+    to keep path enumeration polynomial) replays it. Per-round state is
+    pinned via `materialize` (see dedup.MATERIALIZE_MODES); the
+    early-exit emptiness probe is a scalar driver check, same class as
+    connected_components' convergence count."""
+    from .dedup import materialize_df
+
+    if max_hops < 0:
+        raise ValueError(f"bfs_distances needs max_hops >= 0, got {max_hops}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    visited = seeds.select(F.col(node_col).alias("node")).distinct().select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("dist"))
+        )
+        nxt = materialize_df(nxt, materialize)
+        if nxt.isEmpty():
+            break
+        visited = materialize_df(visited.unionByName(nxt), materialize)
+        frontier = nxt
+    return visited

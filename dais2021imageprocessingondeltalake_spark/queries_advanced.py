@@ -1382,3 +1382,144 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d.day").alias("day"))
         .agg(F.count_distinct(F.col("u.user_id")).alias("wau"))
     )
+
+
+@query(
+    "q_graph_bfs",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+      UNION
+      SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+    ), seeds AS (
+      SELECT DISTINCT 'p' || l_partkey AS node FROM lineitem WHERE l_partkey % 97 = 0
+    ), walk AS (
+      SELECT node, 0 AS dist FROM seeds
+      UNION
+      SELECT e.dst AS node, w.dist + 1 AS dist
+      FROM walk w JOIN e ON w.node = e.src
+      WHERE w.dist < 3
+    )
+    SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY 1
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (3 hops) over the symmetrized part–supplier
+    graph from seed parts (partkey % 97 == 0) — the k-hop-neighborhood /
+    blast-radius query. Frontier-based (each round joins only the newly
+    discovered nodes), integer first-discovery distances, so the
+    recursive-CTE oracle (UNION dedup keeps the level tables polynomial)
+    replays it exactly."""
+    from .operators.graph import bfs_distances
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    fwd = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = fwd.unionByName(rev)
+    seeds = (
+        li.filter(F.col("l_partkey") % 97 == 0)
+        .select(F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("node"))
+        .distinct()
+    )
+    return bfs_distances(edges, seeds, max_hops=3)
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE abs(e.value - m.med) > 3 * d.mad
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value sits more than
+    3 MADs (median absolute deviation) from their event-type median —
+    the anomaly filter that, unlike z-scores, isn't dragged by the
+    outliers themselves. Two exact-percentile aggregates + two broadcast
+    joins; every comparison is pure IEEE on identical inputs (medians
+    select/average existing values, no accumulation), so NO rounding is
+    needed anywhere — bit-exact across engines by construction."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    return (
+        j.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value")
+    )
+
+
+@query(
+    "q_source_kl",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ), sc AS (
+      SELECT source, t, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2
+    ), st AS (
+      SELECT source, CAST(sum(c) AS DOUBLE) AS n FROM sc GROUP BY 1
+    ), ct AS (
+      SELECT t, CAST(sum(c) AS DOUBLE) AS c FROM sc GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n FROM ct
+    )
+    SELECT sc.source,
+           CAST(st.n AS BIGINT) AS n_tokens,
+           round(sum((sc.c / st.n) * ln((sc.c / st.n) / (ct.c / tot.n))), 6)
+             AS kl_from_corpus
+    FROM sc
+    JOIN st ON sc.source = st.source
+    JOIN ct ON sc.t = ct.t
+    CROSS JOIN tot
+    GROUP BY sc.source, st.n
+    """,
+)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the
+    corpus-wide mix — the domain-shift score behind DoReMi-style source
+    weighting and drift alarms. One token-count shuffle, then
+    broadcast-sized marginals; per-term log ratios differ across libm
+    implementations by <= 1 ulp, absorbed by the 6dp sum rounding (the
+    q_unigram_logprob convention)."""
+    docs = load_table(spark, "documents", sf_dir)
+    sc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    ct = sc.groupBy("t").agg(F.sum("c").alias("c_t"))
+    tot = ct.agg(F.sum("c_t").alias("n_tot"))
+    p_s = F.col("c") / F.col("n")
+    p_c = F.col("c_t") / F.col("n_tot")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(ct, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_from_corpus"))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "kl_from_corpus",
+        )
+    )

@@ -175,6 +175,9 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_bloom_join",
     "q_embedding_gram",
     "q_embedding_pca",
+    "q_graph_bfs",
+    "q_mad_outliers",
+    "q_source_kl",
 )
 
 

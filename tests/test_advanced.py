@@ -586,3 +586,73 @@ class TestMarkovTransitions:
         )
         got = {(r["cur"], r["nxt"]): r["n"] for r in pairs}
         assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+class TestBfsDistances:
+    def _run(self, spark, edges, seeds, max_hops=3):
+        from dais2021imageprocessingondeltalake_spark.operators.graph import bfs_distances
+
+        e = spark.createDataFrame(edges, "src string, dst string")
+        s = spark.createDataFrame([(x,) for x in seeds], "node string")
+        return {
+            r["node"]: r["dist"]
+            for r in bfs_distances(e, s, max_hops=max_hops).collect()
+        }
+
+    def test_hand_built_chain(self, spark):
+        # a -> b -> c -> d -> e; 3 hops from a reaches d but not e
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        got = self._run(spark, edges, ["a"], max_hops=3)
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_min_distance_wins_over_longer_path(self, spark):
+        # two routes a->d: direct edge (1 hop) and via b,c (3 hops)
+        edges = [("a", "d"), ("a", "b"), ("b", "c"), ("c", "d")]
+        got = self._run(spark, edges, ["a"], max_hops=3)
+        assert got["d"] == 1
+
+    def test_multi_source_takes_nearest_seed(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("z", "c")]
+        got = self._run(spark, edges, ["a", "z"], max_hops=3)
+        assert got == {"a": 0, "z": 0, "b": 1, "c": 1}
+
+    def test_unreached_nodes_absent_and_early_exit(self, spark):
+        # disconnected node q never appears; frontier empties at hop 2
+        edges = [("a", "b"), ("q", "q2")]
+        got = self._run(spark, edges, ["a"], max_hops=5)
+        assert got == {"a": 0, "b": 1}
+
+    def test_max_hops_validated(self, spark):
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators.graph import bfs_distances
+
+        with pytest.raises(ValueError):
+            bfs_distances(None, None, max_hops=-1)
+
+
+class TestMadOutliers:
+    def test_planted_outlier_flagged_inlier_not(self, spark):
+        from dais2021imageprocessingondeltalake_spark import queries_all  # noqa: F401
+        from dais2021imageprocessingondeltalake_spark.registry import REGISTRY
+
+        # run the registered query on sf0.001 and cross-check one group
+        # by hand: every flagged value must sit > 3 MADs from the median
+        import numpy as np
+
+        from dais2021imageprocessingondeltalake_spark.queries_advanced import _events
+
+        df = REGISTRY["q_mad_outliers"].fn(spark, "/root/testdata/sf0.001")
+        flagged = {r["event_id"] for r in df.collect()}
+        ev = _events(spark, "/root/testdata/sf0.001").select(
+            "event_id", "event_type", "value"
+        ).collect()
+        by_type: dict = {}
+        for r in ev:
+            by_type.setdefault(r["event_type"], []).append((r["event_id"], r["value"]))
+        for rows in by_type.values():
+            vals = np.array([v for _, v in rows])
+            med = float(np.median(vals))
+            mad = float(np.median(np.abs(vals - med)))
+            for eid, v in rows:
+                assert (abs(v - med) > 3 * mad) == (eid in flagged), (eid, v, med, mad)
