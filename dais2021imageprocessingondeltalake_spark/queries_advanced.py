@@ -1523,3 +1523,114 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_from_corpus",
         )
     )
+
+
+@query(
+    "q_groupwise_ols",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 100.0, 6) AS slope,
+           round(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) / 100.0, 6)
+             AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def q_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise closed-form OLS: price ~ quantity per return flag —
+    the scalable per-segment regression (one aggregation of five
+    sufficient-statistic sums; no solver, no iteration). All sums are
+    EXACT integers (quantity is integral, price in cents; the squared-
+    cents sum rides decimal(38)/HUGEINT and both engines cast the exact
+    integer to double identically), and the slope/intercept/r2 formulas
+    then run the same IEEE expression tree on identical doubles — the
+    only rounding is the final 6dp display. At 100 TB this is one
+    map-side-combined shuffle of 6 numbers per group."""
+    li = load_table(spark, "lineitem", sf_dir)
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope_c = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(slope_c / 100.0, 6).alias("slope"),
+        F.round(((sy - slope_c * sx) / n) / 100.0, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@query(
+    "q_chi2_independence",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      FROM documents GROUP BY 1, 2
+    ), r AS (
+      SELECT lang, sum(o) AS rt FROM o GROUP BY 1
+    ), c AS (
+      SELECT source, sum(o) AS ct FROM o GROUP BY 1
+    ), n AS (
+      SELECT sum(o) AS n FROM o
+    ), grid AS (
+      SELECT r.lang, c.source, r.rt, c.ct, coalesce(o.o, 0.0) AS o
+      FROM r CROSS JOIN c LEFT JOIN o USING (lang, source)
+    )
+    SELECT round(sum((g.o - g.rt * g.ct / n.n) * (g.o - g.rt * g.ct / n.n)
+                     / (g.rt * g.ct / n.n)), 4) AS chi2,
+           CAST(((SELECT count(*) FROM r) - 1)
+                * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof
+    FROM grid g CROSS JOIN n
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for the lang x source
+    contingency table (are languages distributed evenly across
+    sources?), including zero-observation cells via the full
+    marginal-grid cross join — the categorical drift/bias check. Counts
+    are exact integers-as-doubles (order-independent sums); only the
+    final statistic, a sum of ratios, needs rounding."""
+    docs = load_table(spark, "documents", sf_dir)
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("double").alias("o"))
+    r = o.groupBy("lang").agg(F.sum("o").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("o").alias("ct"))
+    n = o.agg(F.sum("o").alias("n"))
+    grid = (
+        r.crossJoin(c)
+        .join(o, ["lang", "source"], "left")
+        .na.fill({"o": 0.0})
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    dof_r = r.count() - 1
+    dof_c = c.count() - 1
+    return grid.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias("chi2"),
+        F.lit(dof_r * dof_c).cast("bigint").alias("dof"),
+    )

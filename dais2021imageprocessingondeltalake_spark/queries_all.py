@@ -178,6 +178,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_graph_bfs",
     "q_mad_outliers",
     "q_source_kl",
+    "q_groupwise_ols",
+    "q_chi2_independence",
 )
 
 

@@ -182,3 +182,57 @@ def test_new_ops_partitioning_invariance(spark):
         a = sorted(map(tuple, xform(frame.coalesce(1)).collect()))
         b = sorted(map(tuple, xform(frame.repartition(17)).collect()))
         assert a == b
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=400,
+    ),
+    counters=st.integers(min_value=2, max_value=8),
+)
+def test_heavy_hitters_exact_whenever_threshold_holds(spark, data, counters):
+    """Misra-Gries two-pass property: on ANY input, for every k where
+    the true k-th count clears n/(counters+1), the result prefix equals
+    the true top-k (the exactness guarantee the oracle relies on)."""
+    from collections import Counter
+
+    from dais2021imageprocessingondeltalake_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(x,) for x in data], "item string").repartition(3)
+    got = [
+        (r["item"], r["cnt"])
+        for r in SK.heavy_hitters_exact(df, "item", k=len(set(data)), counters=counters).collect()
+    ]
+    true = sorted(Counter(data).items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(data)
+    for k in range(1, len(true) + 1):
+        if true[k - 1][1] > n / (counters + 1):
+            assert got[:k] == true[:k], (k, counters, got[:k], true[:k])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    big_keys=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+    small_keys=st.sets(st.integers(min_value=0, max_value=50), max_size=10),
+)
+def test_bloom_semi_join_equals_semi_join(spark, big_keys, small_keys):
+    """Bloom pruning + confirm == plain semi-join on ANY key sets
+    (false positives must always die in the confirming join)."""
+    from dais2021imageprocessingondeltalake_spark.operators import sketches as SK
+
+    big = spark.createDataFrame([(k,) for k in big_keys], "k long")
+    small = spark.createDataFrame([(k,) for k in small_keys] or [(-1,)], "k long")
+    got = sorted(r["k"] for r in SK.bloom_filter_semi_join(big, small, "k", n_bits=1 << 10).collect())
+    want = sorted(k for k in big_keys if k in (small_keys or {-1}))
+    assert got == want
