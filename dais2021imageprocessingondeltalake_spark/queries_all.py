@@ -180,6 +180,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_source_kl",
     "q_groupwise_ols",
     "q_chi2_independence",
+    "q_stream_left_join",
 )
 
 

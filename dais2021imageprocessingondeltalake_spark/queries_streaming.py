@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import query
-from .streaming.stream import events_stream, run_stream_to_memory
+from .streaming.stream import events_batch, events_stream, run_stream_to_memory
 from .streaming.windows import tumbling_window_agg
 
 
@@ -425,3 +425,59 @@ def q_stream_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "q_stream_left_join",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    w AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) AS wb)
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM c CROSS JOIN w
+    LEFT JOIN p ON c.user_id = p.user_id
+               AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.ts + INTERVAL 2 HOUR + INTERVAL 1 MINUTE < w.wb
+    """,
+)
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the inner
+    variant (q_stream_join) can't cover: unmatched clicks surface as
+    null-padded rows, but only once the watermark proves no matching
+    purchase can still arrive. The drained output is compared on the
+    FLUSHED REGION: Spark's global watermark is the MIN over both
+    streams' max event times minus the delay (measured: purchases end
+    hours before clicks at sf0.001, and exactly the clicks younger than
+    least(max_c, max_p) - watermark - interval stayed in state), so both
+    the query and the oracle filter to clicks older than that bound
+    (minus a 1-minute safety margin for boundary-strictness/truncation
+    semantics), making the comparison deterministic by construction."""
+    from .streaming.joins import stream_stream_left_outer_join
+
+    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = stream_stream_left_outer_join(
+        clicks, purchases, key="user_id", ts_col="ts", interval="1 hour", watermark="1 hour"
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.ts").alias("__cts"),
+    )
+    res = run_stream_to_memory(out, output_mode="append")
+    ev = events_batch(spark, sf_dir)
+    wb = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m").alias("wb"))
+        .first()["wb"]
+    )
+    return (
+        res.filter(
+            F.col("__cts") + F.expr("INTERVAL 2 HOUR") + F.expr("INTERVAL 1 MINUTE")
+            < F.lit(wb)
+        )
+        .drop("__cts")
+    )

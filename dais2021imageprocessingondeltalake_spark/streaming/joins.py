@@ -75,3 +75,38 @@ def stream_static_join(
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(static), on, how)
+
+
+def stream_stream_left_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    interval: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER join of two event streams on `key` within
+    [left.ts, left.ts + interval]. Unlike the inner variant (emit on
+    match), the null-padded row for an unmatched left event can only be
+    emitted once the watermark guarantees no matching right event can
+    still arrive — i.e. when watermark > left.ts + interval. Both
+    watermarks and the time-bound join condition are REQUIRED by Spark
+    for exactly this reason: they bound the state AND define when
+    unmatched rows are final.
+
+    End-of-stream semantics (test-asserted): with an availableNow drain
+    the final watermark rests at max(event time) - `watermark`, so left
+    rows younger than max_ts - watermark - interval are still withheld
+    in state when the query stops — the drained output equals the batch
+    left join only on the FLUSHED REGION (left.ts + interval < final
+    watermark). Registry query q_stream_left_join filters both sides to
+    that region, making the comparison deterministic by construction."""
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
+    return lw.join(
+        rw,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {interval}")),
+        "left_outer",
+    )

@@ -244,3 +244,43 @@ def test_stream_temperature_rebalance_matches_batch(spark):
     )
     stream_kept = {r["doc_id"] for r in streamed.collect()}
     assert stream_kept == batch_kept and batch_kept
+
+
+def test_stream_left_outer_join_flushed_region(spark):
+    """Left-outer stream-stream join: the drained+flushed output must
+    (a) contain null-padded rows (the left-outer value-add over inner),
+    (b) have its matched subset equal the inner interval join on the
+    same region, and (c) never emit a click younger than the flushed
+    bound (those are still in state when the drain stops)."""
+    from dais2021imageprocessingondeltalake_spark import queries_all  # noqa: F401
+    from dais2021imageprocessingondeltalake_spark.registry import REGISTRY
+    from dais2021imageprocessingondeltalake_spark.streaming.stream import events_batch
+
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["q_stream_left_join"].fn(spark, SF_DIR).cache()
+    assert df.filter(F.col("purchase_id").isNull()).count() > 0
+    matched = df.filter(F.col("purchase_id").isNotNull())
+    ev = events_batch(spark, SF_DIR)
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    inner = c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+    )
+    assert matched.exceptAll(inner).count() == 0
+    wb = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type").agg(F.max("ts").alias("m"))
+        .agg(F.min("m").alias("wb")).first()["wb"]
+    )
+    late = df.join(
+        c.select(F.col("event_id").alias("click_id"), F.col("ts")), "click_id"
+    ).filter(F.col("ts") + F.expr("INTERVAL 2 HOUR") + F.expr("INTERVAL 1 MINUTE") >= F.lit(wb))
+    assert late.count() == 0
