@@ -1634,3 +1634,89 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias("chi2"),
         F.lit(dof_r * dof_c).cast("bigint").alias("dof"),
     )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation, driver-gate-certified: per-customer
+    order totals where phase 1 shuffles on (key, salt) — a hot key's
+    rows spread over 16 reducers instead of one straggler — and phase 2
+    combines 16 partials per key. Salt-invariant by construction (exact
+    integer cents compose regardless of which salt each row drew), which
+    is precisely what the plain-groupBy oracle certifies."""
+    from .operators.skew import salted_aggregate
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    out = salted_aggregate(o, keys=["o_custkey"], sum_cols=["cents"], salt_n=16)
+    return out.select(
+        "o_custkey",
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, n.n_name
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant SALTED join, driver-gate-certified: orders joined
+    to the customer->nation dim through a salted key — the medium-dim
+    case where the small side is replicated once per salt value and the
+    large side's rows scatter across salt partitions, so one hot
+    customer can't pin a single reducer. The plain-join oracle certifies
+    salting never changes the result multiset."""
+    from .operators.skew import salted_join
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    dim = (
+        load_table(spark, "customer", sf_dir)
+        .join(
+            F.broadcast(load_table(spark, "nation", sf_dir)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("o_custkey"), "n_name")
+    )
+    return salted_join(o, dim, on="o_custkey", salt_n=8, how="inner").select(
+        "o_orderkey", "o_custkey", "n_name"
+    )
+
+
+@query(
+    "q_zorder_layout",
+    oracle="SELECT * FROM lineitem",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering write + scan-back — the plain-
+    Spark build of Delta's OPTIMIZE ZORDER (reference runs OPTIMIZE at
+    `00. Explore.py:90`): rows cluster on interleaved bits of
+    (l_orderkey, l_partkey) so parquet min/max stats prune filtered
+    scans on EITHER column. The driver hash certifies the layout is a
+    pure reordering (content-identical to the source — the oracle is the
+    source table); the pruning benefit itself is plan/stat-asserted in
+    tests/test_scale_properties.py."""
+    import tempfile
+
+    from .sources.tables import zorder_sort_for_skipping
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = tempfile.mkdtemp(prefix="dais_zorder_q_") + "/lineitem"
+    zorder_sort_for_skipping(li, "l_orderkey", "l_partkey", n_files=8).write.parquet(out)
+    return spark.read.parquet(out)

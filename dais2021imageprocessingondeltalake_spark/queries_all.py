@@ -181,6 +181,9 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_groupwise_ols",
     "q_chi2_independence",
     "q_stream_left_join",
+    "q_salted_agg",
+    "q_salted_join",
+    "q_zorder_layout",
 )
 
 
