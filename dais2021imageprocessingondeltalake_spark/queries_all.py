@@ -184,6 +184,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_salted_agg",
     "q_salted_join",
     "q_zorder_layout",
+    "q_label_silhouette",
 )
 
 

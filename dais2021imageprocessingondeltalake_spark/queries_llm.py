@@ -2085,3 +2085,71 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram = SIM.gram_matrix(emb, "embedding", round_dp=6).collect()
     comp = SIM.pca_power_iteration(gram, d=_PCA_DIM, iters=_PCA_ITERS, round_dp=6)
     return SIM.pca_project(emb, comp, extra_cols=("label",))
+
+
+@query(
+    "q_label_silhouette",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), c AS MATERIALIZED (
+      SELECT label, list(round(c, 6) ORDER BY dim) AS cvec FROM (
+        SELECT label, dim, avg(x) AS c FROM (
+          SELECT label, unnest(ve) AS x, generate_subscripts(ve, 1) AS dim
+          FROM v
+        ) GROUP BY label, dim
+      ) GROUP BY label
+    ), sims AS MATERIALIZED (
+      SELECT v.vec_id, v.label, c.label AS clabel,
+             round(list_cosine_similarity(v.ve, c.cvec), 6) AS sim
+      FROM v CROSS JOIN c
+    ), scored AS (
+      SELECT vec_id, label,
+             max(CASE WHEN label = clabel THEN sim END) AS own,
+             max(CASE WHEN label <> clabel THEN sim END) AS best_other
+      FROM sims GROUP BY 1, 2
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(own - best_other), 4) AS mean_silhouette
+    FROM scored GROUP BY 1
+    """,
+)
+def q_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-silhouette diagnostic of the labeled embedding space: per
+    vector, similarity to its OWN label centroid minus its best OTHER
+    centroid, averaged per label — how separable the classes are before
+    anyone trains on them (negative mean = the label's vectors sit
+    closer to a foreign centroid). Fully distributed: the long-form
+    centroid aggregate shuffles |labels| x dim partials, the vector
+    scoring is one broadcast nested loop over k centroids — and fully
+    oracle-certified via the 6dp round-before-compare convention."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = (
+        SIM.label_centroids(emb)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: F.round(s["centroid"], 6),
+            ).alias("cvec")
+        )
+        .withColumnRenamed("label", "clabel")
+    )
+    sims = (
+        emb.select("vec_id", "label", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round(SIM.cosine(SIM._to_double(F.col("embedding")), F.col("cvec")), 6).alias("sim"),
+        )
+    )
+    scored = sims.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("label") == F.col("clabel"), F.col("sim"))).alias("own"),
+        F.max(F.when(F.col("label") != F.col("clabel"), F.col("sim"))).alias("best_other"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(F.col("own") - F.col("best_other")), 4).alias("mean_silhouette"),
+    )
