@@ -1720,3 +1720,49 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="dais_zorder_q_") + "/lineitem"
     zorder_sort_for_skipping(li, "l_orderkey", "l_partkey", n_files=8).write.parquet(out)
     return spark.read.parquet(out)
+
+
+@query(
+    "q_burst_detection",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS nb,
+             CAST(sum(n_events) AS DOUBLE) AS sc,
+             CAST(sum(n_events * n_events) AS DOUBLE) AS sxx
+      FROM b GROUP BY 1
+    )
+    SELECT b.event_type, b.bucket, b.n_events
+    FROM b JOIN s USING (event_type)
+    WHERE s.nb > 1
+      AND b.n_events > s.sc / s.nb
+            + 3 * sqrt((s.nb * s.sxx - s.sc * s.sc) / (s.nb * (s.nb - 1)))
+    """,
+)
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hourly event buckets whose count exceeds the
+    per-type mean by 3 sample standard deviations — the rate-anomaly
+    alarm (traffic spikes, scraper storms). Like q_mad_outliers this
+    needs ZERO rounding: bucket counts and their sums/squares are exact
+    integers cast to double, and both engines then evaluate the same
+    IEEE mean/variance/sqrt expression tree on identical inputs."""
+    ev = _events(spark, sf_dir)
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nb"),
+        F.sum("n_events").cast("double").alias("sc"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("double").alias("sxx"),
+    )
+    nb, sc, sxx = F.col("nb"), F.col("sc"), F.col("sxx")
+    thresh = sc / nb + 3 * F.sqrt((nb * sxx - sc * sc) / (nb * (nb - 1)))
+    return (
+        b.join(F.broadcast(s), "event_type")
+        .filter((nb > 1) & (F.col("n_events") > thresh))
+        .select("event_type", "bucket", F.col("n_events").cast("bigint").alias("n_events"))
+    )

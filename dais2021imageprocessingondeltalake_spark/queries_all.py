@@ -185,6 +185,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_salted_join",
     "q_zorder_layout",
     "q_label_silhouette",
+    "q_burst_detection",
 )
 
 
