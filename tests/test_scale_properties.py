@@ -746,3 +746,50 @@ def test_round3b_op_plan_shapes(spark):
 
     rp = plan("q_embedding_rp")
     assert "TakeOrderedAndProject" in rp
+
+
+def test_bloom_join_plan_prunes_before_join(spark):
+    """The Bloom probe must be a plain Filter fused into the big-side
+    scan stage (no shuffle before it), followed by a broadcast semi-join
+    — never a SortMergeJoin of the full big side."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators import sketches as SK
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    hot = (
+        load_table(spark, "orders", SF_DIR)
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    plan = _formatted_plan(SK.bloom_filter_semi_join(li, hot, "l_orderkey"))
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "xxhash64" in plan  # the probe is expression-level, codegen-able
+
+
+def test_misra_gries_pass1_is_narrow(spark):
+    """Pass 1 must be shuffle-free: a single-column scan feeding
+    mapInPandas with NO Exchange anywhere in its plan."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators import sketches as SK
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", SF_DIR)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    plan = _formatted_plan(SK.misra_gries_partials(toks, "tok"))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<text:string>" in plan  # column pruning held
+
+
+def test_gram_matrix_single_small_shuffle(spark):
+    """The Gram plan is one mapInPandas scan plus ONE aggregate exchange
+    whose input is d^2 rows per partition — no join, no second shuffle."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    plan = _formatted_plan(SIM.gram_matrix(emb, "embedding", round_dp=6))
+    assert plan.count("Exchange") <= 2  # partial->final agg pair under AQE
+    assert "Join" not in plan
+    assert "ReadSchema: struct<embedding:array<float>>" in plan

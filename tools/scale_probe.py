@@ -199,6 +199,23 @@ def main() -> int:
             n_knn = SIM.lsh_knn_join(queries, base_side, dim=64, k=3, n_planes=6).count()
             t_knn = time.perf_counter() - t0
 
+            # round-3 sketch/PCA tier: exact heavy hitters (two bounded
+            # passes — should stay linear in corpus tokens) and the Gram
+            # matrix partial-sum aggregate (linear in n_vecs, reduce
+            # input fixed at d^2 per partition)
+            from dais2021imageprocessingondeltalake_spark.operators import (
+                sketches as SK,
+            )
+
+            t0 = time.perf_counter()
+            toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+            n_hh = SK.heavy_hitters_exact(toks, "tok", k=20, counters=256).count()
+            t_hh = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            n_gram = SIM.gram_matrix(emb, "embedding", round_dp=6).count()
+            t_gram = time.perf_counter() - t0
+
             point = {
                 "factor": k,
                 "n_docs": n_docs,
@@ -213,6 +230,10 @@ def main() -> int:
                 "cross_dups": n_dups,
                 "e2e_secs": round(t_e2e, 2),
                 "e2e_kept": n_kept,
+                "hh_secs": round(t_hh, 2),
+                "hh_rows": n_hh,
+                "gram_secs": round(t_gram, 2),
+                "gram_rows": n_gram,
             }
             result["points"].append(point)
             print(json.dumps(point), flush=True)
