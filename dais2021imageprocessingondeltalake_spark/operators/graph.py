@@ -148,3 +148,53 @@ def bfs_distances(
         visited = materialize_df(visited.unionByName(nxt), materialize)
         frontier = nxt
     return visited
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    round_dp: int = 9,
+) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) with a fixed iteration count
+    over a DIRECTED edge list: authority(d) = sum of hub scores linking
+    in, hub(s) = sum of authority scores linked to, each vector
+    max-normalized per round. On a bipartite src->dst graph (suppliers ->
+    parts below) hubs rank the src side and authorities the dst side.
+
+    Same determinism contract as pagerank(): every per-node sum and
+    every normalized score rounds to `round_dp`, and the normalizer is a
+    MAX (order-independent), so an unrolled generated-CTE oracle replays
+    all iterations bit-for-bit. The scalar max stays in-plan via a
+    broadcast cross join (no driver collect). Cost per round: two
+    contribution-join + aggregate passes shuffling on the node keys.
+    Returns (node, role, score): role 'hub' for src nodes, 'authority'
+    for dst nodes."""
+    if iters < 1:
+        raise ValueError(f"hits needs iters >= 1, got {iters}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    h = e.select("src").distinct().select("src", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h, "src")
+            .groupBy("dst")
+            .agg(F.round(F.sum("h"), round_dp).alias("a_raw"))
+        )
+        amax = a_raw.agg(F.max("a_raw").alias("amax"))
+        a = a_raw.crossJoin(F.broadcast(amax)).select(
+            "dst", F.round(F.col("a_raw") / F.col("amax"), round_dp).alias("a")
+        )
+        h_raw = (
+            e.join(a, "dst")
+            .groupBy("src")
+            .agg(F.round(F.sum("a"), round_dp).alias("h_raw"))
+        )
+        hmax = h_raw.agg(F.max("h_raw").alias("hmax"))
+        h = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "src", F.round(F.col("h_raw") / F.col("hmax"), round_dp).alias("h")
+        )
+    hubs = h.select(F.col("src").alias("node"), F.lit("hub").alias("role"), F.col("h").alias("score"))
+    auths = a.select(F.col("dst").alias("node"), F.lit("authority").alias("role"), F.col("a").alias("score"))
+    return hubs.unionByName(auths)

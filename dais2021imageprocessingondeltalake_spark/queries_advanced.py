@@ -1766,3 +1766,56 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((nb > 1) & (F.col("n_events") > thresh))
         .select("event_type", "bucket", F.col("n_events").cast("bigint").alias("n_events"))
     )
+
+
+def _hits_oracle(iters: int = 4, round_dp: int = 9) -> str:
+    """Unrolled HITS replay (the pagerank-oracle idiom): per iteration a
+    rounded authority sum, max-normalize, rounded hub sum, max-normalize
+    — max is order-independent, so only the sums need the rounding."""
+    ctes = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+      FROM lineitem
+    ), h0 AS (
+      SELECT DISTINCT src, 1.0 AS h FROM e
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""ar{t} AS MATERIALIZED (
+      SELECT e.dst, round(sum(h.h), {round_dp}) AS a_raw
+      FROM e JOIN h{t - 1} h ON e.src = h.src GROUP BY 1
+    ), a{t} AS MATERIALIZED (
+      SELECT dst, round(a_raw / (SELECT max(a_raw) FROM ar{t}), {round_dp}) AS a
+      FROM ar{t}
+    ), hr{t} AS MATERIALIZED (
+      SELECT e.src, round(sum(a.a), {round_dp}) AS h_raw
+      FROM e JOIN a{t} a ON e.dst = a.dst GROUP BY 1
+    ), h{t} AS MATERIALIZED (
+      SELECT src, round(h_raw / (SELECT max(h_raw) FROM hr{t}), {round_dp}) AS h
+      FROM hr{t}
+    )""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT src AS node, 'hub' AS role, h AS score FROM h{iters}
+    UNION ALL
+    SELECT dst AS node, 'authority' AS role, a AS score FROM a{iters}"""
+    )
+
+
+@query("q_graph_hits", oracle=_hits_oracle())
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (4 fixed rounds, max-normalized) over the
+    supplier->part bipartite graph: suppliers rank as hubs (breadth of
+    important parts carried), parts as authorities (backed by strong
+    suppliers) — the companion centrality to PageRank with the same
+    certified-replay contract (per-round rounded sums + order-free max
+    normalizer -> unrolled-CTE oracle)."""
+    from .operators.graph import hits
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    return hits(edges, iters=4)

@@ -186,6 +186,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_zorder_layout",
     "q_label_silhouette",
     "q_burst_detection",
+    "q_graph_hits",
 )
 
 

@@ -18,6 +18,7 @@ from .registry import query
 
 @query(
     "q_heavy_hitters",
+    headline=True,
     oracle="""
     SELECT item, CAST(count(*) AS BIGINT) AS cnt
     FROM (SELECT unnest(string_split(text, ' ')) AS item FROM documents)

@@ -656,3 +656,40 @@ class TestMadOutliers:
             mad = float(np.median(np.abs(vals - med)))
             for eid, v in rows:
                 assert (abs(v - med) > 3 * mad) == (eid in flagged), (eid, v, med, mad)
+
+
+class TestHits:
+    def test_star_graph_hub_and_authority(self, spark):
+        """One supplier links every part, a second links one part: the
+        first must be the max hub (score 1.0); every part linked only by
+        the strong hub shares the max authority."""
+        from dais2021imageprocessingondeltalake_spark.operators.graph import hits
+
+        edges = [("s1", "p1"), ("s1", "p2"), ("s1", "p3"), ("s2", "p3")]
+        e = spark.createDataFrame(edges, "src string, dst string")
+        got = {(r["node"], r["role"]): r["score"] for r in hits(e, iters=4).collect()}
+        assert got[("s1", "hub")] == 1.0
+        assert got[("s2", "hub")] < 1.0
+        # p3 has both suppliers -> strictly the top authority
+        assert got[("p3", "authority")] == 1.0
+        assert got[("p1", "authority")] == got[("p2", "authority")] < 1.0
+
+    def test_scores_bounded_and_complete(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.graph import hits
+
+        edges = [("a", "x"), ("b", "x"), ("b", "y"), ("c", "z")]
+        e = spark.createDataFrame(edges, "src string, dst string")
+        rows = hits(e, iters=3).collect()
+        assert {(r["node"], r["role"]) for r in rows} == {
+            ("a", "hub"), ("b", "hub"), ("c", "hub"),
+            ("x", "authority"), ("y", "authority"), ("z", "authority"),
+        }
+        assert all(0 < r["score"] <= 1.0 for r in rows)
+
+    def test_iters_validated(self, spark):
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators.graph import hits
+
+        with pytest.raises(ValueError):
+            hits(None, iters=0)
