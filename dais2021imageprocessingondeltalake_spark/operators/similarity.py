@@ -950,3 +950,67 @@ def pca_project(
     comp = F.array(*[F.lit(float(x)) for x in component])
     proj = F.round(dot(_to_double(F.col(vec_col)), comp), round_dp)
     return df.select(F.col(id_col), *extra_cols, proj.alias("proj"))
+
+
+def margin_mine(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_margin_x10k: int = 10200,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Margin-based cross-group pair mining (the Artetxe-Schwenk ratio
+    criterion behind CCMatrix-style bitext mining): for every vector,
+    its best and second-best cosine neighbors from OTHER groups; keep
+    pairs whose best/second-best ratio clears the margin — a high margin
+    means the best match stands out from the background, the signal that
+    separates true translations/duplicates from dense-region noise.
+
+    Brute-force exact (broadcast probes x base scan, zero shuffle before
+    the per-probe window) — the recall oracle for the bucketed LSH path,
+    same contract as knn_join. The margin is emitted as
+    floor(1e4 * sim1 / sim2) (exact-rational idiom): both engines divide
+    identical 6dp-rounded sims, so the floor is bit-deterministic where
+    round() of the ratio would sit on half-boundaries."""
+    base = df.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(group_col).alias("nbr_grp"),
+        _to_double(F.col(vec_col)).alias("nbr_v"),
+    ).withColumn("nbr_nrm", l2_norm(F.col("nbr_v")))
+    probes = df.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(group_col).alias("probe_grp"),
+        _to_double(F.col(vec_col)).alias("probe_v"),
+    ).withColumn("probe_nrm", l2_norm(F.col("probe_v")))
+    sim = F.round(
+        dot(F.col("probe_v"), F.col("nbr_v"))
+        / (F.col("probe_nrm") * F.col("nbr_nrm")),
+        round_dp,
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(base)
+        .filter(F.col("probe_grp") != F.col("nbr_grp"))
+        .select("probe_id", "nbr_id", sim.alias("s"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), F.col("nbr_id"))
+    top2 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    best = top2.filter(F.col("rn") == 1).select(
+        "probe_id", F.col("nbr_id").alias("best_id"), F.col("s").alias("sim1")
+    )
+    second = top2.filter(F.col("rn") == 2).select(
+        "probe_id", F.col("s").alias("sim2")
+    )
+    out = (
+        best.join(second, "probe_id")
+        .filter(F.col("sim2") > 0)
+        .withColumn(
+            "margin_x10k",
+            F.floor(F.lit(10000.0) * F.col("sim1") / F.col("sim2")).cast("bigint"),
+        )
+        .filter(F.col("margin_x10k") >= min_margin_x10k)
+    )
+    return out.select("probe_id", "best_id", "sim1", "sim2", "margin_x10k")

@@ -187,6 +187,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_label_silhouette",
     "q_burst_detection",
     "q_graph_hits",
+    "q_margin_mine",
 )
 
 

@@ -2153,3 +2153,40 @@ def q_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg(F.col("own") - F.col("best_other")), 4).alias("mean_silhouette"),
     )
+
+
+@query(
+    "q_margin_mine",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), ranked AS MATERIALIZED (
+      SELECT probe_id, nbr_id, s,
+             row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, nbr_id)
+               AS rn
+      FROM (
+        SELECT a.vec_id AS probe_id, b.vec_id AS nbr_id,
+               round(list_cosine_similarity(a.ve, b.ve), 6) AS s
+        FROM v a JOIN v b ON a.label <> b.label
+      )
+    ), best AS (
+      SELECT probe_id, nbr_id AS best_id, s AS sim1 FROM ranked WHERE rn = 1
+    ), second AS (
+      SELECT probe_id, s AS sim2 FROM ranked WHERE rn = 2
+    )
+    SELECT b.probe_id, b.best_id, b.sim1, s.sim2,
+           CAST(floor(10000.0 * b.sim1 / s.sim2) AS BIGINT) AS margin_x10k
+    FROM best b JOIN second s USING (probe_id)
+    WHERE s.sim2 > 0 AND floor(10000.0 * b.sim1 / s.sim2) >= 11000
+    """,
+)
+def q_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based cross-group pair mining (CCMatrix/LASER bitext
+    shape): each vector's best OTHER-group neighbor kept only when its
+    cosine beats the runner-up by the ratio margin (>= 1.1) — the
+    criterion that separates true parallel/duplicate pairs from
+    dense-region noise. Exact brute force as the oracle-certified recall
+    reference (the LSH-bucketed join is the 100 TB path, same contract
+    as q_knn_join); margin via the floor-scaled exact-rational idiom."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.margin_mine(emb, min_margin_x10k=11000)
