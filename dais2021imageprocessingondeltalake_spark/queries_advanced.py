@@ -1819,3 +1819,31 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
     ).distinct()
     return hits(edges, iters=4)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE up AS (
+  SELECT doc_id, doc_id AS node, 0 AS depth FROM {tbl} WHERE doc_id > 0
+  UNION ALL
+  SELECT doc_id, CAST(floor(node / 10) AS BIGINT) AS node, depth + 1 AS depth
+  FROM up WHERE node >= 10
+)
+SELECT doc_id, CAST(max(depth) AS INT) AS depth,
+       CAST(max(CASE WHEN node < 10 THEN node END) AS BIGINT) AS root_digit
+FROM up GROUP BY doc_id
+"""
+
+
+@query("q_recursive_cte", oracle=_RECURSIVE_SQL.format(tbl="documents"))
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE executed BY SPARK (WITH RECURSIVE landed in Spark
+    4): every document walks its decimal-trie ancestry (node -> node/10)
+    to the root digit — the org-chart/BOM hierarchy-walk shape, one
+    parent per node so UNION ALL recursion stays linear (Spark doesn't
+    support UNION-dedup recursion yet; cyclic graphs go through
+    graph.bfs_distances instead). The SAME SQL text runs on DuckDB as
+    the oracle — the dialect-portable subset is the whole point."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(
+        "documents_recursive_src"
+    )
+    return spark.sql(_RECURSIVE_SQL.format(tbl="documents_recursive_src"))

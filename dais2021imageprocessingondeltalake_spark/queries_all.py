@@ -188,6 +188,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_burst_detection",
     "q_graph_hits",
     "q_margin_mine",
+    "q_feature_hash",
+    "q_recursive_cte",
 )
 
 

@@ -2190,3 +2190,28 @@ def q_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q_knn_join); margin via the floor-scaled exact-rational idiom."""
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.margin_mine(emb, min_margin_x10k=11000)
+
+
+@query(
+    "q_feature_hash",
+    oracle="""
+    SELECT doc_id, substr(md5(t), 1, 2) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: each document's bag-of-words folded
+    into 256 hashed buckets (first md5 hex byte — engine-portable, no
+    vocabulary build, no OOV) — the classic fixed-width text featurizer
+    whose whole point at 100 TB is that the feature space needs NO
+    global dictionary shuffle; one explode + one (doc, bucket) count."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    return toks.groupBy(
+        "doc_id", F.substring(F.md5("t"), 1, 2).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
