@@ -54,7 +54,13 @@ def misra_gries_partials(
     running summary, then trim to `counters` items by subtracting the
     (counters+1)-th largest count and dropping non-positives — the
     mergeable-summaries trim, which preserves the Misra-Gries error
-    bound across merges."""
+    bound across merges.
+
+    NULL items are excluded up front (explicit filter, matching the
+    pandas value_counts dropna the summaries rely on): the top-k
+    contract here is over non-null values — unlike SQL GROUP BY, which
+    counts the null group. Callers ranking nullable columns must count
+    nulls separately."""
     if counters < 1:
         raise ValueError(f"counters must be >= 1, got {counters}")
 
@@ -71,8 +77,10 @@ def misra_gries_partials(
                 {"item": list(summary.keys()), "est": list(summary.values())}
             )
 
-    return df.select(F.col(col).alias("item")).mapInPandas(
-        mg, schema="item string, est long"
+    return (
+        df.select(F.col(col).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .mapInPandas(mg, schema="item string, est long")
     )
 
 
@@ -90,6 +98,7 @@ def heavy_hitters_exact(
     candidates = misra_gries_partials(df, col, counters).select("item").distinct()
     exact = (
         df.select(F.col(col).alias("item"))
+        .filter(F.col("item").isNotNull())  # same non-null contract as pass 1
         .join(F.broadcast(candidates), "item", "left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -141,7 +150,7 @@ def bloom_filter_semi_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
-    n_bits: int = 1 << 20,
+    n_bits: int = 1 << 18,
     n_hashes: int = 5,
 ) -> DataFrame:
     """Semi-join `big` to `small` on `key`, pre-pruning `big` with a
@@ -154,15 +163,26 @@ def bloom_filter_semi_join(
     false positives) continue into the exact semi-join. Output is
     EXACTLY `big semi-join small` (false positives die in the confirming
     join), which the oracle checks. fpp ~ (1 - e^(-kn/m))^k; size m
-    (n_bits) for the build-side cardinality as usual."""
+    (n_bits) for the build-side cardinality as usual.
+
+    The bitmap ships as ONE array literal projected into a single
+    column, so the filter's expression tree carries one copy of the
+    n_bits/64 longs no matter how many hash probes reference it (naive
+    inlining embedded it n_hashes times — at 2^20 bits that is ~80k
+    Catalyst literal nodes and a codegen-size blowout). The literal
+    approach still caps practical n_bits at a few hundred KiB; for
+    bigger build sides use Spark's runtime bloom-filter join pushdown
+    (plan-tested in test_scale_properties) or a bitmap-as-dimension
+    join."""
     bitmap = bloom_bitmap(small, key, n_bits, n_hashes)
     lut = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    keyed = big.withColumn("__bloom_lut", lut)
     cond = F.lit(True)
     for pos in _bloom_positions(F.col(key), n_bits, n_hashes):
-        word = F.element_at(lut, (pos / 64).cast("int") + 1)
+        word = F.element_at(F.col("__bloom_lut"), (pos / 64).cast("int") + 1)
         bit = F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int"))
         cond = cond & (word.bitwiseAND(bit) != 0)
-    survivors = big.filter(cond)
+    survivors = keyed.filter(cond).drop("__bloom_lut")
     return survivors.join(
         F.broadcast(small.select(key).distinct()), key, "left_semi"
     )

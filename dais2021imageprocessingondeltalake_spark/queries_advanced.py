@@ -1496,8 +1496,10 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KL divergence of each source's token distribution from the
     corpus-wide mix — the domain-shift score behind DoReMi-style source
-    weighting and drift alarms. One token-count shuffle, then
-    broadcast-sized marginals; per-term log ratios differ across libm
+    weighting and drift alarms. One token-count shuffle; the per-source
+    marginals broadcast, while the per-TOKEN marginal joins on the token
+    key (vocabulary-sized — a deliberate shuffle join, since at 100 TB
+    the vocabulary is not broadcastable); per-term log ratios differ across libm
     implementations by <= 1 ulp, absorbed by the 6dp sum rounding (the
     q_unigram_logprob convention)."""
     docs = load_table(spark, "documents", sf_dir)
@@ -1562,11 +1564,15 @@ def q_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     x = F.col("l_quantity").cast("bigint")
     y = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    # y-bearing sums ride decimal(38,0): per-row x*y reaches ~5e8, so a
+    # bigint sum would wrap near 2e10 rows — inside the 100 TB envelope
+    # this query claims. DuckDB already sums into HUGEINT; both engines
+    # cast the exact integer to double identically.
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y.cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
         F.sum(x * x).cast("double").alias("sxx"),
         F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
     )
@@ -1628,11 +1634,13 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
     )
     e = F.col("rt") * F.col("ct") / F.col("n")
-    dof_r = r.count() - 1
-    dof_c = c.count() - 1
+    # dof derived inside the same aggregation — separate r.count()/
+    # c.count() actions would rescan documents twice for two scalars
     return grid.agg(
         F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias("chi2"),
-        F.lit(dof_r * dof_c).cast("bigint").alias("dof"),
+        ((F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1))
+        .cast("bigint")
+        .alias("dof"),
     )
 
 
