@@ -1855,3 +1855,144 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents_recursive_src"
     )
     return spark.sql(_RECURSIVE_SQL.format(tbl="documents_recursive_src"))
+
+
+@query(
+    "q_revenue_share",
+    oracle="""
+    WITH n AS (
+      SELECT n.n_name,
+             sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT n_name,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(cents AS DOUBLE) / (SELECT CAST(sum(cents) AS DOUBLE) FROM n)
+             AS share
+    FROM n
+    """,
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total report (ratio_to_report): each nation's share of
+    global order revenue via an unpartitioned window sum over the
+    per-nation aggregate — 25 rows, so the infamous single-partition
+    window is harmless AFTER aggregation (never window the raw fact
+    table for a grand total). Exact cents integers; the share division
+    runs on identical doubles in both engines — zero rounding."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    from pyspark.sql import Window
+
+    agg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents")
+        )
+    )
+    total = F.sum("cents").over(Window.partitionBy())
+    return agg.select(
+        "n_name",
+        F.col("cents").cast("bigint").alias("revenue_cents"),
+        (F.col("cents").cast("double") / total.cast("double")).alias("share"),
+    )
+
+
+@query(
+    "q_survival_curve",
+    oracle="""
+    WITH mx AS (
+      SELECT max(ts) AS m FROM events
+    ), entry AS (
+      SELECT user_id, min(ts) AS entry FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), ev AS (
+      SELECT e.user_id, e.entry, min(p.ts) AS ets
+      FROM entry e LEFT JOIN events p
+        ON p.user_id = e.user_id AND p.event_type = 'purchase'
+       AND p.ts > e.entry
+      GROUP BY e.user_id, e.entry
+    ), durs AS (
+      SELECT CAST(floor((epoch_us(coalesce(ets, mx.m)) - epoch_us(entry))
+                        / 86400000000.0) AS BIGINT) AS dur,
+             CASE WHEN ets IS NULL THEN 0 ELSE 1 END AS observed
+      FROM ev CROSS JOIN mx
+    ), days AS (
+      SELECT dur AS day, CAST(sum(observed) AS BIGINT) AS n_events
+      FROM durs WHERE observed = 1 GROUP BY 1
+    ), risk AS (
+      SELECT d.day, d.n_events, CAST(count(*) AS BIGINT) AS n_risk
+      FROM days d JOIN durs u ON u.dur >= d.day
+      GROUP BY d.day, d.n_events
+    )
+    SELECT day, n_risk, n_events,
+           round(product(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                 OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS survival
+    FROM risk
+    """,
+)
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for view->purchase conversion: each
+    user enters at their first view, 'dies' at their first subsequent
+    purchase, and is right-censored at the corpus horizon otherwise —
+    the churn/time-to-event estimator. S(t) = prod over event days
+    <= t of (1 - d_t/n_t) with the at-risk set n_t = users whose
+    event-or-censor day >= t. Every count is exact; the hazard ratios
+    are identical doubles in both engines; the cumulative product runs
+    over the same ascending-day frame (rounded 6dp — window products
+    may reassociate like window sums). The risk-set range join is
+    |event days| x |users|, bounded by the corpus time span, never by
+    raw event count."""
+    ev = _events(spark, sf_dir)
+    mx = ev.agg(F.max("ts").alias("m"))
+    entry = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("entry"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        entry.join(
+            p, (F.col("p_uid") == F.col("user_id")) & (F.col("p_ts") > F.col("entry")), "left"
+        )
+        .groupBy("user_id", "entry")
+        .agg(F.min("p_ts").alias("ets"))
+    )
+    durs = first_purchase.crossJoin(F.broadcast(mx)).select(
+        F.floor(
+            (F.unix_micros(F.coalesce(F.col("ets"), F.col("m"))) - F.unix_micros(F.col("entry")))
+            / 86400000000.0
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("ets").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("observed"),
+    )
+    days = (
+        durs.filter(F.col("observed") == 1)
+        .groupBy(F.col("dur").alias("day"))
+        .agg(F.sum("observed").cast("bigint").alias("n_events"))
+    )
+    risk = (
+        days.join(durs, durs["dur"] >= days["day"])
+        .groupBy("day", "n_events")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_risk"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hazard = 1.0 - F.col("n_events").cast("double") / F.col("n_risk")
+    return risk.select(
+        "day",
+        "n_risk",
+        "n_events",
+        F.round(F.product(hazard).over(w), 6).alias("survival"),
+    )

@@ -190,6 +190,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_margin_mine",
     "q_feature_hash",
     "q_recursive_cte",
+    "q_revenue_share",
+    "q_survival_curve",
 )
 
 

@@ -693,3 +693,28 @@ class TestHits:
 
         with pytest.raises(ValueError):
             hits(None, iters=0)
+
+
+def test_survival_curve_is_valid_km(spark):
+    """KM invariants: survival within [0,1] (0 is legitimate — the last
+    at-risk users all converting gives hazard 1), monotone
+    non-increasing over days, first point equal to its own hazard
+    complement, and the at-risk set never grows over time."""
+    from dais2021imageprocessingondeltalake_spark import queries_all  # noqa: F401
+    from dais2021imageprocessingondeltalake_spark.registry import REGISTRY
+
+    rows = sorted(
+        REGISTRY["q_survival_curve"].fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    prev_s, prev_n = 1.0, None
+    for r in rows:
+        assert 0 <= r["survival"] <= 1.0
+        assert r["survival"] <= prev_s + 1e-9
+        assert 0 < r["n_events"] <= r["n_risk"]
+        if prev_n is not None:
+            assert r["n_risk"] <= prev_n
+        prev_s, prev_n = r["survival"], r["n_risk"]
+    first = rows[0]
+    assert first["survival"] == round(1.0 - first["n_events"] / first["n_risk"], 6)
