@@ -192,6 +192,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_recursive_cte",
     "q_revenue_share",
     "q_survival_curve",
+    "q_cohens_kappa",
 )
 
 

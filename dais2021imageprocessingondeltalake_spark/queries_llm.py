@@ -2215,3 +2215,80 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy(
         "doc_id", F.substring(F.md5("t"), 1, 2).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "q_cohens_kappa",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_intersect(toks, ['the','a','and','of'])) AS INT) AS score_en,
+             CAST(len(list_intersect(toks, ['der','die','das','und'])) AS INT) AS score_de,
+             CAST(len(list_intersect(toks, ['le','la','et','les'])) AS INT) AS score_fr,
+             CAST(len(list_intersect(toks, ['el','los','que','y'])) AS INT) AS score_es
+      FROM t
+    ), p AS (
+      SELECT lang,
+             CASE
+               WHEN score_en = greatest(score_en, score_de, score_fr, score_es) AND score_en > 0 THEN 'en'
+               WHEN score_de = greatest(score_en, score_de, score_fr, score_es) AND score_de > 0 THEN 'de'
+               WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) AND score_fr > 0 THEN 'fr'
+               WHEN score_es = greatest(score_en, score_de, score_fr, score_es) AND score_es > 0 THEN 'es'
+               ELSE 'unknown'
+             END AS lang_pred
+      FROM s
+    ), m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS DOUBLE) AS agree
+      FROM p
+    ), marg AS (
+      SELECT CAST(sum(ra * ca) AS DOUBLE) AS chance FROM (
+        SELECT a.lang AS cls,
+               CAST(count(*) AS DOUBLE) AS ra,
+               (SELECT CAST(count(*) AS DOUBLE) FROM p WHERE lang_pred = a.lang) AS ca
+        FROM p a GROUP BY a.lang
+      )
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_docs,
+           round(m.agree / m.n, 6) AS po,
+           round(marg.chance / (m.n * m.n), 6) AS pe,
+           round((m.agree / m.n - marg.chance / (m.n * m.n))
+                 / (1 - marg.chance / (m.n * m.n)), 6) AS kappa
+    FROM m CROSS JOIN marg
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the declared language label and the
+    heuristic language-ID prediction — chance-corrected agreement, the
+    one-number audit on top of q_lang_confusion's matrix (kappa ~ 0
+    means the classifier is no better than the label marginals). All
+    counts exact; po/pe/kappa are the same IEEE formula tree on
+    identical doubles, rounded only for display."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    p = TX.language_id(docs).select("lang", "lang_pred")
+    m = p.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), 1).otherwise(0))
+        .cast("double")
+        .alias("agree"),
+    )
+    row_marg = p.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("ra"))
+    col_marg = p.groupBy(F.col("lang_pred").alias("lang")).agg(
+        F.count(F.lit(1)).cast("double").alias("ca")
+    )
+    chance = (
+        row_marg.join(col_marg, "lang", "inner")
+        .agg(F.sum(F.col("ra") * F.col("ca")).cast("double").alias("chance"))
+    )
+    n, agree, ch = F.col("n"), F.col("agree"), F.col("chance")
+    return (
+        m.crossJoin(F.broadcast(chance))
+        .select(
+            n.cast("bigint").alias("n_docs"),
+            F.round(agree / n, 6).alias("po"),
+            F.round(ch / (n * n), 6).alias("pe"),
+            F.round((agree / n - ch / (n * n)) / (1 - ch / (n * n)), 6).alias("kappa"),
+        )
+    )
