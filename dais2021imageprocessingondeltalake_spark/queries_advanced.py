@@ -1996,3 +1996,104 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.product(hazard).over(w), 6).alias("survival"),
     )
+
+
+@query(
+    "q_gini_spend",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rnk
+      FROM s
+    ), m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(cents) AS DOUBLE) AS tot,
+             CAST(sum(rnk * cents) AS DOUBLE) AS wsum
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(2.0 * wsum / (n * tot) - (n + 1) / n, 6) AS gini
+    FROM m
+    """,
+)
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the
+    inequality/whale-dependence metric (0 = uniform, ->1 = one customer
+    is the business). Exact cents, deterministic rank (cents then
+    custkey tiebreak), and the rank-weighted sum rides HUGEINT/decimal —
+    so the closed-form Gini is one IEEE expression on identical doubles.
+    One aggregate + one global sort of |customers| rows (post-
+    aggregation, so the sort input is dimension-sized)."""
+    o = load_table(spark, "orders", sf_dir)
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents")
+    )
+    from pyspark.sql import Window
+
+    r = s.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("rnk"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cents").cast("double").alias("tot"),
+        F.sum((F.col("rnk") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("wsum"),
+    )
+    n, tot, wsum = F.col("n"), F.col("tot"), F.col("wsum")
+    return m.select(
+        n.cast("bigint").alias("n_customers"),
+        F.round(2.0 * wsum / (n * tot) - (n + 1) / n, 6).alias("gini"),
+    )
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+    WITH tf AS (
+      SELECT t, CAST(count(*) AS DOUBLE) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+      ) GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n FROM tf
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(sum(-(c / tot.n) * ln(c / tot.n)), 6) AS entropy_nats
+    FROM tf CROSS JOIN tot
+    GROUP BY tot.n
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the corpus unigram distribution (nats) plus
+    vocabulary size — exp(entropy) is the 'effective vocabulary', the
+    one-number diversity diagnostic next to the Zipf slope (a collapsed
+    or templated corpus shows up as entropy far below ln(vocab)). One
+    token-count shuffle; the p·ln p sum rounds 6dp (libm + accumulation
+    order, the q_unigram_logprob convention)."""
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = tf.agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tf.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.round(F.sum(-p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "vocab",
+            "entropy_nats",
+        )
+    )

@@ -193,6 +193,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_revenue_share",
     "q_survival_curve",
     "q_cohens_kappa",
+    "q_gini_spend",
+    "q_token_entropy",
 )
 
 
