@@ -2097,3 +2097,102 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats",
         )
     )
+
+
+@query(
+    "q_skew_diagnosis",
+    oracle="""
+    WITH l AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n_left
+      FROM lineitem GROUP BY 1
+    ), r AS (
+      SELECT ps_partkey AS k, CAST(count(*) AS BIGINT) AS n_right FROM (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey FROM lineitem
+      ) GROUP BY 1
+    )
+    SELECT l.k AS join_key, l.n_left, r.n_right,
+           CAST(l.n_left * r.n_right AS BIGINT) AS out_rows
+    FROM l JOIN r ON l.k = r.k
+    ORDER BY out_rows DESC, join_key
+    LIMIT 10
+    """,
+)
+def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis: the 10 join keys whose per-side
+    multiplicity PRODUCT (= output rows they alone will generate)
+    dominates a lineitem x part-supplier join — the report you run
+    BEFORE a 100 TB join to decide between AQE skew splitting, salting,
+    or key isolation. Two key-count aggregates and a tiny top-k; exact
+    integers throughout."""
+    li = load_table(spark, "lineitem", sf_dir)
+    left = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left")
+    )
+    right = (
+        li.select(F.col("l_partkey").alias("k"), "l_suppkey")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_right"))
+    )
+    return (
+        left.join(right, "k")
+        .select(
+            F.col("k").alias("join_key"),
+            "n_left",
+            "n_right",
+            (F.col("n_left") * F.col("n_right")).cast("bigint").alias("out_rows"),
+        )
+        .orderBy(F.desc("out_rows"), F.asc("join_key"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_share_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name, n.n_name,
+             sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT r_name, n_name,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(cents AS DOUBLE)
+             / CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE)
+             AS share_of_region
+    FROM rev
+    """,
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: each nation's revenue as a fraction
+    of its region's total — the drill-down ratio every BI rollup needs,
+    expressed as a window sum partitioned by the PARENT level over the
+    already-aggregated child table (dimension-sized, so the window is
+    cheap). Exact cents; the share division runs on identical doubles —
+    zero rounding."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    from pyspark.sql import Window
+
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents")
+        )
+    )
+    parent = F.sum("cents").over(Window.partitionBy("r_name"))
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.col("cents").cast("bigint").alias("revenue_cents"),
+        (F.col("cents").cast("double") / parent.cast("double")).alias("share_of_region"),
+    )

@@ -195,6 +195,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_cohens_kappa",
     "q_gini_spend",
     "q_token_entropy",
+    "q_skew_diagnosis",
+    "q_share_of_parent",
 )
 
 
