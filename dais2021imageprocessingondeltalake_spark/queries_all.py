@@ -197,6 +197,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_token_entropy",
     "q_skew_diagnosis",
     "q_share_of_parent",
+    "q_psi_drift",
 )
 
 

@@ -1809,3 +1809,69 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(na).cast("bigint").alias("n_a"),
         F.lit(nb).cast("bigint").alias("n_b"),
     )
+
+
+@query(
+    "q_psi_drift",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(floor(len(string_split(text, ' ')) / 10) AS BIGINT) AS bin
+      FROM documents WHERE doc_id % 2 = 0
+    ), b AS (
+      SELECT CAST(floor(len(string_split(text, ' ')) / 10) AS BIGINT) AS bin
+      FROM documents WHERE doc_id % 2 = 1
+    ), ca AS (
+      SELECT bin, CAST(count(*) AS DOUBLE) AS c FROM a GROUP BY 1
+    ), cb AS (
+      SELECT bin, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1
+    ), grid AS (
+      SELECT bin FROM ca UNION SELECT bin FROM cb
+    ), m AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM a) AS na,
+             (SELECT CAST(count(*) AS DOUBLE) FROM b) AS nb,
+             (SELECT CAST(count(*) AS DOUBLE) FROM grid) AS k
+    )
+    SELECT CAST(m.k AS BIGINT) AS n_bins,
+           round(sum(((coalesce(ca.c, 0) + 0.5) / (m.na + 0.5 * m.k)
+                      - (coalesce(cb.c, 0) + 0.5) / (m.nb + 0.5 * m.k))
+                     * ln(((coalesce(ca.c, 0) + 0.5) / (m.na + 0.5 * m.k))
+                          / ((coalesce(cb.c, 0) + 0.5) / (m.nb + 0.5 * m.k)))),
+                 6) AS psi
+    FROM grid
+    LEFT JOIN ca USING (bin)
+    LEFT JOIN cb USING (bin)
+    CROSS JOIN m
+    GROUP BY m.k
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus halves over
+    width-10 token-length bins — the ML-ops drift score next to the KS
+    statistic (PSI > 0.2 is the classic retrain alarm; even-vs-odd ids
+    here should read ~0). Fixed integer bin edges keep the binning
+    engine-portable; +0.5 Laplace smoothing over the union bin grid
+    keeps empty bins finite and deterministic; the (pa-pb)·ln(pa/pb)
+    sum rounds 6dp per the libm convention."""
+    docs = load_table(spark, "documents", sf_dir)
+    bin_col = F.floor(TX.token_count(F.col("text")) / 10).cast("bigint").alias("bin")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(bin_col)
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(bin_col)
+    ca = a.groupBy("bin").agg(F.count(F.lit(1)).cast("double").alias("c_a"))
+    cb = b.groupBy("bin").agg(F.count(F.lit(1)).cast("double").alias("c_b"))
+    grid = ca.join(cb, "bin", "full_outer").na.fill({"c_a": 0.0, "c_b": 0.0})
+    # totals derived in-plan over the (tiny) bin grid — no driver-side
+    # count() actions rescanning documents for three scalars
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    na = F.sum("c_a").over(w)
+    nb = F.sum("c_b").over(w)
+    k = F.count(F.lit(1)).over(w).cast("double")
+    pa = (F.col("c_a") + 0.5) / (na + 0.5 * k)
+    pb = (F.col("c_b") + 0.5) / (nb + 0.5 * k)
+    scored = grid.select(
+        k.alias("k"), ((pa - pb) * F.log(pa / pb)).alias("contrib")
+    )
+    return scored.groupBy("k").agg(
+        F.round(F.sum("contrib"), 6).alias("psi")
+    ).select(F.col("k").cast("bigint").alias("n_bins"), "psi")
