@@ -156,6 +156,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     round_dp: int = 9,
+    materialize: str | bool | None = "localCheckpoint",
 ) -> DataFrame:
     """HITS (Kleinberg hubs & authorities) with a fixed iteration count
     over a DIRECTED edge list: authority(d) = sum of hub scores linking
@@ -170,7 +171,16 @@ def hits(
     broadcast cross join (no driver collect). Cost per round: two
     contribution-join + aggregate passes shuffling on the node keys.
     Returns (node, role, score): role 'hub' for src nodes, 'authority'
-    for dst nodes."""
+    for dst nodes.
+
+    Each round's score vectors are PINNED via `materialize` (see
+    dedup.MATERIALIZE_MODES): the crossJoin normalizers reference the
+    un-materialized upstream twice per round, so without pinning the
+    logical plan grows ~4x PER ITERATION (measured: 14 -> 1148 leaf
+    scans from iters=1 to 4; iters=8 would hang the optimizer) — the
+    same lineage-truncation need as connected_components."""
+    from .dedup import materialize_df
+
     if iters < 1:
         raise ValueError(f"hits needs iters >= 1, got {iters}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -183,8 +193,11 @@ def hits(
             .agg(F.round(F.sum("h"), round_dp).alias("a_raw"))
         )
         amax = a_raw.agg(F.max("a_raw").alias("amax"))
-        a = a_raw.crossJoin(F.broadcast(amax)).select(
-            "dst", F.round(F.col("a_raw") / F.col("amax"), round_dp).alias("a")
+        a = materialize_df(
+            a_raw.crossJoin(F.broadcast(amax)).select(
+                "dst", F.round(F.col("a_raw") / F.col("amax"), round_dp).alias("a")
+            ),
+            materialize,
         )
         h_raw = (
             e.join(a, "dst")
@@ -192,8 +205,11 @@ def hits(
             .agg(F.round(F.sum("a"), round_dp).alias("h_raw"))
         )
         hmax = h_raw.agg(F.max("h_raw").alias("hmax"))
-        h = h_raw.crossJoin(F.broadcast(hmax)).select(
-            "src", F.round(F.col("h_raw") / F.col("hmax"), round_dp).alias("h")
+        h = materialize_df(
+            h_raw.crossJoin(F.broadcast(hmax)).select(
+                "src", F.round(F.col("h_raw") / F.col("hmax"), round_dp).alias("h")
+            ),
+            materialize,
         )
     hubs = h.select(F.col("src").alias("node"), F.lit("hub").alias("role"), F.col("h").alias("score"))
     auths = a.select(F.col("dst").alias("node"), F.lit("authority").alias("role"), F.col("a").alias("score"))

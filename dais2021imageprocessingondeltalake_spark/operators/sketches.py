@@ -150,7 +150,7 @@ def bloom_filter_semi_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
-    n_bits: int = 1 << 18,
+    n_bits: int = 1 << 16,
     n_hashes: int = 5,
 ) -> DataFrame:
     """Semi-join `big` to `small` on `key`, pre-pruning `big` with a
@@ -165,24 +165,24 @@ def bloom_filter_semi_join(
     join), which the oracle checks. fpp ~ (1 - e^(-kn/m))^k; size m
     (n_bits) for the build-side cardinality as usual.
 
-    The bitmap ships as ONE array literal projected into a single
-    column, so the filter's expression tree carries one copy of the
-    n_bits/64 longs no matter how many hash probes reference it (naive
-    inlining embedded it n_hashes times — at 2^20 bits that is ~80k
-    Catalyst literal nodes and a codegen-size blowout). The literal
-    approach still caps practical n_bits at a few hundred KiB; for
-    bigger build sides use Spark's runtime bloom-filter join pushdown
-    (plan-tested in test_scale_properties) or a bitmap-as-dimension
-    join."""
+    SIZE CAP (honest): the bitmap is an ARRAY LITERAL inlined once per
+    hash probe in the optimized plan — Catalyst re-inlines a projected
+    alias through filter pushdown, so there is no cheap way to bind it
+    once (measured: a `withColumn` indirection is collapsed away and the
+    plan still carries n_hashes copies, on both join sides). At the
+    2^16-bit default that is 5 x 1024 longs of literals — fine; pushing
+    n_bits past ~2^20 blows up analysis/codegen size. For build sides
+    that need a bigger filter, use Spark's own runtime bloom-filter join
+    pushdown (plan-tested in test_scale_properties) or a bitmap-as-
+    dimension broadcast join instead of this literal form."""
     bitmap = bloom_bitmap(small, key, n_bits, n_hashes)
     lut = F.array(*[F.lit(w).cast("long") for w in bitmap])
-    keyed = big.withColumn("__bloom_lut", lut)
     cond = F.lit(True)
     for pos in _bloom_positions(F.col(key), n_bits, n_hashes):
-        word = F.element_at(F.col("__bloom_lut"), (pos / 64).cast("int") + 1)
+        word = F.element_at(lut, (pos / 64).cast("int") + 1)
         bit = F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int"))
         cond = cond & (word.bitwiseAND(bit) != 0)
-    survivors = keyed.filter(cond).drop("__bloom_lut")
+    survivors = big.filter(cond)
     return survivors.join(
         F.broadcast(small.select(key).distinct()), key, "left_semi"
     )

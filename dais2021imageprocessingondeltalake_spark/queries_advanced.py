@@ -1831,7 +1831,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECURSIVE_SQL = """
 WITH RECURSIVE up AS (
-  SELECT doc_id, doc_id AS node, 0 AS depth FROM {tbl} WHERE doc_id > 0
+  SELECT doc_id, doc_id AS node, 0 AS depth FROM {tbl}
   UNION ALL
   SELECT doc_id, CAST(floor(node / 10) AS BIGINT) AS node, depth + 1 AS depth
   FROM up WHERE node >= 10
@@ -1845,12 +1845,14 @@ FROM up GROUP BY doc_id
 @query("q_recursive_cte", oracle=_RECURSIVE_SQL.format(tbl="documents"))
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE executed BY SPARK (WITH RECURSIVE landed in Spark
-    4): every document walks its decimal-trie ancestry (node -> node/10)
-    to the root digit — the org-chart/BOM hierarchy-walk shape, one
-    parent per node so UNION ALL recursion stays linear (Spark doesn't
-    support UNION-dedup recursion yet; cyclic graphs go through
-    graph.bfs_distances instead). The SAME SQL text runs on DuckDB as
-    the oracle — the dialect-portable subset is the whole point."""
+    4): every document (including doc 0, whose walk terminates
+    immediately at root digit 0) walks its decimal-trie ancestry
+    (node -> node/10) to the root digit — the org-chart/BOM
+    hierarchy-walk shape, one parent per node so UNION ALL recursion
+    stays linear (Spark doesn't support UNION-dedup recursion yet;
+    cyclic graphs go through graph.bfs_distances instead). The SAME SQL
+    text runs on DuckDB as the oracle — the dialect-portable subset is
+    the whole point."""
     load_table(spark, "documents", sf_dir).createOrReplaceTempView(
         "documents_recursive_src"
     )
@@ -2012,7 +2014,7 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT CAST(count(*) AS DOUBLE) AS n,
              CAST(sum(cents) AS DOUBLE) AS tot,
-             CAST(sum(rnk * cents) AS DOUBLE) AS wsum
+             CAST(sum(CAST(rnk AS HUGEINT) * cents) AS DOUBLE) AS wsum
       FROM r
     )
     SELECT CAST(n AS BIGINT) AS n_customers,
@@ -2041,7 +2043,10 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = r.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("cents").cast("double").alias("tot"),
-        F.sum((F.col("rnk") * F.col("cents")).cast("decimal(38,0)"))
+        # cast the OPERAND before multiplying: rnk*cents reaches ~8e19 at
+        # the 100 TB envelope, past int64 — the product itself must be
+        # decimal/HUGEINT, not just the sum (the q_groupwise_ols lesson)
+        F.sum(F.col("rnk").cast("decimal(38,0)") * F.col("cents"))
         .cast("double")
         .alias("wsum"),
     )
