@@ -2201,3 +2201,65 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("bigint").alias("revenue_cents"),
         (F.col("cents").cast("double") / parent.cast("double")).alias("share_of_region"),
     )
+
+
+@query(
+    "q_top_paths",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 30*60*1000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM g
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM s GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths WHERE converted = 1
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 converting session paths: per (user, 30-min session) the
+    ordered event-type sequence joined with '>', filtered to sessions
+    containing a purchase, counted — the product-analytics 'what do
+    converting journeys look like' staple. Path order is deterministic
+    via (ts, event_id) sorting; the path strings themselves are the
+    group keys, so everything downstream is exact counts with a
+    lexicographic tiebreak."""
+    from .operators.temporal import sessionize
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    s = sessionize(ev, key="user_id", ts="ts", gap_minutes=30, order_tiebreak="event_id")
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda r: r["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        ).alias("converted"),
+    )
+    return (
+        paths.filter(F.col("converted") == 1)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )

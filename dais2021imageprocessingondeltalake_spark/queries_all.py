@@ -198,6 +198,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_skew_diagnosis",
     "q_share_of_parent",
     "q_psi_drift",
+    "q_top_paths",
 )
 
 
