@@ -929,3 +929,57 @@ def edit_distance_join_1(
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", F.col("dist").cast("bigint").alias("dist"))
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_frac: float = 0.1,
+    threshold: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs via the inverted index —
+    the WEIGHTED near-dup/similarity join complementing the set-based
+    n-gram Jaccard tier: common terms contribute by importance, not
+    presence. Returns (doc_a, doc_b, cosine_sim >= threshold).
+
+    Scale shape: per-(doc, term) weights (one shuffle), term-keyed
+    self-join for the dots — bounded by Sigma df^2 over the KEPT vocab,
+    so `max_doc_frac` (df <= frac * N, corpus-relative so the semantics
+    survive scale-up) prunes the high-df terms that would otherwise
+    blow the index quadratic (they carry near-zero idf anyway; the
+    semantics are 'cosine over the df-pruned vocabulary', stop-word
+    removal by df). Weights round to `round_dp` BEFORE any pair product
+    (idf is libm ln), dots and norms round after their sums, so the
+    whole pipeline is oracle-replayable. Docs whose every term was
+    pruned (zero norm) are excluded."""
+    n_docs = df.count()  # scalar for the df bound; bounded driver value
+    w = (
+        tfidf_vectors(df, id_col, text_col)
+        .filter(F.col("df") <= max_doc_frac * n_docs)
+        .select(
+            F.col(id_col).alias("id"),
+            "term",
+            F.round("tfidf", round_dp).alias("w"),
+        )
+    )
+    nrm = w.groupBy("id").agg(
+        F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), round_dp).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.round(F.sum(F.col("a.w") * F.col("b.w")), round_dp).alias("dot"))
+    )
+    na = nrm.select(F.col("id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), round_dp)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select("doc_a", "doc_b", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

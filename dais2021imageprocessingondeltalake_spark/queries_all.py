@@ -199,6 +199,9 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_share_of_parent",
     "q_psi_drift",
     "q_top_paths",
+    "q_mutual_info",
+    "q_hhi_sources",
+    "q_tfidf_cosine",
 )
 
 

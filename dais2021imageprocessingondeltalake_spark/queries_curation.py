@@ -1875,3 +1875,87 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("k").agg(
         F.round(F.sum("contrib"), 6).alias("psi")
     ).select(F.col("k").cast("bigint").alias("n_bins"), "psi")
+
+
+@query(
+    "q_mutual_info",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS c
+      FROM documents GROUP BY 1, 2
+    ), n AS (
+      SELECT sum(c) AS n FROM o
+    ), r AS (
+      SELECT lang, sum(c) AS rc FROM o GROUP BY 1
+    ), cl AS (
+      SELECT source, sum(c) AS cc FROM o GROUP BY 1
+    )
+    SELECT round(sum((o.c / n.n)
+                     * ln((o.c / n.n) / ((r.rc / n.n) * (cl.cc / n.n)))), 6)
+             AS mutual_info_nats,
+           CAST(n.n AS BIGINT) AS n_docs
+    FROM o
+    JOIN r USING (lang)
+    JOIN cl USING (source)
+    CROSS JOIN n
+    GROUP BY n.n
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between lang and source (nats) — the
+    information-theoretic association score beside the chi-square test
+    (MI ~ 0 means knowing the source tells you nothing about language —
+    the mixing-policy independence check). Observed cells only (zero
+    cells contribute 0 to MI by continuity, unlike chi-square); exact
+    integer counts, 6dp-rounded log sum."""
+    docs = load_table(spark, "documents", sf_dir)
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    r = o.groupBy("lang").agg(F.sum("c").alias("rc"))
+    cl = o.groupBy("source").agg(F.sum("c").alias("cc"))
+    n = o.agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    pr = F.col("rc") / F.col("n")
+    pc = F.col("cc") / F.col("n")
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(cl), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(F.round(F.sum(p * F.log(p / (pr * pc))), 6).alias("mutual_info_nats"))
+        .select("mutual_info_nats", F.col("n").cast("bigint").alias("n_docs"))
+    )
+
+
+@query(
+    "q_hhi_sources",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1
+    ), n AS (
+      SELECT sum(c) AS n FROM s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           round(sum((c / n.n) * (c / n.n)), 6) AS hhi
+    FROM s CROSS JOIN n GROUP BY n.n
+    """,
+)
+def q_hhi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of source concentration — the
+    corpus-diversity companion to the Gini: 1/n_sources (perfectly
+    balanced) up to 1.0 (single-source corpus); 1/HHI is the 'effective
+    number of sources'. Exact integer counts, one rounded square sum."""
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    n = s.agg(F.sum("c").alias("n"))
+    share = F.col("c") / F.col("n")
+    return (
+        s.crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+        .select("n_sources", "hhi")
+    )

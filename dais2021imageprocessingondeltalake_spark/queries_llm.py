@@ -2292,3 +2292,46 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((agree / n - ch / (n * n)) / (1 - ch / (n * n)), 6).alias("kappa"),
         )
     )
+
+
+@query(
+    "q_tfidf_cosine",
+    oracle="""
+    WITH tf AS (
+      SELECT id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+        SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+    ), w AS (
+      SELECT tf.id, tf.term, round(tf.tf * ln(nd.n / dfreq.df), 6) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+      WHERE dfreq.df <= 0.1 * nd.n
+    ), nrm AS (
+      SELECT id, round(sqrt(sum(w * w)), 6) AS nrm FROM w GROUP BY 1
+    ), dots AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, round(sum(a.w * b.w), 6) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine_sim
+    FROM dots
+    JOIN nrm na ON na.id = doc_a
+    JOIN nrm nb ON nb.id = doc_b
+    WHERE na.nrm > 0 AND nb.nrm > 0
+      AND round(dot / (na.nrm * nb.nrm), 6) >= 0.5
+    """,
+)
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine similarity pairs (>= 0.5) over the df-pruned
+    vocabulary — the weighted sparse-vector near-dup join between the
+    set-based Jaccard tier and the dense-embedding tier: shared RARE
+    terms dominate the score. Inverted-index self-join bounded by
+    Sigma df^2 of the kept vocab (df <= 10% of N prunes the quadratic
+    high-df heads, which carry near-zero idf anyway; corpus-relative so
+    the pruning semantics survive scale-up)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.tfidf_cosine_pairs(docs, "doc_id", "text", max_doc_frac=0.1, threshold=0.5)
