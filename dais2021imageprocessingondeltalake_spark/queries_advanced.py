@@ -2263,3 +2263,73 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(10)
     )
+
+
+@query(
+    "q_pareto_deciles",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+      FROM s
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS DOUBLE) AS tot
+      FROM r
+    ), d AS (
+      SELECT CAST(ceil(10.0 * r.rnk / m.n) AS INT) AS decile,
+             CAST(sum(r.cents) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM r CROSS JOIN m GROUP BY 1
+    )
+    SELECT d.decile, d.n_customers, d.cents AS revenue_cents,
+           CAST(sum(d.cents) OVER (ORDER BY d.decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / m.tot AS cum_share
+    FROM d CROSS JOIN m
+    """,
+)
+def q_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve: customers ranked by spend, split into
+    top-10%...bottom-10% deciles, with each decile's revenue and the
+    cumulative share — the '80/20' readout that pairs with the Gini
+    scalar. Exact cents + deterministic rank; the cumulative share is an
+    exact-integer running sum divided by an exact total — zero
+    rounding."""
+    o = load_table(spark, "orders", sf_dir)
+    from pyspark.sql import Window
+
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents")
+    )
+    r = s.select(
+        "cents",
+        F.row_number().over(Window.orderBy(F.desc("cents"), F.asc("o_custkey"))).alias("rnk"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("double").alias("tot"),
+    )
+    d = (
+        r.crossJoin(F.broadcast(m))
+        .groupBy(F.ceil(10.0 * F.col("rnk") / F.col("n")).cast("int").alias("decile"))
+        .agg(
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        )
+    )
+    cum = F.sum("revenue_cents").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.crossJoin(F.broadcast(m.select("tot")))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_cents",
+            (cum.cast("double") / F.col("tot")).alias("cum_share"),
+        )
+    )

@@ -202,6 +202,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_mutual_info",
     "q_hhi_sources",
     "q_tfidf_cosine",
+    "q_pareto_deciles",
 )
 
 
