@@ -85,25 +85,54 @@ def misra_gries_partials(
 
 
 def heavy_hitters_exact(
-    df: DataFrame, col: str, k: int = 10, counters: int = 256
+    df: DataFrame, col: str, k: int = 10, counters: int = 256, validate: bool = True
 ) -> DataFrame:
     """EXACT top-k most frequent values of `col` via two bounded passes
     (see module docstring for the guarantee). Output: (item, cnt),
     count-descending with item ascending as the deterministic tiebreak.
 
     The guarantee requires the true k-th count to exceed n/(counters+1);
-    `assert_heavy_hitters_valid` (tests) checks that on the corpus, and
-    at 100 TB the operator is sized the same way: counters >= n/f_k for
+    with `validate=True` (default) that precondition is CHECKED at run
+    time — total n is one cheap count, the k-th returned count comes
+    from the (bounded, k-row) result itself — and a shifted distribution
+    raises instead of silently returning a wrong "exact" top-k. The
+    validated k rows are returned as a local DataFrame so the two-pass
+    plan runs once. `validate=False` skips the guard (callers that
+    pre-sized counters >= n/f_k and want a fully lazy plan). At 100 TB
+    the operator is sized the same way up front: counters >= n/f_k for
     the expected k-th frequency f_k."""
+    src = df.select(F.col(col).alias("item")).filter(F.col("item").isNotNull())
     candidates = misra_gries_partials(df, col, counters).select("item").distinct()
     exact = (
-        df.select(F.col(col).alias("item"))
-        .filter(F.col("item").isNotNull())  # same non-null contract as pass 1
-        .join(F.broadcast(candidates), "item", "left_semi")
+        src.join(F.broadcast(candidates), "item", "left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return exact.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
+    topk = exact.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
+    if not validate:
+        return topk
+    rows = topk.collect()
+    n = src.count()
+    floor = n / (counters + 1.0)
+    if len(rows) == k:
+        if rows[-1]["cnt"] <= floor:
+            raise ValueError(
+                f"heavy_hitters_exact: k-th count {rows[-1]['cnt']} does not "
+                f"clear the Misra-Gries recovery threshold n/(counters+1) = "
+                f"{floor:.1f} (n={n}, counters={counters}); the top-{k} is not "
+                "guaranteed exact — raise `counters` or lower `k`"
+            )
+    else:
+        # Fewer candidates than k: exact only if EVERY item surfaced as a
+        # candidate (one broadcast anti-join count, still bounded work).
+        missed = src.join(F.broadcast(candidates), "item", "left_anti").count()
+        if missed:
+            raise ValueError(
+                f"heavy_hitters_exact: only {len(rows)} candidates for k={k} "
+                f"and {missed} rows carry non-candidate items; result not "
+                "guaranteed exact — raise `counters`"
+            )
+    return df.sparkSession.createDataFrame(rows, schema=topk.schema)
 
 
 # --------------------------------------------------------------------------
@@ -119,15 +148,45 @@ def _bloom_positions(key, n_bits: int, n_hashes: int) -> list:
     ]
 
 
-def bloom_bitmap(small: DataFrame, key: str, n_bits: int, n_hashes: int) -> list[int]:
+_INT_WIDTH = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+
+
+def _canonical_key_type(big_t: str, small_t: str) -> str:
+    """Canonical type both sides' keys are cast to BEFORE xxhash64.
+
+    Spark's xxhash64 is type-sensitive (int 5 and bigint 5 hash to
+    different values), so hashing mixed-width keys raw would produce
+    Bloom false NEGATIVES — silently dropping true matches that the
+    equi-join's implicit cast would have kept. Integral widths widen
+    losslessly to the larger; any other mismatch is refused rather than
+    guessed (float/decimal/string widening rules differ between the
+    hash input and the join comparison, so a silent cast could still
+    diverge from join semantics)."""
+    if big_t == small_t:
+        return big_t
+    if big_t in _INT_WIDTH and small_t in _INT_WIDTH:
+        return big_t if _INT_WIDTH[big_t] >= _INT_WIDTH[small_t] else small_t
+    raise ValueError(
+        f"bloom_filter_semi_join key dtypes differ ({big_t} vs {small_t}) and "
+        "are not both integral; cast the key to a common type on both sides "
+        "before calling, or the Bloom probe would hash-mismatch true matches"
+    )
+
+
+def bloom_bitmap(
+    small: DataFrame, key: str, n_bits: int, n_hashes: int, cast_to: str | None = None
+) -> list[int]:
     """Build the Bloom bitmap from the build side as n_bits/64 longs.
 
     Pure DataFrame aggregation: explode each key's bit positions, group
     by 64-bit word index, OR the bits — one tiny shuffle of at most
     n_bits/64 groups. The collect is the bounded-summary exemption: the
     bitmap size is fixed by `n_bits` (e.g. 2^20 bits = 16 KiB), never by
-    data volume."""
-    pos = F.explode(F.array(*_bloom_positions(F.col(key), n_bits, n_hashes)))
+    data volume. `cast_to` normalizes the key's type before hashing so
+    the probe side can hash the SAME canonical type (see
+    `_canonical_key_type`)."""
+    key_col = F.col(key).cast(cast_to) if cast_to else F.col(key)
+    pos = F.explode(F.array(*_bloom_positions(key_col, n_bits, n_hashes)))
     words = (
         small.select(pos.alias("pos"))
         .select(
@@ -175,10 +234,11 @@ def bloom_filter_semi_join(
     that need a bigger filter, use Spark's own runtime bloom-filter join
     pushdown (plan-tested in test_scale_properties) or a bitmap-as-
     dimension broadcast join instead of this literal form."""
-    bitmap = bloom_bitmap(small, key, n_bits, n_hashes)
+    key_type = _canonical_key_type(dict(big.dtypes)[key], dict(small.dtypes)[key])
+    bitmap = bloom_bitmap(small, key, n_bits, n_hashes, cast_to=key_type)
     lut = F.array(*[F.lit(w).cast("long") for w in bitmap])
     cond = F.lit(True)
-    for pos in _bloom_positions(F.col(key), n_bits, n_hashes):
+    for pos in _bloom_positions(F.col(key).cast(key_type), n_bits, n_hashes):
         word = F.element_at(lut, (pos / 64).cast("int") + 1)
         bit = F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int"))
         cond = cond & (word.bitwiseAND(bit) != 0)

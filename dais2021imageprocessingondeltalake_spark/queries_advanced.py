@@ -1431,10 +1431,10 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_mad_outliers",
     oracle="""
     WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
       FROM events GROUP BY 1
     ), mad AS (
-      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      SELECT e.event_type, round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
       FROM events e JOIN med m USING (event_type)
       GROUP BY e.event_type
     )
@@ -1450,16 +1450,18 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 MADs (median absolute deviation) from their event-type median —
     the anomaly filter that, unlike z-scores, isn't dragged by the
     outliers themselves. Two exact-percentile aggregates + two broadcast
-    joins; every comparison is pure IEEE on identical inputs (medians
-    select/average existing values, no accumulation), so NO rounding is
-    needed anywhere — bit-exact across engines by construction."""
+    joins. Both med and mad are rounded to 6dp on BOTH engine sides (the
+    repo's round-before-compare convention) because Spark percentile()
+    and DuckDB quantile_cont() interpolate even-count medians with
+    expressions that can differ by 1 ulp — unrounded, that ulp could
+    flip membership at the strict 3-MAD boundary on some scale."""
     ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
     med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
     )
     j = ev.join(F.broadcast(med), "event_type")
     mad = j.groupBy("event_type").agg(
-        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+        F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
     )
     return (
         j.join(F.broadcast(mad), "event_type")
@@ -1707,6 +1709,24 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_SCRATCH: list[str] = []
+
+
+def _zorder_scratch_dir() -> str:
+    """One tempdir per process for q_zorder_layout's parquet copy,
+    removed at interpreter exit — bounds disk use across rotation/bench
+    reruns (each call overwrites in place instead of mkdtemp-leaking)."""
+    if not _ZORDER_SCRATCH:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="dais_zorder_q_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _ZORDER_SCRATCH.append(d)
+    return _ZORDER_SCRATCH[0]
+
+
 @query(
     "q_zorder_layout",
     oracle="SELECT * FROM lineitem",
@@ -1719,14 +1739,17 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans on EITHER column. The driver hash certifies the layout is a
     pure reordering (content-identical to the source — the oracle is the
     source table); the pruning benefit itself is plan/stat-asserted in
-    tests/test_scale_properties.py."""
-    import tempfile
-
+    tests/test_scale_properties.py. The scratch dir is process-cached
+    and atexit-cleaned (overwrite mode), so repeated rotation/bench
+    invocations reuse ONE directory instead of leaking a full lineitem
+    copy per call."""
     from .sources.tables import zorder_sort_for_skipping
 
     li = load_table(spark, "lineitem", sf_dir)
-    out = tempfile.mkdtemp(prefix="dais_zorder_q_") + "/lineitem"
-    zorder_sort_for_skipping(li, "l_orderkey", "l_partkey", n_files=8).write.parquet(out)
+    out = _zorder_scratch_dir() + "/lineitem"
+    zorder_sort_for_skipping(li, "l_orderkey", "l_partkey", n_files=8).write.mode(
+        "overwrite"
+    ).parquet(out)
     return spark.read.parquet(out)
 
 
@@ -1747,17 +1770,19 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.event_type, b.bucket, b.n_events
     FROM b JOIN s USING (event_type)
     WHERE s.nb > 1
-      AND b.n_events > s.sc / s.nb
-            + 3 * sqrt((s.nb * s.sxx - s.sc * s.sc) / (s.nb * (s.nb - 1)))
+      AND b.n_events > round(s.sc / s.nb
+            + 3 * sqrt((s.nb * s.sxx - s.sc * s.sc) / (s.nb * (s.nb - 1))), 6)
     """,
 )
 def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst detection: hourly event buckets whose count exceeds the
     per-type mean by 3 sample standard deviations — the rate-anomaly
-    alarm (traffic spikes, scraper storms). Like q_mad_outliers this
-    needs ZERO rounding: bucket counts and their sums/squares are exact
-    integers cast to double, and both engines then evaluate the same
-    IEEE mean/variance/sqrt expression tree on identical inputs."""
+    alarm (traffic spikes, scraper storms). Bucket counts and their
+    sums/squares are exact integers cast to double and the mean/var/sqrt
+    tree is correctly-rounded IEEE on both engines; the threshold is
+    still rounded to 6dp on BOTH sides (round-before-compare convention)
+    so the strict '>' boundary cannot hinge on a last-ulp difference in
+    expression evaluation at some other scale."""
     ev = _events(spark, sf_dir)
     b = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
@@ -1768,7 +1793,7 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_events") * F.col("n_events")).cast("double").alias("sxx"),
     )
     nb, sc, sxx = F.col("nb"), F.col("sc"), F.col("sxx")
-    thresh = sc / nb + 3 * F.sqrt((nb * sxx - sc * sc) / (nb * (nb - 1)))
+    thresh = F.round(sc / nb + 3 * F.sqrt((nb * sxx - sc * sc) / (nb * (nb - 1))), 6)
     return (
         b.join(F.broadcast(s), "event_type")
         .filter((nb > 1) & (F.col("n_events") > thresh))

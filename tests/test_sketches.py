@@ -122,3 +122,51 @@ def test_bloom_filter_prunes_scan(spark):
         n_survivors,
         n_total,
     )
+
+
+def test_heavy_hitters_guard_raises_below_threshold(spark):
+    """Runtime validity guard (round-4 ADVICE): a flat distribution whose
+    k-th count cannot clear n/(counters+1) must raise, not silently
+    return a wrong 'EXACT' top-k."""
+    import pytest
+
+    flat = spark.createDataFrame([(str(i),) for i in range(200)], "item string")
+    with pytest.raises(ValueError, match="guaranteed exact"):
+        SK.heavy_hitters_exact(flat, "item", k=5, counters=2)
+    # validate=False keeps the old lazy, unguarded behavior — and on this
+    # input it IS silently wrong (trimmed summaries miss items), which is
+    # exactly what the guard now surfaces
+    assert SK.heavy_hitters_exact(flat, "item", k=5, counters=2, validate=False).count() < 5
+
+
+def test_heavy_hitters_guard_passes_and_matches_lazy(spark):
+    """When the threshold holds, the validated (local) result equals the
+    unvalidated lazy plan's result — the guard changes nothing else."""
+    toks = _tokens(spark)
+    got = SK.heavy_hitters_exact(toks, "tok", k=10, counters=256)
+    lazy = SK.heavy_hitters_exact(toks, "tok", k=10, counters=256, validate=False)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in lazy.collect()]
+
+
+def test_bloom_join_mixed_int_widths_no_false_negatives(spark):
+    """xxhash64 is type-sensitive: int 5 and bigint 5 hash differently.
+    The canonical-type cast (round-4 ADVICE) must make an int-keyed probe
+    against a bigint-keyed build side equal the plain semi-join instead
+    of Bloom-dropping every true match."""
+    big = spark.createDataFrame([(i % 50,) for i in range(500)], "k int")
+    small = spark.createDataFrame([(int(i),) for i in range(0, 50, 7)], "k bigint")
+    got = SK.bloom_filter_semi_join(big, small, "k", n_bits=1 << 12)
+    want = big.join(small.distinct(), "k", "left_semi")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_bloom_join_incompatible_key_types_refused(spark):
+    """Non-integral dtype mismatches are refused up front rather than
+    silently hashed into false negatives."""
+    import pytest
+
+    big = spark.createDataFrame([("1",)], "k string")
+    small = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="dtypes differ"):
+        SK.bloom_filter_semi_join(big, small, "k")
