@@ -33,20 +33,20 @@ from .registry import REGISTRY, headline_queries, oracle_sql, queries  # noqa: F
 # them via ``queries()``/``oracle_sql()`` and the repo's own dual-scale sweep
 # (tools/verify_sweep.py) checks every oracle at sf0.01 AND sf0.1 each round.
 #
-# Window changes r2 -> r3 (rotated out to slots 51+, nothing unregistered):
-# - q_flagship_revenue: still executed every round via the driver's
-#   ``entry()`` smoke check and bench.py; slot given to the north-star tier.
-# - q_join_semi: §2 C3's declared id is q_join_anti (in-window, non-vacuous
-#   as of r3); semi stays first in the rotation queue.
-# - q_map_funcs: §2 G4's declared ids are date/math/array (all in-window).
-# - non-§2 extras (q_rollup, q_window_funcs, q_null_handling, q_pagination,
-#   q_bpe_tokens, q_higher_order_funcs, q_arg_max, q_map_in_arrow, and the
-#   r2 streaming extras): certified green in r1/r2 driver files.
+# Window changes r3 -> r4 (per VERDICT r3 item 1; nothing unregistered):
+# - The 15 north-star dedup/ANN/curation ids all hold green r3 driver rows
+#   (CORRECTNESS_r03), so their slots rotate to the head of the r3 queue:
+#   q_flagship_revenue / q_join_semi / q_map_funcs + the first 11 TPC-H
+#   analogues (all sweep-exact already).
+# - q_minhash_lsh (rows-only xxhash64 variant) swaps for the
+#   oracle-certified q_minhash_lsh_md5 so the MinHash-LSH driver row is
+#   hash-certified instead of rows-only; MinHash therefore STAYS resident.
+# - Rotated-out certified ids move to the rotation tail (they re-gate last).
 #
-# Rotation plan for rounds 4+ (once the north-star tier holds an r3 green
-# row): §2 ids always resident; swap certified north-star slots for
-# ROTATION_QUEUE entries in order — flagship/semi/map_funcs, the 22 TPC-H
-# analogues, then advanced/streaming/curation extras.
+# Round-5 plan (committed here so the rotation stays lockstep-testable):
+# swap the 14 newly certified r4 slots for the remaining 11 TPC-H analogues
+# + the streaming extras (q_stream_dedup, q_stream_left_join, stateful tier)
+# per VERDICT r3 item 8, then continue down the queue.
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # SURVEY §2 resident set (35)
@@ -85,27 +85,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_scan_binary",
     "q_stream_agg",
     "q_stream_window",
-    # North-star LLM-curation tier (15) — VERDICT r2 item 1
-    "q_dedup_exact",
-    "q_ngram_jaccard_prefix",
-    "q_minhash_lsh",
-    "q_dedup_clusters",
-    "q_dedup_end2end",
-    "q_cross_dedup",
-    "q_dedup_spans",
-    "q_decontaminate",
-    "q_embedding_topk",
-    "q_embedding_ann",
-    "q_embedding_ann_q8",
-    "q_text_stats",
-    "q_llm_pipeline",
-    "q_curate_end2end",
-    "q_bm25",
-)
-
-# Priority order for slots 51+; ids not listed here follow in their original
-# registration order. Rounds 4+ rotate these into freed window slots.
-ROTATION_QUEUE: tuple[str, ...] = (
+    # Certified-MinHash swap (VERDICT r3 item 1): md5 variant carries a full
+    # DuckDB oracle, so the MinHash-LSH driver row is hash-certified.
+    "q_minhash_lsh_md5",
+    # Rotation head promoted for r4 (VERDICT r3 item 1)
     "q_flagship_revenue",
     "q_join_semi",
     "q_map_funcs",
@@ -120,6 +103,12 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_tpch_revenue_change",
     "q_tpch_volume_shipping",
     "q_tpch_market_share",
+)
+
+# Priority order for slots 51+; ids not listed here follow in their original
+# registration order. Rounds 5+ rotate these into freed window slots.
+ROTATION_QUEUE: tuple[str, ...] = (
+    # remaining TPC-H analogues — goal: all 24 driver-certified by round 5
     "q_tpch_product_profit",
     "q_tpch_returned_items",
     "q_tpch_promo_revenue",
@@ -131,8 +120,19 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_tpch_supplier_cnt",
     "q_tpch_part_promotion",
     "q_tpch_waiting_supplier",
-    # round-3 additions, certified by the r3 dual-scale sweep; rotate into
-    # freed window slots after the TPC-H analogues hold driver rows
+    # streaming extras (VERDICT r3 item 8): keep stream semantics
+    # driver-certified over time
+    "q_stream_dedup",
+    "q_stream_left_join",
+    "q_stateful_stream",
+    "q_stream_join",
+    "q_stream_static_join",
+    "q_stream_dedup_watermark",
+    "q_stream_session_window",
+    "q_stream_scd2",
+    "q_stream_curate",
+    "q_stream_cross_dedup",
+    # round-3 additions, certified by the r3/r4 dual-scale sweeps
     "q_curate_v2",
     "q_temperature_mix",
     "q_token_budget",
@@ -180,7 +180,6 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_source_kl",
     "q_groupwise_ols",
     "q_chi2_independence",
-    "q_stream_left_join",
     "q_salted_agg",
     "q_salted_join",
     "q_zorder_layout",
@@ -203,6 +202,24 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_hhi_sources",
     "q_tfidf_cosine",
     "q_pareto_deciles",
+    # r3-certified north-star ids rotated OUT of the window in r4 (each
+    # holds a green CORRECTNESS_r03 row); they re-gate after everything
+    # above has held a driver row
+    "q_dedup_exact",
+    "q_ngram_jaccard_prefix",
+    "q_minhash_lsh",
+    "q_dedup_clusters",
+    "q_dedup_end2end",
+    "q_cross_dedup",
+    "q_dedup_spans",
+    "q_decontaminate",
+    "q_embedding_topk",
+    "q_embedding_ann",
+    "q_embedding_ann_q8",
+    "q_text_stats",
+    "q_llm_pipeline",
+    "q_curate_end2end",
+    "q_bm25",
 )
 
 

@@ -50,29 +50,33 @@ SURVEY_S2_IDS = {
     "q_except_intersect",  # F
 }
 
-# VERDICT r2 "Next round: do this" item 1 — the 15 north-star ids that must
-# hold a driver-certified green row in CORRECTNESS_r03.
-NORTH_STAR_IDS = {
-    "q_dedup_exact",
-    "q_ngram_jaccard_prefix",
-    "q_minhash_lsh",
-    "q_dedup_clusters",
-    "q_dedup_end2end",
-    "q_cross_dedup",
-    "q_dedup_spans",
-    "q_decontaminate",
-    "q_embedding_topk",
-    "q_embedding_ann",
-    "q_embedding_ann_q8",
-    "q_text_stats",
-    "q_llm_pipeline",
-    "q_curate_end2end",
-    "q_bm25",
+# VERDICT r3 "Next round: do this" item 1 — the r4 promotions that must hold
+# a driver-certified green row in CORRECTNESS_r04: the certified-MinHash swap
+# plus the head of the r3 rotation queue (flagship/semi/map_funcs + the
+# first 11 TPC-H analogues). The 15 r3 north-star ids rotated to the queue
+# tail — each already holds a green CORRECTNESS_r03 row.
+R4_PROMOTED_IDS = {
+    "q_minhash_lsh_md5",
+    "q_flagship_revenue",
+    "q_join_semi",
+    "q_map_funcs",
+    "q_tpch_pricing",
+    "q_tpch_shipping_priority",
+    "q_tpch_order_priority",
+    "q_tpch_customer_distribution",
+    "q_tpch_min_cost_supplier",
+    "q_tpch_large_orders",
+    "q_tpch_idle_customers",
+    "q_tpch_local_volume",
+    "q_tpch_revenue_change",
+    "q_tpch_volume_shipping",
+    "q_tpch_market_share",
 }
 
 # Queries the driver contract allows as rows-only (no DuckDB-expressible
-# oracle); anything else inside the window must carry a full oracle.
-ROWS_ONLY_ALLOWED = {"q_limit", "q_random_split", "q_scan_binary", "q_minhash_lsh"}
+# oracle); anything else inside the window must carry a full oracle. r4:
+# q_minhash_lsh (rows-only) left the window for its md5-certified sibling.
+ROWS_ONLY_ALLOWED = {"q_limit", "q_random_split", "q_scan_binary"}
 
 
 def test_window_is_exactly_fifty_unique():
@@ -95,9 +99,24 @@ def test_survey_s2_ids_resident():
     assert not missing, f"SURVEY §2 ids evicted from driver window: {missing}"
 
 
-def test_north_star_ids_resident():
-    missing = NORTH_STAR_IDS - set(qa.DRIVER_WINDOW)
-    assert not missing, f"north-star ids missing from driver window: {missing}"
+def test_r4_promoted_ids_resident():
+    missing = R4_PROMOTED_IDS - set(qa.DRIVER_WINDOW)
+    assert not missing, f"r4-promoted ids missing from driver window: {missing}"
+
+
+def test_r3_certified_ids_still_registered():
+    """Rotating the north-star tier out of the window must not unregister
+    it — the queries stay fully registered (sweep-checked every round)."""
+    for name in (
+        "q_dedup_exact",
+        "q_minhash_lsh",
+        "q_dedup_end2end",
+        "q_cross_dedup",
+        "q_embedding_ann",
+        "q_curate_end2end",
+        "q_bm25",
+    ):
+        assert name in qa.REGISTRY
 
 
 def test_window_ids_registered_and_nothing_lost():
