@@ -85,34 +85,68 @@ def bpe_train(
     df: DataFrame,
     num_merges: int,
     text_col: str = "text",
+    batch: int = 1,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn `num_merges` BPE merges from the corpus. Each round: count
-    pairs (one shuffle over the vocab table), pick the argmax with a
-    deterministic (count desc, a, b) tie-break — a ONE-row driver
-    action — and fold the merge into every word's symbol array.
-    Returns (merges as (a, b, count) in order, final word table).
+    pairs (one shuffle over the vocab table), pick up to `batch` merges
+    from the ranked counts — a bounded driver action — and fold them
+    into every word's symbol array. Returns (merges as (a, b, count) in
+    order, final word table).
 
-    The vocab table localCheckpoints per round (bounded size: |distinct
-    words|), truncating the k-round lineage like the other iterative
-    operators; at cluster scale pass the table through
-    `dedup.materialize_df` semantics instead if fault tolerance across
-    rounds matters more than round latency."""
+    batch=1 is EXACT classic BPE (one argmax per round — the certified
+    oracle mode q_bpe_merges replays). batch>1 is batched BPE (VERDICT
+    r3 item 7): per round the top-m candidates whose symbols are
+    PAIRWISE DISJOINT are accepted together — merging (a,b) cannot
+    create or destroy an occurrence of (c,d) when {a,b} and {c,d} share
+    no symbol, so every accepted pair's round-start count stays valid
+    and the within-round application order is irrelevant. Output can
+    diverge from batch=1 only where a lower-ranked OVERLAPPING pair
+    would have out-counted a disjoint one after an earlier merge in the
+    same round — the classic batched-BPE approximation. A 32k-vocab
+    production train at batch=256 is ~125 Spark rounds instead of 32k
+    sequential jobs.
+
+    The vocab table localCheckpoints per ROUND (bounded size: |distinct
+    words|), truncating lineage like the other iterative operators; at
+    cluster scale pass the table through `dedup.materialize_df`
+    semantics instead if fault tolerance across rounds matters more
+    than round latency."""
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     words = word_symbol_table(df, text_col).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
+    while len(merges) < num_merges:
+        want = min(batch, num_merges - len(merges))
+        # over-fetch 4x: conflicting (symbol-sharing) candidates are
+        # skipped, not merged, so the scan needs slack — still a bounded
+        # collect (<= 4*batch rows), never data-sized
         top = (
             pair_counts(words)
             .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
-            .limit(1)
+            .limit(4 * want)
             .collect()
         )
         if not top:
             break  # corpus exhausted (every word is one symbol)
-        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
-        merges.append((a, b, cnt))
-        words = words.withColumn("syms", _merge_pair(F.col("syms"), a, b)).localCheckpoint()
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for r in top:
+            if len(accepted) >= want:
+                break
+            a, b = r["a"], r["b"]
+            if a in used or b in used:
+                continue  # shares a symbol with an accepted merge: defer
+            accepted.append((a, b, r["cnt"]))
+            # reserve both operands AND the new symbol so a later
+            # candidate can't consume what this round is rewriting
+            used.update((a, b, a + b))
+        merges.extend(accepted)
+        col = F.col("syms")
+        for a, b, _cnt in accepted:
+            col = _merge_pair(col, a, b)
+        words = words.withColumn("syms", col).localCheckpoint()
     return merges, words
 
 

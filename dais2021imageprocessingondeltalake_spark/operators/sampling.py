@@ -291,6 +291,8 @@ def select_token_budget(
     b = F.least(F.floor(F.col(quality_col) * bins), F.lit(bins - 1)).cast("int")
     t = df.withColumn("__bin", b)
     bin_tot = t.groupBy("__bin").agg(F.sum(token_col).alias("__bt"))
+    # dim-sized window: exactly |bins| rows (the cross-bin prefix of the
+    # two-level decomposition; the data-sized prefix runs per-bin below)
     wb = (
         Window.orderBy(F.col("__bin").desc())
         .rowsBetween(Window.unboundedPreceding, -1)

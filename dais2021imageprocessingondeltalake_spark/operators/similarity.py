@@ -558,11 +558,17 @@ def kmeans_fit_distributed(
         raise ValueError(f"kmeans_fit_distributed needs iters >= 1, got {iters}")
 
     digest = F.md5(F.col(id_col).cast("string"))
+    # top-k FIRST (TakeOrderedAndProject: per-partition heaps of k, no
+    # single-reducer global sort — the r4 partitionless-window audit fix),
+    # THEN rank the k survivors: the md5-rank top-k set is exactly global
+    # ranks 1..k, so the row_number over it reproduces the global ranks.
+    # dim-sized window: k rows post-limit.
     w = Window.orderBy(digest, F.col(id_col))
     seeds = (
         df.select(id_col, vec_col)
+        .orderBy(digest, F.col(id_col))
+        .limit(k)
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
         .select((F.col("__rn") - 1).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "v"))
         .select("label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("centroid"))
         .localCheckpoint()
@@ -600,11 +606,12 @@ def kmeans_fit_distributed(
 
 def semantic_dedup_flags(
     df: DataFrame,
-    centroids_long: DataFrame,
+    centroids_long: DataFrame | None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark as semantic duplicates the items whose
@@ -620,10 +627,21 @@ def semantic_dedup_flags(
     (assign_to_centroids): no data shuffle beyond the cluster-keyed
     self-join. Cosine rounds before the threshold compare (cross-engine
     boundary convention, see embedding_near_dup).
+
+    Pass `assignment` (columns id_col, assigned_label) to reuse a
+    clustering that already exists — e.g. kmeans_fit_distributed's final
+    E-step — instead of paying another N x k assignment pass here; the
+    100 TB pipeline always has that table on hand, so recomputing it
+    per-stage would be pure waste (`centroids_long` is then unused and
+    may be None).
     """
-    assigned = assign_to_centroids(
-        df, centroids_long, id_col=id_col, vec_col=vec_col, round_dp=round_dp
-    )
+    if assignment is None:
+        if centroids_long is None:
+            raise ValueError("need centroids_long or a precomputed assignment")
+        assignment = assign_to_centroids(
+            df, centroids_long, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+        )
+    assigned = assignment
     # per-row L2 norm hoisted out of the pair join: dot/(norm_a*norm_b) is
     # the same FP operation sequence as cosine(a, b), but the higher-order
     # zip_with/aggregate expressions (interpreted, not codegen'd) run once
@@ -996,6 +1014,18 @@ def margin_mine(
         .filter(F.col("probe_grp") != F.col("nbr_grp"))
         .select("probe_id", "nbr_id", sim.alias("s"))
     )
+    return _margin_top2(scored, min_margin_x10k)
+
+
+def _margin_top2(scored: DataFrame, min_margin_x10k: int) -> DataFrame:
+    """Shared margin tail: per-probe best/second-best over a candidate
+    set (probe_id, nbr_id, s), ratio margin as floor(1e4*sim1/sim2) —
+    the exact-rational idiom (floor of one IEEE division of identical
+    6dp-rounded doubles is bit-deterministic where round() would sit on
+    half-boundaries). Used by both the brute-force recall oracle
+    (margin_mine) and the bucketed production path (margin_mine_lsh)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), F.col("nbr_id"))
     top2 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
     best = top2.filter(F.col("rn") == 1).select(
@@ -1014,3 +1044,77 @@ def margin_mine(
         .filter(F.col("margin_x10k") >= min_margin_x10k)
     )
     return out.select("probe_id", "best_id", "sim1", "sim2", "margin_x10k")
+
+
+def margin_mine_lsh(
+    df: DataFrame,
+    dim: int,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    multiprobe: bool = True,
+    min_margin_x10k: int = 10200,
+    seed: int = 7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Bucketed margin mining — the 100 TB production twin of
+    margin_mine (VERDICT r3 item 3), built on the lsh_knn_join bucket
+    machinery with k=2 per probe: every vector hashes to a sign-LSH
+    bucket, each probe row explodes to its own bucket plus the Hamming-1
+    multiprobes, candidates join on the bucket key (cross-group only),
+    and the per-probe window keeps best/second-best for the ratio test.
+
+    Scale shape: the only wide operation is the bucket-keyed equi-join —
+    |corpus| x (n_planes+1) probe rows against |corpus| bucketed rows,
+    never the |corpus|² cross product the brute-force path pays; with
+    base vectors written bucket-partitioned the probe side prunes to
+    (n_planes+1)/2^n_planes of the files. Approximation contract: sim2
+    is the second-best WITHIN the probed buckets, so margins are
+    upper-bound-biased relative to brute force exactly like every
+    Artetxe-Schwenk implementation that mines over an ANN index (recall
+    vs the exact path is test-asserted; margin_mine stays the recall
+    oracle). Each (probe, nbr) pair appears at most once: probe buckets
+    are distinct and the neighbor holds one bucket."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = (
+        df.select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(group_col).alias("nbr_grp"),
+            _to_double(F.col(vec_col)).alias("nbr_v"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("nbr_v"), planes))
+        .withColumn("nbr_nrm", l2_norm(F.col("nbr_v")))
+    )
+    probes = (
+        df.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(group_col).alias("probe_grp"),
+            _to_double(F.col(vec_col)).alias("probe_v"),
+        )
+        .withColumn("qb", lsh_bucket(F.col("probe_v"), planes))
+        .withColumn("probe_nrm", l2_norm(F.col("probe_v")))
+    )
+    probe_buckets = [F.col("qb")] + (
+        [F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        if multiprobe
+        else []
+    )
+    exploded = probes.select(
+        "probe_id",
+        "probe_grp",
+        "probe_v",
+        "probe_nrm",
+        F.explode(F.array(*probe_buckets)).alias("bucket"),
+    )
+    sim = F.round(
+        dot(F.col("probe_v"), F.col("nbr_v"))
+        / (F.col("probe_nrm") * F.col("nbr_nrm")),
+        round_dp,
+    )
+    scored = (
+        exploded.join(base, ["bucket"])
+        .filter(F.col("probe_grp") != F.col("nbr_grp"))
+        .select("probe_id", "nbr_id", sim.alias("s"))
+    )
+    return _margin_top2(scored, min_margin_x10k)

@@ -1258,6 +1258,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(agg.money_cents(F.col("value"))) / F.lit(100.0)).alias("monetary"),
         )
     )
+    # dim-sized window: input is the per-user POST-AGG table (|users|
+    # rows, dimension-sized); a data-sized input would need the bin
+    # decomposition (sampling.select_token_budget idiom) instead
     r = F.ntile(5).over(Window.orderBy(F.col("recency_days"), F.col("user_id")))
     f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
     m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
@@ -2015,6 +2018,8 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # dim-sized window: input is the per-DAY risk table (|distinct
+    # integer durations| rows, post-agg), never event-sized
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hazard = 1.0 - F.col("n_events").cast("double") / F.col("n_risk")
     return risk.select(
@@ -2063,6 +2068,8 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = s.select(
         "cents",
+        # dim-sized window: per-customer POST-AGG spend (|customers|
+        # rows, dimension-sized)
         F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("rnk"),
     )
     m = r.agg(
@@ -2332,6 +2339,9 @@ def q_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = s.select(
         "cents",
+        # dim-sized window: per-customer POST-AGG spend (|customers|
+        # rows); a data-sized ranking would use the two-level bin
+        # decomposition (sampling.select_token_budget idiom)
         F.row_number().over(Window.orderBy(F.desc("cents"), F.asc("o_custkey"))).alias("rnk"),
     )
     m = r.agg(
@@ -2346,6 +2356,7 @@ def q_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         )
     )
+    # dim-sized window: exactly 10 decile rows
     cum = F.sum("revenue_cents").over(
         Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

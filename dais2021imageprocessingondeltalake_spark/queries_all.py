@@ -186,6 +186,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_label_silhouette",
     "q_burst_detection",
     "q_graph_hits",
+    "q_margin_mine_lsh",
     "q_margin_mine",
     "q_feature_hash",
     "q_recursive_cte",

@@ -864,55 +864,99 @@ def q_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SemDeDup: cluster-bounded semantic near-dup pruning
+# SemDeDup: cluster-bounded semantic near-dup pruning (sqrt-N clusters)
 # --------------------------------------------------------------------------
+def _semdedup_sqrtk_oracle(fit_iters: int = 2, threshold: float = 0.35) -> str:
+    """Unroll the sqrt(N)-k-means fit + cluster-bounded pair join in
+    SQL. k is computed IN the oracle (ceil(sqrt(count))) so one string
+    certifies every scale — the same fit replay as _kmeans_cert_oracle
+    (md5-rank seeds, round-before-rank assignments, 6dp-rounded
+    M-steps). The Spark side reuses the fit's FINAL E-step as the
+    cluster assignment (semantic_dedup_flags(assignment=...) — no extra
+    N x k pass), so the oracle's last CTE level is a{fit_iters-1}
+    against c{fit_iters-1}. Every CTE is MATERIALIZED: the final
+    assignment is referenced three times (pair-join both sides + output
+    spine) and DuckDB would otherwise re-inline the whole iterative
+    subtree per reference."""
+    ctes = [f"""v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), c0 AS MATERIALIZED (
+      SELECT CAST(rn - 1 AS INT) AS label, list_transform(ve, x -> round(x, 6)) AS cvec
+      FROM (
+        SELECT vec_id, ve,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM v
+      ) WHERE rn <= (SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM v)
+    )"""]
+    for i in range(fit_iters):
+        ctes.append(f"""a{i} AS MATERIALIZED (
+      SELECT vec_id, ve, label, sim FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, label) AS rn
+        FROM (
+          SELECT v.vec_id, v.ve, c.label,
+                 round(list_cosine_similarity(v.ve, c.cvec), 6) AS sim
+          FROM v CROSS JOIN c{i} c
+        ) s
+      ) WHERE rn = 1
+    )""")
+        if i < fit_iters - 1:
+            ctes.append(f"""c{i + 1} AS MATERIALIZED (
+      SELECT label, list(round(c, 6) ORDER BY dim) AS cvec FROM (
+        SELECT label, dim, avg(x) AS c FROM (
+          SELECT label, unnest(ve) AS x, generate_subscripts(ve, 1) AS dim
+          FROM a{i}
+        ) GROUP BY label, dim
+      ) GROUP BY label
+    )""")
+    last = f"a{fit_iters - 1}"
+    ctes.append(f"""dups AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id FROM {last} a JOIN {last} b
+        ON a.label = b.label AND a.vec_id > b.vec_id
+       AND round(list_cosine_similarity(a.ve, b.ve), 6) >= {threshold}
+    )""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT g.vec_id, g.label AS sem_cluster,
+           (d.vec_id IS NOT NULL) AS is_semdup
+    FROM {last} g LEFT JOIN dups d ON g.vec_id = d.vec_id"""
+    )
+
+
 @query(
     "q_semdedup",
     headline=True,
-    oracle="""
-    WITH v AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-    ), pos AS (
-      SELECT label, unnest(ve) AS x, generate_subscripts(ve, 1) AS dim FROM v
-    ), cent AS (
-      SELECT label, list(round(c, 6) ORDER BY dim) AS cvec FROM (
-        SELECT label, dim, avg(x) AS c FROM pos GROUP BY label, dim
-      ) GROUP BY label
-    ), sims AS (
-      SELECT v.vec_id, v.ve, c.label,
-             round(list_cosine_similarity(v.ve, c.cvec), 6) AS sim
-      FROM v CROSS JOIN cent c
-    ), asg AS (
-      SELECT vec_id, ve, label AS sem_cluster FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY sim DESC, label) AS rn
-        FROM sims
-      ) WHERE rn = 1
-    ), dups AS (
-      SELECT DISTINCT a.vec_id FROM asg a JOIN asg b
-        ON a.sem_cluster = b.sem_cluster AND a.vec_id > b.vec_id
-       AND round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.35
-    )
-    SELECT g.vec_id, g.sem_cluster,
-           (d.vec_id IS NOT NULL) AS is_semdup
-    FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
-    """,
+    oracle=_semdedup_sqrtk_oracle(),
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): assign every embedding to its
-    nearest per-label centroid (broadcast E-step), then flag items whose
-    cosine to a lower-id member of the SAME cluster is >= 0.35 — min-id
-    canonical survives. The cluster key bounds the pair join (|cluster|²
-    per cluster, never |corpus|²), which is what makes semantic dedup
-    runnable at 100 TB; at real scale k grows ~sqrt(N) so clusters stay
-    partition-sized. Centroids and cosines round to 6dp before every
-    compare (cross-engine boundary convention). Flags 66/500 at sf0.01,
-    736/2000 at sf0.1 — non-vacuous at every scale."""
+    """SemDeDup (Abbas et al. 2023) with the paper's k ~ sqrt(N)
+    re-clustering: fit k = ceil(sqrt(N)) spherical-k-means centroids on
+    the corpus itself (kmeans_fit_distributed, round_dp=6 so the
+    unrolled-CTE oracle replays the fit bit-for-bit), assign every
+    embedding to its nearest centroid (broadcast E-step), then flag
+    items whose cosine to a lower-id member of the SAME cluster is
+    >= 0.35 — min-id canonical survives.
+
+    sqrt(N) is the scale fix the round-3 probe demanded: with k frozen,
+    mean cluster size grows ~N and the cluster-bounded pair join goes
+    quadratic (measured 2.0s -> 18.3s at 10x, SCALE_PROBE.json r3);
+    with k ~ sqrt(N), E[|cluster|] ~ sqrt(N) so candidate pairs grow
+    ~N*sqrt(N) instead of N² and each cluster stays partition-sized —
+    candidate pairs drop ~11x at 30x corpus (SCALE_PROBE.json
+    sem_*_pairs). The cluster key is the fit's FINAL E-step, reused
+    directly (assignment=) rather than re-assigned — one fewer N x k
+    pass. The k-sizing count is one cheap driver action on corpus
+    METADATA (a count, not data rows); the fit itself is fully
+    distributed."""
+    import math
+
     from .operators import similarity as SIM
 
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = SIM.label_centroids(emb).withColumn("centroid", F.round("centroid", 6))
-    return SIM.semantic_dedup_flags(emb, cents, threshold=0.35)
+    k = int(math.ceil(math.sqrt(emb.count())))
+    assigned, _ = SIM.kmeans_fit_distributed(emb, k=k, iters=2, round_dp=6)
+    return SIM.semantic_dedup_flags(emb, None, threshold=0.35, assignment=assigned)
 
 
 # --------------------------------------------------------------------------
@@ -1321,6 +1365,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-10 FIRST (TakeOrderedAndProject: distributed per-partition heaps,
     # no global sort), THEN rank the 10 survivors — the global row_number
     # window only ever sees 10 rows, not the whole scored corpus.
+    # dim-sized window: 10 rows post-limit.
     w_bm = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     bmr = (
         bm.orderBy(F.col("score").desc(), F.col("doc_id"))
@@ -1334,6 +1379,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         SIM.cosine_topk(emb, qv, k=10, round_dp=6)
         .withColumn(
             "rank",
+            # dim-sized window: cosine_topk already reduced to k=10 rows
             F.row_number().over(
                 Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
             ),
@@ -1798,6 +1844,10 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = a.count()
     nb = b.count()
+    # dim-sized window: input is the per-distinct-VALUE count table; v is
+    # an integer token-length, so |rows| is bounded by max doc length
+    # (hundreds), never corpus-sized. A continuous metric would need
+    # pre-binning before this CDF step.
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cdfs = counts.select(
         "v",

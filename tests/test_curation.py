@@ -1048,6 +1048,62 @@ class TestBpe:
         merges, _ = B.bpe_train(df, num_merges=5)  # single-char words: no pairs
         assert merges == []
 
+    def test_batched_matches_batch1_on_disjoint_corpus(self, spark):
+        """When the top pairs are symbol-disjoint, batched BPE must pick
+        exactly the merges batch=1 picks (counts valid all round)."""
+        from dais2021imageprocessingondeltalake_spark.operators import bpe as B
+
+        df = spark.createDataFrame(
+            [(1, "ab ab ab cd cd cd ef ef")], ["doc_id", "text"]
+        )
+        seq, _ = B.bpe_train(df, num_merges=3, batch=1)
+        bat, _ = B.bpe_train(df, num_merges=3, batch=3)
+        assert [(a, b) for a, b, _ in seq] == [(a, b) for a, b, _ in bat]
+
+    def test_batched_skips_overlapping_candidates(self, spark):
+        """Overlapping pairs defer to the next round: with corpus where
+        (l,o) and (o,w) both rank top, one round at batch=2 must accept
+        only (l,o) (shares 'o') plus the next disjoint pair."""
+        from dais2021imageprocessingondeltalake_spark.operators import bpe as B
+
+        df = spark.createDataFrame(
+            [(1, "low low low"), (2, "lower")], ["doc_id", "text"]
+        )
+        bat, words = B.bpe_train(df, num_merges=2, batch=2)
+        pairs = [(a, b) for a, b, _ in bat]
+        assert pairs[0] == ("l", "o")
+        assert ("o", "w") not in pairs[:1]  # deferred past round 1
+        # and the final segmentation still reconstructs every word
+        for r in words.collect():
+            assert "".join(r["syms"]) == r["word"]
+
+    def test_batched_token_conservation_and_job_reduction(self, spark):
+        """Invariants for batched mode on a real corpus slice: every
+        word's pieces concatenate back to the word (no symbol lost or
+        duplicated by in-batch folds), merge list is duplicate-free, and
+        the number of pair-count rounds drops ~batch-fold (the
+        one-job-per-merge fix, VERDICT r3 item 7)."""
+        from unittest import mock
+
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+        from dais2021imageprocessingondeltalake_spark.operators import bpe as B
+
+        docs = load_table(spark, "documents", SF_DIR).limit(100)
+        real_pair_counts = B.pair_counts
+        calls = {"n": 0}
+
+        def counting(words):
+            calls["n"] += 1
+            return real_pair_counts(words)
+
+        with mock.patch.object(B, "pair_counts", side_effect=counting):
+            merges, words = B.bpe_train(docs, num_merges=32, batch=16)
+        assert len(merges) == 32
+        assert len({(a, b) for a, b, _ in merges}) == 32
+        assert calls["n"] <= 4  # vs 32 rounds at batch=1: >= 8x fewer jobs
+        for r in words.limit(50).collect():
+            assert "".join(r["syms"]) == r["word"]
+
 
 class TestCurateV2:
     def test_composite_invariants(self, spark):

@@ -1,29 +1,43 @@
-"""Scale-curve probe for the two heaviest dedup queries (VERDICT r2 item 6).
+"""Scale-curve probe for the heaviest dedup/similarity queries (VERDICT
+r2 item 6, extended r3/r4).
 
 Grows the documents corpus to kx the base scale with synthetic documents
 drawn from the base corpus's own token distribution, then times
 `ngram_jaccard_pairs_prefix` (the headline self-join dedup) and
-`cross_corpus_near_dup_flags` (incremental-ingest dedup) at each factor,
-recording wall time and candidate-pair counts. The prefix filter promises
-near-linear candidate growth when the corpus grows with the SAME df
-distribution — this probe is the local evidence (an uncapped inverted-index
-join would grow with Sigma df(s)^2, i.e. quadratically).
+`cross_corpus_near_dup_flags` (incremental-ingest dedup — both the
+self-computing and the precomputed-index production shapes) at each
+factor, recording wall time and candidate-pair counts. The prefix filter
+promises near-linear candidate growth when the corpus grows with the SAME
+df distribution — this probe is the local evidence (an uncapped
+inverted-index join would grow with Sigma df(s)^2, i.e. quadratically).
+
+The similarity tier records BOTH SemDeDup plans: fixed-k per-label
+centroids (the r3 headline — quadratic candidate pairs) and the
+sqrt(N)-re-clustered r4 headline, with candidate-PAIR counts per point so
+the curve shows the quadratic gone independent of fit constant factors.
 
 Corpus growth model: each extra document samples a real document's token
 count, then draws that many tokens iid from the base corpus's unigram
 distribution (seeded numpy). That preserves token/df shape (so the probe
-stresses the same pruning the real corpus does) without planting artificial
-near-dup clusters that a naive "replicate 10x" would create.
+stresses the same pruning the real corpus does) without planting
+artificial near-dup clusters that a naive "replicate 10x" would create.
 
 Usage:
     python tools/scale_probe.py --base /root/testdata/sf0.01 --factors 1 3 10
-Writes one JSON line to stdout and SCALE_PROBE.json at the repo root.
+    python tools/scale_probe.py --factors 60 --components sem --append
+`--components` restricts which component groups run (docs, sem, knn,
+gram; default all) so a deep factor can probe one curve without paying
+for the rest; `--append` merges the new points into the existing
+SCALE_PROBE.json by factor instead of overwriting the file.
+Writes one JSON line per point to stdout and SCALE_PROBE.json at the
+repo root.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import shutil
 import sys
 import tempfile
@@ -118,16 +132,30 @@ def build_scaled_embeddings(base_dir: str, factor: int, out_dir: Path, seed: int
     return str(out)
 
 
+ALL_COMPONENTS = ("docs", "sem", "knn", "gram")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.01")
     ap.add_argument("--factors", nargs="*", type=int, default=[1, 3, 10])
     ap.add_argument("--out", default=str(REPO / "SCALE_PROBE.json"))
+    ap.add_argument(
+        "--components", nargs="*", choices=ALL_COMPONENTS, default=list(ALL_COMPONENTS)
+    )
+    ap.add_argument(
+        "--append",
+        action="store_true",
+        help="merge points into the existing artifact by factor",
+    )
     args = ap.parse_args()
+    want = set(args.components)
 
     from pyspark.sql import functions as F
 
     from dais2021imageprocessingondeltalake_spark.operators import dedup as D
+    from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+    from dais2021imageprocessingondeltalake_spark.operators import sketches as SK
     from dais2021imageprocessingondeltalake_spark.session import get_spark
 
     spark = get_spark(app_name="scale-probe")
@@ -143,105 +171,156 @@ def main() -> int:
         D.ngram_jaccard_pairs_prefix(warm.limit(200), "doc_id", n=3, threshold=0.5).count()
 
         for k in sorted(args.factors):
-            path = build_scaled_corpus(args.base, k, scratch)
-            docs = spark.read.parquet(path)
-            n_docs = docs.count()
+            point: dict = {"factor": k}
 
-            t0 = time.perf_counter()
-            pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
-            n_pairs = pairs.count()
-            t_prefix = time.perf_counter() - t0
+            if want & {"docs"}:
+                path = build_scaled_corpus(args.base, k, scratch)
+                docs = spark.read.parquet(path)
+                point["n_docs"] = docs.count()
 
-            new = docs.filter(F.col("doc_id") % 3 == 0)
-            ref = docs.filter(F.col("doc_id") % 3 != 0)
-            t0 = time.perf_counter()
-            flags = D.cross_corpus_near_dup_flags(new, ref, "doc_id", n=3, threshold=0.5)
-            n_dups = flags.filter("is_dup").count()
-            t_cross = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+                point["prefix_pairs"] = pairs.count()
+                point["prefix_secs"] = round(time.perf_counter() - t0, 2)
 
-            # MinHash banding -> connected components -> keep-roots: the
-            # end-to-end dedup job shape (q_dedup_end2end)
-            t0 = time.perf_counter()
-            cand = D.minhash_lsh_pairs(docs, "doc_id", num_hashes=32, bands=8)
-            clusters = D.connected_components(cand.select("doc_a", "doc_b"))
-            kept = docs.join(
-                clusters.filter("id <> cluster_root").withColumnRenamed("id", "doc_id"),
-                ["doc_id"],
-                "left_anti",
-            )
-            n_kept = kept.count()
-            t_e2e = time.perf_counter() - t0
+                new = docs.filter(F.col("doc_id") % 3 == 0)
+                ref = docs.filter(F.col("doc_id") % 3 != 0)
+                t0 = time.perf_counter()
+                flags = D.cross_corpus_near_dup_flags(new, ref, "doc_id", n=3, threshold=0.5)
+                n_dups = flags.filter("is_dup").count()
+                point["cross_secs"] = round(time.perf_counter() - t0, 2)
+                point["cross_dups"] = n_dups
 
-            # similarity tier: SemDeDup (centroid assign + in-cluster
-            # pair flags) and the bucketed batch kNN join on a grown
-            # embeddings corpus — the |cluster|^2-bounded and
-            # bucket-bounded joins whose scale curves matter
-            from dais2021imageprocessingondeltalake_spark.operators import (
-                similarity as SIM,
-            )
+                # production incremental-ingest shape (VERDICT r3 item 6):
+                # the corpus shingle index + dfreq are PRECOMPUTED (written
+                # once per snapshot); per-batch cost is only the new batch's
+                # shingles + the prefix join against the index. Precompute
+                # cost is paid outside the timer — that asymmetry is the
+                # claim under test.
+                ref_sh = D.shingle_table(ref, "doc_id", n=3).persist()
+                ref_sh.count()
+                ref_df_tbl = D.shingle_doc_freq(ref_sh).persist()
+                ref_df_tbl.count()
+                t0 = time.perf_counter()
+                flags_pre = D.cross_corpus_near_dup_flags(
+                    new, None, "doc_id", n=3, threshold=0.5,
+                    ref_shingles=ref_sh, ref_dfreq=ref_df_tbl,
+                )
+                n_dups_pre = flags_pre.filter("is_dup").count()
+                point["cross_pre_secs"] = round(time.perf_counter() - t0, 2)
+                assert n_dups_pre == n_dups, (n_dups_pre, n_dups)
+                ref_sh.unpersist()
+                ref_df_tbl.unpersist()
 
-            epath = build_scaled_embeddings(args.base, k, scratch)
-            emb = spark.read.parquet(epath)
-            n_vecs = emb.count()
-            t0 = time.perf_counter()
-            cents = SIM.label_centroids(emb).withColumn(
-                "centroid", F.round("centroid", 6)
-            )
-            n_semdup = (
-                SIM.semantic_dedup_flags(emb, cents, threshold=0.35)
-                .filter("is_semdup")
-                .count()
-            )
-            t_sem = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            queries = emb.filter(F.col("vec_id") % 97 == 0)
-            base_side = emb.filter(F.col("vec_id") % 97 != 0)
-            n_knn = SIM.lsh_knn_join(queries, base_side, dim=64, k=3, n_planes=6).count()
-            t_knn = time.perf_counter() - t0
+                # MinHash banding -> connected components -> keep-roots:
+                # the end-to-end dedup job shape (q_dedup_end2end)
+                t0 = time.perf_counter()
+                cand = D.minhash_lsh_pairs(docs, "doc_id", num_hashes=32, bands=8)
+                clusters = D.connected_components(cand.select("doc_a", "doc_b"))
+                kept = docs.join(
+                    clusters.filter("id <> cluster_root").withColumnRenamed("id", "doc_id"),
+                    ["doc_id"],
+                    "left_anti",
+                )
+                point["e2e_kept"] = kept.count()
+                point["e2e_secs"] = round(time.perf_counter() - t0, 2)
 
-            # round-3 sketch/PCA tier: exact heavy hitters (two bounded
-            # passes — should stay linear in corpus tokens) and the Gram
-            # matrix partial-sum aggregate (linear in n_vecs, reduce
-            # input fixed at d^2 per partition)
-            from dais2021imageprocessingondeltalake_spark.operators import (
-                sketches as SK,
-            )
+                # round-3 sketch tier: exact heavy hitters (two bounded
+                # passes — should stay linear in corpus tokens)
+                t0 = time.perf_counter()
+                toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+                point["hh_rows"] = SK.heavy_hitters_exact(toks, "tok", k=20, counters=256).count()
+                point["hh_secs"] = round(time.perf_counter() - t0, 2)
 
-            t0 = time.perf_counter()
-            toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
-            n_hh = SK.heavy_hitters_exact(toks, "tok", k=20, counters=256).count()
-            t_hh = time.perf_counter() - t0
+            if want & {"sem", "knn", "gram"}:
+                epath = build_scaled_embeddings(args.base, k, scratch)
+                emb = spark.read.parquet(epath)
+                n_vecs = emb.count()
+                point["n_vecs"] = n_vecs
 
-            t0 = time.perf_counter()
-            n_gram = SIM.gram_matrix(emb, "embedding", round_dp=6).count()
-            t_gram = time.perf_counter() - t0
+            if "sem" in want:
+                # fixed-k (per-label centroids): the r3 headline plan, kept
+                # as the quadratic reference curve
+                t0 = time.perf_counter()
+                cents = SIM.label_centroids(emb).withColumn(
+                    "centroid", F.round("centroid", 6)
+                )
+                point["sem_fixed_dups"] = (
+                    SIM.semantic_dedup_flags(emb, cents, threshold=0.35)
+                    .filter("is_semdup")
+                    .count()
+                )
+                point["sem_fixed_secs"] = round(time.perf_counter() - t0, 2)
 
-            point = {
-                "factor": k,
-                "n_docs": n_docs,
-                "n_vecs": n_vecs,
-                "sem_secs": round(t_sem, 2),
-                "sem_dups": n_semdup,
-                "knn_secs": round(t_knn, 2),
-                "knn_rows": n_knn,
-                "prefix_secs": round(t_prefix, 2),
-                "prefix_pairs": n_pairs,
-                "cross_secs": round(t_cross, 2),
-                "cross_dups": n_dups,
-                "e2e_secs": round(t_e2e, 2),
-                "e2e_kept": n_kept,
-                "hh_secs": round(t_hh, 2),
-                "hh_rows": n_hh,
-                "gram_secs": round(t_gram, 2),
-                "gram_rows": n_gram,
-            }
+                # sqrt(N)-re-clustered (the r4 headline plan, q_semdedup):
+                # k ~ sqrt(N) keeps E[|cluster|] ~ sqrt(N), so candidate
+                # pairs grow ~N*sqrt(N) instead of N^2 — the fix VERDICT r3
+                # item 2 asked to see on the probe curve
+                t0 = time.perf_counter()
+                kk = int(math.ceil(math.sqrt(n_vecs)))
+                asg_sqrtk, _ = SIM.kmeans_fit_distributed(emb, k=kk, iters=2, round_dp=6)
+                point["sem_sqrtk_dups"] = (
+                    SIM.semantic_dedup_flags(
+                        emb, None, threshold=0.35, assignment=asg_sqrtk
+                    )
+                    .filter("is_semdup")
+                    .count()
+                )
+                point["sem_sqrtk_secs"] = round(time.perf_counter() - t0, 2)
+                point["sem_sqrtk_k"] = kk
+
+                # candidate-PAIR counts — the quantity the fixed-k plan
+                # grows quadratically and sqrt(N) tames (sum of
+                # |cluster|*(|cluster|-1)/2 over the final assignment);
+                # wall clock at toy scale is fit-dominated (E-step ~
+                # N*sqrt(N) with an interpreted cosine), so the pair curve
+                # is the honest scale evidence. Computed outside the timers.
+                def _pair_count(asg):
+                    sizes = asg.groupBy("assigned_label").count()
+                    row = sizes.agg(
+                        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")
+                    ).collect()[0]
+                    return int(row["p"] or 0)
+
+                point["sem_fixed_pairs"] = _pair_count(
+                    SIM.assign_to_centroids(emb, cents, round_dp=6)
+                )
+                point["sem_sqrtk_pairs"] = _pair_count(asg_sqrtk)
+
+            if "knn" in want:
+                t0 = time.perf_counter()
+                queries = emb.filter(F.col("vec_id") % 97 == 0)
+                base_side = emb.filter(F.col("vec_id") % 97 != 0)
+                point["knn_rows"] = SIM.lsh_knn_join(
+                    queries, base_side, dim=64, k=3, n_planes=6
+                ).count()
+                point["knn_secs"] = round(time.perf_counter() - t0, 2)
+
+            if "gram" in want:
+                # Gram matrix partial-sum aggregate (linear in n_vecs,
+                # reduce input fixed at d^2 per partition)
+                t0 = time.perf_counter()
+                point["gram_rows"] = SIM.gram_matrix(emb, "embedding", round_dp=6).count()
+                point["gram_secs"] = round(time.perf_counter() - t0, 2)
+
             result["points"].append(point)
             print(json.dumps(point), flush=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
-    Path(args.out).write_text(json.dumps(result) + "\n")
-    print(json.dumps(result))
+    out_path = Path(args.out)
+    if args.append and out_path.exists():
+        prior = json.loads(out_path.read_text())
+        by_factor = {p["factor"]: p for p in prior.get("points", [])}
+        for p in result["points"]:
+            by_factor.setdefault(p["factor"], {}).update(p)
+        prior["points"] = [by_factor[f] for f in sorted(by_factor)]
+        prior["ts"] = result["ts"]
+        out_path.write_text(json.dumps(prior) + "\n")
+        print(json.dumps(prior))
+    else:
+        out_path.write_text(json.dumps(result) + "\n")
+        print(json.dumps(result))
     return 0
 
 
