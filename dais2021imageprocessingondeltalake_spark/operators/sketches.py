@@ -246,3 +246,89 @@ def bloom_filter_semi_join(
     return survivors.join(
         F.broadcast(small.select(key).distinct()), key, "left_semi"
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch (md5-portable)
+# --------------------------------------------------------------------------
+
+
+def cms_table(
+    df: DataFrame, col: str, depth: int = 4, hex_chars: int = 2
+) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) as a DataFrame:
+    (row j, bucket b, cnt) with depth x 16^hex_chars counters — the
+    mergeable frequency summary that answers point queries over a 100 TB
+    stream in O(depth x width) memory, with one-sided error
+    (estimate >= true count, always).
+
+    Hashing is the md5-portable idiom (substr(md5(j || ':' || item), 1,
+    hex_chars) — same string in Spark and any SQL engine), so the whole
+    sketch AND its estimates replay exactly in a DuckDB oracle, unlike
+    xxhash64-based sketches which are rows-only. Buckets are hex strings
+    (width = 16^hex_chars) — no numeric hash conversion needed anywhere.
+
+    Build cost: one narrow explode (depth rows per distinct item after a
+    pre-aggregation) + one groupBy of at most depth x width groups.
+    Sketches from disjoint corpus shards merge by summing counters —
+    the mergeable-summaries property that makes this the streaming /
+    federated counterpart of an exact groupBy."""
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if hex_chars < 1 or hex_chars > 8:
+        raise ValueError(f"hex_chars must be in [1, 8], got {hex_chars}")
+    tc = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = F.explode(
+        F.array(*[F.lit(j).cast("int") for j in range(depth)])
+    ).alias("j")
+    return (
+        tc.select("item", "c", rows)
+        .select(
+            "j",
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("item"))),
+                1,
+                hex_chars,
+            ).alias("b"),
+            "c",
+        )
+        .groupBy("j", "b")
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Point-query the sketch for every row of `items`: est = min over
+    rows j of counter[j][bucket_j(item)] — the classic CMS upper bound.
+    The sketch is depth x 16^hex_chars rows (bounded by construction),
+    so it broadcasts; the probe is a broadcast join + one (item) min
+    aggregate, never a data shuffle. Emits (item, cms_est)."""
+    probe = items.select(F.col(item_col).cast("string").alias("item")).distinct()
+    j_rows = F.explode(
+        F.array(*[F.lit(j).cast("int") for j in range(depth)])
+    ).alias("j")
+    keyed = probe.select("item", j_rows).select(
+        "item",
+        "j",
+        F.substring(
+            F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("item"))),
+            1,
+            hex_chars,
+        ).alias("b"),
+    )
+    return (
+        keyed.join(F.broadcast(cms), ["j", "b"])
+        .groupBy("item")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -344,6 +344,65 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", round_dp: int = 6
+) -> DataFrame:
+    """Mean BIGRAM conditional log-probability per document under a
+    Laplace-smoothed corpus bigram LM: p(w2|w1) = (c(w1,w2) + 1) /
+    (c(w1,·) + V) — the contextual upgrade of unigram_logprob_score and
+    the closest zero-dependency analogue of KenLM perplexity filtering
+    (CCNet): word-salad documents whose ADJACENT tokens never co-occur
+    in the corpus score low even when every individual token is common,
+    which the unigram score cannot see. Emits (id, n_bigrams,
+    avg_logprob); docs with fewer than 2 tokens have no bigrams and are
+    excluded (no conditional to evaluate).
+
+    Scale shape: one ordered-bigram explode (JVM transform over the
+    split array, no Python), corpus bigram + history counts (two aggs
+    over the bigram table), a (w1, w2)-keyed join back — a deliberate
+    vocabulary-keyed shuffle join, since at 100 TB the bigram dictionary
+    is not broadcastable (the q_source_kl convention) — and a per-doc
+    mean. All count inputs are exact integers; ln() is libm (<= 1 ulp
+    across engines) absorbed by rounding the per-doc mean to
+    `round_dp`."""
+    ws = df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("ws"))
+    idx = F.sequence(F.lit(1), F.size("ws") - 1)
+    big = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + F.lit(1)).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .agg(F.count_distinct("t").cast("double").alias("v"))
+    )
+    logp = F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), round_dp).alias("avg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "avg_logprob")
+    )
+
+
 def dsir_logratio(
     raw: DataFrame,
     target: DataFrame,

@@ -172,6 +172,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_basket_lift",
     "q_rolling_wau",
     "q_heavy_hitters",
+    "q_count_min",
+    "q_bigram_ppl",
     "q_bloom_join",
     "q_embedding_gram",
     "q_embedding_pca",

@@ -694,6 +694,47 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bigram_ppl",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), big AS MATERIALIZED (
+      SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+        SELECT doc_id,
+               unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+                       for i in range(1, len(ws))]) AS bg
+        FROM w WHERE len(ws) >= 2
+      )
+    ), bc AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2
+    ), uc AS MATERIALIZED (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    )
+    SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c12 + 1.0) / (c1 + v))), 6) AS avg_logprob
+    FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab
+    GROUP BY 1
+    """,
+)
+def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under a
+    Laplace-smoothed corpus bigram LM — the contextual perplexity filter
+    (CCNet / KenLM shape): word salad whose ADJACENT tokens never
+    co-occur scores low even when every token is individually common,
+    invisible to the unigram score (q_unigram_logprob). Exact integer
+    counts everywhere; the only float ops are one division and libm
+    ln(), absorbed by the 6dp-rounded per-doc mean. The (w1, w2)-keyed
+    join back to the bigram dictionary is a deliberate vocabulary-keyed
+    shuffle (not broadcast — at 100 TB the bigram table outgrows any
+    driver), the q_source_kl convention."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.bigram_logprob_score(docs)
+
+
+@query(
     "q_top_ngrams",
     oracle="""
     WITH sh AS (

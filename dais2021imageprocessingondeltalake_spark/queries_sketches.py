@@ -64,3 +64,48 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("l_orderkey"))
     )
     return SK.bloom_filter_semi_join(li, hot, "l_orderkey")
+
+
+@query(
+    "q_count_min",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ), tc AS MATERIALIZED (
+      SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+    ), cms AS MATERIALIZED (
+      SELECT j, substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 2) AS b,
+             CAST(sum(c) AS BIGINT) AS cnt
+      FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+      GROUP BY 1, 2
+    ), top AS MATERIALIZED (
+      SELECT t, c FROM tc ORDER BY c DESC, t LIMIT 30
+    )
+    SELECT top.t AS item, top.c AS exact_cnt,
+           CAST(min(cms.cnt) AS BIGINT) AS cms_est
+    FROM top JOIN cms
+      ON cms.b = substr(md5(CAST(cms.j AS VARCHAR) || ':' || top.t), 1, 2)
+    GROUP BY 1, 2
+    """,
+)
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point queries for the exact top-30 tokens, with
+    the exact count alongside — the frequency-summary audit a streaming
+    pipeline ships (est >= exact ALWAYS; the gap is the collision
+    overcount the depth-4 min suppresses). The sketch is 4 x 256
+    counters built with the md5-portable bucket idiom, so the ENTIRE
+    sketch and every estimate replay bit-for-bit in the SQL oracle —
+    unlike xxhash64 sketches, which are rows-only by contract. At 100 TB
+    the sketch is the only frequency table that still fits anywhere:
+    depth x width longs, mergeable across shards by counter addition
+    (tested), broadcastable to any probe site."""
+    docs = load_table(spark, "documents", sf_dir)
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    cms = SK.cms_table(tokens, "tok", depth=4, hex_chars=2)
+    exact = (
+        tokens.groupBy(F.col("tok").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("item")).limit(30)
+    est = SK.cms_estimate(cms, top, depth=4, hex_chars=2)
+    return top.join(est, "item").select("item", "exact_cnt", "cms_est")

@@ -1039,3 +1039,25 @@ def test_margin_mine_lsh_recall_vs_bruteforce(spark):
     for p, (b, s1) in exact.items():
         if p in approx and approx[p][0] == b:
             assert approx[p][1] == s1, (p, b, s1, approx[p][1])
+
+
+def test_bigram_ppl_flags_word_salad(spark):
+    """The bigram LM must separate coherent repetition from word salad:
+    shuffled-adjacency text (same tokens, scrambled order) scores a
+    lower mean bigram logprob than text whose bigrams repeat across the
+    corpus — the signal unigram scoring cannot see (identical unigram
+    distributions!)."""
+    from dais2021imageprocessingondeltalake_spark.operators import text as TX
+
+    coherent = "the cat sat on the mat"
+    rows = [(i, coherent) for i in range(10)]
+    # same 6 tokens, adjacency scrambled differently per doc: each
+    # bigram is near-unique in the corpus
+    salads = ["mat the on cat the sat", "sat mat the on the cat",
+              "on the mat sat cat the", "the on sat the cat mat"]
+    rows += [(100 + i, s) for i, s in enumerate(salads)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["avg_logprob"] for r in TX.bigram_logprob_score(df).collect()}
+    worst_coherent = min(got[i] for i in range(10))
+    best_salad = max(got[100 + i] for i in range(len(salads)))
+    assert best_salad < worst_coherent, (best_salad, worst_coherent)

@@ -170,3 +170,59 @@ def test_bloom_join_incompatible_key_types_refused(spark):
     small = spark.createDataFrame([(1,)], "k bigint")
     with pytest.raises(ValueError, match="dtypes differ"):
         SK.bloom_filter_semi_join(big, small, "k")
+
+
+def test_cms_one_sided_error_and_exact_on_light_load(spark):
+    """CMS invariants: estimate >= true count for EVERY item (one-sided
+    error — the min over rows can only overcount), and with width far
+    above distinct-count the estimate is exactly the true count."""
+    toks = _tokens(spark)
+    exact = {
+        r["item"]: r["c"]
+        for r in toks.groupBy(F.col("tok").alias("item"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    cms = SK.cms_table(toks, "tok", depth=4, hex_chars=2)
+    probe = toks.select(F.col("tok").alias("item")).distinct()
+    est = {
+        r["item"]: r["cms_est"]
+        for r in SK.cms_estimate(cms, probe, depth=4, hex_chars=2).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[i] >= exact[i] for i in exact), "CMS undercounted"
+    # wide sketch (16^4 = 65536 buckets vs ~hundreds of distinct tokens):
+    # collisions vanish, estimates become exact
+    cms_wide = SK.cms_table(toks, "tok", depth=4, hex_chars=4)
+    est_wide = {
+        r["item"]: r["cms_est"]
+        for r in SK.cms_estimate(cms_wide, probe, depth=4, hex_chars=4).collect()
+    }
+    assert est_wide == exact
+
+
+def test_cms_mergeable_across_shards(spark):
+    """Sketches of disjoint shards merged by counter addition equal the
+    sketch of the union — the mergeable-summaries property that makes
+    CMS the federated/streaming counter."""
+    toks = _tokens(spark)
+    a = toks.filter(F.crc32(F.col("tok")) % 2 == 0)
+    b = toks.filter(F.crc32(F.col("tok")) % 2 == 1)
+    merged = (
+        SK.cms_table(a, "tok")
+        .unionByName(SK.cms_table(b, "tok"))
+        .groupBy("j", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = SK.cms_table(toks, "tok")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        SK.cms_table(None, "x", depth=0)
+    with pytest.raises(ValueError):
+        SK.cms_table(None, "x", hex_chars=9)
