@@ -214,3 +214,63 @@ def hits(
     hubs = h.select(F.col("src").alias("node"), F.lit("hub").alias("role"), F.col("h").alias("score"))
     auths = a.select(F.col("dst").alias("node"), F.lit("authority").alias("role"), F.col("a").alias("score"))
     return hubs.unionByName(auths)
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    materialize: str | bool | None = "localCheckpoint",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for
+    community detection, fully deterministic: every node starts with its
+    own id as its label; each round every node adopts the most frequent
+    label among its in-neighbors, breaking count ties by MINIMUM label,
+    and keeps its current label when it has no neighbors. Pass both
+    edge directions for an undirected graph. Returns (node, community)
+    after exactly `iters` synchronous rounds.
+
+    Determinism is the whole design: the classic algorithm breaks ties
+    randomly and updates asynchronously (order-dependent); this variant
+    is a pure function of (edges, iters), so an unrolled SQL oracle
+    replays it exactly — integer counts and id comparisons only, no
+    floats anywhere. The argmax is two map-side-combinable aggregates
+    (max count per node, then min label among the argmax set), never a
+    per-node sort of the neighbor-label table.
+
+    Scale shape per round: one (node, label) count shuffle over the edge
+    list + two bounded aggs + a left join back to carry isolated nodes —
+    the degree-sum work PowerGraph-style LPA does, with per-round state
+    pinned via `materialize` (see dedup.MATERIALIZE_MODES)."""
+    from .dedup import materialize_df
+
+    if iters < 1:
+        raise ValueError(f"label_propagation needs iters >= 1, got {iters}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(iters):
+        nbr = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        mx = nbr.groupBy("node").agg(F.max("cnt").alias("mx"))
+        winner = (
+            nbr.join(mx, "node")
+            .filter(F.col("cnt") == F.col("mx"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("new_lbl"))
+        )
+        labels = materialize_df(
+            labels.join(winner, "node", "left").select(
+                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+            ),
+            materialize,
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

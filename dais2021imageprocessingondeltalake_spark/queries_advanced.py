@@ -1430,6 +1430,73 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, max_hops=3)
 
 
+def _label_prop_oracle(iters: int = 4) -> str:
+    """Unroll deterministic synchronous LPA: per round a (node, label)
+    neighbor count, the max-count-then-min-label argmax, and a left
+    join carrying isolated nodes' labels forward. Integer counts and
+    string id comparisons only — zero floats, so no rounding anywhere.
+    MATERIALIZED per level (each l{i} is referenced twice: neighbor
+    join + isolated-node spine)."""
+    ctes = ["""fwd AS MATERIALIZED (
+      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem WHERE l_partkey % 3 = 0
+    ), e AS MATERIALIZED (
+      SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+    ), l0 AS MATERIALIZED (
+      SELECT node, node AS lbl FROM (
+        SELECT DISTINCT src AS node FROM e
+      )
+    )"""]
+    for i in range(iters):
+        ctes.append(f"""l{i + 1} AS MATERIALIZED (
+      SELECT l.node, coalesce(w.new_lbl, l.lbl) AS lbl
+      FROM l{i} l LEFT JOIN (
+        SELECT node, min(lbl) AS new_lbl FROM (
+          SELECT c.node, c.lbl, c.cnt, max(c.cnt) OVER (PARTITION BY c.node) AS mx
+          FROM (
+            SELECT e.src AS node, x.lbl, count(*) AS cnt
+            FROM e JOIN l{i} x ON e.dst = x.node GROUP BY 1, 2
+          ) c
+        ) WHERE cnt = mx GROUP BY node
+      ) w ON l.node = w.node
+    )""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, lbl AS community FROM l{iters}"""
+    )
+
+
+@query("q_label_prop", oracle=_label_prop_oracle())
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the symmetrized part–supplier graph via
+    deterministic synchronous label propagation (4 rounds): most
+    frequent neighbor label, count ties to the MINIMUM label, isolated
+    nodes keep their own — the dedup-cluster/community analogue of
+    connected components that respects edge multiplicity instead of
+    mere reachability. Pure integer counts + id comparisons, so the
+    unrolled-CTE oracle replays every round exactly (the pagerank/HITS
+    certification idiom, with zero rounding because there are zero
+    floats). Per-round cost: one (node, label) count shuffle + two
+    map-side-combinable aggs — no per-node sort anywhere."""
+    from .operators.graph import label_propagation
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_partkey") % 3 == 0)
+        .select("l_partkey", "l_suppkey")
+    )
+    fwd = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, iters=4)
+
+
 @query(
     "q_mad_outliers",
     oracle="""

@@ -178,6 +178,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_embedding_gram",
     "q_embedding_pca",
     "q_graph_bfs",
+    "q_label_prop",
     "q_mad_outliers",
     "q_source_kl",
     "q_groupwise_ols",

@@ -718,3 +718,51 @@ def test_survival_curve_is_valid_km(spark):
         prev_s, prev_n = r["survival"], r["n_risk"]
     first = rows[0]
     assert first["survival"] == round(1.0 - first["n_events"] / first["n_risk"], 6)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge plus a disconnected pair:
+    each clique must converge to ONE internal label (majority voting),
+    and the disconnected pair can never acquire a clique label (labels
+    only travel along edges). Note min-tie-breaking means round 1 (all
+    counts equal) behaves like min-propagation, so the bridge CAN carry
+    the global minimum into the far clique — community separation is a
+    majority effect, not guaranteed across a single bridge; the
+    invariants below are the deterministic contract."""
+    from dais2021imageprocessingondeltalake_spark.operators.graph import (
+        label_propagation,
+    )
+
+    cliq1 = [(a, b) for a in "abcd" for b in "abcd" if a != b]
+    cliq2 = [(a, b) for a in "wxyz" for b in "wxyz" if a != b]
+    bridge = [("d", "w"), ("w", "d")]
+    iso = [("q", "r"), ("r", "q")]
+    edges = spark.createDataFrame(cliq1 + cliq2 + bridge + iso, ["src", "dst"])
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=4).collect()
+    }
+    assert len({got[n] for n in "abcd"}) == 1, got
+    assert len({got[n] for n in "wxyz"}) == 1, got
+    # the disconnected pair's labels never leave {q, r} (labels only
+    # travel along edges; synchronous updates may oscillate on a
+    # 2-cycle, so equality between them is NOT guaranteed)
+    assert {got["q"], got["r"]} <= {"q", "r"}
+    assert got["a"] not in {"q", "r"} and got["w"] not in {"q", "r"}
+    # and the result is a pure function of the input: rerun == same
+    again = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iters=4).collect()
+    }
+    assert again == got
+
+
+def test_label_propagation_validation():
+    import pytest
+
+    from dais2021imageprocessingondeltalake_spark.operators.graph import (
+        label_propagation,
+    )
+
+    with pytest.raises(ValueError):
+        label_propagation(None, iters=0)
