@@ -141,6 +141,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_containment",
     "q_minhash_oph",
     "q_time_travel",
+    "q_forget_rows",
     "q_novelty",
     "q_weighted_sample",
     "q_pii_redact",

@@ -21,6 +21,33 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+_SCRATCH: list[str] = []
+
+
+def _scratch(sub: str) -> str:
+    """Process-cached scratch root for the sink/versioned-table queries,
+    removed at interpreter exit — repeated rotation/bench invocations
+    reuse ONE directory per query instead of leaking a mkdtemp each call
+    (the q_zorder_layout fix, applied to every sink round-trip here).
+    Plain sinks overwrite in place; versioned tables keep appending
+    versions to the same log, which is invocation-independent because
+    every committed version of the same content is identical and
+    time-travel reads pin explicit versions."""
+    if not _SCRATCH:
+        import atexit
+        import shutil
+
+        d = tempfile.mkdtemp(prefix="dais_pyboundary_scratch_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _SCRATCH.append(d)
+    import os
+
+    p = _SCRATCH[0] + "/" + sub
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
 from .catalog import load_table
 from .functions.udf import (
     grouped_apply,
@@ -211,7 +238,7 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The round-trip is lossless, so the ORIGINAL table is the oracle —
     the driver hash now verifies write-path fidelity, not just rows."""
     docs = load_table(spark, "documents", sf_dir)
-    out = tempfile.mkdtemp(prefix="dais_roundtrip_") + "/documents"
+    out = _scratch("roundtrip") + "/documents"
     write_table(
         docs, out, merge_schema=True, binary_payload=True, row_group_bytes=1_000_000, compact_to=4
     )
@@ -343,7 +370,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import versioned as V
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
-    table = tempfile.mkdtemp(prefix="dais_timetravel_") + "/docs"
+    table = _scratch("timetravel") + "/docs"
     V.versioned_write(docs, table, mode="overwrite")
     V.versioned_write(docs.filter(F.col("doc_id") % 2 == 0), table, mode="overwrite")
     V.versioned_write(docs.filter(F.col("lang") == "fr"), table, mode="append")
@@ -351,6 +378,44 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = V.versioned_read(spark, table)
     return v0.select(F.lit("v0").alias("snapshot"), "doc_id", "lang").unionByName(
         latest.select(F.lit("latest").alias("snapshot"), "doc_id", "lang")
+    )
+
+
+@query(
+    "q_forget_rows",
+    oracle="""
+    SELECT 'before' AS snapshot, doc_id, lang FROM documents
+    UNION ALL
+    SELECT 'after' AS snapshot, doc_id, lang FROM documents
+    WHERE doc_id % 89 <> 0
+    """,
+)
+def q_forget_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete propagation on the versioned table:
+    commit the corpus as v0, MERGE a delete-list (doc_id % 89 == 0,
+    WHEN MATCHED AND flag THEN DELETE) as v1, then read both snapshots —
+    'before' resurrects v0 via time travel, 'after' is the live set.
+    The driver hash certifies the two properties a GDPR pipeline must
+    prove: the deletes actually left the live table, AND nothing else
+    changed. The pre-delete snapshot stays time-travelable until VACUUM
+    retires it — which is precisely the audit/retention window a real
+    erasure workflow operates (erase from serving now, purge history by
+    the compliance deadline; lifecycle covered by the vacuum tests)."""
+    import tempfile
+
+    from .sources import versioned as V
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    table = _scratch("forget") + "/docs"
+    V.versioned_write(docs, table, mode="overwrite")
+    delete_list = docs.filter(F.col("doc_id") % 89 == 0).withColumn(
+        "__forget", F.lit(True)
+    )
+    V.versioned_merge(spark, delete_list, table, keys=["doc_id"], delete_col="__forget")
+    before = V.versioned_read(spark, table, version=0)
+    after = V.versioned_read(spark, table)
+    return before.select(F.lit("before").alias("snapshot"), "doc_id", "lang").unionByName(
+        after.select(F.lit("after").alias("snapshot"), "doc_id", "lang")
     )
 
 
@@ -432,7 +497,7 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import versioned as V
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
-    table = tempfile.mkdtemp(prefix="dais_vdiff_") + "/docs"
+    table = _scratch("vdiff") + "/docs"
     V.versioned_write(docs, table, mode="overwrite")
     edited = (
         docs.filter(F.col("doc_id") % 7 != 0)
@@ -466,8 +531,8 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "lang", "source", "n_chars"
     )
-    out = tempfile.mkdtemp(prefix="dais_csv_") + "/documents"
-    docs.write.option("header", True).csv(out)
+    out = _scratch("csv") + "/documents"
+    docs.write.mode("overwrite").option("header", True).csv(out)
     return spark.read.schema(
         "doc_id bigint, lang string, source string, n_chars bigint"
     ).option("header", True).csv(out)
@@ -484,8 +549,8 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is still pinned on read (schema inference samples — never rely on it
     for a contract)."""
     docs = load_table(spark, "documents", sf_dir)
-    out = tempfile.mkdtemp(prefix="dais_jsonl_") + "/documents"
-    docs.write.json(out)
+    out = _scratch("jsonl") + "/documents"
+    docs.write.mode("overwrite").json(out)
     return spark.read.schema(
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).json(out)
