@@ -335,3 +335,74 @@ def hash_sample_fixed_k(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def proportional_allocate(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    num: int,
+    den: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-size stratified sample by largest-remainder apportionment
+    (Hamilton's method): select floor(n * num/den) rows IN TOTAL, with
+    per-stratum quotas proportional to stratum size — floor(n_s*num/den)
+    each, plus one extra for the strata with the largest remainders
+    (ties to the lexicographically smaller stratum) until the total
+    quota is met. Within a stratum, membership is the deterministic md5
+    rank (hash_sample_fixed_k idiom): layout-, rerun-, and
+    engine-stable. The fraction arrives as an exact rational num/den so
+    every quota is INTEGER arithmetic — no float targets, no rounding
+    disagreements, and the sizes are certifiable: sum of per-stratum
+    selections == floor(n*num/den) exactly, the property a fixed-budget
+    eval carve must prove.
+
+    Scale shape: one stratum-size agg (dimension-sized), the
+    apportionment over |strata| rows (dim-sized window), a broadcast
+    quota join back, and a per-stratum rank filter that short-circuits
+    via WindowGroupLimit. Returns the selected rows with their input
+    columns."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if num < 0 or den <= 0 or num > den:
+        raise ValueError(f"need 0 <= num <= den and den > 0, got {num}/{den}")
+    sizes = df.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tot = sizes.agg(F.sum("__n").alias("__tot"))
+    base = sizes.crossJoin(F.broadcast(tot)).select(
+        "__s",
+        "__n",
+        F.floor(F.col("__n") * num / F.lit(den)).cast("long").alias("__base"),
+        ((F.col("__n") * num) % F.lit(den)).alias("__rem"),
+        F.floor(F.col("__tot") * num / F.lit(den)).cast("long").alias("__quota_tot"),
+    )
+    # dim-sized window: |strata| rows (post-agg apportionment table)
+    w_rem = Window.orderBy(F.col("__rem").desc(), F.col("__s"))
+    alloc = (
+        base.withColumn("__base_sum", F.sum("__base").over(
+            # dim-sized window: |strata| rows
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ))
+        .withColumn("__rk", F.row_number().over(w_rem))
+        .withColumn(
+            "__alloc",
+            F.col("__base")
+            + F.when(
+                F.col("__rk") <= F.col("__quota_tot") - F.col("__base_sum"), 1
+            ).otherwise(0),
+        )
+        .select(F.col("__s").alias(strata_col), "__alloc")
+    )
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w_in = Window.partitionBy(strata_col).orderBy(digest, F.col(key_col))
+    return (
+        df.join(F.broadcast(alloc), strata_col)
+        .withColumn("__rn", F.row_number().over(w_in))
+        .filter(F.col("__rn") <= F.col("__alloc"))
+        .drop("__rn", "__alloc")
+    )

@@ -519,11 +519,21 @@ def assign_to_centroids(
             F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
             lambda s: s["centroid"],
         ).alias("cvec")
+    ).withColumn("__cn", l2_norm(F.col("cvec")))
+    # norms hoisted out of the N x k pair expression: dot/(vn*cn) is the
+    # SAME FP sequence as cosine(v, c) (cosine == dot/(l2*l2)), but the
+    # interpreted higher-order norm folds run once per ROW and once per
+    # CENTROID instead of once per PAIR — ~3x less E-step work (the
+    # semantic_dedup_flags hoist, applied to the assignment side)
+    data = (
+        df.select(id_col, _to_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__vn", l2_norm(F.col("__v")))
     )
-    sim = F.round(cosine(_to_double(F.col(vec_col)), F.col("cvec")), round_dp)
+    sim = F.round(
+        dot(F.col("__v"), F.col("cvec")) / (F.col("__vn") * F.col("__cn")), round_dp
+    )
     scored = (
-        df.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
+        data.crossJoin(F.broadcast(cents))
         .select(F.col(id_col), F.col("label"), sim.alias("sim"))
     )
     best = F.max(
@@ -620,6 +630,7 @@ def semantic_dedup_flags(
     vec_col: str = "embedding",
     round_dp: int = 6,
     assignment: DataFrame | None = None,
+    materialize: str | bool | None = "localCheckpoint",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark as semantic duplicates the items whose
@@ -665,6 +676,14 @@ def semantic_dedup_flags(
         )
         .withColumn("nrm", l2_norm(F.col("v")))
     )
+    # the clustered table feeds THREE consumers (pair-join a-side, b-side,
+    # and the output spine) — without pinning it, the whole upstream
+    # assignment (an N x k E-step when centroids come from a k-means fit)
+    # re-executes per consumer; localCheckpoint runs it once (measured
+    # dominant in the r4 60x probe)
+    from .dedup import materialize_df
+
+    clustered = materialize_df(clustered, materialize)
     a, b = clustered.alias("a"), clustered.alias("b")
     pair_sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     dup_ids = (

@@ -144,6 +144,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_forget_rows",
     "q_novelty",
     "q_weighted_sample",
+    "q_split_alloc",
     "q_pii_redact",
     "q_pagerank",
     "q_funnel",

@@ -2009,3 +2009,53 @@ def q_hhi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_sources", "hhi")
     )
+
+
+@query(
+    "q_split_alloc",
+    oracle="""
+    WITH sz AS MATERIALIZED (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS t FROM sz
+    ), base AS MATERIALIZED (
+      SELECT lang, n,
+             CAST(floor(n * 1.0 / 5) AS BIGINT) AS b,
+             (n * 1) % 5 AS rem,
+             CAST(floor(t * 1.0 / 5) AS BIGINT) AS quota
+      FROM sz CROSS JOIN tot
+    ), alloc AS MATERIALIZED (
+      SELECT lang,
+             b + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                       <= quota - (SELECT CAST(sum(b) AS BIGINT) FROM base)
+                  THEN 1 ELSE 0 END AS alloc
+      FROM base
+    ), ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM ranked r JOIN alloc a USING (lang)
+    WHERE r.rn <= a.alloc
+    """,
+)
+def q_split_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size stratified eval carve by largest-remainder
+    apportionment: select floor(n/5) documents IN TOTAL with per-lang
+    quotas proportional to stratum size — floor quotas plus one extra
+    for the largest-remainder strata until the global budget is met,
+    membership by deterministic md5 rank. The fraction is the exact
+    rational 1/5, so every quota is integer arithmetic (explicit floor
+    on both engines — DuckDB CAST rounds where Spark truncates) and the
+    total size is certifiable, the property a fixed-budget eval set
+    must prove (plain per-stratum Bernoulli only hits the budget in
+    expectation). Apportionment runs over the |langs|-row table
+    (dim-sized windows); the data-sized rank filter short-circuits via
+    WindowGroupLimit per stratum."""
+    from .operators.sampling import proportional_allocate
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return proportional_allocate(docs, "lang", "doc_id", num=1, den=5)

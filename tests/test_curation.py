@@ -1280,3 +1280,51 @@ class TestCalibrationAndDrift:
             (F.sum("ca").over(w) / 50.0 - F.sum("cb").over(w) / 50.0).alias("d")
         ).agg(F.max(F.abs(F.col("d")))).collect()[0][0]
         assert ks == 1.0  # fully separated distributions
+
+
+class TestProportionalAllocate:
+    def test_exact_total_and_proportionality(self, spark):
+        """Sum of per-stratum selections == floor(n * num/den) EXACTLY
+        (the fixed-budget property Bernoulli sampling lacks), and each
+        stratum's allocation is within 1 of its exact proportional
+        share (the largest-remainder guarantee)."""
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+        from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+            proportional_allocate,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "lang")
+        picked = proportional_allocate(docs, "lang", "doc_id", num=1, den=3)
+        n = docs.count()
+        assert picked.count() == n // 3
+        sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        got = {r["lang"]: r["n"] for r in picked.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        for lang, ns in sizes.items():
+            share = ns / 3
+            assert abs(got.get(lang, 0) - share) < 1.0 + 1e-9, (lang, got.get(lang), share)
+
+    def test_deterministic_and_subset(self, spark):
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+        from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+            proportional_allocate,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR).select("doc_id", "lang")
+        a = {r["doc_id"] for r in proportional_allocate(docs, "lang", "doc_id", 2, 7).collect()}
+        b = {r["doc_id"] for r in proportional_allocate(docs, "lang", "doc_id", 2, 7).collect()}
+        assert a == b
+        assert a <= {r["doc_id"] for r in docs.collect()}
+
+    def test_validation(self, spark):
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+            proportional_allocate,
+        )
+
+        with pytest.raises(ValueError):
+            proportional_allocate(None, "s", "k", num=3, den=2)
+        with pytest.raises(ValueError):
+            proportional_allocate(None, "s", "k", num=1, den=0)
