@@ -132,6 +132,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_stream_scd2",
     "q_stream_curate",
     "q_stream_cross_dedup",
+    "q_stream_cms",
     # round-3 additions, certified by the r3/r4 dual-scale sweeps
     "q_curate_v2",
     "q_temperature_mix",

@@ -481,3 +481,63 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__cts")
     )
+
+
+@query(
+    "q_stream_cms",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ), tc AS MATERIALIZED (
+      SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+    )
+    SELECT j, substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 2) AS b,
+           CAST(sum(c) AS BIGINT) AS cnt
+    FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance: the corpus arrives as 4
+    micro-batches (maxFilesPerTrigger=1 over a pre-split source) and
+    foreachBatch folds each batch's PARTIAL sketch into an append-only
+    counter store; the final merged counters (one groupBy sum over
+    depth x width rows) must equal the batch-built sketch EXACTLY —
+    the mergeable-summaries property under real incremental delivery,
+    which is how a 100 TB ingest keeps a live frequency summary without
+    ever re-scanning the corpus. Stronger than a rows-only streaming
+    check: the oracle is the full batch CMS in SQL (md5-portable
+    buckets), so the driver hash certifies stream-merge == batch."""
+    import tempfile
+
+    from .catalog import load_table
+    from .operators import sketches as SK
+
+    base = tempfile.mkdtemp(prefix="stream_cms_")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs.repartition(4).write.parquet(f"{base}/src")
+    schema = spark.read.parquet(f"{base}/src").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/src")
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
+        SK.cms_table(toks, "tok", depth=4, hex_chars=2).write.mode("append").parquet(
+            f"{base}/partials"
+        )
+
+    (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(f"{base}/partials")
+        .groupBy("j", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
