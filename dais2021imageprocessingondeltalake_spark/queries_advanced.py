@@ -2436,3 +2436,37 @@ def q_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cum.cast("double") / F.col("tot")).alias("cum_share"),
         )
     )
+
+
+@query(
+    "q_global_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(row_number() OVER (
+             ORDER BY CAST(round(l_extendedprice * 100, 0) AS BIGINT) DESC,
+                      l_orderkey, l_linenumber) AS BIGINT) AS rnk
+    FROM lineitem
+    """,
+)
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number over the DATA-SIZED lineitem table — ranked by
+    exact price cents with a unique (orderkey, linenumber) tiebreak —
+    via parallel_global_rank: range partition, rank within partitions in
+    parallel, add broadcast prefix offsets. The oracle is the plain SQL
+    window; the whole point is that the ENGINE side never funnels the
+    corpus through a single-reducer WindowExec (plan-asserted in
+    tests/test_scale_properties.py) — the production answer to the
+    r3 partitionless-window audit for corpus-sized ranking."""
+    from .operators.sort import parallel_global_rank
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked = parallel_global_rank(
+        li,
+        [F.col("cents").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        rank_col="rnk",
+    )
+    return ranked.select("l_orderkey", "l_linenumber", F.col("rnk").cast("bigint").alias("rnk"))

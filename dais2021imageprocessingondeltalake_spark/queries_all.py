@@ -209,6 +209,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_hhi_sources",
     "q_tfidf_cosine",
     "q_pareto_deciles",
+    "q_global_rank",
     # r3-certified north-star ids rotated OUT of the window in r4 (each
     # holds a green CORRECTNESS_r03 row); they re-gate after everything
     # above has held a driver row

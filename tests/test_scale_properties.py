@@ -694,12 +694,30 @@ def test_round3_op_plan_shapes(spark):
             .toString()
         )
 
+    # q_semdedup's returned plan starts from the localCheckpointed
+    # clustered table (r4: the E-step runs once, pinned), so the E-step
+    # shape is asserted on assign_to_centroids directly: broadcast
+    # centroids (nested loop, no data shuffle for scoring) and the
+    # map-side-combinable MAX-aggregate argmax — no WindowExec sort of
+    # the N x k scored rows
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    cents = SIM.label_centroids(emb)
+    estep = (
+        SIM.assign_to_centroids(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in estep
+    assert "HashAggregate" in estep
+    assert "WindowExec" not in estep and "WindowGroupLimit" not in estep
+    # ... and the flags pair join stays keyed on the cluster (equi-join,
+    # never a cartesian over the corpus)
     sem = plan("q_semdedup")
-    assert "BroadcastNestedLoopJoin" in sem  # broadcast centroids (E-step)
-    # per-vector argmax is a map-side-combinable MAX aggregate (r4): the
-    # N x k scored rows reduce to N before the shuffle — no WindowExec
-    # sort of the full scored set anywhere in the E-step
-    assert "partial_max" in sem or "HashAggregate" in sem
+    assert "CartesianProduct" not in sem
 
     best = plan("q_dedup_keep_best")
     assert "WindowGroupLimit" in best  # per-cluster top-1, not full sort
@@ -838,3 +856,54 @@ def test_hits_plan_stays_bounded(spark):
     # pinned per-round state -> the final plan sees only the last round's
     # lineage, not 4^iters leaf scans
     assert plan.count("Scan") < 40, plan.count("Scan")
+
+
+def test_global_rank_is_partition_parallel(spark):
+    """q_global_rank must rank through the per-range-partition window +
+    broadcast offsets — never a single-reducer global WindowExec: the
+    plan's only Window is keyed by __pid (hash exchange, parallel), and
+    no SinglePartition exchange feeds a Window."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    plan = (
+        q.REGISTRY["q_global_rank"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(__pid" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_parallel_global_rank_equals_window(spark):
+    """parallel_global_rank == the global row_number window, exactly —
+    on any partitioning of the input (boundaries vary, ranks must not)."""
+    from pyspark.sql import Window
+
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators.sort import (
+        parallel_global_rank,
+    )
+
+    o = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_totalprice")
+    want = {
+        r["o_orderkey"]: r["rnk"]
+        for r in o.withColumn(
+            "rnk",
+            F.row_number().over(
+                # dim-sized window: test-only exact reference on a small table
+                Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            ),
+        ).collect()
+    }
+    for n_parts in (3, 7):
+        got = {
+            r["o_orderkey"]: r["rnk"]
+            for r in parallel_global_rank(
+                o.repartition(5),
+                [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+                num_partitions=n_parts,
+            ).collect()
+        }
+        assert got == want, n_parts
