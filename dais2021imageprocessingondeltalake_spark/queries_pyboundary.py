@@ -30,10 +30,12 @@ def _scratch(sub: str) -> str:
     removed at interpreter exit — repeated rotation/bench invocations
     reuse ONE directory per query instead of leaking a mkdtemp each call
     (the q_zorder_layout fix, applied to every sink round-trip here).
-    Plain sinks overwrite in place; versioned tables keep appending
-    versions to the same log, which is invocation-independent because
-    every committed version of the same content is identical and
-    time-travel reads pin explicit versions."""
+    Plain sinks overwrite in place. Versioned tables keep appending
+    versions to the same log — SAFE only when every invocation writes
+    the same content, so their sub keys include the SCALE DIR name: one
+    process runs multiple scales (the verify sweep does), and a shared
+    log would time-travel v0 into another scale's corpus (caught by the
+    r4 sweep)."""
     if not _SCRATCH:
         import atexit
         import shutil
@@ -370,7 +372,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import versioned as V
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
-    table = _scratch("timetravel") + "/docs"
+    table = _scratch("timetravel_" + sf_dir.rstrip("/").rsplit("/", 1)[-1]) + "/docs"
     V.versioned_write(docs, table, mode="overwrite")
     V.versioned_write(docs.filter(F.col("doc_id") % 2 == 0), table, mode="overwrite")
     V.versioned_write(docs.filter(F.col("lang") == "fr"), table, mode="append")
@@ -406,7 +408,7 @@ def q_forget_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import versioned as V
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
-    table = _scratch("forget") + "/docs"
+    table = _scratch("forget_" + sf_dir.rstrip("/").rsplit("/", 1)[-1]) + "/docs"
     V.versioned_write(docs, table, mode="overwrite")
     delete_list = docs.filter(F.col("doc_id") % 89 == 0).withColumn(
         "__forget", F.lit(True)
@@ -497,7 +499,7 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import versioned as V
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
-    table = _scratch("vdiff") + "/docs"
+    table = _scratch("vdiff_" + sf_dir.rstrip("/").rsplit("/", 1)[-1]) + "/docs"
     V.versioned_write(docs, table, mode="overwrite")
     edited = (
         docs.filter(F.col("doc_id") % 7 != 0)
