@@ -13,6 +13,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import query
+
+
+def _fresh_tmpdir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup. Streaming scratch CANNOT be reused
+    across invocations (a reused checkpoint makes availableNow see the
+    source as already-processed and drain nothing), so each run gets a
+    fresh dir — but it is removed at interpreter exit instead of leaking
+    a table copy per rotation/bench rerun (the r4 scratch-hygiene
+    sweep)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 from .streaming.stream import events_batch, events_stream, run_stream_to_memory
 from .streaming.windows import tumbling_window_agg
 
@@ -301,7 +319,7 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.stream import events_stream, run_stream_scd2_foreachbatch
 
-    base = tempfile.mkdtemp(prefix="dais_scd2_stream_")
+    base = _fresh_tmpdir("dais_scd2_stream_")
     stream = events_stream(spark, sf_dir, max_files_per_trigger=1).select(
         "user_id", "ts", "event_type"
     )
@@ -406,8 +424,8 @@ def q_stream_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_ref = D.shingle_table(ref, "doc_id", n=3).localCheckpoint()
     dfreq = D.shingle_doc_freq(sh_ref).localCheckpoint()
 
-    out_dir = tempfile.mkdtemp(prefix="stream_xdedup_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_xdedup_ckpt_")
+    out_dir = _fresh_tmpdir("stream_xdedup_out_")
+    ckpt_dir = _fresh_tmpdir("stream_xdedup_ckpt_")
     stream = table_stream(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -513,7 +531,7 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import load_table
     from .operators import sketches as SK
 
-    base = tempfile.mkdtemp(prefix="stream_cms_")
+    base = _fresh_tmpdir("stream_cms_")
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     docs.repartition(4).write.parquet(f"{base}/src")
     schema = spark.read.parquet(f"{base}/src").schema
