@@ -162,6 +162,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_kmeans_fit_cert",
     "q_embedding_ivf_cert",
     "q_bpe_merges",
+    "q_bpe_fertility",
     "q_fuzzy_join",
     "q_dedup_triangles",
     "q_data_profile",

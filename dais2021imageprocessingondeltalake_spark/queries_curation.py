@@ -1561,14 +1561,15 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_merges_oracle(num_merges: int = 10) -> str:
-    """Unroll the full BPE training loop in SQL: per round, pair counts
-    over the current symbol tables, a (cnt DESC, a, b) argmax, and the
-    greedy leftmost merge applied via list_reduce with a list
-    accumulator (DuckDB lambdas reference the joined argmax row's
-    columns) — the same generated-CTE certification idiom as the
-    PageRank and k-means oracles, here over an iterative STRING
-    algorithm."""
+def _bpe_train_ctes(num_merges: int) -> list[str]:
+    """Shared CTE chain unrolling the full BPE training loop in SQL:
+    per round, pair counts over the current symbol tables, a
+    (cnt DESC, a, b) argmax, and the greedy leftmost merge applied via
+    list_reduce with a list accumulator (DuckDB lambdas reference the
+    joined argmax row's columns) — the generated-CTE certification
+    idiom over an iterative STRING algorithm. Consumed by both the
+    merge-sequence oracle (q_bpe_merges) and the fertility oracle
+    (q_bpe_fertility)."""
     ctes = ["""w0 AS (
       SELECT word, count(*) AS freq,
              [word[i:i] for i in range(1, len(word) + 1)] AS syms
@@ -1594,11 +1595,39 @@ def _bpe_merges_oracle(num_merges: int = 10) -> str:
              ) AS syms
       FROM w{i} w CROSS JOIN t{i} t
     )""")
+    return ctes
+
+
+def _bpe_merges_oracle(num_merges: int = 10) -> str:
+    ctes = _bpe_train_ctes(num_merges)
     steps = "\n    UNION ALL ".join(
         f"SELECT CAST({i + 1} AS BIGINT) AS step, a, b, CAST(cnt AS BIGINT) AS cnt FROM t{i}"
         for i in range(num_merges)
     )
     return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + steps
+
+
+def _bpe_fertility_oracle(num_merges: int = 10) -> str:
+    """Replay the trained segmentation (w{num_merges} symbol tables)
+    against every word OCCURRENCE, grouped by language: fertility =
+    pieces per occurrence, floor-scaled (exact-rational idiom)."""
+    ctes = _bpe_train_ctes(num_merges)
+    ctes.append(f"""seg AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_pieces FROM w{num_merges}
+    )""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(s.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(floor(10000.0 * sum(s.n_pieces) / count(*)) AS BIGINT)
+             AS fertility_x10k
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+          FROM documents) d
+    JOIN seg s USING (word)
+    GROUP BY 1"""
+    )
 
 
 @query("q_bpe_merges", oracle=_bpe_merges_oracle())
@@ -1615,6 +1644,37 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = B.bpe_train(docs, num_merges=10)
     rows = [(i + 1, a, b, int(c)) for i, (a, b, c) in enumerate(merges)]
     return spark.createDataFrame(rows, ["step", "a", "b", "cnt"])
+
+
+@query("q_bpe_fertility", oracle=_bpe_fertility_oracle())
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language under the 10 certified BPE
+    merges: pieces per word OCCURRENCE (frequency-weighted, the number
+    multilingual tokenizer evaluations report — high-fertility languages
+    pay more sequence length per word, the classic under-representation
+    signal that drives vocab-allocation decisions). The trained
+    segmentation comes straight from bpe_train's final word table (the
+    |vocab|-sized intermediate — broadcastable) joined back to the
+    token stream; fertility is the floor-scaled exact rational, and the
+    oracle replays training AND segmentation via the shared unrolled
+    CTE chain."""
+    from .operators import bpe as B
+
+    docs = load_table(spark, "documents", sf_dir)
+    _, words = B.bpe_train(docs, num_merges=10)
+    seg = words.select("word", F.size("syms").cast("long").alias("n_pieces"))
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.floor(
+                F.lit(10000.0) * F.sum("n_pieces") / F.count(F.lit(1))
+            ).cast("bigint").alias("fertility_x10k"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
