@@ -1104,7 +1104,12 @@ def margin_mine_lsh(
     |corpus| x (n_planes+1) probe rows against |corpus| bucketed rows,
     never the |corpus|² cross product the brute-force path pays; with
     base vectors written bucket-partitioned the probe side prunes to
-    (n_planes+1)/2^n_planes of the files. Approximation contract: sim2
+    (n_planes+1)/2^n_planes of the files. SIZE n_planes WITH THE CORPUS
+    (n_planes ~ log2(N) - log2(target bucket size)): at a frozen plane
+    count expected candidates are N²/2^p — the fixed-k SemDeDup trap —
+    while log-scaled planes keep bucket occupancy and candidates-per-row
+    constant (probe-evidenced in SCALE_PROBE.json margin_lsh_*).
+    Approximation contract: sim2
     is the second-best WITHIN the probed buckets, so margins are
     upper-bound-biased relative to brute force exactly like every
     Artetxe-Schwenk implementation that mines over an ANN index (recall

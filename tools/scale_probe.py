@@ -132,7 +132,7 @@ def build_scaled_embeddings(base_dir: str, factor: int, out_dir: Path, seed: int
     return str(out)
 
 
-ALL_COMPONENTS = ("docs", "sem", "knn", "gram")
+ALL_COMPONENTS = ("docs", "sem", "knn", "gram", "margin")
 
 
 def main() -> int:
@@ -232,7 +232,7 @@ def main() -> int:
                 point["hh_rows"] = SK.heavy_hitters_exact(toks, "tok", k=20, counters=256).count()
                 point["hh_secs"] = round(time.perf_counter() - t0, 2)
 
-            if want & {"sem", "knn", "gram"}:
+            if want & {"sem", "knn", "gram", "margin"}:
                 epath = build_scaled_embeddings(args.base, k, scratch)
                 emb = spark.read.parquet(epath)
                 n_vecs = emb.count()
@@ -295,6 +295,30 @@ def main() -> int:
                     queries, base_side, dim=64, k=3, n_planes=6
                 ).count()
                 point["knn_secs"] = round(time.perf_counter() - t0, 2)
+
+            if "margin" in want:
+                # bucketed margin mining (the q_margin_mine_lsh plan).
+                # Production sizing: the PLANE COUNT grows with the
+                # corpus (n_planes ~ 4 + log2(factor)) so bucket count
+                # scales ~N and expected candidates stay ~N x const — at
+                # a FROZEN plane count the bucket join is N^2/2^p, the
+                # same trap as fixed-k SemDeDup. The brute-force recall
+                # oracle runs only while its |corpus|^2 cross product
+                # stays payable — the point of the curve is that one
+                # column keeps existing and the other stops.
+                n_pl = 4 + max(0, (k - 1)).bit_length()
+                t0 = time.perf_counter()
+                point["margin_lsh_rows"] = SIM.margin_mine_lsh(
+                    emb, dim=64, n_planes=n_pl, min_margin_x10k=11000
+                ).count()
+                point["margin_lsh_secs"] = round(time.perf_counter() - t0, 2)
+                point["margin_lsh_planes"] = n_pl
+                if k <= 3:
+                    t0 = time.perf_counter()
+                    point["margin_brute_rows"] = SIM.margin_mine(
+                        emb, min_margin_x10k=11000
+                    ).count()
+                    point["margin_brute_secs"] = round(time.perf_counter() - t0, 2)
 
             if "gram" in want:
                 # Gram matrix partial-sum aggregate (linear in n_vecs,
