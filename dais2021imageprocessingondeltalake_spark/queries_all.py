@@ -133,6 +133,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_stream_curate",
     "q_stream_cross_dedup",
     "q_stream_cms",
+    "q_stream_heavy_hitters",
     # round-3 additions, certified by the r3/r4 dual-scale sweeps
     "q_curate_v2",
     "q_temperature_mix",
@@ -160,6 +161,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_dedup_quality",
     "q_ann_quality",
     "q_kmeans_fit_cert",
+    "q_doc_cluster",
     "q_embedding_ivf_cert",
     "q_bpe_merges",
     "q_bpe_fertility",

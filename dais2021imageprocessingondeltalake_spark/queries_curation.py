@@ -2119,3 +2119,97 @@ def q_split_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
     return proportional_allocate(docs, "lang", "doc_id", num=1, den=5)
+
+
+def _doc_cluster_oracle(k: int = 8, fit_iters: int = 2) -> str:
+    """Unroll feature-hash vectorization + the k-means fit over the
+    derived vectors: docs hash into 16 token-count dims (first md5 hex
+    char — the q_feature_hash idiom, exact integers), then the standard
+    fit replay (md5-rank seeds, round-before-rank assignments, 6dp
+    M-steps) with the final E-step's label as the cluster. Output is
+    per-cluster size + min-id exemplar — all exact integers."""
+    sums = ",\n             ".join(
+        f"CAST(sum(CASE WHEN b = '{d}' THEN 1 ELSE 0 END) AS DOUBLE)"
+        for d in "0123456789abcdef"
+    )
+    ctes = [f"""v AS MATERIALIZED (
+      SELECT doc_id AS vec_id,
+             [{sums}] AS ve
+      FROM (
+        SELECT doc_id, substr(md5(t), 1, 1) AS b
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+      )
+      GROUP BY doc_id
+    ), c0 AS MATERIALIZED (
+      SELECT CAST(rn - 1 AS INT) AS label, list_transform(ve, x -> round(x, 6)) AS cvec
+      FROM (
+        SELECT vec_id, ve,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM v
+      ) WHERE rn <= {k}
+    )"""]
+    for i in range(fit_iters):
+        ctes.append(f"""a{i} AS MATERIALIZED (
+      SELECT vec_id, ve, label, sim FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, label) AS rn
+        FROM (
+          SELECT v.vec_id, v.ve, c.label,
+                 round(list_cosine_similarity(v.ve, c.cvec), 6) AS sim
+          FROM v CROSS JOIN c{i} c
+        ) s
+      ) WHERE rn = 1
+    )""")
+        if i < fit_iters - 1:
+            ctes.append(f"""c{i + 1} AS MATERIALIZED (
+      SELECT label, list(round(c, 6) ORDER BY dim) AS cvec FROM (
+        SELECT label, dim, avg(x) AS c FROM (
+          SELECT label, unnest(ve) AS x, generate_subscripts(ve, 1) AS dim
+          FROM a{i}
+        ) GROUP BY label, dim
+      ) GROUP BY label
+    )""")
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT label AS cluster, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(vec_id) AS BIGINT) AS exemplar
+    FROM a{fit_iters - 1} GROUP BY 1"""
+    )
+
+
+@query("q_doc_cluster", oracle=_doc_cluster_oracle())
+def q_doc_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text clustering WITHOUT embeddings: every document feature-hashes
+    into a 16-dim token-count vector (first md5 hex char per token — no
+    vocabulary build, no OOV, the hashing-trick featurizer), then
+    spherical k-means (k=8, 2 rounds, round_dp=6) clusters the derived
+    vectors and the fit's final E-step labels each doc. Output:
+    per-cluster size + min-id exemplar. The whole chain — vectorize,
+    seed, every E/M round — replays in the unrolled-CTE oracle with
+    exact integer inputs, tying the text tier to the certified k-means
+    machinery; at 100 TB the featurization is one narrow agg (16
+    conditional counts, map-side combined) and the fit is the usual
+    broadcast E-step."""
+    from .operators import similarity as SIM
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t")).select(
+        "doc_id", F.substring(F.md5("t"), 1, 1).alias("b")
+    )
+    fv = toks.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("b") == d, 1).otherwise(0)).cast("double")
+                for d in "0123456789abcdef"
+            ]
+        ).alias("fv")
+    )
+    assigned, _ = SIM.kmeans_fit_distributed(
+        fv, k=8, iters=2, id_col="doc_id", vec_col="fv", round_dp=6
+    )
+    return assigned.groupBy(F.col("assigned_label").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("exemplar"),
+    )

@@ -559,3 +559,63 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j", "b")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+@query(
+    "q_stream_heavy_hitters",
+    oracle="""
+    SELECT item, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS item FROM documents)
+    GROUP BY item
+    ORDER BY cnt DESC, item
+    LIMIT 20
+    """,
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-20 tokens computed over a STREAM: each of 4 real
+    micro-batches contributes its bounded Misra-Gries partial summaries
+    (foreachBatch appends <= counters rows per partition per batch),
+    then one exact recount of the unioned candidate set against the
+    corpus. Exactness survives batching because the MG threshold
+    telescopes: an item with global count > n/(c+1) must exceed
+    n_b/(c+1) in at least one batch (sum argument), so it appears in
+    some batch's summary and the recount fixes its exact rank. Same
+    plain top-k SQL oracle as the batch q_heavy_hitters — the driver
+    hash certifies stream == batch for a sketch whose merges are
+    LOSSY (unlike CMS), which is why the candidate-union + recount
+    two-phase is the correct streaming shape."""
+    from .catalog import load_table
+    from .operators import sketches as SK
+
+    base = _fresh_tmpdir("stream_hh_")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs.repartition(4).write.parquet(f"{base}/src")
+    schema = spark.read.parquet(f"{base}/src").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/src")
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
+        SK.misra_gries_partials(toks, "tok", counters=256).write.mode(
+            "append"
+        ).parquet(f"{base}/partials")
+
+    (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    candidates = spark.read.parquet(f"{base}/partials").select("item").distinct()
+    toks = docs.select(F.explode(F.split("text", " ")).alias("item"))
+    return (
+        toks.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("item"))
+        .limit(20)
+    )
