@@ -138,6 +138,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_curate_v2",
     "q_temperature_mix",
     "q_token_budget",
+    "q_padding_waste",
     "q_dsir_score",
     "q_hybrid_search",
     "q_containment",

@@ -2449,3 +2449,44 @@ def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pruning semantics survive scale-up)."""
     docs = load_table(spark, "documents", sf_dir)
     return TX.tfidf_cosine_pairs(docs, "doc_id", "text", max_doc_frac=0.1, threshold=0.5)
+
+
+@query(
+    "q_padding_waste",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT CAST(ceil(n_tok / 16.0) * 16 AS BIGINT) AS bucket_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(*) * CAST(ceil(n_tok / 16.0) * 16 AS BIGINT)
+                - sum(n_tok) AS BIGINT) AS pad_waste
+    FROM t
+    GROUP BY 1
+    """,
+)
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed padding-waste report: documents bucket to the
+    next multiple of 16 tokens (the fixed-shape batching a training
+    stack pads to) and each bucket reports docs, real tokens, and the
+    pad tokens burned (n_docs x bucket_len - real) — the number that
+    decides between padded batching and sequence packing
+    (q_token_packing is the packing side of the same decision). Pure
+    integer arithmetic end to end; one map-side-combined agg."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    bucket = (F.ceil(F.col("n_tok") / 16.0) * 16).cast("long")
+    return (
+        t.groupBy(bucket.alias("bucket_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            (
+                F.count(F.lit(1)) * F.col("bucket_len") - F.sum("n_tok")
+            ).cast("bigint").alias("pad_waste"),
+        )
+    )
