@@ -2470,3 +2470,131 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rnk",
     )
     return ranked.select("l_orderkey", "l_linenumber", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+@query(
+    "q_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('week', CAST(ts AS DATE)) AS week,
+             CAST(ts AS DATE) AS day, user_id
+      FROM events
+    ), daily AS (
+      SELECT week, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM du GROUP BY 1, 2
+    ), weekly AS (
+      SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM du GROUP BY 1
+    )
+    SELECT w.week,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(d.dau) AS BIGINT) AS dau_days,
+           w.wau,
+           CAST(floor(10000.0 * sum(d.dau) / (count(*) * w.wau)) AS BIGINT)
+             AS stickiness_x10k
+    FROM daily d JOIN weekly w USING (week)
+    GROUP BY w.week, w.wau
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week — mean daily actives over weekly
+    actives, THE product-engagement ratio (1.0 = everyone active every
+    day). Two distinct-count aggregates over (week, day, user) pairs +
+    one broadcast join back; the ratio ships floor-scaled (exact
+    rational of exact integers). Bounded by |weeks| x |actives|,
+    never raw events."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("week"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    daily = du.groupBy("week", "day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    weekly = du.groupBy("week").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        daily.join(F.broadcast(weekly), "week")
+        .groupBy("week", "wau")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("dau").alias("dau_days"),
+            F.floor(
+                F.lit(10000.0) * F.sum("dau") / (F.count(F.lit(1)) * F.col("wau"))
+            ).cast("bigint").alias("stickiness_x10k"),
+        )
+        .select("week", "n_days", "dau_days", "wau", "stickiness_x10k")
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+    WITH tc AS MATERIALIZED (
+      SELECT t, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t
+    ), ranked AS MATERIALIZED (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rnk FROM tc
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM tc
+    )
+    SELECT k.vocab_size,
+           CAST(sum(r.c) AS BIGINT) AS covered_tokens,
+           t.n AS total_tokens,
+           t.n_types,
+           CAST(floor(10000.0 * sum(r.c) / t.n) AS BIGINT) AS coverage_x10k
+    FROM (SELECT unnest([10, 50, 100, 500, 1000]) AS vocab_size) k
+    JOIN ranked r ON r.rnk <= k.vocab_size
+    CROSS JOIN tot t
+    GROUP BY k.vocab_size, t.n, t.n_types
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for candidate vocab sizes, the share
+    of token OCCURRENCES covered by the top-k most frequent types — the
+    Zipf-law curve that sizes tokenizer vocabularies and OOV budgets
+    (complementing q_zipf_slope and q_bpe_fertility). Type counts rank
+    once; the tiny size grid joins the ranked dictionary with a
+    range predicate and sums covered mass — dictionary-sized work,
+    coverage floor-scaled.
+
+    The rank is over the term DICTIONARY (type counts, post-agg) — at
+    100 TB the dictionary is still bounded by the language, and the
+    heavy-hitter tier covers the case where even the dictionary must
+    stay bounded."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tc = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # dim-sized window: term dictionary (type counts, post-agg)
+    ranked = tc.select(
+        "c", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("t"))).alias("rnk")
+    )
+    tot = tc.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    sizes = docs.sparkSession.createDataFrame(
+        [(10,), (50,), (100,), (500,), (1000,)], "vocab_size int"
+    )
+    return (
+        sizes.join(ranked, F.col("rnk") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.sum("c").alias("covered_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            F.col("n").alias("total_tokens"),
+            "n_types",
+            F.floor(F.lit(10000.0) * F.col("covered_tokens") / F.col("n"))
+            .cast("bigint")
+            .alias("coverage_x10k"),
+        )
+    )

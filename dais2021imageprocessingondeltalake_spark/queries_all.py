@@ -156,6 +156,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_embedding_rp",
     "q_bpe_pair_counts",
     "q_zipf_slope",
+    "q_vocab_coverage",
     "q_lang_confusion",
     "q_udtf_chunks",
     "q_variant",
@@ -178,6 +179,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_jsonl_roundtrip",
     "q_basket_lift",
     "q_rolling_wau",
+    "q_stickiness",
     "q_heavy_hitters",
     "q_count_min",
     "q_bigram_ppl",
