@@ -161,6 +161,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_udtf_chunks",
     "q_variant",
     "q_dedup_quality",
+    "q_dup_cluster_sizes",
     "q_ann_quality",
     "q_kmeans_fit_cert",
     "q_doc_cluster",

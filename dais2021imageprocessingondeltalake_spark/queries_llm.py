@@ -2490,3 +2490,56 @@ def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("pad_waste"),
         )
     )
+
+
+@query(
+    "q_dup_cluster_sizes",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      WHERE shared / (n_a + n_b - shared) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ), roots AS (
+      SELECT id, min(r) AS root FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT root, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM roots GROUP BY root
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY 1
+    """,
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-SIZE distribution — the dedup audit histogram
+    (how much mass sits in pairs vs pathological mega-clusters; a fat
+    tail here is the classic symptom of boilerplate chaining distinct
+    documents together, and the number that decides whether to cap
+    cluster growth before the keep-root rewrite — q_dedup_cap is that
+    cap). Same prefix-filtered edges + pointer-jumping components as
+    q_dedup_clusters, then two tiny aggs; the recursive-CTE oracle
+    replays the closure and the histogram in one statement."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", n=3, threshold=0.5)
+    sizes = (
+        D.connected_components(pairs)
+        .groupBy("cluster_root")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
