@@ -157,6 +157,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_bpe_pair_counts",
     "q_zipf_slope",
     "q_vocab_coverage",
+    "q_ngram_growth",
     "q_lang_confusion",
     "q_udtf_chunks",
     "q_variant",

@@ -2543,3 +2543,63 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
+
+
+@query(
+    "q_ngram_growth",
+    oracle="""
+    WITH w AS MATERIALIZED (
+      SELECT string_split(text, ' ') AS ws FROM documents
+    ), grams AS MATERIALIZED (
+      SELECT n, g FROM (
+        SELECT 1 AS n, unnest([array_to_string(ws[i:i], ' ')
+                               for i in range(1, len(ws) + 1)]) AS g FROM w
+        UNION ALL
+        SELECT 2 AS n, unnest([array_to_string(ws[i:i+1], ' ')
+                               for i in range(1, len(ws))]) AS g FROM w
+        UNION ALL
+        SELECT 3 AS n, unnest([array_to_string(ws[i:i+2], ' ')
+                               for i in range(1, len(ws) - 1)]) AS g FROM w
+      )
+    )
+    SELECT n,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_types,
+           CAST(floor(1000000.0 * count(DISTINCT g) / count(*)) AS BIGINT)
+             AS type_token_x1m
+    FROM grams GROUP BY n
+    """,
+)
+def q_ngram_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram vocabulary growth (the Heaps-law readout): for n = 1..3,
+    total occurrences, distinct types, and the floor-scaled type/token
+    ratio — how fast the n-gram space de-duplicates as n grows, the
+    number behind shingle-width choices (dedup n=3 works BECAUSE
+    3-gram types approach occurrence count) and n-gram-LM capacity
+    planning. One explode per order + distinct-count aggs; at 100 TB
+    the distinct count swaps for the HLL sketch seam."""
+    docs = load_table(spark, "documents", sf_dir)
+    ws = docs.select(F.split("text", " ").alias("ws"))
+
+    def grams(n: int):
+        idx = F.sequence(F.lit(1), F.size("ws") - (n - 1))
+        return ws.filter(F.size("ws") >= n).select(
+            F.lit(n).alias("n"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("ws"), i, F.lit(n))
+                    ),
+                )
+            ).alias("g"),
+        )
+
+    g = grams(1).unionByName(grams(2)).unionByName(grams(3))
+    return g.groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("g").alias("n_types"),
+        F.floor(
+            F.lit(1000000.0) * F.count_distinct("g") / F.count(F.lit(1))
+        ).cast("bigint").alias("type_token_x1m"),
+    )
