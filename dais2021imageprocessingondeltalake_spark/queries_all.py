@@ -158,6 +158,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_zipf_slope",
     "q_vocab_coverage",
     "q_ngram_growth",
+    "q_oov_rate",
     "q_lang_confusion",
     "q_udtf_chunks",
     "q_variant",

@@ -2603,3 +2603,58 @@ def q_ngram_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000000.0) * F.count_distinct("g") / F.count(F.lit(1))
         ).cast("bigint").alias("type_token_x1m"),
     )
+
+
+@query(
+    "q_oov_rate",
+    oracle="""
+    WITH train AS MATERIALIZED (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id % 2 = 0
+    ), test_tok AS MATERIALIZED (
+      SELECT lang, unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tr.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(floor(1000000.0 * sum(CASE WHEN tr.t IS NULL THEN 1 ELSE 0 END)
+                      / count(*)) AS BIGINT) AS oov_x1m
+    FROM test_tok te LEFT JOIN train tr ON te.t = tr.t
+    GROUP BY lang
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language: share of held-out-half token
+    occurrences whose TYPE never appears in the training half (doc-id
+    parity split — deterministic, the leakage-split idiom's cheap
+    cousin) — the vocab-budget / domain-shift audit that decides
+    whether a tokenizer or n-gram LM trained on one slice transfers to
+    the rest. One distinct-type build + a type-keyed left join (the
+    vocabulary is dictionary-sized; at 100 TB it joins on the token key
+    rather than broadcasting, the q_source_kl convention) + exact
+    integer counts with floor-scaled rates."""
+    docs = load_table(spark, "documents", sf_dir)
+    train = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    test_tok = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    return (
+        test_tok.join(train, "t", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).cast("bigint").alias("oov_x1m"),
+        )
+    )
