@@ -1061,3 +1061,58 @@ def test_bigram_ppl_flags_word_salad(spark):
     worst_coherent = min(got[i] for i in range(10))
     best_salad = max(got[100 + i] for i in range(len(salads)))
     assert best_salad < worst_coherent, (best_salad, worst_coherent)
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    """Coverage must be non-decreasing in vocab size, bounded by 1.0,
+    and covered tokens can never exceed the total."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    rows = sorted(
+        q.REGISTRY["q_vocab_coverage"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    assert rows
+    prev = -1
+    for r in rows:
+        assert r["covered_tokens"] <= r["total_tokens"]
+        assert 0 <= r["coverage_x10k"] <= 10000
+        assert r["coverage_x10k"] >= prev
+        prev = r["coverage_x10k"]
+
+
+def test_oov_rate_planted_unseen_tokens(spark):
+    """Tokens planted only in odd (held-out) docs must count as OOV;
+    a corpus whose halves share every type reports zero."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    shared = [(i, "alpha beta gamma", "xx") for i in range(6)]
+    df = spark.createDataFrame(shared, ["doc_id", "text", "lang"])
+    df.createOrReplaceTempView("__t")
+    # reuse the registered operator logic directly on a planted frame
+    from pyspark.sql import functions as F
+
+    def oov(frame):
+        train = (
+            frame.filter(F.col("doc_id") % 2 == 0)
+            .select(F.explode(F.split("text", " ")).alias("t"))
+            .distinct()
+            .withColumn("__seen", F.lit(1))
+        )
+        test_tok = frame.filter(F.col("doc_id") % 2 == 1).select(
+            "lang", F.explode(F.split("text", " ")).alias("t")
+        )
+        return (
+            test_tok.join(train, "t", "left")
+            .groupBy("lang")
+            .agg(
+                F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias("n_oov")
+            )
+        )
+
+    assert oov(df).collect()[0]["n_oov"] == 0
+    planted = spark.createDataFrame(
+        shared + [(7, "alpha zzzunseen qqqnovel", "xx")],
+        ["doc_id", "text", "lang"],
+    )
+    assert oov(planted).collect()[0]["n_oov"] == 2
