@@ -159,6 +159,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_vocab_coverage",
     "q_ngram_growth",
     "q_oov_rate",
+    "q_doclen_percentiles",
     "q_lang_confusion",
     "q_udtf_chunks",
     "q_variant",

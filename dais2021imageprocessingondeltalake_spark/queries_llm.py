@@ -2658,3 +2658,39 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("oov_x1m"),
         )
     )
+
+
+@query(
+    "q_doclen_percentiles",
+    oracle="""
+    WITH t AS (
+      SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_tok, 0.1) AS p10,
+           quantile_cont(n_tok, 0.5) AS p50,
+           quantile_cont(n_tok, 0.9) AS p90,
+           CAST(max(n_tok) AS BIGINT) AS max_tok
+    FROM t GROUP BY lang
+    """,
+)
+def q_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length percentiles per language — the distribution
+    summary behind truncation limits, packing bucket bounds
+    (q_padding_waste's grid), and per-language length-bias audits.
+    Spark percentile() == DuckDB quantile_cont (both linear-interpolate
+    the sorted group on identical integer-valued doubles), so this is
+    the zero-rounding exact class; min/max/count are trivially exact."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "lang", F.size(F.split("text", " ")).cast("double").alias("n_tok")
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_tok, 0.1)").alias("p10"),
+        F.expr("percentile(n_tok, 0.5)").alias("p50"),
+        F.expr("percentile(n_tok, 0.9)").alias("p90"),
+        F.max("n_tok").cast("bigint").alias("max_tok"),
+    )
