@@ -181,3 +181,36 @@ class TestVersionedTable:
         assert rows == {1: None, 2: 9.5}
         # time travel to v0 keeps the original schema
         assert set(V.versioned_read(spark, t, version=0).columns) == {"k", "v"}
+
+
+def test_forget_then_vacuum_completes_erasure(spark, tmp_path):
+    """The full GDPR lifecycle q_forget_rows documents: MERGE-delete the
+    target rows (serving table clean immediately, history retained for
+    the audit window), then VACUUM retires the pre-delete snapshot —
+    after which the deleted rows are unreachable by ANY read path:
+    the live set lacks them, time travel to v0 fails, and the v0 data
+    directory is physically gone."""
+    import pytest
+
+    from dais2021imageprocessingondeltalake_spark.sources import versioned as V
+
+    t = str(tmp_path / "gdpr")
+    rows = [(i, f"user{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "payload"])
+    V.versioned_write(df, t, mode="overwrite")
+    from pyspark.sql import functions as F
+
+    forget = df.filter(df.id % 5 == 0).withColumn("__f", F.lit(True))
+    V.versioned_merge(spark, forget, t, keys=["id"], delete_col="__f")
+    # audit window: deletes left the live set, history still travels
+    live = {r["id"] for r in V.versioned_read(spark, t).collect()}
+    assert live == {i for i in range(20) if i % 5 != 0}
+    assert {r["id"] for r in V.versioned_read(spark, t, version=0).collect()} == set(
+        range(20)
+    )
+    # compliance deadline: purge history
+    removed = V.vacuum(t, retain_last=1)
+    assert removed, "vacuum must retire the pre-delete snapshot"
+    assert {r["id"] for r in V.versioned_read(spark, t).collect()} == live
+    with pytest.raises(Exception):
+        V.versioned_read(spark, t, version=0).collect()
