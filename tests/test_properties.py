@@ -238,3 +238,35 @@ def test_bloom_semi_join_equals_semi_join(spark, big_keys, small_keys):
     got = sorted(r["k"] for r in SK.bloom_filter_semi_join(big, small, "k", n_bits=1 << 10).collect())
     want = sorted(k for k in big_keys if k in (small_keys or {-1}))
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=300),
+    n_parts=st.integers(min_value=1, max_value=9),
+)
+def test_parallel_global_rank_matches_sorted_enumeration(spark, vals, n_parts):
+    """parallel_global_rank == rank-by-sorted-position on ANY input
+    (heavy duplicates included — the unique id column is the tiebreak)
+    and ANY partition count, including more partitions than rows."""
+    from dais2021imageprocessingondeltalake_spark.operators.sort import (
+        parallel_global_rank,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(4)
+    got = {
+        r["id"]: r["rnk"]
+        for r in parallel_global_rank(
+            df, [F.col("v"), F.col("id")], num_partitions=n_parts
+        ).collect()
+    }
+    want = {
+        rid: rank + 1
+        for rank, (rid, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
