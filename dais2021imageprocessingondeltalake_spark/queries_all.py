@@ -33,20 +33,19 @@ from .registry import REGISTRY, headline_queries, oracle_sql, queries  # noqa: F
 # them via ``queries()``/``oracle_sql()`` and the repo's own dual-scale sweep
 # (tools/verify_sweep.py) checks every oracle at sf0.01 AND sf0.1 each round.
 #
-# Window changes r3 -> r4 (per VERDICT r3 item 1; nothing unregistered):
-# - The 15 north-star dedup/ANN/curation ids all hold green r3 driver rows
-#   (CORRECTNESS_r03), so their slots rotate to the head of the r3 queue:
-#   q_flagship_revenue / q_join_semi / q_map_funcs + the first 11 TPC-H
-#   analogues (all sweep-exact already).
-# - q_minhash_lsh (rows-only xxhash64 variant) swaps for the
-#   oracle-certified q_minhash_lsh_md5 so the MinHash-LSH driver row is
-#   hash-certified instead of rows-only; MinHash therefore STAYS resident.
-# - Rotated-out certified ids move to the rotation tail (they re-gate last).
+# Window changes r4 -> r5 (per VERDICT r4 item 2; nothing unregistered):
+# - The 15 r4-certified rotating slots (q_minhash_lsh_md5, q_flagship_revenue,
+#   q_join_semi, q_map_funcs + TPC-H tier 1, 11 ids — all green in
+#   CORRECTNESS_r04) rotate to the queue tail.
+# - In come TPC-H tier 2 (11 ids — completes all 24 analogues
+#   driver-certified, the r3 goal) + the streaming extras
+#   (q_stream_dedup, q_stream_left_join, q_stateful_stream, q_stream_join).
 #
-# Round-5 plan (committed here so the rotation stays lockstep-testable):
-# swap the 14 newly certified r4 slots for the remaining 11 TPC-H analogues
-# + the streaming extras (q_stream_dedup, q_stream_left_join, stateful tier)
-# per VERDICT r3 item 8, then continue down the queue.
+# Round-6 plan (committed now per VERDICT r4 item 5 so the ledger stays
+# lockstep-testable): re-gate the 15 r3 north-star LLM-tier ids
+# (q_dedup_exact … q_bm25) so the data-sized q_margin_mine_lsh and the
+# sqrt(N) q_semdedup successors get driver rows — they sit at the
+# ROTATION_QUEUE head below.
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # SURVEY §2 resident set (35)
@@ -85,30 +84,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_scan_binary",
     "q_stream_agg",
     "q_stream_window",
-    # Certified-MinHash swap (VERDICT r3 item 1): md5 variant carries a full
-    # DuckDB oracle, so the MinHash-LSH driver row is hash-certified.
-    "q_minhash_lsh_md5",
-    # Rotation head promoted for r4 (VERDICT r3 item 1)
-    "q_flagship_revenue",
-    "q_join_semi",
-    "q_map_funcs",
-    "q_tpch_pricing",
-    "q_tpch_shipping_priority",
-    "q_tpch_order_priority",
-    "q_tpch_customer_distribution",
-    "q_tpch_min_cost_supplier",
-    "q_tpch_large_orders",
-    "q_tpch_idle_customers",
-    "q_tpch_local_volume",
-    "q_tpch_revenue_change",
-    "q_tpch_volume_shipping",
-    "q_tpch_market_share",
-)
-
-# Priority order for slots 51+; ids not listed here follow in their original
-# registration order. Rounds 5+ rotate these into freed window slots.
-ROTATION_QUEUE: tuple[str, ...] = (
-    # remaining TPC-H analogues — goal: all 24 driver-certified by round 5
+    # Rotation head promoted for r5 (VERDICT r4 item 2): TPC-H tier 2 —
+    # all 24 analogues now driver-certified — plus the streaming extras.
     "q_tpch_product_profit",
     "q_tpch_returned_items",
     "q_tpch_promo_revenue",
@@ -120,12 +97,36 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_tpch_supplier_cnt",
     "q_tpch_part_promotion",
     "q_tpch_waiting_supplier",
-    # streaming extras (VERDICT r3 item 8): keep stream semantics
-    # driver-certified over time
     "q_stream_dedup",
     "q_stream_left_join",
     "q_stateful_stream",
     "q_stream_join",
+)
+
+# Priority order for slots 51+; ids not listed here follow in their original
+# registration order. Rounds 6+ rotate these into freed window slots.
+ROTATION_QUEUE: tuple[str, ...] = (
+    # r6 head (VERDICT r4 item 5): re-gate the r3 north-star LLM tier so the
+    # data-sized margin-LSH / sqrt(N) SemDeDup successors get driver rows
+    "q_dedup_exact",
+    "q_ngram_jaccard_prefix",
+    "q_minhash_lsh_md5",
+    "q_dedup_clusters",
+    "q_dedup_end2end",
+    "q_cross_dedup",
+    "q_dedup_spans",
+    "q_decontaminate",
+    "q_embedding_topk",
+    "q_embedding_ann",
+    "q_embedding_ann_q8",
+    "q_text_stats",
+    "q_llm_pipeline",
+    "q_curate_end2end",
+    "q_bm25",
+    "q_semdedup",
+    "q_margin_mine_lsh",
+    "q_margin_lsh_recall",
+    # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",
     "q_stream_session_window",
@@ -202,7 +203,6 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_label_silhouette",
     "q_burst_detection",
     "q_graph_hits",
-    "q_margin_mine_lsh",
     "q_margin_mine",
     "q_feature_hash",
     "q_recursive_cte",
@@ -220,24 +220,23 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_tfidf_cosine",
     "q_pareto_deciles",
     "q_global_rank",
-    # r3-certified north-star ids rotated OUT of the window in r4 (each
-    # holds a green CORRECTNESS_r03 row); they re-gate after everything
-    # above has held a driver row
-    "q_dedup_exact",
-    "q_ngram_jaccard_prefix",
     "q_minhash_lsh",
-    "q_dedup_clusters",
-    "q_dedup_end2end",
-    "q_cross_dedup",
-    "q_dedup_spans",
-    "q_decontaminate",
-    "q_embedding_topk",
-    "q_embedding_ann",
-    "q_embedding_ann_q8",
-    "q_text_stats",
-    "q_llm_pipeline",
-    "q_curate_end2end",
-    "q_bm25",
+    # r4-certified ids rotated OUT of the window in r5 (each holds a green
+    # CORRECTNESS_r04 row; q_minhash_lsh_md5 re-gates with the r6 head above)
+    "q_flagship_revenue",
+    "q_join_semi",
+    "q_map_funcs",
+    "q_tpch_pricing",
+    "q_tpch_shipping_priority",
+    "q_tpch_order_priority",
+    "q_tpch_customer_distribution",
+    "q_tpch_min_cost_supplier",
+    "q_tpch_large_orders",
+    "q_tpch_idle_customers",
+    "q_tpch_local_volume",
+    "q_tpch_revenue_change",
+    "q_tpch_volume_shipping",
+    "q_tpch_market_share",
 )
 
 
