@@ -33,19 +33,19 @@ from .registry import REGISTRY, headline_queries, oracle_sql, queries  # noqa: F
 # them via ``queries()``/``oracle_sql()`` and the repo's own dual-scale sweep
 # (tools/verify_sweep.py) checks every oracle at sf0.01 AND sf0.1 each round.
 #
-# Window changes r4 -> r5 (per VERDICT r4 item 2; nothing unregistered):
-# - The 15 r4-certified rotating slots (q_minhash_lsh_md5, q_flagship_revenue,
-#   q_join_semi, q_map_funcs + TPC-H tier 1, 11 ids — all green in
-#   CORRECTNESS_r04) rotate to the queue tail.
-# - In come TPC-H tier 2 (11 ids — completes all 24 analogues
-#   driver-certified, the r3 goal) + the streaming extras
-#   (q_stream_dedup, q_stream_left_join, q_stateful_stream, q_stream_join).
-#
-# Round-6 plan (committed now per VERDICT r4 item 5 so the ledger stays
-# lockstep-testable): re-gate the 15 r3 north-star LLM-tier ids
-# (q_dedup_exact … q_bm25) so the data-sized q_margin_mine_lsh and the
-# sqrt(N) q_semdedup successors get driver rows — they sit at the
-# ROTATION_QUEUE head below.
+# Window changes r5 -> r6 (per VERDICT r5 items 1/2; nothing unregistered):
+# - The 15 r5-certified rotating slots (TPC-H tier 2 + the 4 streaming
+#   extras — all green in CORRECTNESS_r05 except q_tpch_priority_lines)
+#   rotate to the queue tail, EXCEPT q_tpch_priority_lines, which stays
+#   resident so its one-line oracle CAST fix (HUGEINT-vs-BIGINT hash
+#   artifact, values judge-verified identical) gets a green r6 row.
+# - In come 14 of the committed r6 queue head: the r3 north-star LLM tier
+#   re-gate carrying the r5 successors — the data-sized L-table
+#   q_margin_mine_lsh, the measured q_margin_lsh_recall, and the sqrt(N)
+#   q_semdedup. Three queue-head ids that are unchanged since their green
+#   r3 rows (q_ngram_jaccard_prefix, q_dedup_spans, q_embedding_topk) plus
+#   q_embedding_ann_q8 defer to the r7 head — the window holds 15 rotating
+#   slots and the priority_lines re-gate takes one.
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # SURVEY §2 resident set (35)
@@ -84,41 +84,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_scan_binary",
     "q_stream_agg",
     "q_stream_window",
-    # Rotation head promoted for r5 (VERDICT r4 item 2): TPC-H tier 2 —
-    # all 24 analogues now driver-certified — plus the streaming extras.
-    "q_tpch_product_profit",
-    "q_tpch_returned_items",
-    "q_tpch_promo_revenue",
-    "q_tpch_top_supplier",
-    "q_tpch_small_qty_revenue",
-    "q_tpch_disjunctive_revenue",
-    "q_tpch_important_stock",
+    # Rotation head promoted for r6 (VERDICT r5 items 1/2): the oracle-cast
+    # re-gate + the r3 north-star LLM tier with its data-sized successors.
     "q_tpch_priority_lines",
-    "q_tpch_supplier_cnt",
-    "q_tpch_part_promotion",
-    "q_tpch_waiting_supplier",
-    "q_stream_dedup",
-    "q_stream_left_join",
-    "q_stateful_stream",
-    "q_stream_join",
-)
-
-# Priority order for slots 51+; ids not listed here follow in their original
-# registration order. Rounds 6+ rotate these into freed window slots.
-ROTATION_QUEUE: tuple[str, ...] = (
-    # r6 head (VERDICT r4 item 5): re-gate the r3 north-star LLM tier so the
-    # data-sized margin-LSH / sqrt(N) SemDeDup successors get driver rows
     "q_dedup_exact",
-    "q_ngram_jaccard_prefix",
     "q_minhash_lsh_md5",
     "q_dedup_clusters",
     "q_dedup_end2end",
     "q_cross_dedup",
-    "q_dedup_spans",
     "q_decontaminate",
-    "q_embedding_topk",
     "q_embedding_ann",
-    "q_embedding_ann_q8",
     "q_text_stats",
     "q_llm_pipeline",
     "q_curate_end2end",
@@ -126,6 +101,79 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_semdedup",
     "q_margin_mine_lsh",
     "q_margin_lsh_recall",
+)
+
+# --- Promoted-set ledger (VERDICT r5 item 1b) --------------------------------
+# One place that records, per round, which rotating ids were promoted INTO
+# the driver window that round. The lockstep test asserts only the CURRENT
+# round's promotions are window-resident; prior rounds' ids need only stay
+# registered (their green rows are history, and the dual-scale sweep keeps
+# checking their oracles). Rotations update CURRENT_ROUND + append one entry
+# here instead of hand-editing a test.
+CURRENT_ROUND = 6
+PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
+    4: (
+        "q_minhash_lsh_md5",
+        "q_flagship_revenue",
+        "q_join_semi",
+        "q_map_funcs",
+        "q_tpch_pricing",
+        "q_tpch_shipping_priority",
+        "q_tpch_order_priority",
+        "q_tpch_customer_distribution",
+        "q_tpch_min_cost_supplier",
+        "q_tpch_large_orders",
+        "q_tpch_idle_customers",
+        "q_tpch_local_volume",
+        "q_tpch_revenue_change",
+        "q_tpch_volume_shipping",
+        "q_tpch_market_share",
+    ),
+    5: (
+        "q_tpch_product_profit",
+        "q_tpch_returned_items",
+        "q_tpch_promo_revenue",
+        "q_tpch_top_supplier",
+        "q_tpch_small_qty_revenue",
+        "q_tpch_disjunctive_revenue",
+        "q_tpch_important_stock",
+        "q_tpch_priority_lines",
+        "q_tpch_supplier_cnt",
+        "q_tpch_part_promotion",
+        "q_tpch_waiting_supplier",
+        "q_stream_dedup",
+        "q_stream_left_join",
+        "q_stateful_stream",
+        "q_stream_join",
+    ),
+    6: (
+        "q_tpch_priority_lines",
+        "q_dedup_exact",
+        "q_minhash_lsh_md5",
+        "q_dedup_clusters",
+        "q_dedup_end2end",
+        "q_cross_dedup",
+        "q_decontaminate",
+        "q_embedding_ann",
+        "q_text_stats",
+        "q_llm_pipeline",
+        "q_curate_end2end",
+        "q_bm25",
+        "q_semdedup",
+        "q_margin_mine_lsh",
+        "q_margin_lsh_recall",
+    ),
+}
+
+# Priority order for slots 51+; ids not listed here follow in their original
+# registration order. Rounds 7+ rotate these into freed window slots.
+ROTATION_QUEUE: tuple[str, ...] = (
+    # r7 head: the r6 queue-head ids the 15-slot window could not take
+    # (unchanged since their green r3 rows; sweep-checked every round)
+    "q_ngram_jaccard_prefix",
+    "q_dedup_spans",
+    "q_embedding_topk",
+    "q_embedding_ann_q8",
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",
@@ -237,6 +285,23 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_tpch_revenue_change",
     "q_tpch_volume_shipping",
     "q_tpch_market_share",
+    # r5-certified ids rotated OUT of the window in r6 (each holds a green
+    # CORRECTNESS_r05 row; q_tpch_priority_lines stays resident for its
+    # oracle-cast re-gate)
+    "q_tpch_product_profit",
+    "q_tpch_returned_items",
+    "q_tpch_promo_revenue",
+    "q_tpch_top_supplier",
+    "q_tpch_small_qty_revenue",
+    "q_tpch_disjunctive_revenue",
+    "q_tpch_important_stock",
+    "q_tpch_supplier_cnt",
+    "q_tpch_part_promotion",
+    "q_tpch_waiting_supplier",
+    "q_stream_dedup",
+    "q_stream_left_join",
+    "q_stateful_stream",
+    "q_stream_join",
 )
 
 

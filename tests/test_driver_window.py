@@ -50,28 +50,6 @@ SURVEY_S2_IDS = {
     "q_except_intersect",  # F
 }
 
-# VERDICT r3 "Next round: do this" item 1 — the r4 promotions that must hold
-# a driver-certified green row in CORRECTNESS_r04: the certified-MinHash swap
-# plus the head of the r3 rotation queue (flagship/semi/map_funcs + the
-# first 11 TPC-H analogues). The 15 r3 north-star ids rotated to the queue
-# tail — each already holds a green CORRECTNESS_r03 row.
-R4_PROMOTED_IDS = {
-    "q_minhash_lsh_md5",
-    "q_flagship_revenue",
-    "q_join_semi",
-    "q_map_funcs",
-    "q_tpch_pricing",
-    "q_tpch_shipping_priority",
-    "q_tpch_order_priority",
-    "q_tpch_customer_distribution",
-    "q_tpch_min_cost_supplier",
-    "q_tpch_large_orders",
-    "q_tpch_idle_customers",
-    "q_tpch_local_volume",
-    "q_tpch_revenue_change",
-    "q_tpch_volume_shipping",
-    "q_tpch_market_share",
-}
 
 # Queries the driver contract allows as rows-only (no DuckDB-expressible
 # oracle); anything else inside the window must carry a full oracle. r4:
@@ -99,9 +77,24 @@ def test_survey_s2_ids_resident():
     assert not missing, f"SURVEY §2 ids evicted from driver window: {missing}"
 
 
-def test_r4_promoted_ids_resident():
-    missing = R4_PROMOTED_IDS - set(qa.DRIVER_WINDOW)
-    assert not missing, f"r4-promoted ids missing from driver window: {missing}"
+def test_current_round_promotions_resident():
+    """The ids promoted THIS round (per the queries_all.PROMOTED_LEDGER —
+    VERDICT r5 item 1b's per-round ledger, replacing the hand-edited
+    R4_PROMOTED_IDS set the r5 rotation broke) must be inside the driver
+    window; prior rounds' certified ids need only stay registered (next
+    test) — their green rows are history and the sweep keeps their
+    oracles checked."""
+    promoted = set(qa.PROMOTED_LEDGER[qa.CURRENT_ROUND])
+    missing = promoted - set(qa.DRIVER_WINDOW)
+    assert not missing, f"current-round promotions missing from window: {missing}"
+
+
+def test_ledger_rounds_contiguous_and_registered():
+    rounds = sorted(qa.PROMOTED_LEDGER)
+    assert rounds[-1] == qa.CURRENT_ROUND, "ledger missing the current round"
+    for rnd in rounds:
+        stale = set(qa.PROMOTED_LEDGER[rnd]) - set(qa.REGISTRY)
+        assert not stale, f"ledger round {rnd} names unregistered ids: {stale}"
 
 
 def test_r3_certified_ids_still_registered():
