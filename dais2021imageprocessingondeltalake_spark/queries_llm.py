@@ -2238,88 +2238,131 @@ def q_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Sizing constants shared by the registered margin-LSH query, its oracle,
 # and the recall report. target_bucket=32 keeps expected bucket occupancy
-# <= 32 rows; max_planes=16 only bounds what the ORACLE can replay (16
-# plane-literal columns = 65k buckets = ~2M rows at occupancy 32) — the
-# production operator takes any p. hamming=3 multiprobe: margin mining
-# needs BOTH top-2 cross-group neighbors inside the probed region, so it
-# runs a wider radius than top-1 ANN — measured recall vs brute force on
-# the testdata embeddings at sized p: 0.99 (sf0.01, p=4) / 0.89 (sf0.1,
-# p=6) at radius 3 vs 0.59/0.34 at radius 1. Probes per row is sum of
-# C(p,r), r<=3 ~ p^3/6 — polylog in N when p ~ log N, so the probed
-# FRACTION of buckets shrinks as the corpus grows.
+# <= 32 rows; max_planes=8 only bounds what the ORACLE can replay (the
+# SQL carries plane literals for L(8)=25 tables x 8 planes = 8192 rows at
+# occupancy 32, 4x the sf0.1 corpus) — the production operator takes any
+# p. The candidate generator is L independent hash tables probed at
+# Hamming<=1 each (VERDICT r5 item 3 — OR-construction, retiring the
+# frozen Hamming-3 radius): L = MARGIN_L_TABLES[p] is sized from the
+# closed form ceil(ln(1-R)/ln(1-P1(p))) so recall >= R = 0.95 holds BY
+# CONSTRUCTION at any plane count (see similarity.MARGIN_L_TABLES for
+# the derivation and the measured design point). Measured recall vs
+# brute force at sized (p, L): 0.964 (sf0.01, p=4, L=5) / 0.983 (sf0.1,
+# p=6, L=11) — vs the retired frozen-radius path's 0.99 -> 0.89 decay.
 _MARGIN_TARGET_BUCKET = 32
-_MARGIN_MAX_PLANES = 16
+_MARGIN_MAX_PLANES = 8
 _MARGIN_MIN_PLANES = 4
-_MARGIN_HAMMING = 3
+_MARGIN_RECALL_FLOOR_X10K = 8500
 
 
-def _margin_lsh_bucket_sql(max_planes: int = _MARGIN_MAX_PLANES) -> tuple[str, str]:
-    """Shared SQL fragments for the data-sized bucketed margin replay:
-    (params CTE body, full-width bucket-bit expression). The params CTE
-    computes the plane count p with the exact INTEGER rule
-    ``size_n_planes`` uses (min p in [4,16] with (1<<p)*32 >= N — no
-    log2, whose last ulp is not IEEE-pinned cross-engine); the bit
-    expression emits all max_planes seed-7 hyperplanes as literals with
-    round-before-sign (the _lsh_ann_oracle trick) and callers mask it
-    down to p bits. Prefix-stable hyperplanes (_hyperplanes docstring)
-    make the mask equal a fresh p-plane bucketing."""
-    from .operators.similarity import _hyperplanes
+def _margin_lsh_bucket_sql(
+    max_planes: int = _MARGIN_MAX_PLANES,
+) -> tuple[str, str]:
+    """Shared SQL fragments for the data-sized L-table margin replay:
+    (params CTE body, planes VALUES rows). The params CTE computes the
+    plane count p with the exact INTEGER rule ``size_n_planes`` uses
+    (min p in [4,8] with (1<<p)*32 >= N — no log2, whose last ulp is not
+    IEEE-pinned cross-engine) and the table count l as the frozen
+    MARGIN_L_TABLES literal CASE (``size_n_tables``'s exact rule). The
+    VALUES rows carry one (tbl, i, plane-literal) row per hyperplane of
+    every table up to L(max_planes), each table drawn from its own seed
+    stream (7 + 1009·tbl — similarity._TABLE_SEED_STRIDE); consumers
+    mask with ``i < p AND tbl < l``, which equals a fresh p-plane
+    L-table bucketing because _hyperplanes is prefix-stable per seed."""
+    from .operators.similarity import (
+        MARGIN_L_TABLES,
+        _TABLE_SEED_STRIDE,
+        _hyperplanes,
+    )
 
-    planes = _hyperplanes(64, max_planes, seed=7)
+    max_tables = MARGIN_L_TABLES[max_planes]
 
     def lit(p):
         return "[" + ", ".join(repr(x) for x in p) + "]"
 
-    bits = "\n      + ".join(
-        f"(CASE WHEN round(list_dot_product(ve, {lit(p)}), 6) >= 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
+    rows = ",\n      ".join(
+        f"({t}, {i}, {lit(plane)})"
+        for t in range(max_tables)
+        for i, plane in enumerate(
+            _hyperplanes(64, max_planes, seed=7 + _TABLE_SEED_STRIDE * t)
+        )
+    )
+    l_case = " ".join(
+        f"WHEN {p} THEN {MARGIN_L_TABLES[p]}"
+        for p in range(_MARGIN_MIN_PLANES, max_planes + 1)
     )
     params = f"""
-      SELECT COALESCE(min(t.p), {max_planes}) AS p
-      FROM generate_series({_MARGIN_MIN_PLANES}, {max_planes}) AS t(p),
-           (SELECT count(*) AS n FROM v) c
-      WHERE (1::BIGINT << t.p) * {_MARGIN_TARGET_BUCKET} >= c.n
+      SELECT p, CASE p {l_case} END AS l
+      FROM (
+        SELECT COALESCE(min(t.p), {max_planes}) AS p
+        FROM generate_series({_MARGIN_MIN_PLANES}, {max_planes}) AS t(p),
+             (SELECT count(*) AS n FROM v) c
+        WHERE (1::BIGINT << t.p) * {_MARGIN_TARGET_BUCKET} >= c.n
+      )
     """
-    return params, bits
+    return params, rows
 
 
-def _margin_mine_lsh_oracle(min_margin_x10k: int = 11000) -> str:
-    """Replay DATA-SIZED bucketed margin mining in SQL (VERDICT r4 item
-    1 — no frozen plane count): the params CTE computes p from count(*)
-    with the same integer rule as size_n_planes, the bucket masks the
-    16-plane literal bits down to p (`& ((1<<p)-1)`), and the candidate
-    condition `bit_count(xor(buckets)) <= 3` admits exactly the
-    Hamming<=3 multiprobe set — for ANY p without enumerating probe
-    literals. One SQL string therefore certifies every scale at its own
-    plane count (p=4 at sf0.01's 500 vectors, p=6 at sf0.1's 2000).
-    MATERIALIZED CTEs: `b` is referenced on both join sides and
-    `ranked` twice."""
-    params, bits = _margin_lsh_bucket_sql()
-    return f"""
-    WITH v AS MATERIALIZED (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-    ), params AS MATERIALIZED (
+def _margin_lsh_pairs_sql() -> str:
+    """Shared CTE chain (params → planes → per-table buckets → DISTINCT
+    Hamming<=1 same-table candidate pairs), used by both margin-LSH
+    oracles. Expects a CTE ``v(vec_id, label, ve)`` upstream. The b CTE
+    replays _lsh_buckets_arrow: per (vector, table), sum the
+    round-before-sign bits of the table's plane prefix — CAST to BIGINT
+    (DuckDB sums into HUGEINT). The cand join replays the probe set:
+    Spark probes each table's own bucket plus its p one-bit flips, so a
+    pair is a candidate iff its buckets in SOME table differ in <= 1
+    bit."""
+    params, plane_rows = _margin_lsh_bucket_sql()
+    return f"""params AS MATERIALIZED (
       {params}
+    ), planes(tbl, i, pv) AS (
+      VALUES {plane_rows}
     ), b AS MATERIALIZED (
-      SELECT vec_id, label, ve,
-      (({bits})
-       & ((1::BIGINT << (SELECT p FROM params)) - 1)) AS bucket
-      FROM v
-    ), ranked AS MATERIALIZED (
+      SELECT v.vec_id, v.label, pl.tbl,
+             CAST(sum(CASE WHEN round(list_dot_product(v.ve, pl.pv), 6) >= 0
+                           THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM v, planes pl, params pr
+      WHERE pl.i < pr.p AND pl.tbl < pr.l
+      GROUP BY v.vec_id, v.label, pl.tbl
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT p.vec_id AS probe_id, n.vec_id AS nbr_id
+      FROM b p JOIN b n ON p.tbl = n.tbl
+      WHERE p.label <> n.label
+        AND bit_count(xor(p.bucket, n.bucket)) <= 1
+    ), lsh_ranked AS MATERIALIZED (
       SELECT probe_id, nbr_id, s,
              row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, nbr_id)
                AS rn
       FROM (
-        SELECT p.vec_id AS probe_id, n.vec_id AS nbr_id,
-               round(list_cosine_similarity(p.ve, n.ve), 6) AS s
-        FROM b p JOIN b n
-          ON (bit_count(xor(n.bucket, p.bucket)) <= {_MARGIN_HAMMING})
-         AND p.label <> n.label
+        SELECT c.probe_id, c.nbr_id,
+               round(list_cosine_similarity(a.ve, d.ve), 6) AS s
+        FROM cand c
+        JOIN v a ON a.vec_id = c.probe_id
+        JOIN v d ON d.vec_id = c.nbr_id
       )
-    ), best AS (
-      SELECT probe_id, nbr_id AS best_id, s AS sim1 FROM ranked WHERE rn = 1
+    )"""
+
+
+def _margin_mine_lsh_oracle(min_margin_x10k: int = 11000) -> str:
+    """Replay DATA-SIZED L-table margin mining in SQL: the params CTE
+    computes p from count(*) with size_n_planes' integer rule and l
+    from MARGIN_L_TABLES' literal CASE, the b CTE buckets every vector
+    in each of the first l tables from masked plane literals, and the
+    candidate condition (same table, Hamming<=1) admits exactly the
+    OR-construction probe set — for ANY (p, l) without enumerating
+    probe literals. One SQL string therefore certifies every scale at
+    its own sizing (p=4/L=5 at sf0.01's 500 vectors, p=6/L=11 at
+    sf0.1's 2000). MATERIALIZED CTEs: `b` is on both join sides,
+    `lsh_ranked` twice."""
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), {_margin_lsh_pairs_sql()}, best AS (
+      SELECT probe_id, nbr_id AS best_id, s AS sim1 FROM lsh_ranked WHERE rn = 1
     ), second AS (
-      SELECT probe_id, s AS sim2 FROM ranked WHERE rn = 2
+      SELECT probe_id, s AS sim2 FROM lsh_ranked WHERE rn = 2
     )
     SELECT b.probe_id, b.best_id, b.sim1, s.sim2,
            CAST(floor(10000.0 * b.sim1 / s.sim2) AS BIGINT) AS margin_x10k
@@ -2328,11 +2371,14 @@ def _margin_mine_lsh_oracle(min_margin_x10k: int = 11000) -> str:
     """
 
 
-def _sized_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sized_margin_lsh(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """Shared by q_margin_mine_lsh and q_margin_lsh_recall: load the
     corpus, size p from ONE cheap count (parquet count-star — metadata
-    only, the q_semdedup sizing pattern), mine with Hamming<=3
-    multiprobe (see _MARGIN_HAMMING rationale above)."""
+    only, the q_semdedup sizing pattern), size L = size_n_tables(p)
+    from the frozen recall-target rule, mine with the L-table
+    OR-construction (Hamming<=1 per table). Returns (corpus, mined)."""
     emb = load_table(spark, "embeddings", sf_dir)
     n = emb.count()
     p = SIM.size_n_planes(
@@ -2342,57 +2388,48 @@ def _sized_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_planes=_MARGIN_MAX_PLANES,
     )
     return emb, SIM.margin_mine_lsh(
-        emb, dim=64, n_planes=p, hamming=_MARGIN_HAMMING, min_margin_x10k=11000
+        emb,
+        dim=64,
+        n_planes=p,
+        n_tables=SIM.size_n_tables(p),
+        min_margin_x10k=11000,
     )
 
 
 @query("q_margin_mine_lsh", headline=True, oracle=_margin_mine_lsh_oracle())
 def q_margin_mine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed margin mining — the production path (VERDICT r3 item 3),
-    now DATA-SIZED (VERDICT r4 item 1): best/second-best computed over
-    the sign-LSH bucketed candidate set (lsh_knn_join machinery, k=2 per
-    probe, Hamming<=3 multiprobe — measured recall 0.99/0.89 vs 0.59/
-    0.34 at radius 1) instead of the all-pairs cross product, with the
-    plane count computed from one cheap corpus count via size_n_planes
-    (smallest p with 2^p*32 >= N) — frozen p would make expected
-    candidates N²/2^p, the fixed-k trap this round retires. The only
-    wide operation is the bucket-keyed equi-join; occupancy stays ~32
-    and probes-per-row ~p³/6 (polylog) at any corpus size. q_margin_mine
-    stays the brute-force recall oracle; recall is a MEASURED gated
-    number via q_margin_lsh_recall. Oracle replays the sizing rule and
-    the masked 16-plane-literal bucket in pure SQL — one string
-    certifies every scale at its own p."""
+    DATA-SIZED in both dimensions (VERDICT r4 item 1 + r5 item 3):
+    best/second-best computed over the L-table OR-construction candidate
+    set instead of the all-pairs cross product. The plane count p comes
+    from one cheap corpus count via size_n_planes (smallest p with
+    2^p*32 >= N — holds bucket OCCUPANCY constant as the corpus grows);
+    the table count L = size_n_tables(p) from the closed-form recall
+    target (holds RECALL >= 0.95 constant as p grows — the frozen
+    Hamming-3 radius this retires decayed 0.99 -> 0.89 from p=4 to p=6
+    because a true neighbor's expected Hamming distance is linear in p).
+    Measured recall at sized (p, L): 0.964 / 0.983 at sf0.01 / sf0.1.
+    The only wide operations are the (table, bucket)-keyed equi-join
+    over id-only rows and the distinct-pair dedup; bucketing and pair
+    scoring are one Arrow matmul per batch (similarity._lsh_buckets_
+    arrow rationale). q_margin_mine stays the brute-force recall oracle;
+    recall is a MEASURED gated number via q_margin_lsh_recall. Oracle
+    replays both sizing rules and the per-table masked plane literals in
+    pure SQL — one string certifies every scale at its own (p, L)."""
     _, mined = _sized_margin_lsh(spark, sf_dir)
     return mined
 
 
 def _margin_lsh_recall_oracle(min_margin_x10k: int = 11000) -> str:
     """One SQL string replaying BOTH margin paths (brute cross-group
-    top-2 and the data-sized bucketed top-2) and reporting recall of the
-    bucketed pairs against the exact pairs — floor-scaled rational so
-    the one division is bit-deterministic."""
-    params, bits = _margin_lsh_bucket_sql()
+    top-2 and the data-sized L-table bucketed top-2) and reporting
+    recall of the bucketed pairs against the exact pairs — floor-scaled
+    rational so the one division is bit-deterministic, with the 0.85
+    recall floor emitted as a certified column."""
     return f"""
     WITH v AS MATERIALIZED (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-    ), params AS MATERIALIZED (
-      {params}
-    ), b AS MATERIALIZED (
-      SELECT vec_id, label, ve,
-      (({bits})
-       & ((1::BIGINT << (SELECT p FROM params)) - 1)) AS bucket
-      FROM v
-    ), lsh_ranked AS MATERIALIZED (
-      SELECT probe_id, nbr_id, s,
-             row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, nbr_id) AS rn
-      FROM (
-        SELECT p.vec_id AS probe_id, n.vec_id AS nbr_id,
-               round(list_cosine_similarity(p.ve, n.ve), 6) AS s
-        FROM b p JOIN b n
-          ON (bit_count(xor(n.bucket, p.bucket)) <= {_MARGIN_HAMMING})
-         AND p.label <> n.label
-      )
-    ), lsh_pairs AS MATERIALIZED (
+    ), {_margin_lsh_pairs_sql()}, lsh_pairs AS MATERIALIZED (
       SELECT b.probe_id, b.nbr_id AS best_id
       FROM (SELECT probe_id, nbr_id, s FROM lsh_ranked WHERE rn = 1) b
       JOIN (SELECT probe_id, s AS sim2 FROM lsh_ranked WHERE rn = 2) s2
@@ -2426,7 +2463,11 @@ def _margin_lsh_recall_oracle(min_margin_x10k: int = 11000) -> str:
            CAST(n_hit AS BIGINT) AS n_hit,
            CAST(CASE WHEN n_brute = 0 THEN 10000
                      ELSE floor(10000.0 * n_hit / n_brute) END AS BIGINT)
-             AS recall_x10k
+             AS recall_x10k,
+           CAST({_MARGIN_RECALL_FLOOR_X10K} AS BIGINT) AS floor_x10k,
+           (CASE WHEN n_brute = 0 THEN 10000
+                 ELSE floor(10000.0 * n_hit / n_brute) END)
+             >= {_MARGIN_RECALL_FLOOR_X10K} AS meets_floor
     FROM counts
     """
 
@@ -2434,12 +2475,16 @@ def _margin_lsh_recall_oracle(min_margin_x10k: int = 11000) -> str:
 @query("q_margin_lsh_recall", oracle=_margin_lsh_recall_oracle())
 def q_margin_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-LSH recall REPORT (VERDICT r4 item 3 — the q_ann_quality
-    idiom): recall of the data-sized bucketed miner's (probe, best)
+    idiom): recall of the data-sized L-table miner's (probe, best)
     pairs against the brute-force exact miner's, as a driver-certified
-    one-row number instead of a pytest floor. At 100 TB this runs on an
-    audit SAMPLE (the brute side is the quadratic recall oracle, never
-    the production path); here the full corpus is the sample. Recall is
-    floor-scaled rational (one IEEE division of exact integer counts)."""
+    one-row number instead of a pytest floor — now WITH the floor
+    (VERDICT r5 item 3): the report emits floor_x10k = 8500 and
+    meets_floor so the certified row itself asserts recall >= 0.85
+    (measured: 0.964 / 0.983 at sf0.01 / sf0.1; the 0.95 design target
+    minus sampling slack). At 100 TB this runs on an audit SAMPLE (the
+    brute side is the quadratic recall oracle, never the production
+    path); here the full corpus is the sample. Recall is floor-scaled
+    rational (one IEEE division of exact integer counts)."""
     emb, lsh = _sized_margin_lsh(spark, sf_dir)
     brute = SIM.margin_mine(emb, min_margin_x10k=11000)
     bp = brute.select("probe_id", "best_id")
@@ -2450,15 +2495,16 @@ def q_margin_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(lp.agg(F.count(F.lit(1)).alias("n_lsh")))
         .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
     )
+    recall = F.when(F.col("n_brute") == 0, F.lit(10000).cast("bigint")).otherwise(
+        F.floor(F.lit(10000.0) * F.col("n_hit") / F.col("n_brute")).cast("bigint")
+    )
     return stats.select(
         "n_brute",
         "n_lsh",
         "n_hit",
-        F.when(F.col("n_brute") == 0, F.lit(10000).cast("bigint"))
-        .otherwise(
-            F.floor(F.lit(10000.0) * F.col("n_hit") / F.col("n_brute")).cast("bigint")
-        )
-        .alias("recall_x10k"),
+        recall.alias("recall_x10k"),
+        F.lit(_MARGIN_RECALL_FLOOR_X10K).cast("bigint").alias("floor_x10k"),
+        (recall >= F.lit(_MARGIN_RECALL_FLOOR_X10K)).alias("meets_floor"),
     )
 
 
