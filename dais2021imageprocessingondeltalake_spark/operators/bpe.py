@@ -98,8 +98,15 @@ def bpe_train(
     r3 item 7): per round the top-m candidates whose symbols are
     PAIRWISE DISJOINT are accepted together — merging (a,b) cannot
     create or destroy an occurrence of (c,d) when {a,b} and {c,d} share
-    no symbol, so every accepted pair's round-start count stays valid
-    and the within-round application order is irrelevant. Output can
+    no symbol, so every accepted pair's round-start count stays valid.
+    Within-round application order is irrelevant only with the further
+    proviso that no accepted merge's OUTPUT symbol equals another
+    accepted merge's operand (accepting ('ab','c') and ('a','b')
+    together: applying ('a','b') first would create new 'ab'
+    occurrences for the other merge to see); the implementation applies
+    accepted merges in rank order, which is deterministic regardless,
+    and round-start counts stay valid for what is actually merged.
+    Output can
     diverge from batch=1 only where a lower-ranked OVERLAPPING pair
     would have out-counted a disjoint one after an earlier merge in the
     same round — the classic batched-BPE approximation. A 32k-vocab

@@ -226,9 +226,12 @@ def label_propagation(
     """Synchronous label propagation (Raghavan et al. 2007) for
     community detection, fully deterministic: every node starts with its
     own id as its label; each round every node adopts the most frequent
-    label among its in-neighbors, breaking count ties by MINIMUM label,
-    and keeps its current label when it has no neighbors. Pass both
-    edge directions for an undirected graph. Returns (node, community)
+    label among its OUT-neighbors (the join keys labels on dst and
+    groups by src — for directed input, information flows dst→src),
+    breaking count ties by MINIMUM label, and keeps its current label
+    when it has no neighbors. Pass both edge directions for an
+    undirected graph (all registered callers do, making the in/out
+    distinction moot there). Returns (node, community)
     after exactly `iters` synchronous rounds.
 
     Determinism is the whole design: the classic algorithm breaks ties

@@ -372,12 +372,17 @@ def proportional_allocate(
         F.count(F.lit(1)).alias("__n")
     )
     tot = sizes.agg(F.sum("__n").alias("__tot"))
+    # `div` (SQL integer division) keeps every quota in pure integer
+    # arithmetic at any scale (ADVICE r4): floor(n*num/den) via double
+    # division is exact only while n*num < 2^53 — a silent departure
+    # from the exact-rational idiom this operator advertises. Counts are
+    # non-negative, so truncating `div` equals floor.
     base = sizes.crossJoin(F.broadcast(tot)).select(
         "__s",
         "__n",
-        F.floor(F.col("__n") * num / F.lit(den)).cast("long").alias("__base"),
+        F.expr(f"(__n * {num}) div {den}").cast("long").alias("__base"),
         ((F.col("__n") * num) % F.lit(den)).alias("__rem"),
-        F.floor(F.col("__tot") * num / F.lit(den)).cast("long").alias("__quota_tot"),
+        F.expr(f"(__tot * {num}) div {den}").cast("long").alias("__quota_tot"),
     )
     # dim-sized window: |strata| rows (post-agg apportionment table)
     w_rem = Window.orderBy(F.col("__rem").desc(), F.col("__s"))

@@ -2080,9 +2080,9 @@ def q_hhi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(sum(n) AS BIGINT) AS t FROM sz
     ), base AS MATERIALIZED (
       SELECT lang, n,
-             CAST(floor(n * 1.0 / 5) AS BIGINT) AS b,
+             CAST((n * 1) // 5 AS BIGINT) AS b,
              (n * 1) % 5 AS rem,
-             CAST(floor(t * 1.0 / 5) AS BIGINT) AS quota
+             CAST((t * 1) // 5 AS BIGINT) AS quota
       FROM sz CROSS JOIN tot
     ), alloc AS MATERIALIZED (
       SELECT lang,

@@ -201,6 +201,27 @@ def test_cms_one_sided_error_and_exact_on_light_load(spark):
     assert est_wide == exact
 
 
+def test_cms_estimate_absent_probe_returns_zero(spark):
+    """Probing items that were NEVER inserted (ADVICE r4 → left-join +
+    coalesce fix): each absent item must appear in the output — not be
+    silently dropped by an inner join against the sparse sketch — and
+    must estimate 0 whenever ANY of its depth buckets is untouched
+    (min sees the 0), which a wide sketch makes near-certain."""
+    toks = _tokens(spark)
+    cms_wide = SK.cms_table(toks, "tok", depth=4, hex_chars=4)
+    absent = spark.createDataFrame(
+        [(f"__never_inserted_{i}__",) for i in range(20)], "item string"
+    )
+    est = {
+        r["item"]: r["cms_est"]
+        for r in SK.cms_estimate(cms_wide, absent, depth=4, hex_chars=4).collect()
+    }
+    assert len(est) == 20, "absent probe items were dropped from the output"
+    # 16^4 buckets vs ~hundreds of inserted tokens: every absent item has
+    # at least one untouched bucket with overwhelming probability
+    assert all(v == 0 for v in est.values()), est
+
+
 def test_cms_mergeable_across_shards(spark):
     """Sketches of disjoint shards merged by counter addition equal the
     sketch of the union — the mergeable-summaries property that makes
