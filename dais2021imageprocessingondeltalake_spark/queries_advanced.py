@@ -1235,10 +1235,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency (days since last purchase,
     integer-floored), frequency, and cents-exact monetary value, each
     quintiled (ntile, user_id tie-break) into the classic 'rfm' segment
-    code — the marketing-analytics workhorse. The three global ntile
-    windows run over the |users| aggregate, not events; at larger
-    |users| swap ntile for histogram_quantiles bucketing (documented
-    seam, same output contract)."""
+    code — the marketing-analytics workhorse.
+
+    ONE window pass for all three quintiles (VERDICT r5 item 7): the
+    per-user table melts into 3 (metric, key) rows — descending metrics
+    negate their key so every metric sorts ascending with the same
+    user_id tie-break — then a SINGLE WindowExec partitioned by metric
+    computes ntile(5) and a groupBy pivots the tiles back. The r5 shape
+    ran THREE partitionless windows, i.e. three Exchange
+    SinglePartition funnels over the same table; this crosses one hash
+    exchange and sorts the three orderings in parallel (3 tasks), with
+    identical output — ntile per metric sees exactly the rows and order
+    the global window saw. At larger |users| swap ntile for
+    histogram_quantiles bucketing (documented seam, same contract)."""
     from pyspark.sql import Window
 
     from .operators import aggregates as agg
@@ -1258,21 +1267,60 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(agg.money_cents(F.col("value"))) / F.lit(100.0)).alias("monetary"),
         )
     )
-    # dim-sized window: input is the per-user POST-AGG table (|users|
-    # rows, dimension-sized); a data-sized input would need the bin
-    # decomposition (sampling.select_token_budget idiom) instead
-    r = F.ntile(5).over(Window.orderBy(F.col("recency_days"), F.col("user_id")))
-    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
-    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), F.col("user_id")))
-    seg = per_user.select(
-        "user_id", "recency_days", "frequency", "monetary",
-        r.cast("bigint").alias("r"), f.cast("bigint").alias("f"), m.cast("bigint").alias("m"),
+    # melt: metric 0 = recency asc, 1 = frequency desc, 2 = monetary
+    # desc. Keys cast to double — recency_days and frequency are far
+    # below 2^53, so the cast (and the descending negation) is exact.
+    melted = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("metric"),
+                    F.col("recency_days").cast("double").alias("key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("metric"),
+                    (-F.col("frequency")).cast("double").alias("key"),
+                ),
+                F.struct(
+                    F.lit(2).alias("metric"),
+                    (-F.col("monetary")).cast("double").alias("key"),
+                ),
+            )
+        ).alias("mk"),
+    ).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.col("mk.metric").alias("metric"),
+        F.col("mk.key").alias("key"),
     )
-    return seg.withColumn(
-        "segment",
+    w = Window.partitionBy("metric").orderBy(F.col("key"), F.col("user_id"))
+    tiles = melted.withColumn("tile", F.ntile(5).over(w))
+    seg = tiles.groupBy("user_id").agg(
+        # the metric columns are identical across a user's 3 melted rows
+        F.max("recency_days").alias("recency_days"),
+        F.max("frequency").alias("frequency"),
+        F.max("monetary").alias("monetary"),
+        F.max(F.when(F.col("metric") == 0, F.col("tile"))).cast("bigint").alias("r"),
+        F.max(F.when(F.col("metric") == 1, F.col("tile"))).cast("bigint").alias("f"),
+        F.max(F.when(F.col("metric") == 2, F.col("tile"))).cast("bigint").alias("m"),
+    )
+    return seg.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r",
+        "f",
+        "m",
         F.concat(
             F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
-        ),
+        ).alias("segment"),
     )
 
 
