@@ -7,12 +7,14 @@ decode/resize/feature-extraction happen *late*, in-flight, via
 and must never be materialized to storage.
 
 The container has no image/audio libraries, so:
-- PNG decode/encode is REAL (stdlib zlib; sources/binaryfiles.make_png
-  writes filter-0 8-bit grayscale, decoded here exactly).
-- JPEG/audio/video decode are STUBS raising NotImplementedError behind
-  the same Spark plumbing (schema, batch iteration, partitioning), so
-  swapping in PIL/ffmpeg on a real cluster changes one function, not the
-  plan.
+- PNG decode is REAL for any 8-bit non-interlaced PNG (stdlib zlib +
+  the spec's five scanline filters and five color types incl. palette —
+  decode_png); encode via sources/binaryfiles (filter-0 grayscale).
+- Baseline JPEG decode is REAL (pure-numpy DCT, sources/jpeg.py).
+- Non-baseline JPEG / 16-bit or Adam7 PNG / compressed audio / video
+  are seams raising NotImplementedError behind the same Spark plumbing
+  (schema, batch iteration, partitioning), so swapping in PIL/ffmpeg on
+  a real cluster changes one function, not the plan.
 
 All operators here cross the Python boundary — Arrow-batched, never
 row-at-a-time; partition-local (mapInPandas), never shuffling payload
@@ -35,26 +37,96 @@ from ..sources.binaryfiles import PNG_SIGNATURE, make_png, png_size
 # ---------------------------------------------------------------------------
 # codecs (plain python, used inside UDF batches)
 # ---------------------------------------------------------------------------
-def decode_png_gray(content: bytes) -> np.ndarray:
-    """Decode a filter-0 8-bit grayscale PNG (the fixture codec's output)
-    to a (h, w) uint8 array. Real decode, no image library."""
-    w, h = png_size(content)
-    pos, idat = 8, b""
+#: Channel count per PNG color type (8-bit): 0 gray, 2 RGB, 3 palette
+#: index, 4 gray+alpha, 6 RGBA.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Full decode of an 8-bit non-interlaced PNG — all five scanline
+    filters (None/Sub/Up/Average/Paeth, PNG spec §9) and all five color
+    types including palette — to a (h, w) or (h, w, channels) uint8
+    array. stdlib zlib + numpy only; the remaining seams (16-bit depth,
+    Adam7 interlace) raise NotImplementedError behind this working path
+    like the non-baseline-JPEG modes in sources/jpeg.py.
+
+    Filters Sub/Average/Paeth recur on the previous RECONSTRUCTED pixel,
+    so those scanlines reconstruct pixel-sequentially (Python loop per
+    byte); None/Up vectorize. This codec is the in-container real path —
+    a production cluster swaps a PIL/libpng-backed function into the
+    same mapInPandas seam and nothing else changes."""
+    (w, h) = png_size(content)
+    depth, color, interlace = content[24], content[25], content[28]
+    if depth != 8:
+        raise NotImplementedError("only 8-bit PNG channel depth is supported")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG needs a real codec")
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"unknown PNG color type {color}")
+    ch = _PNG_CHANNELS[color]
+    pos, idat, plte = 8, b"", None
     while pos < len(content):
         (length,) = struct.unpack(">I", content[pos : pos + 4])
         tag = content[pos + 4 : pos + 8]
         if tag == b"IDAT":
             idat += content[pos + 8 : pos + 8 + length]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(
+                content[pos + 8 : pos + 8 + length], dtype=np.uint8
+            ).reshape(-1, 3)
         pos += 12 + length
     raw = zlib.decompress(idat)
-    rows = []
-    stride = w + 1  # leading filter byte per scanline
+    stride = w * ch + 1  # leading filter byte per scanline
+    recon = np.zeros((h, w * ch), dtype=np.uint8)
+    bpp = ch
     for y in range(h):
         line = raw[y * stride : (y + 1) * stride]
-        if line[0] != 0:  # pragma: no cover - fixture codec always writes 0
-            raise NotImplementedError("PNG filter types other than 0 need a real codec")
-        rows.append(np.frombuffer(line[1:], dtype=np.uint8))
-    return np.stack(rows)
+        f, data = line[0], np.frombuffer(line[1:], dtype=np.uint8)
+        prior = recon[y - 1] if y else np.zeros(w * ch, dtype=np.uint8)
+        if f == 0:  # None
+            recon[y] = data
+        elif f == 2:  # Up — vectorized (no intra-line recurrence)
+            recon[y] = data + prior  # uint8 wraps mod 256 per spec
+        elif f in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+            row = recon[y]
+            for x in range(w * ch):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + int(prior[x])) >> 1
+                else:
+                    b, c = int(prior[x]), int(prior[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (int(data[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f} is not in the spec")
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without a PLTE chunk")
+        return plte[recon]  # (h, w*1) indices -> (h, w, 3)
+    if ch == 1:
+        return recon
+    return recon.reshape(h, w, ch)
+
+
+def decode_png_gray(content: bytes) -> np.ndarray:
+    """Decode any supported PNG (see decode_png) to (h, w) uint8
+    grayscale: color collapses via the ITU-R BT.601 integer luma
+    ((77R + 150G + 29B) >> 8 — exact fixed-point, engine-portable),
+    alpha is dropped (decode contract is pixel content, not
+    compositing)."""
+    arr = decode_png(content)
+    if arr.ndim == 2:
+        return arr
+    if arr.shape[2] == 2:  # gray + alpha
+        return arr[:, :, 0]
+    rgb = arr[:, :, :3].astype(np.uint32)
+    return (
+        (77 * rgb[:, :, 0] + 150 * rgb[:, :, 1] + 29 * rgb[:, :, 2]) >> 8
+    ).astype(np.uint8)
 
 
 def encode_png_gray(pixels: np.ndarray) -> bytes:
