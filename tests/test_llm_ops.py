@@ -1049,6 +1049,22 @@ def test_margin_mine_lsh_recall_floor_sized_config(spark):
             assert approx[pr][1] == s1, (pr, b, s1, approx[pr][1])
 
 
+def test_margin_lsh_recall_report_floor_both_scales(spark):
+    """The certified recall REPORT must clear its own emitted floor at
+    BOTH driver scales (VERDICT r5 item 3's done-criterion): one row,
+    recall_x10k >= floor_x10k = 8500, meets_floor true — at sf0.01
+    (p=4, L=5) AND sf0.1 (p=6, L=11), i.e. across a plane-count step,
+    which is exactly where the retired frozen-radius design decayed."""
+    from dais2021imageprocessingondeltalake_spark.queries_llm import q_margin_lsh_recall
+    from .conftest import SF_DIR_MID
+
+    for sf in (SF_DIR_MID, "/root/testdata/sf0.1"):
+        row = q_margin_lsh_recall(spark, sf).collect()[0]
+        assert row["floor_x10k"] == 8500
+        assert row["meets_floor"] is True, (sf, row)
+        assert row["recall_x10k"] >= 8500, (sf, row)
+
+
 def test_margin_mine_lsh_legacy_single_table_mode(spark):
     """The legacy single-table, Hamming-1 multiprobe mode pinned by this
     test (n_planes=4, n_tables=1 — NOT the registered sized config,
