@@ -556,8 +556,11 @@ def test_random_document_predicates_match_duckdb(spark, atoms_, joiners):
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("total_chars"),
     )
+    # CAST(sum(..) AS BIGINT): DuckDB sums integers into HUGEINT, which
+    # run_oracle now rejects as not Spark-representable (r6 type guard)
     sql = (
-        "SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars "
+        "SELECT lang, source, count(*) AS n, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
         f"FROM documents WHERE {sql_pred} GROUP BY lang, source"
     )
     cols, rows = run_oracle(sql, SF_DIR)
