@@ -5,12 +5,17 @@
     → distinct-count classes → seeded randomSplit → repartition floor
     → parquet cache write (1 MB row groups, uncompressed)
 
-Engine scope ends at the cache write (the petastorm → TF/Torch hand-off
-is external ML infra, SURVEY.md §2 J6); `to_ml_dataset` is the declared
-adapter seam.
+Engine scope ends at the cache write; `read_training_batches` (r6) is
+the petastorm-equivalent data plane over that cache — deterministic
+row-group shuffle, epochs, TransformSpec-style hook — leaving only the
+one-line TF/Torch binding (`to_ml_dataset`) external. Experiment
+tracking lives in `functions/tracking.py` (same J6 narrowing).
 """
 
 from __future__ import annotations
+
+import random
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,12 +54,83 @@ def write_training_cache(df: DataFrame, path: str) -> str:
     return path
 
 
+def read_training_batches(
+    cache_path: str,
+    batch_size: int = 64,
+    num_epochs: int = 1,
+    shuffle_seed: int | None = None,
+    columns: list[str] | None = None,
+    transform=None,
+):
+    """Petastorm-equivalent DATA PLANE over the parquet ML cache
+    (narrows the J6 seam, r6): a generator of dict[str, np.ndarray]
+    batches — exactly what `make_tf_dataset` / `make_torch_dataloader`
+    wrap (`02.a:240-243`, `02.b:367-370`), minus the one-line framework
+    binding (`tf.data.Dataset.from_generator` / torch `IterableDataset`
+    over this iterator), which needs TF/Torch and stays the declared
+    external step.
+
+    Mirrors petastorm's public semantics:
+    - `num_epochs` passes over the cache; each epoch re-reads (the cache
+      is the materialization — nothing is re-derived from the source).
+    - `shuffle_seed`: DETERMINISTIC shuffle at ROW-GROUP granularity
+      (petastorm's own shuffle unit — row groups were sized to 1 MB at
+      write time for exactly this), permuted per epoch from
+      (seed, epoch) so epochs differ but reruns reproduce bit-identical
+      order. None = file order.
+    - `transform`: callable dict→dict applied per batch — the
+      TransformSpec seam (`02.a:173-180`); runs AFTER decode, before
+      the consumer, like petastorm's.
+    - binary/string columns arrive as object ndarrays, numerics as
+      native dtypes — the consumer reshapes to tensors."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        str(p) for p in Path(cache_path).rglob("*.parquet") if p.is_file()
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {cache_path!r}")
+    groups = [
+        (f, g) for f in files for g in range(pq.ParquetFile(f).num_row_groups)
+    ]
+    for epoch in range(num_epochs):
+        order = list(groups)
+        if shuffle_seed is not None:
+            # string seed: Random() rejects tuples, and (seed, epoch)
+            # must produce independent permutations per epoch
+            random.Random(f"{shuffle_seed}:{epoch}").shuffle(order)
+        pending: dict[str, list] = {}
+        n_pending = 0
+        for f, g in order:
+            tbl = pq.ParquetFile(f).read_row_group(g, columns=columns)
+            cols = {c: tbl.column(c).to_numpy(zero_copy_only=False) for c in tbl.column_names}
+            n = len(tbl)
+            pos = 0
+            while pos < n:
+                take = min(batch_size - n_pending, n - pos)
+                for c, arr in cols.items():
+                    pending.setdefault(c, []).append(arr[pos : pos + take])
+                n_pending += take
+                pos += take
+                if n_pending == batch_size:
+                    batch = {c: np.concatenate(parts) for c, parts in pending.items()}
+                    yield transform(batch) if transform else batch
+                    pending, n_pending = {}, 0
+        if n_pending:
+            batch = {c: np.concatenate(parts) for c, parts in pending.items()}
+            yield transform(batch) if transform else batch
+
+
 def to_ml_dataset(cache_path: str, framework: str = "tf"):
-    """J4 adapter seam: petastorm/TF/Torch are external ML infra
-    (SURVEY.md §2 J6 — out of engine scope). On a training cluster this
-    returns make_tf_dataset/make_torch_dataloader over the cache."""
+    """The LAST external step of J6: binding read_training_batches to a
+    framework dataset object. On a training cluster:
+    `tf.data.Dataset.from_generator(lambda: read_training_batches(...))`
+    or a torch IterableDataset whose __iter__ is the same call. TF/Torch
+    are not in this container, so the binding — and ONLY the binding —
+    raises."""
     raise NotImplementedError(
-        "ML-framework hand-off (petastorm make_spark_converter equivalent) "
-        "requires TF/Torch, not present in this container; the parquet cache "
-        f"at {cache_path!r} is the engine's contract boundary"
+        "TF/Torch are not present in this container; iterate "
+        f"read_training_batches({cache_path!r}) directly — the framework "
+        "wrapper is the one remaining external line"
     )

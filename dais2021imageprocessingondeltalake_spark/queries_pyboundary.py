@@ -541,6 +541,53 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_experiment_tracking",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_experiment_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLflow-surface tracking lifecycle, driver-certified end to end
+    (J6 narrowing, r6 — `functions/tracking.py`): log one run per
+    corpus language (param lang, metric n_docs — values derived from
+    the corpus, so the oracle can recompute them without seeing the
+    store), then READ THE STORE BACK through the pinned-schema
+    runs/metrics tables and reproduce the per-language counts by
+    joining them. What's certified is the whole write→publish→reload
+    path: deterministic run ids, atomic meta publication, schema'd
+    reload — not just the arithmetic. The per-language loop is
+    dimension-sized (|langs| rows collected), never data-sized."""
+    import shutil as _shutil
+
+    from .functions import tracking as TRK
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang").collect()
+    )
+    # fresh store per invocation: counts differ per scale, and the sweep
+    # runs multiple scales in one process (the versioned-table lesson)
+    root = _scratch(f"mlruns_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}")
+    _shutil.rmtree(root, ignore_errors=True)
+    tracker = TRK.ExperimentTracker(root)
+    for r in counts:
+        with tracker.start_run(run_name=f"count-{r['lang']}") as run:
+            run.log_param("lang", r["lang"])
+            run.log_metric("n_docs", float(r["n"]))
+    meta = TRK.runs_table(spark, root).filter(F.col("status") == "FINISHED")
+    metrics = TRK.metrics_table(spark, root).filter(F.col("key") == "n_docs")
+    return (
+        meta.join(metrics, "run_id")
+        .select(
+            F.col("params")["lang"].alias("lang"),
+            F.col("value").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "q_jsonl_roundtrip",
     oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
 )
