@@ -1161,29 +1161,28 @@ def margin_mine(
     same contract as knn_join. The margin is emitted as
     floor(1e4 * sim1 / sim2) (exact-rational idiom): both engines divide
     identical 6dp-rounded sims, so the floor is bit-deterministic where
-    round() of the ratio would sit on half-boundaries."""
+    round() of the ratio would sit on half-boundaries. Pair scoring is
+    the Arrow-batched cosine (r6): identical 6dp-rounded values as the
+    zip_with fold it replaces (rounding absorbs BLAS reassociation —
+    _lsh_buckets_arrow contract), ~10x off the N² hot loop's wall."""
     base = df.select(
         F.col(id_col).alias("nbr_id"),
         F.col(group_col).alias("nbr_grp"),
-        _to_double(F.col(vec_col)).alias("nbr_v"),
-    ).withColumn("nbr_nrm", l2_norm(F.col("nbr_v")))
+        F.col(vec_col).alias("nbr_v"),
+    )
     probes = df.select(
         F.col(id_col).alias("probe_id"),
         F.col(group_col).alias("probe_grp"),
-        _to_double(F.col(vec_col)).alias("probe_v"),
-    ).withColumn("probe_nrm", l2_norm(F.col("probe_v")))
-    sim = F.round(
-        dot(F.col("probe_v"), F.col("nbr_v"))
-        / (F.col("probe_nrm") * F.col("nbr_nrm")),
-        round_dp,
+        F.col(vec_col).alias("probe_v"),
     )
-    from pyspark.sql import Window
-
+    cos = _cosine_pairs_arrow(round_dp)
     scored = (
         F.broadcast(probes)
         .crossJoin(base)
         .filter(F.col("probe_grp") != F.col("nbr_grp"))
-        .select("probe_id", "nbr_id", sim.alias("s"))
+        .select(
+            "probe_id", "nbr_id", cos(F.col("probe_v"), F.col("nbr_v")).alias("s")
+        )
     )
     return _margin_top2(scored, min_margin_x10k)
 
