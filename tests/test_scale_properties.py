@@ -842,6 +842,34 @@ def test_margin_mine_broadcasts_probes(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_lsh_candidate_pairs_monotone_in_tables(spark):
+    """OR-construction invariants of the L-table candidate generator:
+    (1) MONOTONE in L — tables are a seed-stride prefix, so every pair
+    found with L tables is found with L+1 (recall can only rise as the
+    sizing rule adds tables); (2) symmetric — the probe explosion covers
+    Hamming<=1 from either endpoint's bucket, so (a,b) implies (b,a);
+    (3) never a self-pair or same-group pair."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+
+    def pairs(n_tables):
+        return {
+            (r["probe_id"], r["nbr_id"])
+            for r in SIM.lsh_candidate_pairs(
+                emb, dim=64, n_planes=4, n_tables=n_tables
+            ).collect()
+        }
+
+    p2, p4 = pairs(2), pairs(4)
+    assert p2 <= p4, "candidate set must be monotone in the table count"
+    assert len(p4) > len(p2), "extra tables found no new candidates — degenerate"
+    assert all((b, a) in p4 for a, b in p4), "candidate set must be symmetric"
+    groups = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert all(a != b and groups[a] != groups[b] for a, b in p4)
+
+
 def test_hits_plan_stays_bounded(spark):
     """The r3 review found 4x-per-iteration logical-plan growth before
     per-round pinning; with materialize on, the returned plan must stay
