@@ -42,54 +42,36 @@ from ..sources.binaryfiles import PNG_SIGNATURE, make_png, png_size
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_png(content: bytes) -> np.ndarray:
-    """Full decode of an 8-bit non-interlaced PNG — all five scanline
-    filters (None/Sub/Up/Average/Paeth, PNG spec §9) and all five color
-    types including palette — to a (h, w) or (h, w, channels) uint8
-    array. stdlib zlib + numpy only; the remaining seams (16-bit depth,
-    Adam7 interlace) raise NotImplementedError behind this working path
-    like the non-baseline-JPEG modes in sources/jpeg.py.
+#: Adam7 interlace passes: (x0, y0, dx, dy) per PNG spec §8.2. The raw
+#: stream concatenates each pass's independently-filtered scanlines.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Filters Sub/Average/Paeth recur on the previous RECONSTRUCTED pixel,
-    so those scanlines reconstruct pixel-sequentially (Python loop per
-    byte); None/Up vectorize. This codec is the in-container real path —
-    a production cluster swaps a PIL/libpng-backed function into the
-    same mapInPandas seam and nothing else changes."""
-    (w, h) = png_size(content)
-    depth, color, interlace = content[24], content[25], content[28]
-    if depth != 8:
-        raise NotImplementedError("only 8-bit PNG channel depth is supported")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG needs a real codec")
-    if color not in _PNG_CHANNELS:
-        raise NotImplementedError(f"unknown PNG color type {color}")
-    ch = _PNG_CHANNELS[color]
-    pos, idat, plte = 8, b"", None
-    while pos < len(content):
-        (length,) = struct.unpack(">I", content[pos : pos + 4])
-        tag = content[pos + 4 : pos + 8]
-        if tag == b"IDAT":
-            idat += content[pos + 8 : pos + 8 + length]
-        elif tag == b"PLTE":
-            plte = np.frombuffer(
-                content[pos + 8 : pos + 8 + length], dtype=np.uint8
-            ).reshape(-1, 3)
-        pos += 12 + length
-    raw = zlib.decompress(idat)
-    stride = w * ch + 1  # leading filter byte per scanline
-    recon = np.zeros((h, w * ch), dtype=np.uint8)
-    bpp = ch
+
+def _png_unfilter(raw: bytes, offset: int, h: int, rowbytes: int, bpp: int):
+    """Invert the five PNG scanline filters over `h` rows of `rowbytes`
+    bytes each (leading filter byte per row), starting at `offset` in
+    the decompressed stream. Filters operate on BYTES with pixel width
+    `bpp` regardless of sample depth (spec §9) — which is what makes
+    the same routine serve 8-bit, 16-bit, and every Adam7 sub-image.
+    Returns (recon uint8 matrix, next offset). Sub/Average/Paeth recur
+    on the previous RECONSTRUCTED byte, so those rows reconstruct
+    sequentially; None/Up vectorize."""
+    recon = np.zeros((h, rowbytes), dtype=np.uint8)
+    stride = rowbytes + 1
     for y in range(h):
-        line = raw[y * stride : (y + 1) * stride]
+        line = raw[offset + y * stride : offset + (y + 1) * stride]
         f, data = line[0], np.frombuffer(line[1:], dtype=np.uint8)
-        prior = recon[y - 1] if y else np.zeros(w * ch, dtype=np.uint8)
+        prior = recon[y - 1] if y else np.zeros(rowbytes, dtype=np.uint8)
         if f == 0:  # None
             recon[y] = data
         elif f == 2:  # Up — vectorized (no intra-line recurrence)
             recon[y] = data + prior  # uint8 wraps mod 256 per spec
         elif f in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
             row = recon[y]
-            for x in range(w * ch):
+            for x in range(rowbytes):
                 a = int(row[x - bpp]) if x >= bpp else 0
                 if f == 1:
                     pred = a
@@ -103,13 +85,75 @@ def decode_png(content: bytes) -> np.ndarray:
                 row[x] = (int(data[x]) + pred) & 0xFF
         else:
             raise NotImplementedError(f"PNG filter type {f} is not in the spec")
+    return recon, offset + h * stride
+
+
+def _png_rows_to_pixels(recon, h: int, w: int, ch: int, sample_bytes: int):
+    """(h, rowbytes) reconstructed bytes -> (h, w, ch) samples (uint8 or
+    big-endian-combined uint16)."""
+    if sample_bytes == 1:
+        return recon.reshape(h, w, ch)
+    u16 = recon.reshape(h, w, ch, 2).astype(np.uint16)
+    return (u16[..., 0] << 8) | u16[..., 1]
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Full PNG decode — all five scanline filters (None/Sub/Up/Average/
+    Paeth, spec §9), all five color types including palette, 8- and
+    16-bit sample depth, and Adam7 interlacing (seven sub-images
+    unfiltered independently and scattered back on the (x0, y0, dx, dy)
+    grids) — to a (h, w) or (h, w, channels) array, uint8 or uint16.
+    stdlib zlib + numpy only. This codec is the in-container real path —
+    a production cluster swaps a PIL/libpng-backed function into the
+    same mapInPandas seam and nothing else changes."""
+    (w, h) = png_size(content)
+    depth, color, interlace = content[24], content[25], content[28]
+    if depth not in (8, 16):
+        raise NotImplementedError("PNG bit depths below 8 need a real codec")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"unknown PNG color type {color}")
+    if color == 3 and depth == 16:
+        raise ValueError("palette PNG with 16-bit depth is not in the spec")
+    ch = _PNG_CHANNELS[color]
+    sample_bytes = depth // 8
+    bpp = ch * sample_bytes
+    pos, idat, plte = 8, b"", None
+    while pos < len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += content[pos + 8 : pos + 8 + length]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(
+                content[pos + 8 : pos + 8 + length], dtype=np.uint8
+            ).reshape(-1, 3)
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    dtype = np.uint8 if sample_bytes == 1 else np.uint16
+    if interlace == 0:
+        recon, _ = _png_unfilter(raw, 0, h, w * bpp, bpp)
+        pixels = _png_rows_to_pixels(recon, h, w, ch, sample_bytes)
+    else:
+        pixels = np.zeros((h, w, ch), dtype=dtype)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            recon, offset = _png_unfilter(raw, offset, hp, wp * bpp, bpp)
+            pixels[y0::dy, x0::dx, :] = _png_rows_to_pixels(
+                recon, hp, wp, ch, sample_bytes
+            )
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without a PLTE chunk")
-        return plte[recon]  # (h, w*1) indices -> (h, w, 3)
+        return plte[pixels[:, :, 0]]  # (h, w) indices -> (h, w, 3)
     if ch == 1:
-        return recon
-    return recon.reshape(h, w, ch)
+        return pixels[:, :, 0]
+    return pixels
 
 
 def decode_png_gray(content: bytes) -> np.ndarray:
@@ -119,6 +163,8 @@ def decode_png_gray(content: bytes) -> np.ndarray:
     alpha is dropped (decode contract is pixel content, not
     compositing)."""
     arr = decode_png(content)
+    if arr.dtype == np.uint16:  # 16-bit samples: keep the high byte
+        arr = (arr >> 8).astype(np.uint8)
     if arr.ndim == 2:
         return arr
     if arr.shape[2] == 2:  # gray + alpha

@@ -193,19 +193,134 @@ def test_png_decode_palette():
     assert (decode_png(png) == plte[idx]).all()
 
 
-def test_png_decode_rejects_interlace_and_16bit():
+def test_png_decode_rejects_sub_byte_depths():
     import struct as _s
     import zlib as _z
 
     from dais2021imageprocessingondeltalake_spark.operators.multimodal import decode_png
 
-    for depth, interlace in ((16, 0), (8, 1)):
-        ihdr = _s.pack(">IIBBBBB", 4, 4, depth, 0, 0, 0, interlace)
-        png = (
-            b"\x89PNG\r\n\x1a\n"
-            + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", _z.compress(b"\x00" * (4 * (4 * (depth // 8) + 1))))
-            + _png_chunk(b"IEND", b"")
-        )
-        with pytest.raises(NotImplementedError):
-            decode_png(png)
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # 4-bit depth
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 12))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(png)
+
+
+def _encode_png16_gray(arr16, filter_type: int) -> bytes:
+    """16-bit grayscale encoder: big-endian sample bytes, one filter
+    type applied BYTEWISE with bpp=2 (the spec's rule)."""
+    import struct as _s
+    import zlib as _z
+
+    h, w = arr16.shape
+    be = arr16.astype(">u2").tobytes()
+    flat = np.frombuffer(be, dtype=np.uint8).reshape(h, w * 2).astype(np.int32)
+    bpp = 2
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        prior = flat[y - 1] if y else np.zeros(w * 2, dtype=np.int32)
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = [(cur[x] - (cur[x - bpp] if x >= bpp else 0)) & 0xFF for x in range(w * 2)]
+        elif filter_type == 2:
+            enc = (cur - prior) & 0xFF
+        else:  # Paeth
+            enc = []
+            for x in range(w * 2):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc.append((int(cur[x]) - pred) & 0xFF)
+        lines.append(bytes([filter_type]) + bytes(np.asarray(enc, dtype=np.uint8)))
+    ihdr = _s.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 4])
+def test_png_decode_16bit_gray(filter_type):
+    from dais2021imageprocessingondeltalake_spark.operators.multimodal import (
+        decode_png,
+        decode_png_gray,
+    )
+
+    rng = np.random.RandomState(40 + filter_type)
+    arr = rng.randint(0, 65536, size=(9, 7), dtype=np.uint16)
+    png = _encode_png16_gray(arr, filter_type)
+    got = decode_png(png)
+    assert got.dtype == np.uint16 and (got == arr).all()
+    assert (decode_png_gray(png) == (arr >> 8).astype(np.uint8)).all()
+
+
+_ADAM7_TEST = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _encode_png_adam7(arr, color_type: int, filter_type: int) -> bytes:
+    """Adam7 reference encoder: extract the seven sub-images on the
+    spec grids, filter each independently (reusing the sequential
+    filter from _encode_png_filtered via a body-only re-encode),
+    concatenate the passes into one IDAT."""
+    import struct as _s
+    import zlib as _z
+
+    h = arr.shape[0]
+    w = arr.shape[1]
+    body = b""
+    for x0, y0, dx, dy in _ADAM7_TEST:
+        sub = arr[y0::dy, x0::dx]
+        if sub.ndim == 3:
+            sub = sub[:, :, :]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        full = _encode_png_filtered(np.ascontiguousarray(sub), color_type, filter_type)
+        # pull the raw (filtered) scanline body back out of the sub-image PNG
+        pos, idat = 8, b""
+        while pos < len(full):
+            (length,) = _s.unpack(">I", full[pos : pos + 4])
+            if full[pos + 4 : pos + 8] == b"IDAT":
+                idat += full[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+        body += _z.decompress(idat)
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("color_type,shape", [(0, (13, 11)), (6, (13, 11, 4))])
+def test_png_decode_adam7_interlaced(color_type, shape):
+    from dais2021imageprocessingondeltalake_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(77 + color_type)
+    arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    png = _encode_png_adam7(arr, color_type=color_type, filter_type=4)
+    assert (decode_png(png) == arr).all()
+
+
+def test_png_decode_adam7_tiny_image_skips_empty_passes():
+    """A 1x1 interlaced PNG exercises the empty-pass skipping (six of
+    the seven Adam7 passes contain no pixels)."""
+    from dais2021imageprocessingondeltalake_spark.operators.multimodal import decode_png
+
+    arr = np.array([[123]], dtype=np.uint8)
+    png = _encode_png_adam7(arr, color_type=0, filter_type=0)
+    assert (decode_png(png) == arr).all()
