@@ -646,50 +646,64 @@ def assign_to_centroids(
     iteration that never leaves the cluster: M-step is a map-side-
     combined aggregate, E-step below is a broadcast nested loop.
 
-    The centroid table packs back into per-label arrays (sorted by dim —
-    collect_list order is partition-dependent, array_sort makes it
-    deterministic) and BROADCASTS: k centroids x dim doubles is KBs even
-    for k=64k, so the data side streams through one scan with no
-    shuffle. The per-vector argmax is a MAX aggregate over a
-    (sim, -label) struct — identical semantics to ranking by (sim desc,
-    label asc), but map-side combinable: the N x k scored rows reduce to
-    N rows BEFORE any shuffle, where the earlier window form sorted all
-    N x k rows through a partitionBy(id) exchange (measured dominant at
-    k ~ sqrt(N) scale, r4 probe). Similarity is rounded BEFORE the
-    argmax, so the chosen assignment is engine-deterministic even at
-    exact ties."""
-    cents = centroids_long.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
-            lambda s: s["centroid"],
-        ).alias("cvec")
-    ).withColumn("__cn", l2_norm(F.col("cvec")))
-    # norms hoisted out of the N x k pair expression: dot/(vn*cn) is the
-    # SAME FP sequence as cosine(v, c) (cosine == dot/(l2*l2)), but the
-    # interpreted higher-order norm folds run once per ROW and once per
-    # CENTROID instead of once per PAIR — ~3x less E-step work (the
-    # semantic_dedup_flags hoist, applied to the assignment side)
-    data = (
-        df.select(id_col, _to_double(F.col(vec_col)).alias("__v"))
-        .withColumn("__vn", l2_norm(F.col("__v")))
-    )
-    sim = F.round(
-        dot(F.col("__v"), F.col("cvec")) / (F.col("__vn") * F.col("__cn")), round_dp
-    )
-    scored = (
-        data.crossJoin(F.broadcast(cents))
-        .select(F.col(id_col), F.col("label"), sim.alias("sim"))
-    )
-    best = F.max(
-        F.struct(
-            F.col("sim"),
-            (-F.col("label")).alias("neg_label"),
+    The centroid table is DIMENSION-SIZED by definition (k x dim
+    doubles — KBs at k ~ sqrt(N), MBs at k=64k), so it crosses the
+    driver once as a numpy matrix (the parallel_global_rank
+    bounded-collect idiom) and ships to executors inside ONE Arrow UDF
+    that scores all k centroids per row with a single BLAS matmul —
+    replacing the r4 shape's N x k crossJoin row explosion + per-pair
+    interpreted fold + re-aggregate with a straight N-in/N-out map
+    (no shuffle at all on the E-step now). Similarity is rounded
+    BEFORE the argmax and ties break to the LOWEST label: centroid
+    rows sort by label ascending and np.argmax takes the first
+    maximum — bit-identical to the previous max(struct(sim,
+    -label)) aggregate, which the certified oracles replay."""
+    import numpy as np
+
+    rows = centroids_long.select("label", "dim", "centroid").collect()
+    label_type_empty = centroids_long.schema["label"].dataType.simpleString()
+    if not rows:
+        # empty centroid table assigns nothing — same as the old
+        # crossJoin-with-empty shape, with the schema preserved
+        return df.sparkSession.createDataFrame(
+            [],
+            schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+            f"assigned_label {label_type_empty}, sim double",
         )
-    ).alias("b")
-    return scored.groupBy(id_col).agg(best).select(
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = float(r["centroid"])
+    labels = sorted(by_label)  # ascending -> first argmax = min label on ties
+    cmat = np.array(
+        [[by_label[l][d] for d in sorted(by_label[l])] for l in labels],
+        dtype=np.float64,
+    )
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    label_arr = np.array(labels)
+    # assigned_label keeps the INPUT label dtype — the driver's value
+    # hash is type-sensitive, so widening int labels to bigint would
+    # break certified consumers even with identical values
+    label_type = centroids_long.schema["label"].dataType.simpleString()
+
+    @F.pandas_udf(f"struct<assigned_label: {label_type}, sim: double>")
+    def best(vec: pd.Series) -> pd.DataFrame:
+        if len(vec) == 0:
+            return pd.DataFrame({"assigned_label": [], "sim": []})
+        x = np.asarray([np.asarray(e, dtype=np.float64) for e in vec])
+        xn = np.sqrt((x * x).sum(axis=1))
+        sims = np.round(x @ cmat.T / (xn[:, None] * cnorm[None, :]), round_dp)
+        idx = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "assigned_label": label_arr[idx],
+                "sim": sims[np.arange(len(idx)), idx],
+            }
+        )
+
+    return df.select(id_col, best(F.col(vec_col)).alias("__b")).select(
         F.col(id_col),
-        (-F.col("b.neg_label")).alias("assigned_label"),
-        F.col("b.sim").alias("sim"),
+        F.col("__b.assigned_label").alias("assigned_label"),
+        F.col("__b.sim").alias("sim"),
     )
 
 

@@ -501,11 +501,17 @@ class TestPlanShapes:
         # no unpartitioned window anywhere in the mix report
         assert "Window" not in plan
 
-    def test_kmeans_assignment_broadcasts_centroids(self, spark):
+    def test_kmeans_assignment_is_shuffle_free_arrow_map(self, spark):
+        """r6 E-step shape: the dimension-sized centroid matrix ships
+        inside ONE Arrow UDF (a straight N-in/N-out map), replacing the
+        r4 N x k broadcast crossJoin + re-aggregate — the assignment
+        stage must contain NO join and NO exchange."""
         from dais2021imageprocessingondeltalake_spark import queries_all as q
 
         plan = self._plan(q.REGISTRY["q_kmeans_assign"].fn(spark, SF_DIR))
-        assert "BroadcastNestedLoopJoin" in plan  # k x dim centroids ship to data
+        assert "ArrowEvalPython" in plan or "EvalPython" in plan
+        assert "Join" not in plan
+        assert "Exchange" not in plan
 
 
 class TestQualityGate:
