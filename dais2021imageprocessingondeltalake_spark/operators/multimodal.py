@@ -89,37 +89,51 @@ def _png_unfilter(raw: bytes, offset: int, h: int, rowbytes: int, bpp: int):
     return recon, offset + h * stride
 
 
-def _png_rows_to_pixels(recon, h: int, w: int, ch: int, sample_bytes: int):
-    """(h, rowbytes) reconstructed bytes -> (h, w, ch) samples (uint8 or
-    big-endian-combined uint16)."""
-    if sample_bytes == 1:
+def _png_rows_to_pixels(recon, h: int, w: int, ch: int, depth: int):
+    """(h, rowbytes) reconstructed bytes -> (h, w, ch) samples. 16-bit
+    combines big-endian byte pairs into uint16; sub-byte depths (1/2/4,
+    legal only for ch==1 — grayscale or palette indices) unpack
+    MSB-first packed samples and trim the row's byte-boundary padding
+    (spec §7.2)."""
+    if depth == 8:
         return recon.reshape(h, w, ch)
-    u16 = recon.reshape(h, w, ch, 2).astype(np.uint16)
-    return (u16[..., 0] << 8) | u16[..., 1]
+    if depth == 16:
+        u16 = recon.reshape(h, w, ch, 2).astype(np.uint16)
+        return (u16[..., 0] << 8) | u16[..., 1]
+    bits = np.unpackbits(recon, axis=1)  # (h, rowbytes*8), MSB-first
+    weights = (1 << np.arange(depth))[::-1]
+    samples = (
+        bits[:, : (w * depth)].reshape(h, w, depth) * weights
+    ).sum(axis=2).astype(np.uint8)
+    return samples.reshape(h, w, 1)
 
 
 def decode_png(content: bytes) -> np.ndarray:
-    """Full PNG decode — all five scanline filters (None/Sub/Up/Average/
-    Paeth, spec §9), all five color types including palette, 8- and
-    16-bit sample depth, and Adam7 interlacing (seven sub-images
-    unfiltered independently and scattered back on the (x0, y0, dx, dy)
-    grids) — to a (h, w) or (h, w, channels) array, uint8 or uint16.
-    stdlib zlib + numpy only. This codec is the in-container real path —
-    a production cluster swaps a PIL/libpng-backed function into the
-    same mapInPandas seam and nothing else changes."""
+    """COMPLETE PNG image-data decode — all five scanline filters
+    (None/Sub/Up/Average/Paeth, spec §9), all five color types
+    including palette, every legal bit depth (1/2/4/8/16 — sub-byte
+    grayscale presents scaled to 8-bit, exact since 255 divides by
+    1/3/15), and Adam7 interlacing (seven sub-images unfiltered
+    independently and scattered back on the (x0, y0, dx, dy) grids) —
+    to a (h, w) or (h, w, channels) array, uint8 or uint16. stdlib
+    zlib + numpy only; ancillary chunks (tRNS/gAMA/...) are ignored as
+    most decoders' defaults do. This codec is the in-container real
+    path — a production cluster swaps a PIL/libpng-backed function
+    into the same mapInPandas seam and nothing else changes."""
     (w, h) = png_size(content)
     depth, color, interlace = content[24], content[25], content[28]
-    if depth not in (8, 16):
-        raise NotImplementedError("PNG bit depths below 8 need a real codec")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise NotImplementedError(f"unknown PNG color type {color}")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"sub-byte depth {depth} is spec-legal only for gray/palette")
     if color == 3 and depth == 16:
         raise ValueError("palette PNG with 16-bit depth is not in the spec")
     ch = _PNG_CHANNELS[color]
-    sample_bytes = depth // 8
-    bpp = ch * sample_bytes
+    bpp = max(1, ch * depth // 8)  # filters act bytewise; floor at one byte
     pos, idat, plte = 8, b"", None
     while pos < len(content):
         (length,) = struct.unpack(">I", content[pos : pos + 4])
@@ -132,10 +146,14 @@ def decode_png(content: bytes) -> np.ndarray:
             ).reshape(-1, 3)
         pos += 12 + length
     raw = zlib.decompress(idat)
-    dtype = np.uint8 if sample_bytes == 1 else np.uint16
+    dtype = np.uint16 if depth == 16 else np.uint8
+
+    def rowbytes(width):
+        return (width * ch * depth + 7) // 8
+
     if interlace == 0:
-        recon, _ = _png_unfilter(raw, 0, h, w * bpp, bpp)
-        pixels = _png_rows_to_pixels(recon, h, w, ch, sample_bytes)
+        recon, _ = _png_unfilter(raw, 0, h, rowbytes(w), bpp)
+        pixels = _png_rows_to_pixels(recon, h, w, ch, depth)
     else:
         pixels = np.zeros((h, w, ch), dtype=dtype)
         offset = 0
@@ -144,14 +162,18 @@ def decode_png(content: bytes) -> np.ndarray:
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            recon, offset = _png_unfilter(raw, offset, hp, wp * bpp, bpp)
-            pixels[y0::dy, x0::dx, :] = _png_rows_to_pixels(
-                recon, hp, wp, ch, sample_bytes
-            )
+            recon, offset = _png_unfilter(raw, offset, hp, rowbytes(wp), bpp)
+            pixels[y0::dy, x0::dx, :] = _png_rows_to_pixels(recon, hp, wp, ch, depth)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without a PLTE chunk")
         return plte[pixels[:, :, 0]]  # (h, w) indices -> (h, w, 3)
+    if depth < 8:
+        # grayscale presentation scaling: sample max (2^d - 1) -> 255
+        # (exact integer: 255 divides by 1/3/15)
+        return (pixels[:, :, 0].astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     if ch == 1:
         return pixels[:, :, 0]
     return pixels

@@ -193,21 +193,51 @@ def test_png_decode_palette():
     assert (decode_png(png) == plte[idx]).all()
 
 
-def test_png_decode_rejects_sub_byte_depths():
+def _encode_png_subbyte(samples, depth: int, color_type: int, plte=None) -> bytes:
+    """Sub-byte encoder: pack samples MSB-first at `depth` bits each,
+    pad rows to byte boundaries (spec §7.2), filter 0."""
     import struct as _s
     import zlib as _z
 
+    h, w = samples.shape
+    lines = []
+    for y in range(h):
+        bits = []
+        for x in range(w):
+            v = int(samples[y, x])
+            bits.extend((v >> (depth - 1 - i)) & 1 for i in range(depth))
+        while len(bits) % 8:
+            bits.append(0)
+        packed = np.packbits(np.array(bits, dtype=np.uint8))
+        lines.append(b"\x00" + packed.tobytes())
+    ihdr = _s.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(np.asarray(plte, dtype=np.uint8).ravel()))
+    out += _png_chunk(b"IDAT", _z.compress(b"".join(lines)))
+    return out + _png_chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_decode_sub_byte_gray(depth):
     from dais2021imageprocessingondeltalake_spark.operators.multimodal import decode_png
 
-    ihdr = _s.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # 4-bit depth
-    png = (
-        b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 12))
-        + _png_chunk(b"IEND", b"")
-    )
-    with pytest.raises(NotImplementedError):
-        decode_png(png)
+    rng = np.random.RandomState(depth)
+    maxv = (1 << depth) - 1
+    samples = rng.randint(0, maxv + 1, size=(5, 11), dtype=np.uint8)
+    png = _encode_png_subbyte(samples, depth, color_type=0)
+    # grayscale presents scaled to 8-bit: max sample -> 255, exact
+    assert (decode_png(png) == samples * (255 // maxv)).all()
+
+
+def test_png_decode_sub_byte_palette():
+    from dais2021imageprocessingondeltalake_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(6, 9), dtype=np.uint8)
+    png = _encode_png_subbyte(idx, 4, color_type=3, plte=plte)
+    assert (decode_png(png) == plte[idx]).all()
 
 
 def _encode_png16_gray(arr16, filter_type: int) -> bytes:
