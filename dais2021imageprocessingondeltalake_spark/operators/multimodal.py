@@ -7,10 +7,10 @@ decode/resize/feature-extraction happen *late*, in-flight, via
 and must never be materialized to storage.
 
 The container has no image/audio libraries, so:
-- PNG decode is REAL for any 8/16-bit PNG, interlaced or not (stdlib
-  zlib + the spec's five scanline filters, five color types incl.
-  palette, Adam7 — decode_png; only sub-byte depths remain a seam);
-  encode via sources/binaryfiles (filter-0 grayscale).
+- PNG decode is REAL and COMPLETE for image data (stdlib zlib + the
+  spec's five scanline filters, five color types incl. palette, all
+  legal bit depths 1-16, Adam7 interlacing — decode_png; ancillary
+  chunks ignored); encode via sources/binaryfiles (filter-0 gray).
 - Baseline JPEG decode is REAL (pure-numpy DCT, sources/jpeg.py).
 - Non-baseline JPEG / 16-bit or Adam7 PNG / compressed audio / video
   are seams raising NotImplementedError behind the same Spark plumbing
