@@ -678,8 +678,8 @@ def test_table_diff_plan_single_full_outer_join(spark):
 
 def test_round3_op_plan_shapes(spark):
     """Plan shapes of the round-3 operators hold their 100 TB contracts:
-    SemDeDup broadcasts the centroid table (BroadcastNestedLoopJoin for
-    the k-row cross join) and window-limits the per-vector argmax;
+    SemDeDup's E-step is a single Arrow-batched matmul map (no join, no
+    shuffle — the r6 shape that replaced the N x k crossJoin);
     keep-best's rn==1 filter plans as WindowGroupLimit (per-partition
     top-1 heaps, no full sorts); eval-carve broadcasts the benchmark
     shingle set and window-limits the per-source carve."""
@@ -696,10 +696,11 @@ def test_round3_op_plan_shapes(spark):
 
     # q_semdedup's returned plan starts from the localCheckpointed
     # clustered table (r4: the E-step runs once, pinned), so the E-step
-    # shape is asserted on assign_to_centroids directly: broadcast
-    # centroids (nested loop, no data shuffle for scoring) and the
-    # map-side-combinable MAX-aggregate argmax — no WindowExec sort of
-    # the N x k scored rows
+    # shape is asserted on assign_to_centroids directly: since r6 the
+    # k x dim centroid matrix ships inside ONE Arrow pandas UDF that
+    # scores all k per row with a BLAS matmul — the plan must be a pure
+    # N-in/N-out map: an ArrowEvalPython stage with NO join of any
+    # kind, NO shuffle, and NO window over the scored rows
     from dais2021imageprocessingondeltalake_spark.catalog import load_table
     from dais2021imageprocessingondeltalake_spark.operators import similarity as SIM
 
@@ -711,8 +712,9 @@ def test_round3_op_plan_shapes(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastNestedLoopJoin" in estep
-    assert "HashAggregate" in estep
+    assert "ArrowEvalPython" in estep
+    assert "Join" not in estep and "CartesianProduct" not in estep
+    assert "Exchange" not in estep  # scoring never shuffles the corpus
     assert "WindowExec" not in estep and "WindowGroupLimit" not in estep
     # ... and the flags pair join stays keyed on the cluster (equi-join,
     # never a cartesian over the corpus)
