@@ -1450,3 +1450,315 @@ def margin_mine_lsh(
         .select("probe_id", "nbr_id", sim.alias("s"))
     )
     return _margin_top2(scored, min_margin_x10k)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (IVF-PQ completes the 100 TB ANN stack)
+# --------------------------------------------------------------------------
+#
+# PQ (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011) compresses a d-dim vector to m single-byte codes:
+# split the vector into m subspaces of d/m dims, k-means each subspace to
+# k_codes centroids ("the codebook"), store per vector only the m argmin
+# code ids. At dim=64/m=4 that is 4 bytes per vector vs 256 bytes of
+# float32 — a 64x reduction, which is exactly what makes billion-vector
+# (100 TB embedding-corpus) search feasible: the CODES table fits where
+# the raw vectors never could, and query scoring never touches the raw
+# corpus again. Search is ADC (asymmetric distance computation): per
+# query, precompute an m x k_codes lookup table of squared subspace
+# distances, then score every code row with m table lookups + (m-1)
+# additions — a pure scan, no shuffle, memory-bandwidth-bound.
+#
+# Determinism contract (the certified-fit idiom of
+# kmeans_fit_distributed): every per-step aggregate rounds to `round_dp`
+# decimals, seeds are md5-rank-chosen, distance ties break to the LOWEST
+# code, and every sum of squares accumulates SEQUENTIALLY in dimension
+# order — the same left-to-right fold DuckDB's list_sum and Spark's
+# F.aggregate perform — so an unrolled-CTE SQL oracle replays the whole
+# fit + encode + ADC ranking bit-for-bit (queries_llm._pq_cert_oracle).
+
+
+def _pq_sumsq_seq(X, C):
+    """Squared L2 distances between rows of X (n x d) and rows of C
+    (k x d), accumulated SEQUENTIALLY over dimensions (d explicit
+    Python-loop steps of vectorized adds) rather than one numpy
+    reduction: numpy's pairwise summation reassociates, and the oracle's
+    list_sum folds left-to-right — sequential accumulation makes both
+    engines produce the identical double before the 6dp round."""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for d in range(X.shape[1]):
+        diff = X[:, d][:, None] - C[:, d][None, :]
+        acc += diff * diff
+    return acc
+
+
+def pq_fit(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Train the PQ codebook: m independent k-means fits, one per
+    subspace, run as ONE distributed job — vectors explode to m
+    (sub, subvector) rows, a single Arrow UDF assigns every row to its
+    nearest code (per-subspace codebooks ship inside the closure: m x
+    k_codes x d/m doubles — KBs), and one grouped aggregate refits all
+    m codebooks at once. Returns the codebook long-form:
+    (sub, code, dim, centroid) with dim 1-based within the subspace.
+
+    Scale shape per iteration: one corpus scan + one Arrow map (no
+    join), then a shuffle of |corpus| x m assignment rows into an
+    aggregate whose output is m x k_codes x d/m rows — the M-step is
+    map-side combinable (avg = sum/count partials). Seeds are the
+    md5-rank top-k_codes vectors (layout- and rerun-stable), each
+    sliced into its m subvectors, so codebook j's seed c_j = seed
+    vector's j-th slice — one seed CTE serves every subspace in the
+    oracle replay."""
+    from pyspark.sql import Window
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    digest = F.md5(F.col(id_col).cast("string"))
+    # dim-sized window: the row_number runs AFTER the .limit(k_codes)
+    # top-k (TakeOrderedAndProject heaps), so it orders k_codes rows —
+    # the kmeans_fit_distributed seed idiom
+    w = Window.orderBy(digest, F.col(id_col))
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(digest, F.col(id_col))
+        .limit(k_codes)
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            (F.col("__rn") - 1).alias("code"),
+            F.posexplode(_to_double(F.col(vec_col))).alias("pos", "v"),
+        )
+        .select(
+            (F.col("pos") / sub_dim).cast("int").alias("sub"),
+            "code",
+            (F.col("pos") % sub_dim + 1).alias("dim"),
+            F.round(F.col("v"), round_dp).alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    slices = F.array(
+        *[
+            F.slice(_to_double(F.col(vec_col)), j * sub_dim + 1, sub_dim)
+            for j in range(m)
+        ]
+    )
+    svdf = df.select(
+        F.col(id_col), F.posexplode(slices).alias("sub", "sv")
+    )
+    cents = seeds
+    stale = None
+    for _ in range(iters):
+        assign = _pq_assign_udf(cents.collect(), round_dp)
+        assigned = svdf.select(
+            "sub", assign(F.col("sub"), F.col("sv")).alias("code"), "sv"
+        )
+        if stale is not None:
+            stale.rdd.unpersist()
+        stale = cents
+        cents = (
+            assigned.select(
+                "sub", "code", F.posexplode("sv").alias("pos", "x")
+            )
+            .groupBy("sub", "code", (F.col("pos") + 1).alias("dim"))
+            .agg(F.round(F.avg("x"), round_dp).alias("centroid"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+def _codebook_matrices(cent_rows):
+    """codebook long rows -> {sub: (sorted code ids array, k x d matrix)}."""
+    import numpy as np
+
+    by_sub: dict = {}
+    for r in cent_rows:
+        by_sub.setdefault(r["sub"], {}).setdefault(r["code"], {})[r["dim"]] = float(
+            r["centroid"]
+        )
+    out = {}
+    for s, codes in by_sub.items():
+        ids = sorted(codes)  # ascending -> argmin's first hit = lowest code
+        mat = np.array(
+            [[codes[c][d] for d in sorted(codes[c])] for c in ids],
+            dtype=np.float64,
+        )
+        out[s] = (np.array(ids, dtype=np.int64), mat)
+    return out
+
+
+def _pq_assign_udf(cent_rows, round_dp: int):
+    """Arrow UDF (sub, subvector) -> nearest code id. Distances round to
+    round_dp BEFORE the argmin; codebook rows sort by code ascending so
+    argmin's first-minimum tie break = lowest code — the exact semantics
+    the oracle's row_number(ORDER BY dist, code) replays."""
+    import numpy as np
+
+    books = _codebook_matrices(cent_rows)
+
+    @F.pandas_udf("int")
+    def best(sub: pd.Series, sv: pd.Series) -> pd.Series:
+        out = np.empty(len(sub), dtype=np.int64)
+        if len(sub) == 0:
+            return pd.Series(out)
+        subs = sub.to_numpy()
+        X = np.asarray([np.asarray(e, dtype=np.float64) for e in sv])
+        for s in np.unique(subs):
+            ids, C = books[int(s)]
+            mask = subs == s
+            D = np.round(_pq_sumsq_seq(X[mask], C), round_dp)
+            out[mask] = ids[D.argmin(axis=1)]
+        return pd.Series(out)
+
+    return best
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Compress every vector to its m PQ codes: (id, codes array<int>).
+    ONE Arrow map over the corpus — the codebook ships in the closure,
+    the plan is N-in/N-out with no join and no shuffle (the
+    assign_to_centroids shape), and the output row is m ints where the
+    input was dim floats."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    books = _codebook_matrices(codebook.collect())
+
+    @F.pandas_udf("array<int>")
+    def codes(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(e, dtype=np.float64) for e in vec])
+        out = np.empty((len(vec), m), dtype=np.int64)
+        for j in range(m):
+            ids, C = books[j]
+            D = np.round(
+                _pq_sumsq_seq(X[:, j * sub_dim : (j + 1) * sub_dim], C),
+                round_dp,
+            )
+            out[:, j] = ids[D.argmin(axis=1)]
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), codes(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebook: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """ADC query over the compressed codes: build the m x k_codes
+    lookup table of squared subspace distances driver-side (pure Python
+    floats, sequential dimension fold — bit-identical to the oracle's
+    list_sum), ship it as a literal array-of-arrays, and score each row
+    with zip_with + aggregate JVM lookups: codes[j] indexes LUT row j,
+    the m partial distances fold left-to-right, round, then top-k via
+    TakeOrderedAndProject (per-partition heaps, no global sort). The
+    scan never touches raw vectors — at 100 TB this reads m bytes per
+    candidate instead of 4·dim."""
+    rows = codebook.collect()
+    dim = len(query_vec)
+    sub_dim = dim // m
+    by_sub: dict = {}
+    for r in rows:
+        by_sub.setdefault(r["sub"], {}).setdefault(r["code"], {})[r["dim"]] = float(
+            r["centroid"]
+        )
+    lut: list[list[float]] = []
+    for j in range(m):
+        row = []
+        for c in range(k_codes):
+            cent = by_sub.get(j, {}).get(c)
+            if cent is None:
+                # code never trained (empty cluster) -> never emitted by
+                # pq_encode; sentinel keeps the literal array rectangular
+                row.append(float("inf"))
+                continue
+            acc = 0.0
+            for d in range(sub_dim):
+                diff = query_vec[j * sub_dim + d] - cent[d + 1]
+                acc += diff * diff
+            row.append(_round_half_up(acc, round_dp))
+        lut.append(row)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in lut]
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                lut_lit,
+                lambda c, row: F.element_at(row, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_dp,
+    )
+    return (
+        codes_df.select(F.col(id_col), adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_ann_topk(
+    df: DataFrame,
+    codes_df: DataFrame,
+    codebook: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Production two-stage PQ search (the quantized_ann_topk shape):
+    stage 1 shortlists `shortlist` candidates from the COMPRESSED codes
+    alone (pq_adc_topk — the scan that reads m bytes/row), stage 2
+    re-ranks only those raw vectors by exact cosine. The shortlist is
+    k-bounded so it broadcasts into a semi-join — the raw corpus is
+    touched for `shortlist` rows, not N. This is how PQ is deployed
+    (Jégou et al. §V: ADC + re-ranking): the codebook is lossy by
+    design and the re-rank restores exactness within the shortlist."""
+    short = pq_adc_topk(
+        codes_df,
+        codebook,
+        query_vec,
+        k=shortlist,
+        m=m,
+        k_codes=k_codes,
+        id_col=id_col,
+        round_dp=round_dp,
+    ).select(id_col)
+    cand = df.join(F.broadcast(short), id_col, "left_semi")
+    return cosine_topk(
+        cand, query_vec, k=k, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+    )

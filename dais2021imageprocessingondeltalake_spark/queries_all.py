@@ -174,6 +174,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_dedup_spans",
     "q_embedding_topk",
     "q_embedding_ann_q8",
+    "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
+    "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

@@ -13,13 +13,13 @@ COV = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
 
 
 def test_every_registry_query_is_documented():
-    mentioned = set(re.findall(r"q_[a-z0-9_]+", COV))
+    mentioned = set(re.findall(r"(?<![a-z0-9_])q_[a-z0-9_]+", COV))
     missing = sorted(set(q.REGISTRY) - mentioned)
     assert not missing, f"COVERAGE.md is missing registry queries: {missing}"
 
 
 def test_no_stale_query_ids():
-    mentioned = set(re.findall(r"q_[a-z0-9_]+", COV))
+    mentioned = set(re.findall(r"(?<![a-z0-9_])q_[a-z0-9_]+", COV))
     stale = sorted(m for m in mentioned if m not in q.REGISTRY)
     assert not stale, f"COVERAGE.md mentions unregistered queries: {stale}"
 
