@@ -411,3 +411,59 @@ def proportional_allocate(
         .filter(F.col("__rn") <= F.col("__alloc"))
         .drop("__rn", "__alloc")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epochs: int = 2,
+    n_shards: int = 8,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic multi-epoch training-order shuffle with round-robin
+    shard assignment — the reproducible global permutation every
+    pretraining data loader needs (each epoch must visit the corpus in a
+    different but RERUNNABLE order, and the order must be materializable
+    as ~equal shard files).
+
+    Epoch e permutes the corpus by the md5 digest of
+    ``f"{salt}:e{e}:{id}"`` — the portable-hash idiom (identical strings
+    digest identically in Spark and DuckDB, and across reruns, so the
+    order is a pure function of ids, not of partitioning or timing).
+    The global position within an epoch comes from
+    :func:`~.sort.parallel_global_rank` (range shuffle + parallel
+    per-partition rank + broadcast prefix offsets), so no stage funnels
+    the corpus through a single-reducer window at any scale. Shard id is
+    ``(position - 1) % n_shards``: round-robin off the position, so
+    shard sizes differ by at most one document per epoch.
+
+    Cost: `epochs` range shuffles over an (id, 32-hex-char digest)
+    projection — never the full document rows; the caller joins
+    positions back to content when writing shards.
+    """
+    from pyspark.sql import functions as F
+
+    from .sort import parallel_global_rank
+
+    if epochs < 1 or n_shards < 1:
+        raise ValueError("epochs and n_shards must be >= 1")
+    out = None
+    for e in range(1, epochs + 1):
+        keyed = df.select(
+            F.col(id_col),
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:e{e}:"), F.col(id_col).cast("string")
+                )
+            ).alias("__k"),
+        )
+        ranked = parallel_global_rank(
+            keyed, [F.col("__k"), F.col(id_col)], rank_col="position"
+        ).select(
+            F.col(id_col),
+            F.lit(e).cast("int").alias("epoch"),
+            F.col("position").cast("bigint").alias("position"),
+            ((F.col("position") - 1) % n_shards).cast("bigint").alias("shard"),
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+    return out

@@ -176,6 +176,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_embedding_ann_q8",
     "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
+    "q_epoch_shuffle",  # NEW r6: deterministic epoch shuffle + shards
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

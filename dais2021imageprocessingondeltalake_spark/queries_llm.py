@@ -3044,3 +3044,42 @@ def q_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_tok, 0.9)").alias("p90"),
         F.max("n_tok").cast("bigint").alias("max_tok"),
     )
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle="""
+    WITH e(epoch) AS (SELECT 1 UNION ALL SELECT 2),
+    k AS (
+      SELECT d.doc_id, e.epoch,
+             md5('shuffle:e' || CAST(e.epoch AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)) AS kk
+      FROM documents d CROSS JOIN e
+    ), r AS (
+      SELECT doc_id, CAST(epoch AS INT) AS epoch,
+             CAST(row_number() OVER (PARTITION BY epoch
+                                     ORDER BY kk, doc_id) AS BIGINT) AS position
+      FROM k
+    )
+    SELECT doc_id, epoch, position,
+           CAST((position - 1) % 8 AS BIGINT) AS shard
+    FROM r
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-epoch training-order shuffle with round-robin
+    shard assignment (epoch_shuffle): every pretraining loader needs a
+    reproducible global permutation per epoch, and this is its engine
+    form — md5("shuffle:e{epoch}:{doc_id}") as the portable permutation
+    key, global position via parallel_global_rank (range shuffle +
+    parallel per-partition rank; no single-reducer window at any scale
+    — the q_global_rank machinery), shard = (position-1) % 8 so shard
+    sizes differ by at most one. The oracle replays the permutation
+    with the plain SQL window — identical md5 strings order identically
+    in both engines, and integer positions/shards need zero rounding.
+    Epochs are independent permutations; a rerun reproduces the order
+    exactly (pure function of ids)."""
+    from .operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, "documents", sf_dir)
+    return epoch_shuffle(docs, "doc_id", epochs=2, n_shards=8, salt="shuffle")

@@ -1334,3 +1334,57 @@ class TestProportionalAllocate:
             proportional_allocate(None, "s", "k", num=3, den=2)
         with pytest.raises(ValueError):
             proportional_allocate(None, "s", "k", num=1, den=0)
+
+
+class TestEpochShuffle:
+    def test_permutation_per_epoch(self, spark):
+        """Each epoch's positions are exactly 1..N (a permutation, no
+        gaps or duplicates) and every shard size is within one document
+        of every other — the loader-facing contract."""
+        docs = load_table(spark, "documents", SF_DIR)
+        n = docs.count()
+        out = S.epoch_shuffle(docs, "doc_id", epochs=2, n_shards=8).cache()
+        try:
+            for e in (1, 2):
+                pos = sorted(
+                    r.position for r in out.filter(F.col("epoch") == e).collect()
+                )
+                assert pos == list(range(1, n + 1))
+            sizes = [
+                r.c
+                for r in out.groupBy("epoch", "shard")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            ]
+            assert max(sizes) - min(sizes) <= 1
+        finally:
+            out.unpersist()
+
+    def test_epochs_differ_and_rerun_reproduces(self, spark):
+        """The two epochs are DIFFERENT permutations (independent salts)
+        while a rerun — even from a differently-partitioned input —
+        reproduces each epoch's order exactly (pure function of ids)."""
+        docs = load_table(spark, "documents", SF_DIR)
+        a = {
+            (r.epoch, r.doc_id): r.position
+            for r in S.epoch_shuffle(docs, "doc_id", epochs=2, n_shards=8).collect()
+        }
+        b = {
+            (r.epoch, r.doc_id): r.position
+            for r in S.epoch_shuffle(
+                docs.repartition(13), "doc_id", epochs=2, n_shards=8
+            ).collect()
+        }
+        assert a == b
+        order1 = [d for (e, d), p in sorted(a.items(), key=lambda kv: (kv[0][0], kv[1])) if e == 1]
+        order2 = [d for (e, d), p in sorted(a.items(), key=lambda kv: (kv[0][0], kv[1])) if e == 2]
+        assert order1 != order2
+
+    def test_validates_args(self, spark):
+        import pytest
+
+        docs = load_table(spark, "documents", SF_DIR)
+        with pytest.raises(ValueError):
+            S.epoch_shuffle(docs, "doc_id", epochs=0)
+        with pytest.raises(ValueError):
+            S.epoch_shuffle(docs, "doc_id", n_shards=0)
