@@ -937,3 +937,21 @@ def test_parallel_global_rank_equals_window(spark):
             ).collect()
         }
         assert got == want, n_parts
+
+
+def test_epoch_shuffle_is_partition_parallel(spark):
+    """q_epoch_shuffle ranks every epoch through parallel_global_rank:
+    each epoch's Window is keyed by __pid (range exchange, parallel) and
+    no SinglePartition exchange feeds a Window — the corpus never
+    funnels through one reducer to get its training order."""
+    from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+    plan = (
+        q.REGISTRY["q_epoch_shuffle"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(__pid" in plan
+    assert "Exchange SinglePartition" not in plan
