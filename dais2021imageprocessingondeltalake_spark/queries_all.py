@@ -16,6 +16,7 @@ from . import queries_advanced  # noqa: F401
 from . import queries_tpch  # noqa: F401
 from . import queries_curation  # noqa: F401
 from . import queries_sketches  # noqa: F401
+from . import queries_profiling  # noqa: F401
 
 from .registry import REGISTRY, headline_queries, oracle_sql, queries  # noqa: F401,E402
 
@@ -177,6 +178,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
     "q_epoch_shuffle",  # NEW r6: deterministic epoch shuffle + shards
+    "q_profile_table",  # NEW r6: one-pass per-column data card
+    "q_profile_drift",  # NEW r6: exact chi-square drift report
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

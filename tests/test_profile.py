@@ -1,0 +1,77 @@
+"""Dataset profiler + drift report: planted-value and plan-shape tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dais2021imageprocessingondeltalake_spark.operators import profile as P
+
+
+def test_profile_columns_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")],
+        "k: bigint, v: string",
+    )
+    rows = {r["col_name"]: r for r in P.profile_columns(df, ["k", "v"]).collect()}
+    assert rows["k"]["n_rows"] == 4
+    assert rows["k"]["n_null"] == 1
+    assert rows["k"]["n_distinct"] == 3
+    assert rows["k"]["min_str"] == "1" and rows["k"]["max_str"] == "3"
+    assert rows["v"]["n_null"] == 1
+    assert rows["v"]["n_distinct"] == 2
+    assert rows["v"]["min_str"] == "a" and rows["v"]["max_str"] == "b"
+
+
+def test_profile_single_scan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        P.profile_columns(docs, ["doc_id", "lang"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one scan feeding one Expand + hash aggregate — no per-column job
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # multi-count-distinct plans as a single Expand
+
+
+def test_drift_report_no_drift_is_zero(spark):
+    # identical distributions in both slices -> every chi2 contribution 0
+    rows = [(i % 5, s) for i in range(50) for s in ("a", "b")]
+    df = spark.createDataFrame(rows, "bin_val: bigint, side: string")
+    out = P.drift_report(df, in_a=F.col("side") == "a", bin_expr=F.col("bin_val"))
+    got = out.collect()
+    assert len(got) == 5
+    assert all(r["chi2_x1e9"] == 0 for r in got)
+    assert all(r["cnt_a"] == 10 and r["cnt_b"] == 10 for r in got)
+
+
+def test_drift_report_planted_drift(spark):
+    # slice a: all mass in bin 0; slice b: all mass in bin 1 -> maximal drift
+    rows = [(0, "a")] * 10 + [(1, "b")] * 10
+    df = spark.createDataFrame(rows, "bin_val: bigint, side: string")
+    out = {
+        r["bin_val" if "bin_val" in r else "bin"]: r
+        for r in P.drift_report(
+            df, in_a=F.col("side") == "a", bin_expr=F.col("bin_val")
+        ).collect()
+    }
+    # chi2 contribution per disjoint bin: (10*10 - 0)^2 / (10*10*10) = 10.0
+    assert out[0]["chi2_x1e9"] == 10 * 10**9
+    assert out[1]["chi2_x1e9"] == 10 * 10**9
+    assert out[0]["cnt_a"] == 10 and out[0]["cnt_b"] == 0
+
+
+def test_drift_single_scan_no_cartesian(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = P.drift_report(
+        docs, in_a=F.col("lang") == "en", bin_expr=F.expr("n_chars div 50")
+    )
+    out.collect()  # finalize the adaptive plan so exchange reuse is visible
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # conditional aggregation builds both histograms in one aggregate; the
+    # totals branch REUSES that aggregate's exchange (AQE ReuseExchange), so
+    # the corpus is scanned once at execution, and the 1-row totals join is
+    # broadcast, never a shuffled cartesian
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
