@@ -1,63 +1,118 @@
-"""Dataset profiling: the "data card" step of a training-data pipeline.
+"""Data-quality expectations + table profiling (analytics-engine surface).
 
-Before a corpus is admitted to a 100 TB training mix, the pipeline emits a
-per-column profile (row/null/distinct counts, min/max) and a drift report
-against the previous snapshot.  The reference's Explore notebook does this
-interactively (`00. Explore.py:66-90` — display() of label counts over the
-Delta table); here it is a first-class operator pair with exact oracles.
+Two shapes a production lakehouse runs on every ingest:
+- `profile_columns`: one row per column with null fraction, distinct
+  count, min/max — the dataset card / drift-detection input. One pass,
+  one aggregate; every statistic is a builtin JVM agg.
+- constraint checks (not-null, unique-key, referential integrity):
+  violation COUNTS, not booleans — a gate that reports how broken a
+  batch is, cheap enough to run inline before a write. Each check is a
+  single agg or anti-join; nothing materializes the violating rows
+  unless a caller asks.
+- `drift_report`: the chi-square homogeneity complement to the
+  KS/PSI drift scores (queries_curation) — per-bin counts plus each
+  bin's floor-scaled chi2 contribution, so the report localizes WHERE
+  two slices diverged and certifies exactly (integer counts in, one
+  deterministic IEEE expression per bin, BIGINT out).
 
-Scale design:
-- ``profile_columns`` is ONE aggregate over ONE scan.  Multiple exact
-  COUNT(DISTINCT) in a single agg plan as a Catalyst Expand (one
-  row-multiplication by #distinct-columns, then a single hash aggregate) —
-  no per-column job, no driver loop.  For columns where exact distinct is
-  too hot at 100 TB, swap ``F.count_distinct`` for
-  ``F.approx_count_distinct`` (HLL, fixed-size state) — the q_count_distinct
-  query already certifies both paths agree on this corpus.
-- ``drift_report`` is ONE scan + ONE groupBy shuffle: both snapshots'
-  histograms come from conditional aggregation over the union predicate
-  (no self-join), totals are a broadcast of a 1-row aggregate, and the
-  chi-square statistic is per-bin IEEE arithmetic on exact integer counts
-  (scaled-floor idiom), so the oracle replays it bit-for-bit.
+Scale notes: profiling numeric/short-string min/max and exact distinct
+counts shuffles once per aggregate batch; at 100 TB swap exact distinct
+for the engine's HLL sketch tier (aggregates.sketch_rollup) — the seam
+is the `exact_distinct` flag.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "drift_report"]
 
-
-def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
-    """One row per column: (col_name, n_rows, n_null, n_distinct,
-    min_str, max_str).  min/max are cast to string so heterogeneous
-    column types share one report schema (bigint→string is exact
-    decimal formatting in both Spark and DuckDB).
-    """
-    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(column, n_rows, n_null, null_frac, n_distinct, min_str, max_str)
+    per column — min/max rendered as strings so one schema fits every
+    column type (the profile is a report, not a typed feed)."""
+    cols = cols or df.columns
+    total = df.count()
+    aggs = []
     for c in cols:
-        col = F.col(c)
-        aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"__null_{c}"),
-            F.count_distinct(col).alias(f"__dist_{c}"),
-            F.min(col).cast("string").alias(f"__min_{c}"),
-            F.max(col).cast("string").alias(f"__max_{c}"),
-        ]
-    one = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', `__null_{c}`, `__dist_{c}`, `__min_{c}`, `__max_{c}`" for c in cols
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(F.col(c).cast("string")).alias("min_str"),
+                F.max(F.col(c).cast("string")).alias("max_str"),
+            ).alias(f"__p_{c}")
+        )
+    row = df.agg(*aggs)
+    profiles = row.select(
+        F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p")
     )
-    return one.selectExpr(
-        f"stack({len(cols)}, {stack}) AS (col_name, n_null, n_distinct, min_str, max_str)",
-        "__n_rows AS n_rows",
+    return profiles.select(
+        F.col("p.column").alias("column"),
+        F.lit(total).cast("bigint").alias("n_rows"),
+        F.col("p.n_null").alias("n_null"),
+        F.round(F.col("p.n_null") / F.lit(float(total)), 6).alias("null_frac"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_str").alias("min_str"),
+        F.col("p.max_str").alias("max_str"),
     )
+
+
+def check_not_null(df: DataFrame, col: str) -> DataFrame:
+    """1-row (check, violations): rows where `col` IS NULL."""
+    return df.agg(
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("violations")
+    ).select(F.lit(f"not_null:{col}").alias("check"), "violations")
+
+
+def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """1-row (check, violations): rows beyond the first per key — the
+    duplicate surplus (0 == key is unique)."""
+    name = ",".join(cols)
+    dup = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
+    return dup.agg(
+        F.sum(F.col("__n") - 1).cast("bigint").alias("violations")
+    ).select(F.lit(f"unique:{name}").alias("check"), "violations")
+
+
+def check_foreign_key(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> DataFrame:
+    """1-row (check, violations): child rows whose key has no parent
+    (anti-join count) — referential integrity."""
+    orphans = child.select(F.col(child_col)).join(
+        parent.select(F.col(parent_col).alias(child_col)),
+        [child_col],
+        "left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("bigint").alias("violations")).select(
+        F.lit(f"fk:{child_col}").alias("check"), "violations"
+    )
+
+
+def check_accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
+    """1-row (check, violations): non-null rows outside the accepted
+    set."""
+    return df.agg(
+        F.sum(
+            F.when(
+                F.col(col).isNotNull() & ~F.col(col).isin(*values), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("violations")
+    ).select(F.lit(f"accepted:{col}").alias("check"), "violations")
 
 
 def drift_report(
     df: DataFrame,
-    in_a: Column,
-    bin_expr: Column,
+    in_a,
+    bin_expr,
     scale: int = 1_000_000_000,
 ) -> DataFrame:
     """Two-sample chi-square drift between the ``in_a`` slice and its
@@ -70,15 +125,16 @@ def drift_report(
     an exact integer (counts and their products stay far below 2^53
     until the final square), each IEEE op is deterministic, and the
     floor-scale makes the output a hashable BIGINT — the oracle replays
-    the identical expression tree.
+    the identical expression tree.  Summing ``chi2_x1e9`` gives the
+    corpus drift statistic; the per-bin rows localize WHERE the
+    distributions diverged (which the scalar KS/PSI scores in
+    queries_curation cannot).
 
     One scan at execution: both histograms come from conditional
     aggregation (sum CASE) in a single groupBy — no self-join — and the
     totals branch reuses that aggregate's shuffle output (AQE
     ReuseExchange, plan-asserted in tests/test_profile.py) before being
-    broadcast back as one row.  Summing ``chi2_x1e9`` gives the corpus
-    drift statistic; per-bin rows localize WHERE the distributions
-    diverged.
+    broadcast back as one row.
     """
     g = df.groupBy(bin_expr.alias("bin")).agg(
         F.sum(F.when(in_a, 1).otherwise(0)).alias("cnt_a"),

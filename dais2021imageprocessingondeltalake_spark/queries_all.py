@@ -178,8 +178,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
     "q_epoch_shuffle",  # NEW r6: deterministic epoch shuffle + shards
-    "q_profile_table",  # NEW r6: one-pass per-column data card
-    "q_profile_drift",  # NEW r6: exact chi-square drift report
+    "q_profile_drift",  # NEW r6: exact chi-square drift report (per-bin)
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

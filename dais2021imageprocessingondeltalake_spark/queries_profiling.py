@@ -1,10 +1,13 @@
-"""Dataset-profiling query registrations (round 6).
+"""Drift-report query registration (round 6).
 
-The "data card" tier of the training-data pipeline: a one-pass per-column
-profile of the corpus and an exact chi-square drift report between corpus
-slices.  Both carry full DuckDB oracles — the profile is plain aggregates,
-and the drift statistic uses the scaled-floor idiom over exact integer
-counts so the float math replays bit-for-bit.
+The chi-square homogeneity complement to the existing drift scores:
+`q_ks_drift` and `q_psi_drift` (queries_curation.py) emit one scalar per
+corpus pair, while this report keeps per-bin rows — counts plus each
+bin's floor-scaled chi2 contribution — so it localizes WHERE two slices
+diverged, and certifies exactly (integer counts in, one deterministic
+IEEE expression per bin, BIGINT out; no rounded libm anywhere).
+The per-column data card itself is `q_data_profile`
+(queries_advanced.py), sharing operators/profile.py.
 """
 
 from __future__ import annotations
@@ -15,36 +18,6 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .operators import profile as P
 from .registry import query
-
-_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
-
-
-def _profile_oracle() -> str:
-    parts = []
-    for c in _PROFILE_COLS:
-        parts.append(
-            f"""
-    SELECT '{c}' AS col_name,
-           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-           CAST(min({c}) AS VARCHAR) AS min_str,
-           CAST(max({c}) AS VARCHAR) AS max_str,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM documents"""
-        )
-    return "\nUNION ALL\n".join(parts)
-
-
-@query("q_profile_table", oracle=_profile_oracle())
-def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column data card for the documents corpus: row count, null
-    count, exact distinct count, min/max (as strings) — ONE aggregate
-    over ONE scan (multiple COUNT DISTINCT plan as a single Catalyst
-    Expand + hash aggregate, no per-column job).  The 100 TB variant
-    swaps exact distinct for approx_count_distinct; see
-    operators/profile.py docstring."""
-    docs = load_table(spark, "documents", sf_dir)
-    return P.profile_columns(docs, _PROFILE_COLS)
 
 
 @query(
@@ -68,11 +41,11 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-distribution drift between the English slice and the rest
     of the corpus: per 50-char bin, both counts plus the bin's scaled
-    chi-square homogeneity contribution.  One scan + one groupBy
-    shuffle (conditional aggregation — no self-join); the 1-row totals
-    aggregate is broadcast.  All float inputs are exact integers, so
-    the oracle replays the identical IEEE expression tree (scaled-floor
-    idiom)."""
+    chi-square homogeneity contribution.  One scan at execution + one
+    groupBy shuffle (conditional aggregation — no self-join; the totals
+    branch reuses the histogram exchange via AQE and is broadcast
+    back).  All float inputs are exact integers, so the oracle replays
+    the identical IEEE expression tree (scaled-floor idiom)."""
     docs = load_table(spark, "documents", sf_dir)
     return P.drift_report(
         docs,

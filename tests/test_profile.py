@@ -1,38 +1,14 @@
-"""Dataset profiler + drift report: planted-value and plan-shape tests."""
+"""Chi-square drift report: planted-value and plan-shape tests.
+
+(profile_columns and the expectation checks are covered in
+tests/test_advanced.py next to their queries.)
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from dais2021imageprocessingondeltalake_spark.operators import profile as P
-
-
-def test_profile_columns_planted(spark):
-    df = spark.createDataFrame(
-        [(1, "a"), (2, "a"), (3, None), (None, "b")],
-        "k: bigint, v: string",
-    )
-    rows = {r["col_name"]: r for r in P.profile_columns(df, ["k", "v"]).collect()}
-    assert rows["k"]["n_rows"] == 4
-    assert rows["k"]["n_null"] == 1
-    assert rows["k"]["n_distinct"] == 3
-    assert rows["k"]["min_str"] == "1" and rows["k"]["max_str"] == "3"
-    assert rows["v"]["n_null"] == 1
-    assert rows["v"]["n_distinct"] == 2
-    assert rows["v"]["min_str"] == "a" and rows["v"]["max_str"] == "b"
-
-
-def test_profile_single_scan(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    plan = (
-        P.profile_columns(docs, ["doc_id", "lang"])
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    # one scan feeding one Expand + hash aggregate — no per-column job
-    assert plan.count("Scan parquet") == 1
-    assert "Expand" in plan  # multi-count-distinct plans as a single Expand
 
 
 def test_drift_report_no_drift_is_zero(spark):
@@ -51,7 +27,7 @@ def test_drift_report_planted_drift(spark):
     rows = [(0, "a")] * 10 + [(1, "b")] * 10
     df = spark.createDataFrame(rows, "bin_val: bigint, side: string")
     out = {
-        r["bin_val" if "bin_val" in r else "bin"]: r
+        r["bin"]: r
         for r in P.drift_report(
             df, in_a=F.col("side") == "a", bin_expr=F.col("bin_val")
         ).collect()
