@@ -30,10 +30,16 @@ from pyspark.sql import functions as F
 def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """(column, n_rows, n_null, null_frac, n_distinct, min_str, max_str)
     per column — min/max rendered as strings so one schema fits every
-    column type (the profile is a report, not a typed feed)."""
+    column type (the profile is a report, not a typed feed).
+
+    The row count rides in the SAME aggregate as the per-column stats,
+    so the table is scanned exactly once (the earlier shape paid a
+    separate driver-side ``df.count()`` — a second full scan at 100 TB
+    for one scalar).  ``null_frac`` divides the two LONG aggregates
+    cast to double per row, which is the identical IEEE value the old
+    ``n_null / float(total)`` literal produced."""
     cols = cols or df.columns
-    total = df.count()
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs.append(
             F.struct(
@@ -48,13 +54,16 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         )
     row = df.agg(*aggs)
     profiles = row.select(
-        F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p")
+        F.col("__n_rows"),
+        F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p"),
     )
     return profiles.select(
         F.col("p.column").alias("column"),
-        F.lit(total).cast("bigint").alias("n_rows"),
+        F.col("__n_rows").cast("bigint").alias("n_rows"),
         F.col("p.n_null").alias("n_null"),
-        F.round(F.col("p.n_null") / F.lit(float(total)), 6).alias("null_frac"),
+        F.round(
+            F.col("p.n_null").cast("double") / F.col("__n_rows").cast("double"), 6
+        ).alias("null_frac"),
         F.col("p.n_distinct").alias("n_distinct"),
         F.col("p.min_str").alias("min_str"),
         F.col("p.max_str").alias("max_str"),
