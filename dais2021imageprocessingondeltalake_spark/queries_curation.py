@@ -1886,7 +1886,11 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     empirical CDFs in ONE pass over the distinct value grid (window
     cumsums of per-value counts — no correlated subqueries), where the
     oracle states the textbook definition; CDF values are exact rational
-    counts/n, the max rounds to 6dp."""
+    counts/n, the max rounds to 6dp. The denominators n_a/n_b are
+    derived IN-PLAN as whole-grid window sums over the same dim-sized
+    count table the cumsums already sort — no driver-side count()
+    actions rescanning documents for two scalars (the q_psi_drift
+    totals idiom)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1902,22 +1906,26 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
         )
     )
-    na = a.count()
-    nb = b.count()
-    # dim-sized window: input is the per-distinct-VALUE count table; v is
+    # dim-sized windows: input is the per-distinct-VALUE count table; v is
     # an integer token-length, so |rows| is bounded by max doc length
     # (hundreds), never corpus-sized. A continuous metric would need
-    # pre-binning before this CDF step.
+    # pre-binning before this CDF step. The whole-grid frame reuses the
+    # same single-partition pass, so totals cost no extra scan.
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cdfs = counts.select(
         "v",
-        (F.sum("ca").over(w) / F.lit(float(na))).alias("cdf_a"),
-        (F.sum("cb").over(w) / F.lit(float(nb))).alias("cdf_b"),
+        (F.sum("ca").over(w) / F.sum("ca").over(wall).cast("double")).alias("cdf_a"),
+        (F.sum("cb").over(w) / F.sum("cb").over(wall).cast("double")).alias("cdf_b"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
     )
     return cdfs.agg(
         F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("ks_stat"),
-        F.lit(na).cast("bigint").alias("n_a"),
-        F.lit(nb).cast("bigint").alias("n_b"),
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
     )
 
 
