@@ -149,6 +149,16 @@ def drift_report(
         F.sum(F.when(in_a, 1).otherwise(0)).alias("cnt_a"),
         F.sum(F.when(in_a, 0).otherwise(1)).alias("cnt_b"),
     )
+    return drift_finalize(g, scale=scale)
+
+
+def drift_finalize(g: DataFrame, scale: int = 1_000_000_000) -> DataFrame:
+    """Finalize a (bin, cnt_a, cnt_b) histogram into the drift report —
+    exposed separately because per-bin counts are MERGEABLE: a
+    streaming ingest folds per-micro-batch partial histograms into a
+    counter store and finalizes the merged counts here, yielding
+    exactly the batch report (certified by q_stream_drift, which shares
+    q_profile_drift's oracle)."""
     tot = g.agg(
         F.sum("cnt_a").alias("pt"),
         F.sum("cnt_b").alias("qt"),

@@ -179,6 +179,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
     "q_epoch_shuffle",  # NEW r6: deterministic epoch shuffle + shards
     "q_profile_drift",  # NEW r6: exact chi-square drift report (per-bin)
+    "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

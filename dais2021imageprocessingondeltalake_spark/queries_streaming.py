@@ -619,3 +619,66 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("item"))
         .limit(20)
     )
+
+
+@query(
+    "q_stream_drift",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars // 50 AS bin,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      FROM documents GROUP BY 1),
+    t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS pt,
+                 CAST(sum(cnt_b) AS BIGINT) AS qt FROM g)
+    SELECT g.bin, g.cnt_a, g.cnt_b,
+           CAST(floor(1000000000.0 * (
+             (CAST(g.cnt_a * t.qt - g.cnt_b * t.pt AS DOUBLE) *
+              CAST(g.cnt_a * t.qt - g.cnt_b * t.pt AS DOUBLE)) /
+             CAST(t.pt * t.qt * (g.cnt_a + g.cnt_b) AS DOUBLE))) AS BIGINT) AS chi2_x1e9
+    FROM g, t
+    """,
+)
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the corpus arrives as 4 micro-batches
+    (maxFilesPerTrigger=1 over a pre-split source) and foreachBatch
+    folds each batch's PARTIAL per-bin histogram (bin, cnt_a, cnt_b)
+    into an append-only counter store; the merged counters finalize
+    through the same chi-square expression as the batch report
+    (profile.drift_finalize) and must equal it EXACTLY — histograms are
+    mergeable summaries, so a 100 TB live ingest maintains its drift
+    report without ever re-scanning the corpus. Shares q_profile_drift's
+    oracle: the driver hash certifies stream-merge == batch."""
+    from .catalog import load_table
+    from .operators.profile import drift_finalize
+
+    base = _fresh_tmpdir("stream_drift_")
+    docs = load_table(spark, "documents", sf_dir).select("lang", "n_chars")
+    docs.repartition(4).write.parquet(f"{base}/src")
+    schema = spark.read.parquet(f"{base}/src").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/src")
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        en = F.col("lang") == "en"
+        batch_df.groupBy(F.expr("n_chars div 50").alias("bin")).agg(
+            F.sum(F.when(en, 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(en, 0).otherwise(1)).alias("cnt_b"),
+        ).write.mode("append").parquet(f"{base}/partials")
+
+    (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    merged = (
+        spark.read.parquet(f"{base}/partials")
+        .groupBy("bin")
+        .agg(F.sum("cnt_a").alias("cnt_a"), F.sum("cnt_b").alias("cnt_b"))
+    )
+    return drift_finalize(merged)
