@@ -212,3 +212,62 @@ def merge_agg_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
         )
         .withColumn("avg_v", F.round(F.col("sum_v") / F.col("n"), 6))
     )
+
+
+def ranked_auc(
+    df: DataFrame,
+    label_col,
+    score_col,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """ROC-AUC as the Mann-Whitney U rank statistic with midrank tie
+    handling — one row (n_pos, n_neg, auc_x1e6) — entirely in INTEGER
+    arithmetic, so the oracle replays it bit-for-bit with no float
+    rounding anywhere.
+
+    Derivation: with per-distinct-score counts (cnt, cnt_pos) and
+    ``before`` = rows with strictly smaller score, each tied group's
+    midrank is before + (cnt+1)/2, so DOUBLED midranks are the integers
+    2*before + cnt + 1 and
+
+        sum_pos_2r = sum(cnt_pos * (2*before + cnt + 1))
+        AUC        = (sum_pos_2r - n_pos*(n_pos+1)) / (2*n_pos*n_neg)
+
+    emitted as ``(scale * numerator) div denominator`` — exact integer
+    division (Spark `div` == DuckDB `//` on non-negatives).
+
+    Scale shape: one groupBy(score) shuffle; the cumulative ``before``
+    is a window over DISTINCT scores (dim-sized — bounded by score
+    cardinality, never corpus-sized; continuous scores must be
+    quantized first, which any calibrated model head already is).
+    BIGINT headroom: scale*sum_pos_2r < 2^63 up to ~3e9/sqrt(scale)
+    rows — at larger N switch the two products to DECIMAL(38,0).
+    """
+    from pyspark.sql import Window
+
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    g = df.groupBy(score.alias("__s")).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(F.when(label, 1).otherwise(0)).alias("__pos"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "__cnt",
+        "__pos",
+        F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__before"),
+    )
+    return ranked.agg(
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        (F.sum("__cnt") - F.sum("__pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("__pos") * (F.lit(2) * F.col("__before") + F.col("__cnt") + 1)
+        ).alias("__sum_pos_2r"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            f"CAST(({scale} * (__sum_pos_2r - n_pos * (n_pos + 1))) div "
+            "(2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_x1e6"),
+    )

@@ -2646,3 +2646,37 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_x10k"),
         )
     )
+
+
+@query(
+    "q_auc_ranked",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS s, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM documents GROUP BY 1),
+    r AS (
+      SELECT cnt, pos,
+             CAST(COALESCE(sum(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+      FROM g),
+    a AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+             CAST(sum(pos * (2 * before + cnt + 1)) AS BIGINT) AS s2
+      FROM r)
+    SELECT n_pos, n_neg,
+           CAST((1000000 * (s2 - n_pos * (n_pos + 1))) // (2 * n_pos * n_neg) AS BIGINT) AS auc_x1e6
+    FROM a
+    """,
+)
+def q_auc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of document length as a predictor of lang='en' — the
+    Mann-Whitney rank statistic with midrank ties, ALL integer
+    arithmetic (aggregates.ranked_auc), so the metric certifies
+    bit-exact with zero float rounding. The classifier-evaluation
+    metric every quality-model loop needs; near 0.5 here (length
+    doesn't separate languages in this corpus), which the oracle
+    confirms exactly rather than approximately."""
+    docs = load_table(spark, "documents", sf_dir)
+    return agg.ranked_auc(docs, F.col("lang") == "en", "n_chars")

@@ -766,3 +766,52 @@ def test_label_propagation_validation():
 
     with pytest.raises(ValueError):
         label_propagation(None, iters=0)
+
+
+class TestRankedAuc:
+    def test_perfect_separation(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.aggregates import ranked_auc
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(3, 1), (3, 1), (2, 1), (1, 0), (1, 0)], "s: bigint, y: int"
+        )
+        r = ranked_auc(df, F.col("y") == 1, "s").collect()[0]
+        assert (r["n_pos"], r["n_neg"], r["auc_x1e6"]) == (3, 2, 1_000_000)
+
+    def test_anti_separation_is_zero(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.aggregates import ranked_auc
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, 1), (2, 0)], "s: bigint, y: int")
+        r = ranked_auc(df, F.col("y") == 1, "s").collect()[0]
+        assert r["auc_x1e6"] == 0
+
+    def test_all_tied_is_half(self, spark):
+        """Midrank convention: a fully tied score column gives AUC 0.5
+        exactly, not 0 or 1."""
+        from dais2021imageprocessingondeltalake_spark.operators.aggregates import ranked_auc
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(2, 1), (2, 0), (2, 1), (2, 0)], "s: bigint, y: int"
+        )
+        r = ranked_auc(df, F.col("y") == 1, "s").collect()[0]
+        assert r["auc_x1e6"] == 500_000
+
+    def test_matches_pairwise_definition(self, spark):
+        """AUC == P(score_pos > score_neg) + 0.5*P(tie), checked by
+        brute-force pair enumeration on a small random-ish fixture."""
+        from dais2021imageprocessingondeltalake_spark.operators.aggregates import ranked_auc
+        from pyspark.sql import functions as F
+
+        rows = [(s, y) for i, (s, y) in enumerate(
+            [(5, 1), (3, 0), (3, 1), (8, 0), (1, 0), (5, 0), (7, 1), (2, 1), (3, 0), (9, 1)]
+        )]
+        pos = [s for s, y in rows if y == 1]
+        neg = [s for s, y in rows if y == 0]
+        num = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+        expected = int(1_000_000 * num) // (len(pos) * len(neg))
+        df = spark.createDataFrame(rows, "s: bigint, y: int")
+        r = ranked_auc(df, F.col("y") == 1, "s").collect()[0]
+        assert r["auc_x1e6"] == expected
