@@ -271,3 +271,68 @@ def ranked_auc(
             "(2 * n_pos * n_neg) AS BIGINT)"
         ).alias("auc_x1e6"),
     )
+
+
+def _midranks2(df: DataFrame, col, alias: str) -> DataFrame:
+    """Per-distinct-value DOUBLED midranks for `col`: (value, 2*before +
+    cnt + 1) — the integer form shared by ranked_auc and spearman_rho.
+    Dim-sized output (one row per distinct value)."""
+    from pyspark.sql import Window
+
+    c = F.col(col) if isinstance(col, str) else col
+    g = df.groupBy(c.alias(f"__v_{alias}")).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.orderBy(f"__v_{alias}").rowsBetween(Window.unboundedPreceding, -1)
+    return g.select(
+        f"__v_{alias}",
+        (
+            F.lit(2) * F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+            + F.col("__cnt")
+            + 1
+        ).alias(f"__r2_{alias}"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Spearman rank correlation with midrank ties — one row
+    (n, rho_x1e6) — as Pearson on DOUBLED midranks: every moment is an
+    exact BIGINT (sums of integer rank products), and the single
+    float step is the final variance sqrt + division, one fixed IEEE
+    expression both engines replay identically before the floor-scale.
+
+    Scale shape: two dim-sized midrank tables (one groupBy per column
+    + a window over DISTINCT values each), broadcast back onto the
+    rows, then ONE moment aggregate — the corpus shuffles zero times
+    beyond the two distinct-value aggs. BIGINT headroom: n*sum(rx*ry)
+    with doubled midranks is ~4n^3, exact in BIGINT to n~1e6 and in
+    the final DOUBLE cast to n~130k; beyond that switch the moments to
+    DECIMAL(38,0).
+    """
+    rx = _midranks2(df, x_col, "x")
+    ry = _midranks2(df, y_col, "y")
+    joined = (
+        df.select(F.col(x_col).alias("__v_x"), F.col(y_col).alias("__v_y"))
+        .join(F.broadcast(rx), "__v_x")
+        .join(F.broadcast(ry), "__v_y")
+    )
+    m = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__r2_x").alias("__sx"),
+        F.sum("__r2_y").alias("__sy"),
+        F.sum(F.col("__r2_x") * F.col("__r2_x")).alias("__sxx"),
+        F.sum(F.col("__r2_y") * F.col("__r2_y")).alias("__syy"),
+        F.sum(F.col("__r2_x") * F.col("__r2_y")).alias("__sxy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            f"CAST(floor({float(scale)} * ("
+            "CAST(n * __sxy - __sx * __sy AS DOUBLE) / "
+            "sqrt(CAST(n * __sxx - __sx * __sx AS DOUBLE) * "
+            "CAST(n * __syy - __sy * __sy AS DOUBLE)))) AS BIGINT)"
+        ).alias("rho_x1e6"),
+    )

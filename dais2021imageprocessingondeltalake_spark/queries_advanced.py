@@ -2680,3 +2680,56 @@ def q_auc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirms exactly rather than approximately."""
     docs = load_table(spark, "documents", sf_dir)
     return agg.ranked_auc(docs, F.col("lang") == "en", "n_chars")
+
+
+@query(
+    "q_spearman",
+    oracle="""
+    WITH rx AS (
+      SELECT v AS vx, CAST(2 * COALESCE(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS BIGINT) AS r2x
+      FROM (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY 1)),
+    ry AS (
+      SELECT v AS vy, CAST(2 * COALESCE(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS BIGINT) AS r2y
+      FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY 1)),
+    j AS (
+      SELECT r2x, r2y
+      FROM (SELECT n_chars AS vx,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS vy
+            FROM documents) d
+      JOIN rx USING (vx) JOIN ry USING (vy)),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy,
+             CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+             CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+             CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+      FROM j)
+    SELECT n,
+           CAST(floor(1000000.0 * (
+             CAST(n * sxy - sx * sy AS DOUBLE) /
+             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                  CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS rho_x1e6
+    FROM m
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between character length and token
+    count — the metric-correlation audit (are two quality signals
+    redundant?). Midrank ties via the doubled-midrank integer idiom
+    (aggregates.spearman_rho): every moment is an exact BIGINT and the
+    only float step is the final sqrt+division, replayed identically by
+    the oracle. Expect strongly positive (lengths co-vary) but not 1.0
+    (ties + varying word lengths)."""
+    from .operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "n_chars", token_count(F.col("text")).alias("n_tok")
+    )
+    return agg.spearman_rho(docs, "n_chars", "n_tok")

@@ -181,6 +181,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_profile_drift",  # NEW r6: exact chi-square drift report (per-bin)
     "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)
     "q_auc_ranked",  # NEW r6: integer-exact Mann-Whitney ROC-AUC
+    "q_spearman",  # NEW r6: midrank Spearman correlation audit
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

@@ -815,3 +815,44 @@ class TestRankedAuc:
         df = spark.createDataFrame(rows, "s: bigint, y: int")
         r = ranked_auc(df, F.col("y") == 1, "s").collect()[0]
         assert r["auc_x1e6"] == expected
+
+
+class TestSpearman:
+    def _rho(self, spark, rows):
+        from dais2021imageprocessingondeltalake_spark.operators.aggregates import spearman_rho
+
+        df = spark.createDataFrame(rows, "x: bigint, y: bigint")
+        return spearman_rho(df, "x", "y").collect()[0]["rho_x1e6"]
+
+    def test_perfect_monotone(self, spark):
+        assert self._rho(spark, [(i, 10 * i + 3) for i in range(1, 9)]) == 1_000_000
+
+    def test_perfect_inverse(self, spark):
+        assert self._rho(spark, [(i, -i) for i in range(1, 9)]) == -1_000_000
+
+    def test_matches_python_midranks(self, spark):
+        """Ties: engine result equals a plain-Python Pearson on midranks."""
+        import math
+
+        rows = [(1, 2), (2, 2), (2, 5), (3, 4), (3, 4), (4, 1), (5, 9), (5, 9)]
+
+        def midranks(vals):
+            out = {}
+            before = 0
+            for v in sorted(set(vals)):
+                cnt = vals.count(v)
+                out[v] = before + (cnt + 1) / 2
+                before += cnt
+            return [out[v] for v in vals]
+
+        xs = midranks([r[0] for r in rows])
+        ys = midranks([r[1] for r in rows])
+        n = len(rows)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        rho = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        assert self._rho(spark, rows) == math.floor(1_000_000 * rho)
