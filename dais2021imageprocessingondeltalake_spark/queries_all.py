@@ -182,6 +182,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)
     "q_auc_ranked",  # NEW r6: integer-exact Mann-Whitney ROC-AUC
     "q_spearman",  # NEW r6: midrank Spearman correlation audit
+    "q_ndcg",  # NEW r6: nDCG@10 of the BM25 ranking (corpus-ideal IDCG)
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

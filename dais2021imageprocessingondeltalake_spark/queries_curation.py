@@ -2221,3 +2221,111 @@ def q_doc_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("exemplar"),
     )
+
+
+@query(
+    "q_ndcg",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), consts AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), top10 AS (
+      SELECT doc_id,
+             round(sum(
+               ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * (1.2 + 1))
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+             ), 6) AS score
+      FROM tf t
+      JOIN dl d USING (doc_id)
+      JOIN dfreq f USING (term)
+      CROSS JOIN consts c
+      WHERE t.term IN {_SEARCH_TERMS!r}
+      GROUP BY t.doc_id
+      ORDER BY score DESC, doc_id LIMIT 10
+    ), rel AS (
+      SELECT doc_id, CAST(LEAST(sum(tf), 4) AS INT) AS rel
+      FROM tf WHERE term IN {_SEARCH_TERMS!r} GROUP BY 1
+    ), ranked AS (
+      SELECT COALESCE(r.rel, 0) AS rel,
+             row_number() OVER (ORDER BY t.score DESC, t.doc_id) AS pos
+      FROM top10 t LEFT JOIN rel r USING (doc_id)
+    ), ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+      FROM rel ORDER BY rel DESC, doc_id LIMIT 10
+    ), d AS (
+      SELECT round(sum(((1 << rel) - 1) / log2(CAST(pos + 1 AS DOUBLE))), 6) AS dcg
+      FROM ranked
+    ), i AS (
+      SELECT round(sum(((1 << rel) - 1) / log2(CAST(pos + 1 AS DOUBLE))), 6) AS idcg
+      FROM ideal
+    )
+    SELECT d.dcg AS dcg, i.idcg AS idcg, round(d.dcg / i.idcg, 6) AS ndcg
+    FROM d, i
+    """,
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 retrieval (q_bm25_search's exact ranking)
+    against graded relevance = total query-term OCCURRENCES capped at 4
+    — deliberately NOT what BM25 optimizes (tf saturation + idf
+    weighting disagree with raw counts), so the measured ndcg is a real
+    number (~0.81 at sf0.01), not a vacuous 1.0. The search-quality
+    metric that closes the retrieval-evaluation loop (BM25 index ->
+    ranking -> measured ranking quality). IDCG is the corpus-wide
+    ideal: the best top-10 achievable over ALL matching documents, not
+    just the retrieved set, so ndcg < 1 is a real ranking deficit.
+    Gains use shiftleft (exact integers) over log2 position discounts;
+    the 10-addend sums round 6dp per the libm convention
+    (q_bm25_search's own idiom)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    scores = TX.bm25_scores(docs, k1=1.2, b=0.75)
+    top = (
+        scores.filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+    rel = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(4)).cast("int").alias("rel"))
+    )
+    gain = "((shiftleft(1, rel) - 1)) / log2(CAST(pos + 1 AS DOUBLE))"
+    ranked = (
+        top.join(rel, "doc_id", "left")
+        .na.fill({"rel": 0})
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .alias("pos"),
+        )
+    )
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), F.col("doc_id"))
+        .limit(10)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("rel").desc(), F.col("doc_id")))
+            .alias("pos"),
+        )
+    )
+    d = ranked.agg(F.round(F.sum(F.expr(gain)), 6).alias("dcg"))
+    i = ideal.agg(F.round(F.sum(F.expr(gain)), 6).alias("idcg"))
+    return d.crossJoin(i).select(
+        "dcg", "idcg", F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg")
+    )
