@@ -3083,3 +3083,89 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return epoch_shuffle(docs, "doc_id", epochs=2, n_shards=8, salt="shuffle")
+
+
+@query(
+    "q_lang_f1",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_intersect(toks, ['the','a','and','of'])) AS INT) AS score_en,
+             CAST(len(list_intersect(toks, ['der','die','das','und'])) AS INT) AS score_de,
+             CAST(len(list_intersect(toks, ['le','la','et','les'])) AS INT) AS score_fr,
+             CAST(len(list_intersect(toks, ['el','los','que','y'])) AS INT) AS score_es
+      FROM t
+    ), p AS (
+      SELECT lang,
+             CASE
+               WHEN score_en = greatest(score_en, score_de, score_fr, score_es) AND score_en > 0 THEN 'en'
+               WHEN score_de = greatest(score_en, score_de, score_fr, score_es) AND score_de > 0 THEN 'de'
+               WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) AND score_fr > 0 THEN 'fr'
+               WHEN score_es = greatest(score_en, score_de, score_fr, score_es) AND score_es > 0 THEN 'es'
+               ELSE 'unknown'
+             END AS lang_pred
+      FROM s
+    ), tpfn AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN lang_pred <> lang THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM p GROUP BY 1
+    ), fp AS (
+      SELECT lang_pred AS lang, CAST(count(*) AS BIGINT) AS fp
+      FROM p WHERE lang_pred <> lang GROUP BY 1
+    )
+    SELECT t.lang, t.tp, t.fn, COALESCE(f.fp, 0) AS fp,
+           CASE WHEN t.tp + COALESCE(f.fp, 0) = 0 THEN 0
+                ELSE (1000000 * t.tp) // (t.tp + COALESCE(f.fp, 0)) END AS prec_x1e6,
+           CASE WHEN t.tp + t.fn = 0 THEN 0
+                ELSE (1000000 * t.tp) // (t.tp + t.fn) END AS rec_x1e6,
+           CASE WHEN 2 * t.tp + COALESCE(f.fp, 0) + t.fn = 0 THEN 0
+                ELSE (2000000 * t.tp) // (2 * t.tp + COALESCE(f.fp, 0) + t.fn) END AS f1_x1e6
+    FROM tpfn t LEFT JOIN fp f USING (lang)
+    """,
+)
+def q_lang_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision / recall / F1 of the heuristic lang-ID
+    against the declared label — the per-class complement to
+    q_lang_confusion (matrix) and q_cohens_kappa (one number). Every
+    metric is a scaled-integer rational ((1e6*tp) div (tp+fp) etc.) on
+    exact confusion counts — zero float arithmetic, so the driver hash
+    certifies the classifier report bit-for-bit. Classes never
+    predicted (zh -> 'unknown' here) report precision 0 by the
+    guarded-denominator convention, not NULL/error. Scale shape: the
+    language_id projection + one tiny confusion agg + dimension-sized
+    joins."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    conf = (
+        TX.language_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tpfn = conf.groupBy("lang").agg(
+        F.sum(F.when(F.col("lang_pred") == F.col("lang"), F.col("n")).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("lang_pred") != F.col("lang"), F.col("n")).otherwise(0)).alias("fn"),
+    )
+    fp = (
+        conf.filter(F.col("lang_pred") != F.col("lang"))
+        .groupBy(F.col("lang_pred").alias("lang"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    j = tpfn.join(fp, "lang", "left").na.fill({"fp": 0})
+    return j.select(
+        "lang",
+        "tp",
+        "fn",
+        "fp",
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN 0 ELSE (1000000 * tp) div (tp + fp) END"
+        ).alias("prec_x1e6"),
+        F.expr(
+            "CASE WHEN tp + fn = 0 THEN 0 ELSE (1000000 * tp) div (tp + fn) END"
+        ).alias("rec_x1e6"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN 0 "
+            "ELSE (2000000 * tp) div (2 * tp + fp + fn) END"
+        ).alias("f1_x1e6"),
+    )
