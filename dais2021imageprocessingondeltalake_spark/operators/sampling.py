@@ -467,3 +467,51 @@ def epoch_shuffle(
         )
         out = ranked if out is None else out.unionByName(ranked)
     return out
+
+
+def _md5_int60(col, salt: str = "fp"):
+    """Portable 60-bit integer from md5(salt:value): positional
+    polynomial over the first 15 hex chars (the _md5_uniform idiom
+    widened to BIGINT — engines disagree on hex→int builtins, never on
+    integer arithmetic). Max 16^15-1 ≈ 1.15e18, comfortably in BIGINT."""
+    from pyspark.sql import functions as F
+
+    d = F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string")))
+    val = None
+    for i in range(15):
+        term = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(d, i + 1, 1)) - 1
+        ).cast("bigint") * F.lit(16 ** (14 - i)).cast("bigint")
+        val = term if val is None else val + term
+    return val
+
+
+def shard_manifest(
+    shuffled: DataFrame,
+    payload: DataFrame | None,
+    id_col: str,
+    weight_col: str | None = None,
+    salt: str = "fp",
+) -> DataFrame:
+    """Per-(epoch, shard) manifest over an epoch_shuffle output: doc
+    count, position range, optional payload weight sum, and an
+    ORDER-INDEPENDENT content fingerprint — bit_xor of a portable
+    60-bit md5 integer per id. XOR is commutative/associative, so the
+    fingerprint is a pure function of shard MEMBERSHIP: any rerun, any
+    partitioning, any engine reproduces it, and a single flipped id
+    flips it — the certificate a training run records so "which data
+    was in shard 3 of epoch 2" is auditable forever. All aggregates are
+    map-side-combinable; the optional payload join is the only shuffle
+    beyond the groupBy."""
+    from pyspark.sql import functions as F
+
+    src = shuffled if payload is None else shuffled.join(payload, id_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("position").alias("min_pos"),
+        F.max("position").alias("max_pos"),
+        F.bit_xor(_md5_int60(F.col(id_col), salt)).alias("fingerprint"),
+    ]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).cast("bigint").alias("sum_weight"))
+    return src.groupBy("epoch", "shard").agg(*aggs)

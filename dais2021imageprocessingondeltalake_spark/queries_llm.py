@@ -3169,3 +3169,71 @@ def q_lang_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE (2000000 * tp) div (2 * tp + fp + fn) END"
         ).alias("f1_x1e6"),
     )
+
+
+@query(
+    "q_shard_manifest",
+    oracle="""
+    WITH e(epoch) AS (SELECT 1 UNION ALL SELECT 2),
+    k AS (
+      SELECT d.doc_id, d.n_chars, e.epoch,
+             md5('shuffle:e' || CAST(e.epoch AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)) AS kk
+      FROM documents d CROSS JOIN e
+    ), r AS (
+      SELECT doc_id, n_chars, CAST(epoch AS INT) AS epoch,
+             CAST(row_number() OVER (PARTITION BY epoch
+                                     ORDER BY kk, doc_id) AS BIGINT) AS position
+      FROM k
+    ), s AS (
+      SELECT doc_id, n_chars, epoch, position,
+             CAST((position - 1) % 8 AS BIGINT) AS shard,
+             md5('fp:' || CAST(doc_id AS VARCHAR)) AS kk
+      FROM r
+    ), f AS (
+      SELECT epoch, shard, position, n_chars,
+             CAST((strpos('0123456789abcdef', substr(kk, 1, 1)) - 1) * 72057594037927936 +
+             (strpos('0123456789abcdef', substr(kk, 2, 1)) - 1) * 4503599627370496 +
+             (strpos('0123456789abcdef', substr(kk, 3, 1)) - 1) * 281474976710656 +
+             (strpos('0123456789abcdef', substr(kk, 4, 1)) - 1) * 17592186044416 +
+             (strpos('0123456789abcdef', substr(kk, 5, 1)) - 1) * 1099511627776 +
+             (strpos('0123456789abcdef', substr(kk, 6, 1)) - 1) * 68719476736 +
+             (strpos('0123456789abcdef', substr(kk, 7, 1)) - 1) * 4294967296 +
+             (strpos('0123456789abcdef', substr(kk, 8, 1)) - 1) * 268435456 +
+             (strpos('0123456789abcdef', substr(kk, 9, 1)) - 1) * 16777216 +
+             (strpos('0123456789abcdef', substr(kk, 10, 1)) - 1) * 1048576 +
+             (strpos('0123456789abcdef', substr(kk, 11, 1)) - 1) * 65536 +
+             (strpos('0123456789abcdef', substr(kk, 12, 1)) - 1) * 4096 +
+             (strpos('0123456789abcdef', substr(kk, 13, 1)) - 1) * 256 +
+             (strpos('0123456789abcdef', substr(kk, 14, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(kk, 15, 1)) - 1) * 1
+              AS BIGINT) AS fp
+      FROM s
+    )
+    SELECT epoch, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(position) AS min_pos, max(position) AS max_pos,
+           CAST(bit_xor(fp) AS BIGINT) AS fingerprint,
+           CAST(sum(n_chars) AS BIGINT) AS sum_weight
+    FROM f GROUP BY 1, 2
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(epoch, shard) training-shard manifest over the two-epoch
+    shuffle: doc count, position range, n_chars budget, and an
+    ORDER-INDEPENDENT membership fingerprint (bit_xor of a portable
+    60-bit md5 integer per doc — the _md5_uniform hex polynomial
+    widened to BIGINT, since engines disagree on hex->int builtins but
+    never on integer arithmetic). XOR commutes, so the fingerprint is a
+    pure function of shard membership: any rerun, partitioning, or
+    engine reproduces it, and one flipped id flips it — the auditable
+    certificate of WHICH data each shard held. All aggregates
+    map-side-combinable; the n_chars payload join is the only shuffle
+    beyond the groupBy."""
+    from .operators.sampling import epoch_shuffle, shard_manifest
+
+    docs = load_table(spark, "documents", sf_dir)
+    shuffled = epoch_shuffle(docs, "doc_id", epochs=2, n_shards=8, salt="shuffle")
+    return shard_manifest(
+        shuffled, docs.select("doc_id", "n_chars"), "doc_id", weight_col="n_chars"
+    )

@@ -1169,3 +1169,47 @@ def test_oov_rate_planted_unseen_tokens(spark):
         ["doc_id", "text", "lang"],
     )
     assert oov(planted).collect()[0]["n_oov"] == 2
+
+
+class TestShardManifest:
+    def test_fingerprint_is_partitioning_invariant(self, spark, sf_dir):
+        from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+            epoch_shuffle,
+            shard_manifest,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sh = epoch_shuffle(docs, "doc_id", epochs=1, n_shards=4)
+        m1 = {
+            (r["epoch"], r["shard"]): r["fingerprint"]
+            for r in shard_manifest(sh, None, "doc_id").collect()
+        }
+        m2 = {
+            (r["epoch"], r["shard"]): r["fingerprint"]
+            for r in shard_manifest(sh.repartition(13), None, "doc_id").collect()
+        }
+        assert m1 == m2 and len(m1) == 4
+
+    def test_fingerprint_flips_on_membership_change(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+            epoch_shuffle,
+            shard_manifest,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sh = epoch_shuffle(docs, "doc_id", epochs=1, n_shards=4)
+        full = {
+            (r["epoch"], r["shard"]): r["fingerprint"]
+            for r in shard_manifest(sh, None, "doc_id").collect()
+        }
+        # drop one document: exactly that doc's shard fingerprint changes
+        victim = sh.orderBy("position").first()
+        pruned = sh.filter(F.col("doc_id") != victim["doc_id"])
+        part = {
+            (r["epoch"], r["shard"]): r["fingerprint"]
+            for r in shard_manifest(pruned, None, "doc_id").collect()
+        }
+        changed = {k for k in full if full[k] != part.get(k)}
+        assert changed == {(victim["epoch"], victim["shard"])}
