@@ -515,3 +515,63 @@ def shard_manifest(
     if weight_col is not None:
         aggs.append(F.sum(weight_col).cast("bigint").alias("sum_weight"))
     return src.groupBy("epoch", "shard").agg(*aggs)
+
+
+def negative_sample(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    k: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic contrastive negatives: for every anchor, k
+    pseudo-random corpus documents chosen by a portable hash ring —
+    negative j of anchor a is the document at global position
+    ``1 + (md5int60(salt:j:a) % N)`` in the doc_id ordering. A pure
+    function of ids, so reruns, repartitioning, and the SQL oracle all
+    reproduce the same negatives (the requirement for resumable
+    contrastive training); self-collisions (negative == anchor) are
+    filtered, so an anchor very occasionally yields k-1 rows rather
+    than a silently duplicated pair.
+
+    Scale shape: the position index is parallel_global_rank (range
+    shuffle, no single-reducer window); candidates are |anchors| x k
+    rows equi-joined to the index on position — one shuffle join, never
+    a cartesian against the corpus. N arrives via a broadcast 1-row
+    count aggregate."""
+    from pyspark.sql import functions as F
+
+    from .sort import parallel_global_rank
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    idx = parallel_global_rank(
+        corpus.select(id_col), [F.col(id_col)], rank_col="position"
+    )
+    n = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    cand = (
+        anchors.select(F.col(id_col).alias("anchor_id"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "__n",
+            F.explode(F.expr(f"sequence(1, {k})")).alias("j"),
+        )
+        .select(
+            "anchor_id",
+            "j",
+            (
+                F.lit(1)
+                + _md5_int60(
+                    F.concat(F.col("j").cast("string"), F.lit(":"), F.col("anchor_id").cast("string")),
+                    salt,
+                )
+                % F.col("__n")
+            ).alias("position"),
+        )
+    )
+    return (
+        cand.join(idx, "position")
+        .filter(F.col(id_col) != F.col("anchor_id"))
+        .select("anchor_id", "j", F.col(id_col).alias("neg_id"))
+    )

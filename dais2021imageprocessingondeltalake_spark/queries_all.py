@@ -185,6 +185,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_ndcg",  # NEW r6: nDCG@10 of the BM25 ranking (corpus-ideal IDCG)
     "q_lang_f1",  # NEW r6: integer-exact per-class precision/recall/F1
     "q_shard_manifest",  # NEW r6: XOR membership fingerprints per shard
+    "q_negative_sample",  # NEW r6: deterministic hash-ring contrastive negatives
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

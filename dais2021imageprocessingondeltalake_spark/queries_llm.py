@@ -3237,3 +3237,61 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(
         shuffled, docs.select("doc_id", "n_chars"), "doc_id", weight_col="n_chars"
     )
+
+
+@query(
+    "q_negative_sample",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    idx AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS position
+      FROM documents
+    ), anchors AS (
+      SELECT doc_id AS anchor_id FROM documents WHERE doc_id % 50 = 0
+    ), keyed AS (
+      SELECT a.anchor_id, j.j, n.n,
+             md5('neg:' || CAST(j.j AS VARCHAR) || ':'
+                 || CAST(a.anchor_id AS VARCHAR)) AS kk
+      FROM anchors a
+      CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) j
+      CROSS JOIN n
+    ), cand AS (
+      SELECT anchor_id, CAST(j AS INT) AS j,
+             1 + (CAST((strpos('0123456789abcdef', substr(kk, 1, 1)) - 1) * 72057594037927936 +
+             (strpos('0123456789abcdef', substr(kk, 2, 1)) - 1) * 4503599627370496 +
+             (strpos('0123456789abcdef', substr(kk, 3, 1)) - 1) * 281474976710656 +
+             (strpos('0123456789abcdef', substr(kk, 4, 1)) - 1) * 17592186044416 +
+             (strpos('0123456789abcdef', substr(kk, 5, 1)) - 1) * 1099511627776 +
+             (strpos('0123456789abcdef', substr(kk, 6, 1)) - 1) * 68719476736 +
+             (strpos('0123456789abcdef', substr(kk, 7, 1)) - 1) * 4294967296 +
+             (strpos('0123456789abcdef', substr(kk, 8, 1)) - 1) * 268435456 +
+             (strpos('0123456789abcdef', substr(kk, 9, 1)) - 1) * 16777216 +
+             (strpos('0123456789abcdef', substr(kk, 10, 1)) - 1) * 1048576 +
+             (strpos('0123456789abcdef', substr(kk, 11, 1)) - 1) * 65536 +
+             (strpos('0123456789abcdef', substr(kk, 12, 1)) - 1) * 4096 +
+             (strpos('0123456789abcdef', substr(kk, 13, 1)) - 1) * 256 +
+             (strpos('0123456789abcdef', substr(kk, 14, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(kk, 15, 1)) - 1) * 1
+              AS BIGINT) % n) AS position
+      FROM keyed
+    )
+    SELECT c.anchor_id, c.j, i.doc_id AS neg_id
+    FROM cand c JOIN idx i USING (position)
+    WHERE i.doc_id <> c.anchor_id
+    """,
+)
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives (sampling.negative_sample):
+    4 hash-ring negatives per anchor (anchors = every 50th doc_id) —
+    negative j of anchor a is the doc at global position
+    1 + (md5int60('neg:j:a') % N), a pure function of ids, so reruns
+    and the oracle reproduce the exact pairs (resumable contrastive
+    training). Self-collisions filter out rather than silently
+    duplicating a pair. Position index via parallel_global_rank; the
+    |anchors| x k candidates equi-join the index on position — one
+    shuffle join, never a cartesian against the corpus."""
+    from .operators.sampling import negative_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    anchors = docs.filter(F.col("doc_id") % 50 == 0)
+    return negative_sample(docs, anchors, "doc_id", k=4)

@@ -1213,3 +1213,27 @@ class TestShardManifest:
         }
         changed = {k for k in full if full[k] != part.get(k)}
         assert changed == {(victim["epoch"], victim["shard"])}
+
+
+class TestNegativeSample:
+    def test_deterministic_and_no_self_pairs(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+            negative_sample,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        anchors = docs.filter(F.col("doc_id") % 100 == 0)
+        a = sorted(map(tuple, negative_sample(docs, anchors, "doc_id", k=3).collect()))
+        b = sorted(
+            map(
+                tuple,
+                negative_sample(
+                    docs.repartition(11), anchors, "doc_id", k=3
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+        assert all(anchor != neg for anchor, _j, neg in a)
+        assert {j for _a, j, _n in a} <= {1, 2, 3}
