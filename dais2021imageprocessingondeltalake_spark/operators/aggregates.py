@@ -251,6 +251,8 @@ def ranked_auc(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(F.when(label, 1).otherwise(0)).alias("__pos"),
     )
+    # dim-sized window: input is the per-DISTINCT-score count table
+    # (bounded by score cardinality, never corpus-sized — see docstring)
     w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
     ranked = g.select(
         "__cnt",
@@ -281,6 +283,7 @@ def _midranks2(df: DataFrame, col, alias: str) -> DataFrame:
 
     c = F.col(col) if isinstance(col, str) else col
     g = df.groupBy(c.alias(f"__v_{alias}")).agg(F.count(F.lit(1)).alias("__cnt"))
+    # dim-sized window: input is the per-DISTINCT-value count table
     w = Window.orderBy(f"__v_{alias}").rowsBetween(Window.unboundedPreceding, -1)
     return g.select(
         f"__v_{alias}",

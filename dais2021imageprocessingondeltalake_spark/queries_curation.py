@@ -1906,7 +1906,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
         )
     )
-    # dim-sized windows: input is the per-distinct-VALUE count table; v is
+    # dim-sized window: input is the per-distinct-VALUE count table; v is
     # an integer token-length, so |rows| is bounded by max doc length
     # (hundreds), never corpus-sized. A continuous metric would need
     # pre-binning before this CDF step. The whole-grid frame reuses the
@@ -2309,6 +2309,7 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill({"rel": 0})
         .select(
             "rel",
+            # dim-sized window: input is the post-limit top-10 rows
             F.row_number()
             .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
             .alias("pos"),
@@ -2319,6 +2320,7 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(
             "rel",
+            # dim-sized window: input is the post-limit ideal top-10 rows
             F.row_number()
             .over(Window.orderBy(F.col("rel").desc(), F.col("doc_id")))
             .alias("pos"),
