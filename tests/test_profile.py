@@ -51,3 +51,34 @@ def test_drift_single_scan_no_cartesian(spark, sf_dir):
     # broadcast, never a shuffled cartesian
     assert "ReusedExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_spearman_plan_broadcasts_midrank_tables(spark, sf_dir):
+    """spearman_rho's declared scale shape: the two dim-sized midrank
+    tables reach the rows via broadcast joins; the corpus itself is
+    never sorted or windowed."""
+    from dais2021imageprocessingondeltalake_spark.operators.aggregates import spearman_rho
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "n_chars", F.length("text").alias("n_len")
+    )
+    out = spearman_rho(docs, "n_chars", "n_len")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_negative_sample_plan_no_cartesian(spark, sf_dir):
+    """negative_sample's declared shape: candidates equi-join the
+    position index (shuffled hash join is fine); the only nested-loop
+    join is the broadcast 1-row count. Never a shuffled cartesian
+    against the corpus."""
+    from dais2021imageprocessingondeltalake_spark.operators.sampling import negative_sample
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    anchors = docs.filter(F.col("doc_id") % 100 == 0)
+    out = negative_sample(docs, anchors, "doc_id", k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
