@@ -603,3 +603,20 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).json(out)
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip — the third columnar interchange
+    format beside parquet and the text formats (CSV/JSONL). ORC is
+    typed and self-describing, so unlike CSV the FULL row — free-text
+    column included — round-trips exactly, and the ORIGINAL parquet
+    table is the oracle: a green hash certifies the write+read path end
+    to end (Spark's built-in native ORC reader; zlib default codec)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = _scratch("orc") + "/documents"
+    docs.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
