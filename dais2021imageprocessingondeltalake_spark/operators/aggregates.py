@@ -240,13 +240,19 @@ def ranked_auc(
     is a window over DISTINCT scores (dim-sized — bounded by score
     cardinality, never corpus-sized; continuous scores must be
     quantized first, which any calibrated model head already is).
-    BIGINT headroom: scale*sum_pos_2r < 2^63 up to ~3e9/sqrt(scale)
-    rows — at larger N switch the two products to DECIMAL(38,0).
+    NULL scores are dropped up front (unrankable — and Spark's
+    nulls-first window order vs the oracle's nulls-last would silently
+    shift every real rank). A single-class input (n_pos or n_neg = 0,
+    where AUC is undefined) reports NULL rather than throwing ANSI
+    DIVIDE_BY_ZERO. BIGINT headroom: scale*sum_pos_2r < 2^63 up to
+    ~3e9/sqrt(scale) rows — at larger N switch the two products to
+    DECIMAL(38,0).
     """
     from pyspark.sql import Window
 
     label = F.col(label_col) if isinstance(label_col, str) else label_col
     score = F.col(score_col) if isinstance(score_col, str) else score_col
+    df = df.filter(score.isNotNull())
     g = df.groupBy(score.alias("__s")).agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(F.when(label, 1).otherwise(0)).alias("__pos"),
@@ -269,8 +275,9 @@ def ranked_auc(
         "n_pos",
         "n_neg",
         F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS BIGINT) ELSE "
             f"CAST(({scale} * (__sum_pos_2r - n_pos * (n_pos + 1))) div "
-            "(2 * n_pos * n_neg) AS BIGINT)"
+            "(2 * n_pos * n_neg) AS BIGINT) END"
         ).alias("auc_x1e6"),
     )
 
@@ -310,11 +317,17 @@ def spearman_rho(
     Scale shape: two dim-sized midrank tables (one groupBy per column
     + a window over DISTINCT values each), broadcast back onto the
     rows, then ONE moment aggregate — the corpus shuffles zero times
-    beyond the two distinct-value aggs. BIGINT headroom: n*sum(rx*ry)
-    with doubled midranks is ~4n^3, exact in BIGINT to n~1e6 and in
-    the final DOUBLE cast to n~130k; beyond that switch the moments to
-    DECIMAL(38,0).
+    beyond the two distinct-value aggs. Rows where either column is
+    NULL are dropped up front (pairwise-complete semantics) — they are
+    not rankable, and leaving them in would silently shift every real
+    rank. Numeric headroom: the per-row moments stay BIGINT-exact
+    (sum(rx*ry) ~ 4n^3 fits to n~1.3M); the cross-moment products
+    (sx*sy ~ n^4, which overflows BIGINT at n~55k) are formed in
+    DOUBLE — each factor casts exactly below 2^53, so the statistic is
+    bit-exact to n~130k and deterministic (same IEEE tree in both
+    engines) at any n.
     """
+    df = df.na.drop(subset=[x_col, y_col])
     rx = _midranks2(df, x_col, "x")
     ry = _midranks2(df, y_col, "y")
     joined = (
@@ -332,10 +345,16 @@ def spearman_rho(
     )
     return m.select(
         F.col("n").cast("bigint").alias("n"),
+        # products formed in DOUBLE: n^4-scale terms overflow BIGINT at
+        # n~55k under ANSI; double factors cast exactly below 2^53 and
+        # the expression tree replays identically in the oracle
         F.expr(
             f"CAST(floor({float(scale)} * ("
-            "CAST(n * __sxy - __sx * __sy AS DOUBLE) / "
-            "sqrt(CAST(n * __sxx - __sx * __sx AS DOUBLE) * "
-            "CAST(n * __syy - __sy * __sy AS DOUBLE)))) AS BIGINT)"
+            "(CAST(n AS DOUBLE) * CAST(__sxy AS DOUBLE)"
+            " - CAST(__sx AS DOUBLE) * CAST(__sy AS DOUBLE)) / "
+            "sqrt((CAST(n AS DOUBLE) * CAST(__sxx AS DOUBLE)"
+            " - CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE)) * "
+            "(CAST(n AS DOUBLE) * CAST(__syy AS DOUBLE)"
+            " - CAST(__sy AS DOUBLE) * CAST(__sy AS DOUBLE))))) AS BIGINT)"
         ).alias("rho_x1e6"),
     )

@@ -131,10 +131,13 @@ def drift_report(
     bin's scaled chi-square homogeneity contribution
     ``floor(scale * (cnt_a*Qt - cnt_b*Pt)^2 / (Pt*Qt*(cnt_a+cnt_b)))``
     where Pt/Qt are the slice totals.  Every input to the float math is
-    an exact integer (counts and their products stay far below 2^53
-    until the final square), each IEEE op is deterministic, and the
+    an exact integer; each IEEE op is deterministic, and the
     floor-scale makes the output a hashable BIGINT — the oracle replays
-    the identical expression tree.  Summing ``chi2_x1e9`` gives the
+    the identical expression tree.  Numeric headroom: the BIGINT
+    numerator cnt*total holds to ~3e9 total rows; the denominator is
+    formed from individually-cast DOUBLE factors (the BIGINT triple
+    product would overflow at few-million-row corpora); an empty slice
+    reports 0 per bin instead of 0/0.  Summing ``chi2_x1e9`` gives the
     corpus drift statistic; the per-bin rows localize WHERE the
     distributions diverged (which the scalar KS/PSI scores in
     queries_curation cannot).
@@ -163,11 +166,19 @@ def drift_finalize(g: DataFrame, scale: int = 1_000_000_000) -> DataFrame:
         F.sum("cnt_a").alias("pt"),
         F.sum("cnt_b").alias("qt"),
     )
+    # Denominator factors cast to DOUBLE individually: the BIGINT product
+    # pt*qt*(cnt_a+cnt_b) overflows at few-million-row corpora (ANSI
+    # throws), while double factors are exact below 2^53 each and the
+    # product rounds deterministically. An empty slice (pt or qt = 0)
+    # reports 0 drift per bin rather than 0/0 = NaN (which ANSI refuses
+    # to cast to BIGINT).
     chi2 = (
+        "CASE WHEN pt = 0 OR qt = 0 THEN CAST(0 AS BIGINT) ELSE "
         f"CAST(floor({float(scale)} * ("
         "(CAST(cnt_a * qt - cnt_b * pt AS DOUBLE) * "
         "CAST(cnt_a * qt - cnt_b * pt AS DOUBLE)) / "
-        "CAST(pt * qt * (cnt_a + cnt_b) AS DOUBLE))) AS BIGINT)"
+        "(CAST(pt AS DOUBLE) * CAST(qt AS DOUBLE) * "
+        "CAST(cnt_a + cnt_b AS DOUBLE)))) AS BIGINT) END"
     )
     return g.crossJoin(F.broadcast(tot)).select(
         "bin",

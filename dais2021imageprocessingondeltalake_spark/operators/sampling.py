@@ -502,10 +502,13 @@ def shard_manifest(
     flips it — the certificate a training run records so "which data
     was in shard 3 of epoch 2" is auditable forever. All aggregates are
     map-side-combinable; the optional payload join is the only shuffle
-    beyond the groupBy."""
+    beyond the groupBy. The payload joins LEFT: an id missing from the
+    payload contributes a NULL weight (sum skips it) but stays in
+    n_docs and the fingerprint — membership is attested by the shuffle
+    output alone, never silently narrowed by an incomplete payload."""
     from pyspark.sql import functions as F
 
-    src = shuffled if payload is None else shuffled.join(payload, id_col)
+    src = shuffled if payload is None else shuffled.join(payload, id_col, "left")
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.min("position").alias("min_pos"),
@@ -530,15 +533,20 @@ def negative_sample(
     ``1 + (md5int60(salt:j:a) % N)`` in the doc_id ordering. A pure
     function of ids, so reruns, repartitioning, and the SQL oracle all
     reproduce the same negatives (the requirement for resumable
-    contrastive training); self-collisions (negative == anchor) are
-    filtered, so an anchor very occasionally yields k-1 rows rather
-    than a silently duplicated pair.
+    contrastive training). Self-collisions (negative == anchor) are
+    filtered, so an anchor occasionally yields fewer than k rows.
+    Distinct j values may also hash to the SAME position (probability
+    ~k^2/2N per anchor), in which case the duplicate (anchor, neg) pair
+    is emitted under both j's — identically in engine and oracle;
+    callers needing strictly distinct negatives dedupe on
+    (anchor_id, neg_id) downstream.
 
     Scale shape: the position index is parallel_global_rank (range
     shuffle, no single-reducer window); candidates are |anchors| x k
     rows equi-joined to the index on position — one shuffle join, never
-    a cartesian against the corpus. N arrives via a broadcast 1-row
-    count aggregate."""
+    a cartesian against the corpus. N = max(position) comes from the
+    already-materialized index (broadcast 1-row aggregate), not a
+    second corpus scan."""
     from pyspark.sql import functions as F
 
     from .sort import parallel_global_rank
@@ -548,7 +556,7 @@ def negative_sample(
     idx = parallel_global_rank(
         corpus.select(id_col), [F.col(id_col)], rank_col="position"
     )
-    n = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    n = idx.agg(F.max("position").cast("bigint").alias("__n"))
     cand = (
         anchors.select(F.col(id_col).alias("anchor_id"))
         .crossJoin(F.broadcast(n))

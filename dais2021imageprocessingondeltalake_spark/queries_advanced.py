@@ -2713,9 +2713,12 @@ def q_auc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j)
     SELECT n,
            CAST(floor(1000000.0 * (
-             CAST(n * sxy - sx * sy AS DOUBLE) /
-             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-                  CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS rho_x1e6
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                  (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))) AS BIGINT) AS rho_x1e6
     FROM m
     """,
 )

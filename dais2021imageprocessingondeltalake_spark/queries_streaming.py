@@ -632,10 +632,12 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS pt,
                  CAST(sum(cnt_b) AS BIGINT) AS qt FROM g)
     SELECT g.bin, g.cnt_a, g.cnt_b,
+           CASE WHEN t.pt = 0 OR t.qt = 0 THEN CAST(0 AS BIGINT) ELSE
            CAST(floor(1000000000.0 * (
              (CAST(g.cnt_a * t.qt - g.cnt_b * t.pt AS DOUBLE) *
               CAST(g.cnt_a * t.qt - g.cnt_b * t.pt AS DOUBLE)) /
-             CAST(t.pt * t.qt * (g.cnt_a + g.cnt_b) AS DOUBLE))) AS BIGINT) AS chi2_x1e9
+             (CAST(t.pt AS DOUBLE) * CAST(t.qt AS DOUBLE) *
+              CAST(g.cnt_a + g.cnt_b AS DOUBLE)))) AS BIGINT) END AS chi2_x1e9
     FROM g, t
     """,
 )

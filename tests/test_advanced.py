@@ -856,3 +856,56 @@ class TestSpearman:
             (n * sxx - sx * sx) * (n * syy - sy * sy)
         )
         assert self._rho(spark, rows) == math.floor(1_000_000 * rho)
+
+
+class TestRankMetricEdges:
+    def test_auc_single_class_is_null_not_error(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.aggregates import ranked_auc
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, 1), (2, 1)], "s: bigint, y: int")
+        r = ranked_auc(df, F.col("y") == 1, "s").collect()[0]
+        assert r["n_neg"] == 0 and r["auc_x1e6"] is None
+
+    def test_auc_drops_null_scores(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.aggregates import ranked_auc
+        from pyspark.sql import functions as F
+
+        clean = [(3, 1), (2, 0), (1, 0)]
+        with_nulls = clean + [(None, 1), (None, 0)]
+        a = ranked_auc(
+            spark.createDataFrame(clean, "s: bigint, y: int"), F.col("y") == 1, "s"
+        ).collect()[0]
+        b = ranked_auc(
+            spark.createDataFrame(with_nulls, "s: bigint, y: int"),
+            F.col("y") == 1,
+            "s",
+        ).collect()[0]
+        assert (a["n_pos"], a["n_neg"], a["auc_x1e6"]) == (
+            b["n_pos"],
+            b["n_neg"],
+            b["auc_x1e6"],
+        )
+
+    def test_spearman_drops_null_pairs(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.aggregates import spearman_rho
+
+        clean = [(1, 10), (2, 20), (3, 30), (4, 25)]
+        with_nulls = clean + [(None, 5), (7, None)]
+        a = spearman_rho(
+            spark.createDataFrame(clean, "x: bigint, y: bigint"), "x", "y"
+        ).collect()[0]
+        b = spearman_rho(
+            spark.createDataFrame(with_nulls, "x: bigint, y: bigint"), "x", "y"
+        ).collect()[0]
+        assert (a["n"], a["rho_x1e6"]) == (b["n"], b["rho_x1e6"])
+
+    def test_drift_empty_slice_reports_zero(self, spark):
+        from dais2021imageprocessingondeltalake_spark.operators.profile import drift_report
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, "b"), (2, "b")], "bin_val: bigint, side: string")
+        rows = drift_report(
+            df, in_a=F.col("side") == "a", bin_expr=F.col("bin_val")
+        ).collect()
+        assert all(r["chi2_x1e9"] == 0 for r in rows) and len(rows) == 2

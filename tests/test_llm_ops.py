@@ -1237,3 +1237,30 @@ class TestNegativeSample:
         assert a == b and len(a) > 0
         assert all(anchor != neg for anchor, _j, neg in a)
         assert {j for _a, j, _n in a} <= {1, 2, 3}
+
+
+class TestShardManifestPayload:
+    def test_incomplete_payload_keeps_membership(self, spark, sf_dir):
+        """A payload missing ids must NOT narrow the manifest: n_docs and
+        the XOR fingerprint attest the shuffle output's membership; only
+        the weight sum shrinks (left join, NULL weight skipped)."""
+        from pyspark.sql import functions as F
+
+        from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+            epoch_shuffle,
+            shard_manifest,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sh = epoch_shuffle(docs, "doc_id", epochs=1, n_shards=4)
+        full_payload = docs.select("doc_id", "n_chars")
+        half_payload = full_payload.filter(F.col("doc_id") % 2 == 0)
+        full = {
+            (r["epoch"], r["shard"]): (r["n_docs"], r["fingerprint"])
+            for r in shard_manifest(sh, full_payload, "doc_id", "n_chars").collect()
+        }
+        part = {
+            (r["epoch"], r["shard"]): (r["n_docs"], r["fingerprint"])
+            for r in shard_manifest(sh, half_payload, "doc_id", "n_chars").collect()
+        }
+        assert full == part  # membership facts identical despite missing payload
