@@ -1924,8 +1924,10 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cdfs.agg(
         F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("ks_stat"),
-        F.max("na").cast("bigint").alias("n_a"),
-        F.max("nb").cast("bigint").alias("n_b"),
+        # coalesce: an empty corpus leaves the grid empty and max() NULL,
+        # where the oracle's scalar count(*) subqueries report 0
+        F.coalesce(F.max("na"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.max("nb"), F.lit(0)).cast("bigint").alias("n_b"),
     )
 
 

@@ -3046,21 +3046,44 @@ def q_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_epoch_shuffle",
-    oracle="""
-    WITH e(epoch) AS (SELECT 1 UNION ALL SELECT 2),
+
+
+def _md5int60_sql(kk: str = "kk") -> str:
+    """SQL mirror of sampling._md5_int60: the portable 60-bit md5 integer
+    as a 15-term hex-polynomial of strpos lookups — generated here so the
+    q_shard_manifest and q_negative_sample oracles can never drift from
+    each other (the _margin_lsh_pairs_sql dedup idiom)."""
+    return " +\n             ".join(
+        f"(strpos('0123456789abcdef', substr({kk}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+def _epoch_shuffle_cte(extra: tuple = ()) -> str:
+    """SQL mirror of sampling.epoch_shuffle's permutation (two epochs,
+    salt 'shuffle'): the e/k/r CTE block shared by the q_epoch_shuffle
+    and q_shard_manifest oracles. `extra` carries payload columns
+    through the rank."""
+    kc = "".join(f", d.{c}" for c in extra)
+    rc = "".join(f", {c}" for c in extra)
+    return f"""WITH e(epoch) AS (SELECT 1 UNION ALL SELECT 2),
     k AS (
-      SELECT d.doc_id, e.epoch,
+      SELECT d.doc_id{kc}, e.epoch,
              md5('shuffle:e' || CAST(e.epoch AS VARCHAR) || ':'
                  || CAST(d.doc_id AS VARCHAR)) AS kk
       FROM documents d CROSS JOIN e
     ), r AS (
-      SELECT doc_id, CAST(epoch AS INT) AS epoch,
+      SELECT doc_id{rc}, CAST(epoch AS INT) AS epoch,
              CAST(row_number() OVER (PARTITION BY epoch
                                      ORDER BY kk, doc_id) AS BIGINT) AS position
       FROM k
-    )
+    )"""
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle=f"""
+    {_epoch_shuffle_cte()}
     SELECT doc_id, epoch, position,
            CAST((position - 1) % 8 AS BIGINT) AS shard
     FROM r
@@ -3173,40 +3196,15 @@ def q_lang_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_shard_manifest",
-    oracle="""
-    WITH e(epoch) AS (SELECT 1 UNION ALL SELECT 2),
-    k AS (
-      SELECT d.doc_id, d.n_chars, e.epoch,
-             md5('shuffle:e' || CAST(e.epoch AS VARCHAR) || ':'
-                 || CAST(d.doc_id AS VARCHAR)) AS kk
-      FROM documents d CROSS JOIN e
-    ), r AS (
-      SELECT doc_id, n_chars, CAST(epoch AS INT) AS epoch,
-             CAST(row_number() OVER (PARTITION BY epoch
-                                     ORDER BY kk, doc_id) AS BIGINT) AS position
-      FROM k
-    ), s AS (
+    oracle=f"""
+    {_epoch_shuffle_cte(("n_chars",))}, s AS (
       SELECT doc_id, n_chars, epoch, position,
              CAST((position - 1) % 8 AS BIGINT) AS shard,
              md5('fp:' || CAST(doc_id AS VARCHAR)) AS kk
       FROM r
     ), f AS (
       SELECT epoch, shard, position, n_chars,
-             CAST((strpos('0123456789abcdef', substr(kk, 1, 1)) - 1) * 72057594037927936 +
-             (strpos('0123456789abcdef', substr(kk, 2, 1)) - 1) * 4503599627370496 +
-             (strpos('0123456789abcdef', substr(kk, 3, 1)) - 1) * 281474976710656 +
-             (strpos('0123456789abcdef', substr(kk, 4, 1)) - 1) * 17592186044416 +
-             (strpos('0123456789abcdef', substr(kk, 5, 1)) - 1) * 1099511627776 +
-             (strpos('0123456789abcdef', substr(kk, 6, 1)) - 1) * 68719476736 +
-             (strpos('0123456789abcdef', substr(kk, 7, 1)) - 1) * 4294967296 +
-             (strpos('0123456789abcdef', substr(kk, 8, 1)) - 1) * 268435456 +
-             (strpos('0123456789abcdef', substr(kk, 9, 1)) - 1) * 16777216 +
-             (strpos('0123456789abcdef', substr(kk, 10, 1)) - 1) * 1048576 +
-             (strpos('0123456789abcdef', substr(kk, 11, 1)) - 1) * 65536 +
-             (strpos('0123456789abcdef', substr(kk, 12, 1)) - 1) * 4096 +
-             (strpos('0123456789abcdef', substr(kk, 13, 1)) - 1) * 256 +
-             (strpos('0123456789abcdef', substr(kk, 14, 1)) - 1) * 16 +
-             (strpos('0123456789abcdef', substr(kk, 15, 1)) - 1) * 1
+             CAST({_md5int60_sql()}
               AS BIGINT) AS fp
       FROM s
     )
@@ -3241,7 +3239,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_negative_sample",
-    oracle="""
+    oracle=f"""
     WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
     idx AS (
       SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS position
@@ -3257,21 +3255,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN n
     ), cand AS (
       SELECT anchor_id, CAST(j AS INT) AS j,
-             1 + (CAST((strpos('0123456789abcdef', substr(kk, 1, 1)) - 1) * 72057594037927936 +
-             (strpos('0123456789abcdef', substr(kk, 2, 1)) - 1) * 4503599627370496 +
-             (strpos('0123456789abcdef', substr(kk, 3, 1)) - 1) * 281474976710656 +
-             (strpos('0123456789abcdef', substr(kk, 4, 1)) - 1) * 17592186044416 +
-             (strpos('0123456789abcdef', substr(kk, 5, 1)) - 1) * 1099511627776 +
-             (strpos('0123456789abcdef', substr(kk, 6, 1)) - 1) * 68719476736 +
-             (strpos('0123456789abcdef', substr(kk, 7, 1)) - 1) * 4294967296 +
-             (strpos('0123456789abcdef', substr(kk, 8, 1)) - 1) * 268435456 +
-             (strpos('0123456789abcdef', substr(kk, 9, 1)) - 1) * 16777216 +
-             (strpos('0123456789abcdef', substr(kk, 10, 1)) - 1) * 1048576 +
-             (strpos('0123456789abcdef', substr(kk, 11, 1)) - 1) * 65536 +
-             (strpos('0123456789abcdef', substr(kk, 12, 1)) - 1) * 4096 +
-             (strpos('0123456789abcdef', substr(kk, 13, 1)) - 1) * 256 +
-             (strpos('0123456789abcdef', substr(kk, 14, 1)) - 1) * 16 +
-             (strpos('0123456789abcdef', substr(kk, 15, 1)) - 1) * 1
+             1 + (CAST({_md5int60_sql()}
               AS BIGINT) % n) AS position
       FROM keyed
     )

@@ -31,6 +31,34 @@ def _fresh_tmpdir(prefix: str) -> str:
     return d
 
 
+def _stream_fold_partials(spark, prefix: str, src: DataFrame, fold) -> str:
+    """Shared scaffold for the partial-summary streaming certifications
+    (q_stream_cms / q_stream_heavy_hitters / q_stream_drift): pre-split
+    the source into 4 parquet files, stream them one file per trigger
+    (real incremental delivery), foreachBatch-fold each micro-batch's
+    partial summary into an append-only {base}/partials store, drain
+    with availableNow, and return the partials path. `fold(batch_df,
+    out_dir)` writes ONE batch's partial rows; the caller merges the
+    store and certifies merged == batch-built against the batch oracle."""
+    base = _fresh_tmpdir(prefix)
+    src.repartition(4).write.parquet(f"{base}/src")
+    schema = spark.read.parquet(f"{base}/src").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/src")
+    )
+    out = f"{base}/partials"
+    (
+        stream.writeStream.foreachBatch(lambda b, _id: fold(b, out))
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return out
+
+
 from .streaming.stream import events_batch, events_stream, run_stream_to_memory
 from .streaming.windows import tumbling_window_agg
 
@@ -526,39 +554,17 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever re-scanning the corpus. Stronger than a rows-only streaming
     check: the oracle is the full batch CMS in SQL (md5-portable
     buckets), so the driver hash certifies stream-merge == batch."""
-    import tempfile
-
     from .catalog import load_table
     from .operators import sketches as SK
 
-    base = _fresh_tmpdir("stream_cms_")
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    docs.repartition(4).write.parquet(f"{base}/src")
-    schema = spark.read.parquet(f"{base}/src").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/src")
-    )
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
+    def fold(batch_df: DataFrame, out: str) -> None:
         toks = batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
-        SK.cms_table(toks, "tok", depth=4, hex_chars=2).write.mode("append").parquet(
-            f"{base}/partials"
-        )
+        SK.cms_table(toks, "tok", depth=4, hex_chars=2).write.mode("append").parquet(out)
 
-    (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return (
-        spark.read.parquet(f"{base}/partials")
-        .groupBy("j", "b")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    partials = _stream_fold_partials(spark, "stream_cms_", docs, fold)
+    return spark.read.parquet(partials).groupBy("j", "b").agg(F.sum("cnt").alias("cnt"))
 
 
 @query(
@@ -587,30 +593,16 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import load_table
     from .operators import sketches as SK
 
-    base = _fresh_tmpdir("stream_hh_")
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    docs.repartition(4).write.parquet(f"{base}/src")
-    schema = spark.read.parquet(f"{base}/src").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/src")
-    )
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
+    def fold(batch_df: DataFrame, out: str) -> None:
         toks = batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
         SK.misra_gries_partials(toks, "tok", counters=256).write.mode(
             "append"
-        ).parquet(f"{base}/partials")
+        ).parquet(out)
 
-    (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    candidates = spark.read.parquet(f"{base}/partials").select("item").distinct()
+    partials = _stream_fold_partials(spark, "stream_hh_", docs, fold)
+    candidates = spark.read.parquet(partials).select("item").distinct()
     toks = docs.select(F.explode(F.split("text", " ")).alias("item"))
     return (
         toks.join(F.broadcast(candidates), "item", "left_semi")
@@ -654,32 +646,18 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import load_table
     from .operators.profile import drift_finalize
 
-    base = _fresh_tmpdir("stream_drift_")
     docs = load_table(spark, "documents", sf_dir).select("lang", "n_chars")
-    docs.repartition(4).write.parquet(f"{base}/src")
-    schema = spark.read.parquet(f"{base}/src").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/src")
-    )
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
+    def fold(batch_df: DataFrame, out: str) -> None:
         en = F.col("lang") == "en"
         batch_df.groupBy(F.expr("n_chars div 50").alias("bin")).agg(
             F.sum(F.when(en, 1).otherwise(0)).alias("cnt_a"),
             F.sum(F.when(en, 0).otherwise(1)).alias("cnt_b"),
-        ).write.mode("append").parquet(f"{base}/partials")
+        ).write.mode("append").parquet(out)
 
-    (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    partials = _stream_fold_partials(spark, "stream_drift_", docs, fold)
     merged = (
-        spark.read.parquet(f"{base}/partials")
+        spark.read.parquet(partials)
         .groupBy("bin")
         .agg(F.sum("cnt_a").alias("cnt_a"), F.sum("cnt_b").alias("cnt_b"))
     )
