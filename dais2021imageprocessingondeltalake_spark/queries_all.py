@@ -187,6 +187,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_shard_manifest",  # NEW r6: XOR membership fingerprints per shard
     "q_negative_sample",  # NEW r6: deterministic hash-ring contrastive negatives
     "q_orc_roundtrip",  # NEW r6: ORC sink+scan certified against the parquet oracle
+    "q_stream_shard_manifest",  # NEW r6: streamed XOR manifest, merge==batch
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

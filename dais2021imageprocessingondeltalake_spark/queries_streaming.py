@@ -662,3 +662,87 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt_a").alias("cnt_a"), F.sum("cnt_b").alias("cnt_b"))
     )
     return drift_finalize(merged)
+
+
+@query(
+    "q_stream_shard_manifest",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             md5('fp:' || CAST(doc_id AS VARCHAR)) AS kk,
+             md5('shard:' || CAST(doc_id AS VARCHAR)) AS kk2
+      FROM documents
+    ), f AS (
+      SELECT CAST((strpos('0123456789abcdef', substr(kk2, 1, 1)) - 1) * 72057594037927936 +
+             (strpos('0123456789abcdef', substr(kk2, 2, 1)) - 1) * 4503599627370496 +
+             (strpos('0123456789abcdef', substr(kk2, 3, 1)) - 1) * 281474976710656 +
+             (strpos('0123456789abcdef', substr(kk2, 4, 1)) - 1) * 17592186044416 +
+             (strpos('0123456789abcdef', substr(kk2, 5, 1)) - 1) * 1099511627776 +
+             (strpos('0123456789abcdef', substr(kk2, 6, 1)) - 1) * 68719476736 +
+             (strpos('0123456789abcdef', substr(kk2, 7, 1)) - 1) * 4294967296 +
+             (strpos('0123456789abcdef', substr(kk2, 8, 1)) - 1) * 268435456 +
+             (strpos('0123456789abcdef', substr(kk2, 9, 1)) - 1) * 16777216 +
+             (strpos('0123456789abcdef', substr(kk2, 10, 1)) - 1) * 1048576 +
+             (strpos('0123456789abcdef', substr(kk2, 11, 1)) - 1) * 65536 +
+             (strpos('0123456789abcdef', substr(kk2, 12, 1)) - 1) * 4096 +
+             (strpos('0123456789abcdef', substr(kk2, 13, 1)) - 1) * 256 +
+             (strpos('0123456789abcdef', substr(kk2, 14, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(kk2, 15, 1)) - 1) * 1
+              AS BIGINT) % 8 AS shard,
+             CAST((strpos('0123456789abcdef', substr(kk, 1, 1)) - 1) * 72057594037927936 +
+             (strpos('0123456789abcdef', substr(kk, 2, 1)) - 1) * 4503599627370496 +
+             (strpos('0123456789abcdef', substr(kk, 3, 1)) - 1) * 281474976710656 +
+             (strpos('0123456789abcdef', substr(kk, 4, 1)) - 1) * 17592186044416 +
+             (strpos('0123456789abcdef', substr(kk, 5, 1)) - 1) * 1099511627776 +
+             (strpos('0123456789abcdef', substr(kk, 6, 1)) - 1) * 68719476736 +
+             (strpos('0123456789abcdef', substr(kk, 7, 1)) - 1) * 4294967296 +
+             (strpos('0123456789abcdef', substr(kk, 8, 1)) - 1) * 268435456 +
+             (strpos('0123456789abcdef', substr(kk, 9, 1)) - 1) * 16777216 +
+             (strpos('0123456789abcdef', substr(kk, 10, 1)) - 1) * 1048576 +
+             (strpos('0123456789abcdef', substr(kk, 11, 1)) - 1) * 65536 +
+             (strpos('0123456789abcdef', substr(kk, 12, 1)) - 1) * 4096 +
+             (strpos('0123456789abcdef', substr(kk, 13, 1)) - 1) * 256 +
+             (strpos('0123456789abcdef', substr(kk, 14, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(kk, 15, 1)) - 1) * 1
+              AS BIGINT) AS fp
+      FROM s
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor(fp) AS BIGINT) AS fingerprint
+    FROM f GROUP BY 1
+    """
+)
+def q_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-sharded manifest maintained over a STREAM: shard and
+    fingerprint are per-row functions of the id (shard =
+    md5int60('shard:id') % 8, fingerprint member = md5int60('fp:id')),
+    so each micro-batch folds a per-shard partial (count, XOR) and the
+    merged store must equal the batch manifest EXACTLY — XOR's
+    associativity/commutativity IS the merge, the property that lets a
+    live ingest maintain membership certificates without reprocessing
+    (the positional q_shard_manifest cannot stream: global positions
+    need the whole corpus; hash sharding is the streaming-shape
+    variant). Oracle is the batch SQL over the same polynomials."""
+    from .catalog import load_table
+    from .operators.sampling import _md5_int60
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def fold(batch_df: DataFrame, out: str) -> None:
+        batch_df.select(
+            F.pmod(_md5_int60(F.col("doc_id"), "shard"), F.lit(8)).alias("shard"),
+            _md5_int60(F.col("doc_id"), "fp").alias("fp"),
+        ).groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_part"),
+            F.bit_xor("fp").alias("fp_part"),
+        ).write.mode("append").parquet(out)
+
+    partials = _stream_fold_partials(spark, "stream_manifest_", docs, fold)
+    return (
+        spark.read.parquet(partials)
+        .groupBy("shard")
+        .agg(
+            F.sum("n_part").cast("bigint").alias("n_docs"),
+            F.bit_xor("fp_part").cast("bigint").alias("fingerprint"),
+        )
+    )
