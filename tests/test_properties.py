@@ -270,3 +270,85 @@ def test_parallel_global_rank_matches_sorted_enumeration(spark, vals, n_parts):
         for rank, (rid, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
     }
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),  # score (heavy ties)
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=120,
+    ).filter(lambda r: any(y for _, y in r) and any(not y for _, y in r))
+)
+def test_ranked_auc_matches_pairwise_on_random_inputs(spark, rows):
+    """ranked_auc == the brute-force pairwise definition
+    P(s_pos > s_neg) + 0.5*P(tie) on ANY input with both classes,
+    heavy ties included."""
+    from dais2021imageprocessingondeltalake_spark.operators.aggregates import ranked_auc
+
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    # floor(1e6 * num / (n_pos*n_neg)) in exact integer arithmetic:
+    # num is a multiple of 0.5, so 2*num is an exact int
+    expected = (1_000_000 * int(2 * num)) // (2 * len(pos) * len(neg))
+    df = spark.createDataFrame(
+        [(s, 1 if y else 0) for s, y in rows], "s: bigint, y: int"
+    )
+    r = ranked_auc(df, F.col("y") == 1, "s").collect()[0]
+    assert r["auc_x1e6"] == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=3,
+        max_size=100,
+    ).filter(
+        lambda r: len({x for x, _ in r}) > 1 and len({y for _, y in r}) > 1
+    )
+)
+def test_spearman_matches_python_midranks_on_random_inputs(spark, rows):
+    """spearman_rho == plain-Python Pearson on midranks on ANY input
+    with variance in both columns (tie-heavy by construction)."""
+    import math
+
+    from dais2021imageprocessingondeltalake_spark.operators.aggregates import spearman_rho
+
+    def midranks(vals):
+        out, before = {}, 0
+        for v in sorted(set(vals)):
+            cnt = vals.count(v)
+            out[v] = before + (cnt + 1) / 2
+            before += cnt
+        return [out[v] for v in vals]
+
+    xs = midranks([r[0] for r in rows])
+    ys = midranks([r[1] for r in rows])
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    df = spark.createDataFrame(rows, "x: bigint, y: bigint")
+    got = spearman_rho(df, "x", "y").collect()[0]["rho_x1e6"]
+    assert abs(got - math.floor(1_000_000 * rho)) <= 1  # engine floats vs
+    # Python floats may differ in the last ulp of rho; floor can flip by 1
