@@ -956,21 +956,38 @@ def q_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suite over the warehouse tables: not-null, unique-key,
     two referential-integrity checks, and an accepted-values domain
     check, each a violation COUNT (dbt-style expectations run inline
-    before a write). All five are single aggs or anti-joins unioned into
-    one report."""
+    before a write). The two row-local orders checks (not-null +
+    accepted-values) share ONE aggregate over ONE scan (stacked to two
+    report rows — the q_data_profile one-scan discipline); unique-key
+    needs its own groupBy and the FK checks are anti-joins, so the
+    suite costs 2 orders scans + 1 lineitem + 1 customer, not 3+1+1."""
     from .operators import profile as P
 
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
     lineitem = load_table(spark, "lineitem", sf_dir)
+    row_local = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__nn"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").isNotNull()
+                & ~F.col("o_orderstatus").isin("F", "O", "P"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("__av"),
+    ).selectExpr(
+        "stack(2, 'not_null:o_custkey', __nn, 'accepted:o_orderstatus', __av)"
+        " AS (check, violations)"
+    )
     return (
-        P.check_not_null(orders, "o_custkey")
+        row_local
         .unionByName(P.check_unique(orders, ["o_orderkey"]))
         .unionByName(P.check_foreign_key(orders, "o_custkey", customer, "c_custkey"))
         .unionByName(P.check_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey"))
-        .unionByName(
-            P.check_accepted_values(orders, "o_orderstatus", ["F", "O", "P"])
-        )
     )
 
 
