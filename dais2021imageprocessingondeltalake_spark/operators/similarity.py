@@ -1452,6 +1452,185 @@ def margin_mine_lsh(
     return _margin_top2(scored, min_margin_x10k)
 
 
+def assign_topn_centroids(
+    df: DataFrame,
+    centroids_long: DataFrame,
+    n: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-n E-step: for every vector, its `n` most-cosine-similar
+    centroids with ranks 1..n — the multi-assignment an IVF searcher
+    probes (rank 1 is the home cell; ranks 2..n are the boundary
+    cells whose members would otherwise be invisible to the probe).
+    Same machinery and determinism contract as assign_to_centroids
+    (one driver-crossing k x dim numpy matrix, one Arrow matmul per
+    batch, sims rounded BEFORE ranking, ties to the LOWEST label):
+    a stable argsort over label-ascending centroid columns reproduces
+    exactly `row_number() OVER (ORDER BY sim DESC, label)` in SQL, so
+    certified oracles replay the rank set verbatim. Emits min(n, k)
+    rows per input row as (id, *keep_cols, rank, assigned_label, sim)."""
+    import numpy as np
+
+    rows = centroids_long.select("label", "dim", "centroid").collect()
+    label_type = centroids_long.schema["label"].dataType.simpleString()
+    if not rows:
+        keep = ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+        )
+        return df.sparkSession.createDataFrame(
+            [],
+            schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+            + (keep + ", " if keep else "")
+            + f"rank int, assigned_label {label_type}, sim double",
+        )
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = float(r["centroid"])
+    labels = sorted(by_label)
+    cmat = np.array(
+        [[by_label[l][d] for d in sorted(by_label[l])] for l in labels],
+        dtype=np.float64,
+    )
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    label_arr = np.array(labels)
+    top = min(n, len(labels))
+
+    @F.pandas_udf(
+        f"array<struct<rank: int, assigned_label: {label_type}, sim: double>>"
+    )
+    def best_n(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(e, dtype=np.float64) for e in vec])
+        xn = np.sqrt((x * x).sum(axis=1))
+        sims = np.round(x @ cmat.T / (xn[:, None] * cnorm[None, :]), round_dp)
+        # stable sort of -sim over label-ascending columns == ORDER BY
+        # sim DESC, label — ties resolve to the lowest label, matching
+        # assign_to_centroids' first-argmax rule at rank 1
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+        out = [
+            [
+                {
+                    "rank": r + 1,
+                    "assigned_label": label_arr[j],
+                    "sim": sims[i, j],
+                }
+                for r, j in enumerate(row)
+            ]
+            for i, row in enumerate(idx)
+        ]
+        return pd.Series(out)
+
+    return (
+        df.select(id_col, *keep_cols, best_n(F.col(vec_col)).alias("__t"))
+        .select(id_col, *keep_cols, F.explode("__t").alias("__b"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            F.col("__b.rank").alias("rank"),
+            F.col("__b.assigned_label").alias("assigned_label"),
+            F.col("__b.sim").alias("sim"),
+        )
+    )
+
+
+def margin_mine_ivf(
+    df: DataFrame,
+    k: int,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+    nprobe: int = 2,
+    min_margin_x10k: int = 10200,
+    round_dp: int = 6,
+    materialize: str | bool | None = "localCheckpoint",
+) -> DataFrame:
+    """IVF margin mining — the BUDGET-holding dual of margin_mine_lsh
+    for the Artetxe-Schwenk ratio criterion. The L-table LSH path holds
+    RECALL by construction and pays whatever candidate budget that
+    costs (for far neighbors, s* → 0 drives ρ → 1 and the candidate set
+    approaches all pairs — measured 43-76% of N²/2 at every
+    SCALE_PROBE factor); this path holds the candidate BUDGET by
+    construction (cluster geometry bounds it at ~nprobe·N^1.5 with
+    k ~ sqrt(N)) and recall is a measured output that depends on how
+    concentrated true mates are in the probed cells (high for near-mate
+    corpora; decaying with k for far-mate ones — see q_margin_mine_ivf
+    for the measured numbers and the contract discussion).
+
+    Shape: fit k spherical-k-means centroids on the corpus itself
+    (kmeans_fit_distributed — certified fit, md5-rank seeds, 6dp-rounded
+    M-steps), multi-assign every vector to its top-`nprobe` centroids
+    (assign_topn_centroids — one Arrow matmul, NO shuffle), then
+    candidates = (probe row, base row) pairs where the base's HOME cell
+    (rank 1) is any of the probe's nprobe cells and groups differ. With
+    k ~ sqrt(N): E|cell| ~ sqrt(N), candidates ~ nprobe·N^1.5 — the
+    SemDeDup bound — vs the L-table path's near-N² at this corpus's
+    weak design point. Each (probe, nbr) pair matches at most once (the
+    base home cell is unique; the probe's nprobe cells are distinct),
+    so no pair dedup is needed. The only wide operations: the fit's
+    k x dim M-step shuffles, the cell-keyed equi-join, and the per-probe
+    top-2 window.
+
+    Approximation contract: sim1/sim2 come from the probed cells only —
+    recall vs margin_mine (brute) is a MEASURED, driver-certified number
+    (q_margin_ivf_recall), exactly the margin-LSH reporting idiom. The
+    whole fit + top-n rank chain rounds at `round_dp` before every
+    compare, so an unrolled-CTE SQL oracle replays it bit-for-bit
+    (queries_llm._margin_ivf_pairs_sql)."""
+    from .dedup import materialize_df
+
+    _, cents = kmeans_fit_distributed(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+    )
+    top = assign_topn_centroids(
+        df,
+        cents,
+        n=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=(group_col,),
+        round_dp=round_dp,
+    )
+    # two consumers (probe side + home side) of the same E-step output:
+    # pin it or the fit's final matmul runs once per consumer
+    top = materialize_df(
+        top.select(id_col, group_col, "rank", "assigned_label"), materialize
+    )
+    probes = top.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(group_col).alias("probe_grp"),
+        F.col("assigned_label").alias("cell"),
+    )
+    home = top.filter(F.col("rank") == 1).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(group_col).alias("nbr_grp"),
+        F.col("assigned_label").alias("cell"),
+    )
+    cand = (
+        probes.join(home, ["cell"])
+        .filter(F.col("probe_grp") != F.col("nbr_grp"))
+        .select("probe_id", "nbr_id")
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    cos = _cosine_pairs_arrow(round_dp)
+    scored = (
+        cand.join(
+            vecs.select(F.col("_vid").alias("probe_id"), F.col("_v").alias("_pv")),
+            "probe_id",
+        )
+        .join(
+            vecs.select(F.col("_vid").alias("nbr_id"), F.col("_v").alias("_nv")),
+            "nbr_id",
+        )
+        .select("probe_id", "nbr_id", cos(F.col("_pv"), F.col("_nv")).alias("s"))
+    )
+    return _margin_top2(scored, min_margin_x10k)
+
+
 # --------------------------------------------------------------------------
 # Product quantization (IVF-PQ completes the 100 TB ANN stack)
 # --------------------------------------------------------------------------

@@ -188,6 +188,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_negative_sample",  # NEW r6: deterministic hash-ring contrastive negatives
     "q_orc_roundtrip",  # NEW r6: ORC sink+scan certified against the parquet oracle
     "q_stream_shard_manifest",  # NEW r6: streamed XOR manifest, merge==batch
+    "q_margin_mine_ivf",  # NEW r6: budget-holding IVF margin miner (N^1.5 dual)
+    "q_margin_ivf_recall",  # NEW r6: measured IVF-margin recall report
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

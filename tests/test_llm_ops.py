@@ -1264,3 +1264,92 @@ class TestShardManifestPayload:
             for r in shard_manifest(sh, half_payload, "doc_id", "n_chars").collect()
         }
         assert full == part  # membership facts identical despite missing payload
+
+
+class TestMarginMineIVF:
+    def test_assign_topn_rank1_matches_assign_to_centroids(self, spark):
+        """The top-n E-step's rank-1 row must reproduce the single-
+        assignment E-step exactly (same rounding, same lowest-label tie
+        rule) — rank 1 IS the home cell the candidate join keys on."""
+        emb = load_table(spark, "embeddings", SF_DIR)
+        _, cents = SIM.kmeans_fit_distributed(emb, k=8, iters=1, round_dp=6)
+        single = {
+            r["vec_id"]: r["assigned_label"]
+            for r in SIM.assign_to_centroids(emb, cents).collect()
+        }
+        top = SIM.assign_topn_centroids(emb, cents, n=2).collect()
+        rank1 = {r["vec_id"]: r["assigned_label"] for r in top if r["rank"] == 1}
+        assert rank1 == single
+        # exactly min(n, k) rows per vector, ranks contiguous from 1,
+        # distinct cells per vector
+        by_vec: dict = {}
+        for r in top:
+            by_vec.setdefault(r["vec_id"], []).append(r)
+        for vid, rows in by_vec.items():
+            assert sorted(x["rank"] for x in rows) == [1, 2], vid
+            assert len({x["assigned_label"] for x in rows}) == 2, vid
+            sims = {x["rank"]: x["sim"] for x in rows}
+            assert sims[1] >= sims[2], vid
+
+    def test_near_mate_corpus_recall_is_high(self, spark):
+        """The budget-contract miner's recall claim cuts both ways: on a
+        NEAR-mate corpus (cross-group mates nearly identical, sites far
+        apart — the aligned-encoder bitext geometry) the home cells
+        concentrate the mates and IVF recall must be high, even though
+        the same operator measures 0.32-0.36 on the far-mate synthetic
+        corpus (q_margin_ivf_recall). Deterministic constructed corpus."""
+        import math
+
+        rows = []
+        # TWO groups per site: a probe's best cross-group neighbor is its
+        # site mate (cosine ~0.999) and its second-best is in a far site,
+        # so the ratio margin is large and the pair survives the filter
+        # (three groups per site would put sim2 ~ sim1 and kill them all).
+        # Sites are one-hot ORTHOGONAL directions (dim > n_sites) plus a
+        # small shared component: cross-site cosine is ~0.04 — positive
+        # (sim2 > 0 must hold for the ratio) but far below the mate's.
+        n_sites, n_groups, dim = 30, 2, 32
+        for site in range(n_sites):
+            base = [0.0] * dim
+            base[site] = 1.0
+            base[dim - 1] = 0.2
+            for g in range(n_groups):
+                v = list(base)
+                # tiny per-group jitter keeps mates at cosine ~0.999
+                v[(site + g + 1) % (dim - 1)] += 0.01 * (g + 1)
+                rows.append((site * n_groups + g, f"g{g}", v))
+        df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+        k = int(math.ceil(math.sqrt(len(rows))))
+        exact = {
+            r["probe_id"]: r["best_id"]
+            for r in SIM.margin_mine(df, min_margin_x10k=10200).collect()
+        }
+        approx = {
+            r["probe_id"]: r["best_id"]
+            for r in SIM.margin_mine_ivf(
+                df, k=k, iters=1, nprobe=2, min_margin_x10k=10200
+            ).collect()
+        }
+        assert exact, "constructed corpus produced no high-margin pairs"
+        hit = sum(1 for p, b in exact.items() if approx.get(p) == b)
+        recall = hit / len(exact)
+        assert recall >= 0.9, f"near-mate IVF recall = {recall:.2f}"
+
+    def test_recall_report_row_is_internally_consistent(self, spark):
+        """The certified report's arithmetic must hold: n_hit bounded by
+        both sides, recall_x10k = floor(1e4·n_hit/n_brute), meets_floor
+        consistent with the emitted floor (the floor is a regression
+        guard at measured-minus-slack, NOT a quality contract — the
+        far-mate corpus measures ~0.32-0.36)."""
+        from dais2021imageprocessingondeltalake_spark.queries_llm import (
+            q_margin_ivf_recall,
+        )
+
+        from .conftest import SF_DIR_MID
+
+        row = q_margin_ivf_recall(spark, SF_DIR_MID).collect()[0]
+        assert row["n_hit"] <= min(row["n_brute"], row["n_ivf"])
+        assert row["recall_x10k"] == (10000 * row["n_hit"]) // row["n_brute"]
+        assert row["floor_x10k"] == 3000
+        assert row["meets_floor"] == (row["recall_x10k"] >= 3000)
+        assert row["meets_floor"] is True, row
