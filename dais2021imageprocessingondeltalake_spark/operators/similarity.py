@@ -1537,6 +1537,63 @@ def assign_topn_centroids(
     )
 
 
+def ivf_candidate_pairs(
+    df: DataFrame,
+    k: int,
+    iters: int = 1,
+    nprobe: int = 2,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    materialize: str | bool | None = "localCheckpoint",
+) -> DataFrame:
+    """Candidate generator for margin_mine_ivf, factored out (the
+    lsh_candidate_pairs convention) so the scale probe counts and
+    scores the EXACT production candidate set: fit k certified
+    spherical-k-means cells, multi-assign every vector to its top-
+    `nprobe` cells, candidates = (probe, base) id pairs where the
+    base's HOME cell (rank 1) is one of the probe's cells and groups
+    differ. Budget bound by construction: each base row appears in one
+    cell, each probe row in nprobe cells, so candidates per probe are
+    at most nprobe·max|cell| and a pair can match at most once (no
+    dedup stage). Returns (probe_id, nbr_id)."""
+    from .dedup import materialize_df
+
+    _, cents = kmeans_fit_distributed(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+    )
+    top = assign_topn_centroids(
+        df,
+        cents,
+        n=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=(group_col,),
+        round_dp=round_dp,
+    )
+    # two consumers (probe side + home side) of the same E-step output:
+    # pin it or the fit's final matmul runs once per consumer
+    top = materialize_df(
+        top.select(id_col, group_col, "rank", "assigned_label"), materialize
+    )
+    probes = top.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(group_col).alias("probe_grp"),
+        F.col("assigned_label").alias("cell"),
+    )
+    home = top.filter(F.col("rank") == 1).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(group_col).alias("nbr_grp"),
+        F.col("assigned_label").alias("cell"),
+    )
+    return (
+        probes.join(home, ["cell"])
+        .filter(F.col("probe_grp") != F.col("nbr_grp"))
+        .select("probe_id", "nbr_id")
+    )
+
+
 def margin_mine_ivf(
     df: DataFrame,
     k: int,
@@ -1581,39 +1638,16 @@ def margin_mine_ivf(
     whole fit + top-n rank chain rounds at `round_dp` before every
     compare, so an unrolled-CTE SQL oracle replays it bit-for-bit
     (queries_llm._margin_ivf_pairs_sql)."""
-    from .dedup import materialize_df
-
-    _, cents = kmeans_fit_distributed(
-        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, round_dp=round_dp
-    )
-    top = assign_topn_centroids(
+    cand = ivf_candidate_pairs(
         df,
-        cents,
-        n=nprobe,
+        k=k,
+        iters=iters,
+        nprobe=nprobe,
+        group_col=group_col,
         id_col=id_col,
         vec_col=vec_col,
-        keep_cols=(group_col,),
         round_dp=round_dp,
-    )
-    # two consumers (probe side + home side) of the same E-step output:
-    # pin it or the fit's final matmul runs once per consumer
-    top = materialize_df(
-        top.select(id_col, group_col, "rank", "assigned_label"), materialize
-    )
-    probes = top.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(group_col).alias("probe_grp"),
-        F.col("assigned_label").alias("cell"),
-    )
-    home = top.filter(F.col("rank") == 1).select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(group_col).alias("nbr_grp"),
-        F.col("assigned_label").alias("cell"),
-    )
-    cand = (
-        probes.join(home, ["cell"])
-        .filter(F.col("probe_grp") != F.col("nbr_grp"))
-        .select("probe_id", "nbr_id")
+        materialize=materialize,
     )
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     cos = _cosine_pairs_arrow(round_dp)

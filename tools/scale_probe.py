@@ -448,6 +448,40 @@ def main() -> int:
                 )
                 point["margin_recall_secs"] = round(time.perf_counter() - t0, 2)
 
+                # IVF margin miner — the BUDGET-holding dual
+                # (q_margin_mine_ivf's exact production generator:
+                # k = ceil(sqrt(N)) certified cells, top-2 multiprobe,
+                # home-cell join). Two curves this block evidences:
+                # candidates ~ 2·N^1.5 BY CONSTRUCTION (vs the L-table
+                # path's near-N² at this corpus's far-mate design
+                # point), and recall DECAYING with k — the honest trade
+                # the operator's contract states (recall is the
+                # measured output, budget is the guarantee).
+                ivf_k = int(math.ceil(math.sqrt(n_vecs)))
+                point["margin_ivf_k"] = ivf_k
+                t0 = time.perf_counter()
+                icand = SIM.ivf_candidate_pairs(emb, k=ivf_k, iters=1, nprobe=2)
+                n_icand = icand.count()
+                point["margin_ivf_cand_pairs"] = n_icand
+                point["margin_ivf_cand_secs"] = round(time.perf_counter() - t0, 2)
+                point["margin_ivf_cand_frac_x10k"] = int(
+                    10000 * n_icand // max(n_vecs * (n_vecs - 1), 1)
+                )
+                t0 = time.perf_counter()
+                iscored = _score_pairs_broadcast(spark, icand, ids, vecs)
+                ivf_pairs = {
+                    (r["probe_id"], r["best_id"])
+                    for r in SIM._margin_top2(iscored, 11000)
+                    .select("probe_id", "best_id")
+                    .collect()
+                }
+                ihits = len(brute_pairs & ivf_pairs)
+                point["margin_ivf_pairs"] = len(ivf_pairs)
+                point["margin_ivf_recall_x10k"] = int(
+                    10000 * ihits // max(len(brute_pairs), 1)
+                )
+                point["margin_ivf_recall_secs"] = round(time.perf_counter() - t0, 2)
+
             if "gram" in want:
                 # Gram matrix partial-sum aggregate (linear in n_vecs,
                 # reduce input fixed at d^2 per partition)
