@@ -583,3 +583,79 @@ def negative_sample(
         .filter(F.col(id_col) != F.col("anchor_id"))
         .select("anchor_id", "j", F.col(id_col).alias("neg_id"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col,
+    capacity: int,
+    order: Sequence | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-pretraining layout:
+    documents are concatenated in a deterministic total order and the
+    token stream is cut into fixed-`capacity` training sequences; a
+    document crossing a cut contributes a span to each side. Unlike
+    bin-packing heuristics (first-fit etc., inherently sequential),
+    concat-and-chunk is a PURE function of the global token offset, so
+    it distributes: offsets come from parallel_prefix_sum (range
+    shuffle + per-partition scan, no single-reducer window) and every
+    remaining step is a row-local projection + a bounded explode
+    (straddle rows only). Zero padding waste by construction — the
+    complement of the padding_waste report, which measures what
+    per-example batching would have wasted.
+
+    Emits one row per (document, sequence) span:
+      seq_id     — 0-based training-sequence index
+      doc_from   — first token of the doc in this span (0-based, incl.)
+      doc_to     — end of the span within the doc (exclusive)
+      pos_in_seq — where the span starts inside the sequence
+      n_tok      — span length (= doc_to - doc_from)
+    Every sequence except the last is exactly full:
+    sum(n_tok) per seq_id == capacity. Zero-length documents emit no
+    rows (they occupy no tokens). All arithmetic is integer (DIV, not
+    floating division — offsets stay exact past 2^53 tokens).
+
+    `order` defaults to (md5(id), id) — the repo's deterministic-
+    shuffle idiom: layout- and rerun-stable, engine-portable, and a
+    fresh salt re-deals the concatenation for another epoch."""
+    if capacity < 1:
+        raise ValueError(f"pack_sequences needs capacity >= 1, got {capacity}")
+    from pyspark.sql import functions as F
+
+    from .sort import parallel_prefix_sum
+
+    lc = F.col(len_col) if isinstance(len_col, str) else len_col
+    rows = df.select(
+        F.col(id_col), lc.cast("long").alias("__len")
+    ).filter(F.col("__len") > 0)
+    order = list(order) if order is not None else [
+        F.md5(F.col(id_col).cast("string")),
+        F.col(id_col),
+    ]
+    offs = parallel_prefix_sum(rows, order, "__len", out_col="__off")
+    spans = offs.select(
+        F.col(id_col),
+        F.col("__len"),
+        F.col("__off"),
+        F.explode(
+            F.sequence(
+                F.expr(f"__off DIV {capacity}"),
+                F.expr(f"(__off + __len - 1) DIV {capacity}"),
+            )
+        ).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * F.lit(capacity).cast("long")
+    doc_from = F.greatest(F.lit(0).cast("long"), seq_start - F.col("__off"))
+    doc_to = F.least(
+        F.col("__len"), seq_start + F.lit(capacity).cast("long") - F.col("__off")
+    )
+    pos_in_seq = F.greatest(F.lit(0).cast("long"), F.col("__off") - seq_start)
+    return spans.select(
+        F.col(id_col),
+        F.col("seq_id"),
+        doc_from.alias("doc_from"),
+        doc_to.alias("doc_to"),
+        pos_in_seq.alias("pos_in_seq"),
+        (doc_to - doc_from).alias("n_tok"),
+    )

@@ -93,3 +93,68 @@ def parallel_global_rank(
         ranged.withColumn(rank_col, F.row_number().over(w) + off_expr)
         .drop("__pid")
     )
+
+
+def parallel_prefix_sum(
+    df: DataFrame,
+    order: list,
+    value_col: str,
+    out_col: str = "offset",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global EXCLUSIVE prefix sum of `value_col` over a total `order`,
+    without the single-reducer window — parallel_global_rank's
+    machinery applied to a running sum (the classic two-pass parallel
+    scan): range-partition on the order columns, cumulative-sum WITHIN
+    each partition in parallel, then add each partition's exclusive
+    prefix TOTAL — collected once as a |partitions|-row summary
+    (bounded by construction) and broadcast back as a literal CASE map.
+    Exactness: integer values sum associatively, so the two-pass result
+    equals the global window's for any boundary placement (callers pass
+    integer token counts / byte lengths; float inputs would be
+    order-dependent and are the caller's responsibility to avoid).
+
+    This is the scale form of every corpus-sized running total —
+    sequence packing offsets, byte-range shard layout, cumulative
+    token budgets. Cost: one range shuffle + a per-partition sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not order:
+        raise ValueError("parallel_prefix_sum needs at least one order column")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # pin the range partitioning: the per-partition totals and the final
+    # cumsum pass must see the SAME boundaries (range sampling is not
+    # contractually stable across jobs), and pinning runs the shuffle once
+    ranged = ranged.localCheckpoint()
+    totals = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("t"))
+        .collect()
+    }
+    offset, offsets = 0, {}
+    for pid in sorted(totals):
+        offsets[pid] = offset
+        offset += totals[pid] or 0
+    off_expr = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        off_expr = F.when(F.col("__pid") == pid, F.lit(off).cast("long")).otherwise(
+            off_expr
+        )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(value_col).cast("long")).over(w)
+    return (
+        ranged.withColumn(
+            out_col, (running - F.col(value_col).cast("long")) + off_expr
+        )
+        .drop("__pid")
+    )

@@ -3336,6 +3336,58 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_len,
+             md5(CAST(doc_id AS VARCHAR)) AS okey
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_len,
+             CAST(COALESCE(sum(n_len) OVER (
+                    ORDER BY okey, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS off
+      FROM d WHERE n_len > 0
+    ), s AS (
+      SELECT doc_id, n_len, off,
+             CAST(unnest(generate_series(off // 2048,
+                                         (off + n_len - 1) // 2048))
+                  AS BIGINT) AS seq_id
+      FROM o
+    )
+    SELECT doc_id, seq_id,
+           greatest(CAST(0 AS BIGINT), seq_id * 2048 - off) AS doc_from,
+           least(n_len, seq_id * 2048 + 2048 - off) AS doc_to,
+           greatest(CAST(0 AS BIGINT), off - seq_id * 2048) AS pos_in_seq,
+           least(n_len, seq_id * 2048 + 2048 - off)
+             - greatest(CAST(0 AS BIGINT), seq_id * 2048 - off) AS n_tok
+    FROM s
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at capacity 2048 — the layout
+    every GPT-style pretraining run feeds its loader: documents
+    concatenated in the deterministic md5 order, the token stream cut
+    into fixed-capacity sequences, straddling documents split into one
+    span per side (sampling.pack_sequences). The global token offsets
+    come from parallel_prefix_sum — range shuffle + per-partition scan
+    + broadcast partition totals, never a single-reducer window — and
+    everything downstream is a row-local integer projection (DIV
+    arithmetic: offsets stay exact past 2^53 tokens), so the plan is
+    one range shuffle regardless of corpus size. The oracle replays the
+    same offsets with the plain SQL window (exact integers, zero
+    rounding); every sequence except the last is exactly full, which
+    the packing test asserts."""
+    from .operators.sampling import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_len"))
+    return pack_sequences(toks, "doc_id", "n_len", capacity=2048)
+
+
+@query(
     "q_lang_f1",
     oracle="""
     WITH t AS (

@@ -1353,3 +1353,78 @@ class TestMarginMineIVF:
         assert row["floor_x10k"] == 3000
         assert row["meets_floor"] == (row["recall_x10k"] >= 3000)
         assert row["meets_floor"] is True, row
+
+
+class TestPackSequences:
+    def test_sequences_full_and_spans_partition_docs(self, spark):
+        """Concat-and-chunk invariants: (1) every sequence except the
+        last is EXACTLY full (zero padding waste by construction);
+        (2) a document's spans partition [0, len) — contiguous,
+        non-overlapping, covering; (3) within a sequence, spans tile
+        [0, capacity) via pos_in_seq."""
+        from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+            pack_sequences,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR)
+        toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        cap = 512
+        spans = pack_sequences(toks, "doc_id", "n", capacity=cap).collect()
+        assert spans
+        per_seq: dict = {}
+        per_doc: dict = {}
+        for r in spans:
+            per_seq.setdefault(r["seq_id"], []).append(r)
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        last_seq = max(per_seq)
+        for sid, rows in per_seq.items():
+            total = sum(x["n_tok"] for x in rows)
+            if sid != last_seq:
+                assert total == cap, (sid, total)
+            else:
+                assert 0 < total <= cap, (sid, total)
+            # spans tile the sequence: sorted pos_in_seq is contiguous
+            tile = sorted((x["pos_in_seq"], x["pos_in_seq"] + x["n_tok"]) for x in rows)
+            assert tile[0][0] == 0
+            for (a0, a1), (b0, _b1) in zip(tile, tile[1:]):
+                assert a1 == b0, (sid, tile)
+        lens = {
+            r["doc_id"]: r["n"]
+            for r in toks.filter(F.col("n") > 0).collect()
+        }
+        assert set(per_doc) == set(lens)
+        for did, rows in per_doc.items():
+            cover = sorted((x["doc_from"], x["doc_to"]) for x in rows)
+            assert cover[0][0] == 0 and cover[-1][1] == lens[did], did
+            for (a0, a1), (b0, _b1) in zip(cover, cover[1:]):
+                assert a1 == b0, (did, cover)
+
+    def test_parallel_prefix_sum_matches_serial(self, spark):
+        """The two-pass distributed scan must equal the serial running
+        sum for any partitioning (integer values sum associatively)."""
+        from dais2021imageprocessingondeltalake_spark.operators.sort import (
+            parallel_prefix_sum,
+        )
+
+        df = spark.range(0, 2000).select(
+            F.col("id"), ((F.col("id") * 7919) % 23 + 1).alias("v")
+        ).repartition(13)
+        got = {
+            r["id"]: r["offset"]
+            for r in parallel_prefix_sum(df, ["id"], "v", num_partitions=7).collect()
+        }
+        acc = 0
+        for i in range(2000):
+            assert got[i] == acc, (i, got[i], acc)
+            acc += i * 7919 % 23 + 1
+
+    def test_capacity_validated(self, spark):
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+            pack_sequences,
+        )
+
+        df = spark.createDataFrame([(1, 4)], ["doc_id", "n"])
+        with pytest.raises(ValueError):
+            pack_sequences(df, "doc_id", "n", capacity=0)
