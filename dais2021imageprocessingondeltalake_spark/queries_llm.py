@@ -3387,6 +3387,84 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_len", capacity=2048)
 
 
+def _logreg_fit_oracle(iters: int = 3) -> str:
+    """Unroll the full-batch GD logistic-regression fit in SQL: one
+    feature CTE, then per iteration a probability/gradient CTE (the
+    6dp-rounded avg replays Spark's map-side-combined aggregate — the
+    k-means M-step rounding contract, which also absorbs libm-vs-JVM
+    exp() last-ulp differences) and a one-row weight CTE applying
+    w ← round(w − g, 6). The final SELECT unpivots the weight row into
+    the (feature, weight) table the Spark side returns."""
+    feats = ["chars_k", "toks_h", "avg_wlen"]
+    d = len(feats)
+    wcols = ["b"] + [f"w{j}" for j in range(1, d + 1)]
+    ctes = [
+        """f AS MATERIALIZED (
+      SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+             n_chars / 1000.0 AS x1,
+             len(string_split(text, ' ')) / 100.0 AS x2,
+             (n_chars / len(string_split(text, ' '))) / 10.0 AS x3
+      FROM documents
+    )""",
+        "w0(b, w1, w2, w3) AS (SELECT 0.0, 0.0, 0.0, 0.0)",
+    ]
+    for i in range(iters):
+        z = " + ".join(["w.b"] + [f"w.w{j} * x{j}" for j in range(1, d + 1)])
+        gsel = ", ".join(
+            [f"round(avg(p - y), 6) AS g0"]
+            + [f"round(avg((p - y) * x{j}), 6) AS g{j}" for j in range(1, d + 1)]
+        )
+        ctes.append(f"""g{i} AS (
+      SELECT {gsel} FROM (
+        SELECT y, {', '.join(f'x{j}' for j in range(1, d + 1))},
+               1.0 / (1.0 + exp(-({z}))) AS p
+        FROM f, w{i} w
+      )
+    )""")
+        wsel = ", ".join(
+            f"round(w.{wc} - g.g{j}, 6) AS {wc}" for j, wc in enumerate(wcols)
+        )
+        ctes.append(f"w{i + 1} AS (SELECT {wsel} FROM w{i} w, g{i} g)")
+    unpivot = "\n    UNION ALL ".join(
+        [f"SELECT 'intercept' AS feature, b AS weight FROM w{iters}"]
+        + [
+            f"SELECT '{name}' AS feature, w{j + 1} AS weight FROM w{iters}"
+            for j, name in enumerate(feats)
+        ]
+    )
+    return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + unpivot
+
+
+@query("q_logreg_fit", oracle=_logreg_fit_oracle())
+def q_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier training — full-batch GD logistic
+    regression predicting lang='en' from three cheap document features
+    (kilochars, hectotokens, scaled mean word length), the fastText/
+    CCNet-style linear filter every LLM curation pipeline trains. Each
+    of the 3 iterations is ONE corpus scan with a map-side-combinable
+    (d+1)-double gradient aggregate; model state is d+1 doubles on the
+    driver (the centroid-collect idiom) — nothing corpus-sized ever
+    shuffles, so the loop scales to any corpus the scan scales to.
+    The certified-fit contract (kmeans_fit_distributed): gradients and
+    weights round to 6dp every step, so the unrolled-CTE oracle replays
+    the entire trajectory bit-for-bit. Returns the (feature, weight)
+    model table."""
+    from .operators.linear import logreg_fit_distributed
+
+    docs = load_table(spark, "documents", sf_dir)
+    ntok = F.size(F.split("text", " "))
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
+        (ntok / F.lit(100.0)).alias("toks_h"),
+        ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
+    )
+    w = logreg_fit_distributed(
+        feats, ["chars_k", "toks_h", "avg_wlen"], "y", iters=3, lr=1.0
+    )
+    return spark.createDataFrame(w, "feature string, weight double")
+
+
 @query(
     "q_lang_f1",
     oracle="""

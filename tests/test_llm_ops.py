@@ -1428,3 +1428,58 @@ class TestPackSequences:
         df = spark.createDataFrame([(1, 4)], ["doc_id", "n"])
         with pytest.raises(ValueError):
             pack_sequences(df, "doc_id", "n", capacity=0)
+
+
+class TestLogregFit:
+    def test_learns_a_separable_rule(self, spark):
+        """On linearly separable data the GD trajectory must reach high
+        training accuracy — the fit is a real trainer, not a replay
+        artifact. Deterministic grid data, no RNG."""
+        from dais2021imageprocessingondeltalake_spark.operators.linear import (
+            logreg_fit_distributed,
+            logreg_score,
+        )
+
+        rows = [
+            (i, (i % 21 - 10) / 5.0, ((i * 7) % 13 - 6) / 6.0)
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, ["id", "a", "b"]).withColumn(
+            "y", (F.col("a") + F.col("b") > 0).cast("int")
+        )
+        w = logreg_fit_distributed(df, ["a", "b"], "y", iters=25, lr=2.0)
+        pred = df.withColumn("p", logreg_score(df, w))
+        acc = (
+            pred.filter(F.col("p") == (F.col("y") == 1)).count() / pred.count()
+        )
+        assert acc >= 0.95, f"training accuracy {acc:.3f}, weights {w}"
+
+    def test_gradient_step_direction_and_determinism(self, spark):
+        """One iteration from w=0: p=0.5 everywhere, so the intercept
+        gradient is exactly round(avg(0.5 - y), 6) — closed-form
+        checkable; and a rerun reproduces identical weights (pure
+        function of the data)."""
+        from dais2021imageprocessingondeltalake_spark.operators.linear import (
+            logreg_fit_distributed,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i % 3), 1 if i % 4 == 0 else 0) for i in range(100)],
+            ["id", "a", "y"],
+        )
+        w1 = logreg_fit_distributed(df, ["a"], "y", iters=1, lr=1.0)
+        w2 = logreg_fit_distributed(df, ["a"], "y", iters=1, lr=1.0)
+        assert w1 == w2
+        y_mean = 25 / 100
+        assert dict(w1)["intercept"] == -round(0.5 - y_mean, 6)
+
+    def test_iters_validated(self, spark):
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators.linear import (
+            logreg_fit_distributed,
+        )
+
+        df = spark.createDataFrame([(1.0, 1)], ["a", "y"])
+        with pytest.raises(ValueError):
+            logreg_fit_distributed(df, ["a"], "y", iters=0)
