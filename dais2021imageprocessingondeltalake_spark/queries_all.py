@@ -192,6 +192,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_margin_ivf_recall",  # NEW r6: measured IVF-margin recall report
     "q_pack_sequences",  # NEW r6: concat-and-chunk packing via parallel prefix sum
     "q_logreg_fit",  # NEW r6: certified full-batch GD quality classifier
+    "q_logreg_filter",  # NEW r6: train-then-deploy learned curation gate
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

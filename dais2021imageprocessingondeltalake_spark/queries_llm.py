@@ -3465,6 +3465,64 @@ def q_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(w, "feature string, weight double")
 
 
+def _logreg_filter_oracle() -> str:
+    """Fit replay (same unrolled CTEs as q_logreg_fit) + deploy-side
+    scoring: the decision z >= 0 is PURE IEEE arithmetic over the
+    6dp-certified weights and the identical feature expression tree —
+    no exp() at scoring time — so individual decisions are bit-exact
+    cross-engine and the per-source keep counts are exact integers."""
+    fit = _logreg_fit_oracle()
+    # reuse everything up to the final weight CTE; swap the unpivot tail
+    # for the scoring aggregation
+    head = fit[: fit.rindex("SELECT 'intercept'")].rstrip()
+    return (
+        head
+        + """, d AS (
+      SELECT source,
+             (w.b + w.w1 * (n_chars / 1000.0)
+                  + w.w2 * (len(string_split(text, ' ')) / 100.0)
+                  + w.w3 * ((n_chars / len(string_split(text, ' '))) / 10.0))
+               >= 0.0 AS keep
+      FROM documents, w3 w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM d GROUP BY source"""
+    )
+
+
+@query("q_logreg_filter", oracle=_logreg_filter_oracle())
+def q_logreg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-deploy composition: fit the quality classifier
+    (q_logreg_fit's exact trajectory) and apply it as a curation gate,
+    reporting per-source document and keep counts — the end-to-end
+    shape of every learned filter in an LLM pipeline (CCNet, FineWeb).
+    Scoring broadcasts the d+1-double model inside the projection (a
+    literal expression — no join, no shuffle); the only wide operation
+    is the per-source count aggregate. Decisions compare z >= 0 with
+    no transcendental in the path, so the oracle's counts are exact."""
+    from .operators.linear import logreg_fit_distributed, logreg_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    ntok = F.size(F.split("text", " "))
+    feats = docs.select(
+        "source",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
+        (ntok / F.lit(100.0)).alias("toks_h"),
+        ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
+    )
+    w = logreg_fit_distributed(
+        feats, ["chars_k", "toks_h", "avg_wlen"], "y", iters=3, lr=1.0
+    )
+    keep = logreg_score(feats, w)
+    return feats.withColumn("keep", keep).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+    )
+
+
 @query(
     "q_lang_f1",
     oracle="""
