@@ -203,7 +203,7 @@ def build_scaled_embeddings(base_dir: str, factor: int, out_dir: Path, seed: int
     return str(out)
 
 
-ALL_COMPONENTS = ("docs", "sem", "knn", "gram", "margin")
+ALL_COMPONENTS = ("docs", "sem", "knn", "gram", "margin", "train")
 
 
 def main() -> int:
@@ -318,6 +318,46 @@ def main() -> int:
                     .count()
                 )
                 point["jsonl_rt_secs"] = round(time.perf_counter() - t0, 2)
+
+            if "train" in want:
+                # NEW r6 training-tier ops, both claimed ~linear in
+                # corpus size: concat-and-chunk packing (one range
+                # shuffle + one keyed exchange) and the 3-iteration
+                # full-batch GD fit (one scan per iteration, (d+1)-double
+                # aggregate). Measured so the linearity is a curve, not
+                # a docstring.
+                from dais2021imageprocessingondeltalake_spark.operators.linear import (
+                    logreg_fit_distributed,
+                )
+                from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+                    pack_sequences,
+                )
+
+                tpath = build_scaled_corpus(args.base, k, scratch)
+                tdocs = spark.read.parquet(tpath)
+                point.setdefault("n_docs", tdocs.count())
+                t0 = time.perf_counter()
+                toks = tdocs.select(
+                    "doc_id", F.size(F.split("text", " ")).alias("n_len")
+                )
+                point["pack_rows"] = pack_sequences(
+                    toks, "doc_id", "n_len", capacity=2048
+                ).count()
+                point["pack_secs"] = round(time.perf_counter() - t0, 2)
+
+                ntok = F.size(F.split("text", " "))
+                feats = tdocs.select(
+                    (F.col("lang") == "en").cast("int").alias("y"),
+                    (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
+                    (ntok / F.lit(100.0)).alias("toks_h"),
+                    ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
+                )
+                t0 = time.perf_counter()
+                w = logreg_fit_distributed(
+                    feats, ["chars_k", "toks_h", "avg_wlen"], "y", iters=3, lr=1.0
+                )
+                point["logreg_secs"] = round(time.perf_counter() - t0, 2)
+                point["logreg_w_intercept"] = dict(w)["intercept"]
 
             if want & {"sem", "knn", "gram", "margin"}:
                 epath = build_scaled_embeddings(args.base, k, scratch)
