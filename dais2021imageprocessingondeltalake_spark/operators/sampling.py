@@ -591,6 +591,7 @@ def pack_sequences(
     len_col,
     capacity: int,
     order: Sequence | None = None,
+    base_offset: int = 0,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing — the GPT-pretraining layout:
     documents are concatenated in a deterministic total order and the
@@ -618,7 +619,14 @@ def pack_sequences(
 
     `order` defaults to (md5(id), id) — the repo's deterministic-
     shuffle idiom: layout- and rerun-stable, engine-portable, and a
-    fresh salt re-deals the concatenation for another epoch."""
+    fresh salt re-deals the concatenation for another epoch.
+
+    `base_offset` shifts the whole token stream: an INCREMENTAL caller
+    (the streamed packing fold) packs each new slice starting where the
+    previous one ended, and because chunking is a pure function of the
+    global offset, the union of incrementally-packed spans equals one
+    pack of the whole concatenation — the carry-over algebra
+    q_stream_pack certifies."""
     if capacity < 1:
         raise ValueError(f"pack_sequences needs capacity >= 1, got {capacity}")
     from pyspark.sql import functions as F
@@ -626,14 +634,27 @@ def pack_sequences(
     from .sort import parallel_prefix_sum
 
     lc = F.col(len_col) if isinstance(len_col, str) else len_col
-    rows = df.select(
-        F.col(id_col), lc.cast("long").alias("__len")
-    ).filter(F.col("__len") > 0)
     order = list(order) if order is not None else [
         F.md5(F.col(id_col).cast("string")),
         F.col(id_col),
     ]
-    offs = parallel_prefix_sum(rows, order, "__len", out_col="__off")
+    # order expressions are evaluated against the CALLER's frame and
+    # aliased into the projection, so they may reference any input
+    # column (e.g. a micro-batch id), not just id/len
+    okeys = [
+        (F.col(c) if isinstance(c, str) else c).alias(f"__o{i}")
+        for i, c in enumerate(order)
+    ]
+    rows = df.select(
+        F.col(id_col), lc.cast("long").alias("__len"), *okeys
+    ).filter(F.col("__len") > 0)
+    offs = parallel_prefix_sum(
+        rows, [f"__o{i}" for i in range(len(order))], "__len", out_col="__off"
+    )
+    if base_offset:
+        offs = offs.withColumn(
+            "__off", F.col("__off") + F.lit(int(base_offset)).cast("long")
+        )
     spans = offs.select(
         F.col(id_col),
         F.col("__len"),

@@ -746,3 +746,83 @@ def q_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("fp_part").cast("bigint").alias("fingerprint"),
         )
     )
+
+
+@query(
+    "q_stream_pack",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total
+      FROM documents
+    ), s AS (
+      SELECT CAST(unnest(generate_series(0, (total - 1) // 2048)) AS BIGINT)
+               AS seq_id,
+             total
+      FROM t
+    )
+    SELECT seq_id,
+           CAST(CASE WHEN seq_id < total // 2048 THEN 2048
+                     ELSE total % 2048 END AS BIGINT) AS n_tok
+    FROM s
+    """,
+)
+def q_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED concat-and-chunk sequence packing — the first
+    order-DEPENDENT streaming fold in the tier (every other streamed
+    certification folds a commutative summary; packing is a running
+    concatenation). Each micro-batch packs its documents starting at
+    the carried global offset (pack_sequences(base_offset=tokens
+    already packed)): because chunking is a pure function of the global
+    offset, the union of per-batch spans IS one pack of the whole
+    arrival-order concatenation — a batch's first span continues the
+    partial sequence its predecessor left open.
+
+    What makes this CERTIFIABLE despite order dependence: the
+    PER-SEQUENCE totals are order-INDEPENDENT — every sequence except
+    the last holds exactly `capacity` tokens no matter how documents
+    were interleaved, and the sequence count is ceil(total/capacity) —
+    so the oracle derives the full (seq_id, n_tok) table from ONE
+    corpus total. Span-level correctness (each batch continues exactly
+    where the last ended, straddles across batch boundaries) is
+    asserted in the stream==batch replay test, which re-packs the
+    recorded arrival order in one shot and matches spans exactly."""
+    from .catalog import load_table
+    from .operators.sampling import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_len")
+    )
+    base = _fresh_tmpdir("stream_pack_")
+    docs.repartition(4).write.parquet(f"{base}/src")
+    schema = spark.read.parquet(f"{base}/src").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/src")
+    )
+    out = f"{base}/spans"
+
+    def fold(batch_df: DataFrame, bid: int) -> None:
+        try:
+            prev = (
+                spark.read.parquet(out).agg(F.sum("n_tok")).collect()[0][0] or 0
+            )
+        except Exception:
+            prev = 0  # first batch: no spans store yet
+        spans = pack_sequences(
+            batch_df, "doc_id", "n_len", capacity=2048, base_offset=prev
+        )
+        spans.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(out)
+
+    (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("seq_id")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tok"))
+    )

@@ -284,3 +284,92 @@ def test_stream_left_outer_join_flushed_region(spark):
         c.select(F.col("event_id").alias("click_id"), F.col("ts")), "click_id"
     ).filter(F.col("ts") + F.expr("INTERVAL 2 HOUR") + F.expr("INTERVAL 1 MINUTE") >= F.lit(wb))
     assert late.count() == 0
+
+
+class TestStreamPack:
+    def test_streamed_spans_equal_one_shot_replay_of_arrival_order(self, spark):
+        """The carry-over algebra: each micro-batch packs from the
+        carried offset, so the union of per-batch spans must equal ONE
+        pack of the whole arrival-order concatenation — including spans
+        that straddle a micro-batch boundary (a batch's first sequence
+        continues its predecessor's last). The replay orders by
+        (batch_id, md5(doc_id), doc_id), exactly the order the fold
+        consumed."""
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+        from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+            pack_sequences,
+        )
+        from dais2021imageprocessingondeltalake_spark.queries_streaming import (
+            _fresh_tmpdir,
+        )
+
+        cap = 512
+        docs = load_table(spark, "documents", SF_DIR).select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_len")
+        )
+        base = _fresh_tmpdir("test_stream_pack_")
+        docs.repartition(3).write.parquet(f"{base}/src")
+        schema = spark.read.parquet(f"{base}/src").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src")
+        )
+        out = f"{base}/spans"
+
+        def fold(batch_df, bid):
+            try:
+                prev = (
+                    spark.read.parquet(out).agg(F.sum("n_tok")).collect()[0][0]
+                    or 0
+                )
+            except Exception:
+                prev = 0
+            pack_sequences(
+                batch_df, "doc_id", "n_len", capacity=cap, base_offset=prev
+            ).withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(out)
+
+        (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        streamed = spark.read.parquet(out)
+        assert streamed.select("batch_id").distinct().count() == 3
+        batch_map = streamed.groupBy("doc_id").agg(
+            F.min("batch_id").alias("batch_id")
+        )
+        replay_in = docs.join(batch_map, "doc_id")
+        replayed = pack_sequences(
+            replay_in,
+            "doc_id",
+            "n_len",
+            capacity=cap,
+            order=[
+                F.col("batch_id"),
+                F.md5(F.col("doc_id").cast("string")),
+                F.col("doc_id"),
+            ],
+        )
+        got = {
+            (r["doc_id"], r["seq_id"], r["doc_from"], r["doc_to"], r["pos_in_seq"])
+            for r in streamed.collect()
+        }
+        want = {
+            (r["doc_id"], r["seq_id"], r["doc_from"], r["doc_to"], r["pos_in_seq"])
+            for r in replayed.collect()
+        }
+        assert got == want and got
+        # at least one micro-batch boundary straddle exists unless every
+        # batch's token total happens to be a multiple of cap — with the
+        # corpus's ragged lengths the partial-continuation path is hit
+        fills = {
+            r["seq_id"]: r["n"]
+            for r in streamed.groupBy("seq_id")
+            .agg(F.sum("n_tok").alias("n"))
+            .collect()
+        }
+        last = max(fills)
+        assert all(n == cap for s, n in fills.items() if s != last)
