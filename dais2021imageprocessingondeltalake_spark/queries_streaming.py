@@ -801,18 +801,29 @@ def q_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/src")
     )
     out = f"{base}/spans"
+    totals = f"{base}/totals"
 
     def fold(batch_df: DataFrame, bid: int) -> None:
+        # carried offset from the |batches|-row totals store, NOT by
+        # re-summing the spans store (which grows with the corpus —
+        # re-reading it per batch would make the fold quadratic in
+        # stream length); one tiny row per micro-batch is the same
+        # bounded-state shape as every other fold in this tier
         try:
             prev = (
-                spark.read.parquet(out).agg(F.sum("n_tok")).collect()[0][0] or 0
+                spark.read.parquet(totals).agg(F.sum("t")).collect()[0][0] or 0
             )
         except Exception:
-            prev = 0  # first batch: no spans store yet
+            prev = 0  # first batch: no totals store yet
         spans = pack_sequences(
             batch_df, "doc_id", "n_len", capacity=2048, base_offset=prev
         )
         spans.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(out)
+        # positive lengths only — exactly what pack_sequences packs, so
+        # the carried offset can never drift from the span stream
+        batch_df.filter(F.col("n_len") > 0).agg(
+            F.sum(F.col("n_len").cast("long")).alias("t")
+        ).write.mode("append").parquet(totals)
 
     (
         stream.writeStream.foreachBatch(fold)
