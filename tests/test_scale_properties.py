@@ -955,3 +955,40 @@ def test_epoch_shuffle_is_partition_parallel(spark):
     )
     assert "windowspecdefinition(__pid" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_margin_ivf_no_cartesian_candidates(spark):
+    """The IVF miner's budget contract is structural: candidates come
+    from a cell-keyed EQUI-join (probe cells x home cells), never a
+    cartesian/nested-loop pair product — the plan must show no
+    CartesianProduct or BroadcastNestedLoopJoin anywhere."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators.similarity import (
+        margin_mine_ivf,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    plan = _formatted_plan(
+        margin_mine_ivf(emb, k=8, iters=1, nprobe=2, min_margin_x10k=10200)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """Packing's running sum must never funnel the corpus through one
+    task: the only WindowExec is partitioned by the range-partition id
+    (parallel_prefix_sum), so the plan has no partitionless window."""
+    from dais2021imageprocessingondeltalake_spark.catalog import load_table
+    from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    plan = _formatted_plan(pack_sequences(toks, "doc_id", "n", capacity=512))
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        line = plan[m.start() : plan.index("\n", m.start())]
+        assert "windowspecdefinition(__pid" in line, line
