@@ -104,3 +104,78 @@ def logreg_score(
             continue
         z = z + F.lit(wj) * F.col(name).cast("double")
     return z >= F.lit(threshold)
+
+
+def logreg_loss(
+    df: DataFrame,
+    weights: list[tuple[str, float]],
+    label_col: str = "__y",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Average binary log-loss of a fitted model over a feature frame —
+    one scan, one map-side-combinable avg. The loss expression clamps
+    probabilities into [1e-12, 1-1e-12] before the logs (the standard
+    guard; saturated sigmoid would give ln(0) = -inf) and rounds the
+    corpus average to `round_dp`, which absorbs libm-vs-JVM ln()/exp()
+    last-ulp differences exactly as the gradient rounding does.
+    Returns a one-row (loss) DataFrame."""
+    it = dict(weights)
+    z = F.lit(it["intercept"])
+    for name, wj in weights:
+        if name == "intercept":
+            continue
+        z = z + F.lit(wj) * F.col(name).cast("double")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    p = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    y = F.col(label_col).cast("double")
+    nll = -(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))
+    return df.agg(F.round(F.avg(nll), round_dp).alias("loss"))
+
+
+def logreg_grid_search(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lrs: list[int],
+    iters: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic hyperparameter sweep over the certified trainer —
+    the engine form of the reference's (imported, never called)
+    hyperopt seam: fit one model per learning rate, score each with the
+    averaged log-loss, return (lr, loss, weight...) rows so the caller
+    picks argmin. Each fit is `iters` scans; the whole grid is
+    |lrs|·iters scans with nothing corpus-sized ever shuffled — grid
+    points are embarrassingly parallel across a cluster's job scheduler
+    and sequential here for determinism of the shared feature cache.
+
+    Learning rates are INTEGERS by contract: an integer multiple of a
+    6dp-rounded gradient stays on the 6dp grid, so the weight update
+    never lands on a round-half boundary where Python (half-even) and
+    SQL (half-away) could disagree — fractional lrs would reintroduce
+    exactly the cross-engine boundary risk the certified-fit idiom
+    exists to exclude."""
+    if not lrs or any(int(lr) != lr or lr < 1 for lr in lrs):
+        raise ValueError(f"lrs must be positive integers, got {lrs}")
+    feats = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+    ).localCheckpoint()
+    rows = []
+    for lr in lrs:
+        w = logreg_fit_distributed(
+            feats,
+            feature_cols,
+            "__y",
+            iters=iters,
+            lr=float(lr),
+            round_dp=round_dp,
+            materialize=None,  # feats already pinned above, shared by the grid
+        )
+        loss = logreg_loss(feats, w, "__y", round_dp=round_dp).collect()[0]["loss"]
+        rows.append((int(lr), float(loss), *[float(v) for _, v in w]))
+    names = ["lr", "loss", "w_intercept"] + [f"w_{c}" for c in feature_cols]
+    schema = ", ".join(
+        f"{n} {'bigint' if n == 'lr' else 'double'}" for n in names
+    )
+    return df.sparkSession.createDataFrame(rows, schema)

@@ -3387,6 +3387,52 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_len", capacity=2048)
 
 
+#: The registered quality-classifier feature set (shared by the fit,
+#: filter, and grid oracles): 3 features, SQL expressions x1..x3.
+_LOGREG_FEATS = ["chars_k", "toks_h", "avg_wlen"]
+_LOGREG_F_CTE = """f AS MATERIALIZED (
+      SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+             n_chars / 1000.0 AS x1,
+             len(string_split(text, ' ')) / 100.0 AS x2,
+             (n_chars / len(string_split(text, ' '))) / 10.0 AS x3
+      FROM documents
+    )"""
+
+
+def _logreg_fit_ctes(iters: int, lr: int = 1, tag: str = "") -> list[str]:
+    """Per-iteration CTE chain for one GD trajectory (w{tag}0 …
+    w{tag}{iters}), shared by the fit, filter, and grid oracles. The
+    update emits `- g.g{j}` at lr=1 (the certified q_logreg_fit SQL)
+    and `- {lr} * g.g{j}` otherwise; lr is an INTEGER by the grid's
+    contract (an integer multiple of a 6dp value stays on the 6dp grid,
+    away from round-half boundaries)."""
+    d = len(_LOGREG_FEATS)
+    wcols = ["b"] + [f"w{j}" for j in range(1, d + 1)]
+    step = "" if lr == 1 else f"{int(lr)} * "
+    ctes = [f"w{tag}0(b, w1, w2, w3) AS (SELECT 0.0, 0.0, 0.0, 0.0)"]
+    for i in range(iters):
+        z = " + ".join(["w.b"] + [f"w.w{j} * x{j}" for j in range(1, d + 1)])
+        gsel = ", ".join(
+            [f"round(avg(p - y), 6) AS g0"]
+            + [f"round(avg((p - y) * x{j}), 6) AS g{j}" for j in range(1, d + 1)]
+        )
+        ctes.append(f"""g{tag}{i} AS (
+      SELECT {gsel} FROM (
+        SELECT y, {', '.join(f'x{j}' for j in range(1, d + 1))},
+               1.0 / (1.0 + exp(-({z}))) AS p
+        FROM f, w{tag}{i} w
+      )
+    )""")
+        wsel = ", ".join(
+            f"round(w.{wc} - {step}g.g{j}, 6) AS {wc}"
+            for j, wc in enumerate(wcols)
+        )
+        ctes.append(
+            f"w{tag}{i + 1} AS (SELECT {wsel} FROM w{tag}{i} w, g{tag}{i} g)"
+        )
+    return ctes
+
+
 def _logreg_fit_oracle(iters: int = 3) -> str:
     """Unroll the full-batch GD logistic-regression fit in SQL: one
     feature CTE, then per iteration a probability/gradient CTE (the
@@ -3395,36 +3441,8 @@ def _logreg_fit_oracle(iters: int = 3) -> str:
     exp() last-ulp differences) and a one-row weight CTE applying
     w ← round(w − g, 6). The final SELECT unpivots the weight row into
     the (feature, weight) table the Spark side returns."""
-    feats = ["chars_k", "toks_h", "avg_wlen"]
-    d = len(feats)
-    wcols = ["b"] + [f"w{j}" for j in range(1, d + 1)]
-    ctes = [
-        """f AS MATERIALIZED (
-      SELECT CAST(lang = 'en' AS DOUBLE) AS y,
-             n_chars / 1000.0 AS x1,
-             len(string_split(text, ' ')) / 100.0 AS x2,
-             (n_chars / len(string_split(text, ' '))) / 10.0 AS x3
-      FROM documents
-    )""",
-        "w0(b, w1, w2, w3) AS (SELECT 0.0, 0.0, 0.0, 0.0)",
-    ]
-    for i in range(iters):
-        z = " + ".join(["w.b"] + [f"w.w{j} * x{j}" for j in range(1, d + 1)])
-        gsel = ", ".join(
-            [f"round(avg(p - y), 6) AS g0"]
-            + [f"round(avg((p - y) * x{j}), 6) AS g{j}" for j in range(1, d + 1)]
-        )
-        ctes.append(f"""g{i} AS (
-      SELECT {gsel} FROM (
-        SELECT y, {', '.join(f'x{j}' for j in range(1, d + 1))},
-               1.0 / (1.0 + exp(-({z}))) AS p
-        FROM f, w{i} w
-      )
-    )""")
-        wsel = ", ".join(
-            f"round(w.{wc} - g.g{j}, 6) AS {wc}" for j, wc in enumerate(wcols)
-        )
-        ctes.append(f"w{i + 1} AS (SELECT {wsel} FROM w{i} w, g{i} g)")
+    feats = _LOGREG_FEATS
+    ctes = [_LOGREG_F_CTE] + _logreg_fit_ctes(iters)
     unpivot = "\n    UNION ALL ".join(
         [f"SELECT 'intercept' AS feature, b AS weight FROM w{iters}"]
         + [
@@ -3463,6 +3481,69 @@ def q_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, ["chars_k", "toks_h", "avg_wlen"], "y", iters=3, lr=1.0
     )
     return spark.createDataFrame(w, "feature string, weight double")
+
+
+_LOGREG_GRID_LRS = [1, 2, 4]
+
+
+def _logreg_grid_oracle(lrs: list[int] = _LOGREG_GRID_LRS, iters: int = 3) -> str:
+    """One SQL string replaying the whole grid: per learning rate, the
+    tagged fit-CTE chain (lr{lr}_), a clamped average-log-loss CTE over
+    the final weights, then a UNION ALL of (lr, loss, weights) rows —
+    exactly the table logreg_grid_search returns."""
+    parts = [_LOGREG_F_CTE]
+    selects = []
+    for lr in lrs:
+        tag = f"lr{lr}_"
+        parts += _logreg_fit_ctes(iters, lr=lr, tag=tag)
+        z = " + ".join(["w.b"] + [f"w.w{j} * x{j}" for j in range(1, 4)])
+        parts.append(f"""loss{tag} AS (
+      SELECT round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS loss
+      FROM (
+        SELECT y,
+               least(greatest(1.0 / (1.0 + exp(-({z}))), 1e-12),
+                     1.0 - 1e-12) AS p
+        FROM f, w{tag}{iters} w
+      )
+    )""")
+        selects.append(
+            f"SELECT CAST({lr} AS BIGINT) AS lr, l.loss, w.b AS w_intercept, "
+            f"w.w1 AS w_chars_k, w.w2 AS w_toks_h, w.w3 AS w_avg_wlen "
+            f"FROM w{tag}{iters} w, loss{tag} l"
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@query("q_logreg_grid", oracle=_logreg_grid_oracle())
+def q_logreg_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hyperparameter grid over the certified trainer —
+    the engine form of the reference's hyperopt seam (imported at
+    `02.a:36`/`02.b:37`, never called): three integer learning rates,
+    each fit with the exact q_logreg_fit trajectory contract, scored
+    with the clamped average log-loss, returned as (lr, loss, weights)
+    rows for argmin selection. |lrs|·iters corpus scans total, model
+    state |lrs|·(d+1) doubles; grid points are independent jobs on a
+    cluster. Integer lrs keep every weight update on the 6dp grid
+    (away from round-half boundaries), which is what lets ONE SQL
+    string replay all three trajectories plus their losses."""
+    from .operators.linear import logreg_grid_search
+
+    docs = load_table(spark, "documents", sf_dir)
+    ntok = F.size(F.split("text", " "))
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
+        (ntok / F.lit(100.0)).alias("toks_h"),
+        ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
+    )
+    return logreg_grid_search(
+        feats, ["chars_k", "toks_h", "avg_wlen"], "y", lrs=_LOGREG_GRID_LRS, iters=3
+    )
 
 
 def _logreg_filter_oracle() -> str:

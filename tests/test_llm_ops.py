@@ -1483,3 +1483,36 @@ class TestLogregFit:
         df = spark.createDataFrame([(1.0, 1)], ["a", "y"])
         with pytest.raises(ValueError):
             logreg_fit_distributed(df, ["a"], "y", iters=0)
+
+
+class TestLogregGrid:
+    def test_grid_rows_and_loss_sanity(self, spark):
+        """One row per lr; every loss finite, positive, and no worse
+        than the w=0 baseline loss ln(2) by much (3 GD steps from zero
+        should not diverge on bounded features); validation rejects
+        non-integer rates (the 6dp-grid closure contract)."""
+        import math
+
+        import pytest
+
+        from dais2021imageprocessingondeltalake_spark.operators.linear import (
+            logreg_grid_search,
+        )
+
+        docs = load_table(spark, "documents", SF_DIR)
+        ntok = F.size(F.split("text", " "))
+        feats = docs.select(
+            (F.col("lang") == "en").cast("int").alias("y"),
+            (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
+            (ntok / F.lit(100.0)).alias("toks_h"),
+        )
+        grid = logreg_grid_search(
+            feats, ["chars_k", "toks_h"], "y", lrs=[1, 2, 4], iters=3
+        ).collect()
+        assert sorted(r["lr"] for r in grid) == [1, 2, 4]
+        for r in grid:
+            assert math.isfinite(r["loss"]) and 0 < r["loss"] < 2.0, r
+        with pytest.raises(ValueError):
+            logreg_grid_search(feats, ["chars_k"], "y", lrs=[1, 2.5])
+        with pytest.raises(ValueError):
+            logreg_grid_search(feats, ["chars_k"], "y", lrs=[])
