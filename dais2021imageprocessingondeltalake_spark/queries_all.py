@@ -195,6 +195,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_logreg_filter",  # NEW r6: train-then-deploy learned curation gate
     "q_stream_pack",  # NEW r6: streamed order-dependent packing fold
     "q_logreg_grid",  # NEW r6: certified hyperparameter grid (hyperopt seam)
+    "q_margin_ivf_curve",  # NEW r6: certified nprobe recall-vs-budget curve
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

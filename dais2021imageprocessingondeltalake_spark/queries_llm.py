@@ -2666,18 +2666,12 @@ def q_margin_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MARGIN_IVF_FLOOR_X10K = 3000
 
 
-def _margin_ivf_pairs_sql(nprobe: int = 2) -> str:
-    """Shared CTE chain for the IVF margin oracles: replay the ONE-
-    iteration sqrt(N) k-means coarse quantizer (md5-rank seeds c0 →
-    nearest-centroid a0 → 6dp-rounded M-step c1 — the
-    _semdedup_sqrtk_oracle fit replay, relabeled cl to keep the corpus
-    GROUP label distinct from the cluster label), the top-nprobe cell
-    assignment t2 (row_number over sim DESC, cl — exactly
-    assign_topn_centroids' stable argsort), the home-cell candidate
-    join, and the cosine-ranked candidate window. Expects a CTE
-    ``v(vec_id, grp, ve)`` upstream; k = ceil(sqrt(count(*))) is
-    computed IN the oracle so one string certifies every scale."""
-    return f"""c0 AS MATERIALIZED (
+#: One-iteration sqrt(N) k-means fit replay (md5-rank seeds c0 →
+#: nearest-centroid a0 → 6dp-rounded M-step c1 — the
+#: _semdedup_sqrtk_oracle replay, relabeled cl to keep the corpus GROUP
+#: label distinct from the cluster label). Shared verbatim by every IVF
+#: margin oracle; expects a CTE ``v(vec_id, grp, ve)`` upstream.
+_MARGIN_IVF_FIT_SQL = """c0 AS MATERIALIZED (
       SELECT CAST(rn - 1 AS INT) AS cl, list_transform(ve, x -> round(x, 6)) AS cvec
       FROM (
         SELECT vec_id, ve,
@@ -2701,7 +2695,15 @@ def _margin_ivf_pairs_sql(nprobe: int = 2) -> str:
           FROM a0
         ) GROUP BY cl, dim
       ) GROUP BY cl
-    ), t2 AS MATERIALIZED (
+    )"""
+
+
+def _margin_ivf_probe_ctes(nprobe: int, tag: str = "") -> str:
+    """Per-nprobe CTE chain over the shared fit: top-nprobe cell
+    assignment t2{tag} (row_number over sim DESC, cl — exactly
+    assign_topn_centroids' stable argsort), home-cell candidate join
+    cand{tag}, cosine-ranked window ivf_ranked{tag}."""
+    return f"""t2{tag} AS MATERIALIZED (
       SELECT vec_id, grp, cl, rn FROM (
         SELECT s.*, row_number() OVER (PARTITION BY vec_id
                                        ORDER BY sim DESC, cl) AS rn
@@ -2711,22 +2713,30 @@ def _margin_ivf_pairs_sql(nprobe: int = 2) -> str:
           FROM v CROSS JOIN c1 c
         ) s
       ) WHERE rn <= {nprobe}
-    ), cand AS MATERIALIZED (
+    ), cand{tag} AS MATERIALIZED (
       SELECT p.vec_id AS probe_id, h.vec_id AS nbr_id
-      FROM t2 p JOIN (SELECT vec_id, grp, cl FROM t2 WHERE rn = 1) h
+      FROM t2{tag} p JOIN (SELECT vec_id, grp, cl FROM t2{tag} WHERE rn = 1) h
         ON p.cl = h.cl AND p.grp <> h.grp
-    ), ivf_ranked AS MATERIALIZED (
+    ), ivf_ranked{tag} AS MATERIALIZED (
       SELECT probe_id, nbr_id, s,
              row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, nbr_id)
                AS rn
       FROM (
         SELECT c.probe_id, c.nbr_id,
                round(list_cosine_similarity(a.ve, d.ve), 6) AS s
-        FROM cand c
+        FROM cand{tag} c
         JOIN v a ON a.vec_id = c.probe_id
         JOIN v d ON d.vec_id = c.nbr_id
       )
     )"""
+
+
+def _margin_ivf_pairs_sql(nprobe: int = 2) -> str:
+    """Shared CTE chain for the single-config IVF margin oracles: the
+    one-iteration fit replay (_MARGIN_IVF_FIT_SQL) + the top-nprobe
+    probe chain; k = ceil(sqrt(count(*))) is computed IN the oracle so
+    one string certifies every scale."""
+    return _MARGIN_IVF_FIT_SQL + ", " + _margin_ivf_probe_ctes(nprobe)
 
 
 def _margin_mine_ivf_oracle(min_margin_x10k: int = 11000) -> str:
@@ -2881,6 +2891,117 @@ def q_margin_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_MARGIN_IVF_FLOOR_X10K).cast("bigint").alias("floor_x10k"),
         (recall >= F.lit(_MARGIN_IVF_FLOOR_X10K)).alias("meets_floor"),
     )
+
+
+_MARGIN_IVF_NPROBES = (1, 2, 4)
+
+
+def _margin_ivf_curve_oracle(min_margin_x10k: int = 11000) -> str:
+    """One SQL string replaying the nprobe SENSITIVITY CURVE: the
+    shared one-iteration fit, one probe chain per nprobe in
+    {1, 2, 4}, the brute-force reference, and per-nprobe
+    (candidates, mined pairs, hits, recall) rows — the measured
+    recall-vs-budget trade as a certified table instead of a prose
+    claim."""
+    parts = [_MARGIN_IVF_FIT_SQL]
+    selects = []
+    for np_ in _MARGIN_IVF_NPROBES:
+        tag = f"_p{np_}"
+        parts.append(_margin_ivf_probe_ctes(np_, tag))
+        parts.append(f"""pairs{tag} AS MATERIALIZED (
+      SELECT b.probe_id, b.nbr_id AS best_id
+      FROM (SELECT probe_id, nbr_id, s FROM ivf_ranked{tag} WHERE rn = 1) b
+      JOIN (SELECT probe_id, s AS sim2 FROM ivf_ranked{tag} WHERE rn = 2) s2
+        USING (probe_id)
+      WHERE s2.sim2 > 0
+        AND floor(10000.0 * b.s / s2.sim2) >= {min_margin_x10k}
+    )""")
+        selects.append(f"""SELECT CAST({np_} AS BIGINT) AS nprobe,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand{tag}) AS n_cand,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs{tag}) AS n_mined,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM pairs{tag} JOIN brute_pairs USING (probe_id, best_id)) AS n_hit,
+           (SELECT CAST(CASE WHEN (SELECT count(*) FROM brute_pairs) = 0
+                             THEN 10000
+                             ELSE floor(10000.0 * count(*) /
+                                  (SELECT count(*) FROM brute_pairs)) END
+                  AS BIGINT)
+            FROM pairs{tag} JOIN brute_pairs USING (probe_id, best_id))
+             AS recall_x10k""")
+    parts.append(f"""brute_ranked AS MATERIALIZED (
+      SELECT probe_id, nbr_id, s,
+             row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, nbr_id) AS rn
+      FROM (
+        SELECT a.vec_id AS probe_id, c.vec_id AS nbr_id,
+               round(list_cosine_similarity(a.ve, c.ve), 6) AS s
+        FROM v a JOIN v c ON a.grp <> c.grp
+      )
+    ), brute_pairs AS MATERIALIZED (
+      SELECT b.probe_id, b.nbr_id AS best_id
+      FROM (SELECT probe_id, nbr_id, s FROM brute_ranked WHERE rn = 1) b
+      JOIN (SELECT probe_id, s AS sim2 FROM brute_ranked WHERE rn = 2) s2
+        USING (probe_id)
+      WHERE s2.sim2 > 0
+        AND floor(10000.0 * b.s / s2.sim2) >= {min_margin_x10k}
+    )""")
+    return (
+        """
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS ve
+      FROM embeddings
+    ), """
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@query("q_margin_ivf_curve", oracle=_margin_ivf_curve_oracle())
+def q_margin_ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-margin nprobe SENSITIVITY CURVE — the budget-vs-recall trade
+    as a driver-certified table: for nprobe in {1, 2, 4} over the SAME
+    certified fit, the candidate-pair budget (grows ~linearly in
+    nprobe), the mined high-margin pairs, and recall vs the brute-force
+    reference. A deployment reads this row set to pick its operating
+    point; the probe artifact shows the same curve at 60x scale. One
+    fit, |nprobes| candidate joins, one quadratic audit reference (at
+    100 TB the brute side runs on a sample; here the corpus is the
+    sample)."""
+    import math
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    k = int(math.ceil(math.sqrt(emb.count())))
+    brute = SIM.margin_mine(emb, min_margin_x10k=11000).select(
+        "probe_id", "best_id"
+    ).localCheckpoint()
+    n_brute = brute.count()
+    cos = SIM._cosine_pairs_arrow(6)
+    vecs = emb.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    rows = []
+    for np_ in _MARGIN_IVF_NPROBES:
+        cand = SIM.ivf_candidate_pairs(emb, k=k, iters=1, nprobe=np_)
+        n_cand = cand.count()
+        scored = (
+            cand.join(
+                vecs.select(F.col("_vid").alias("probe_id"), F.col("_v").alias("_pv")),
+                "probe_id",
+            )
+            .join(
+                vecs.select(F.col("_vid").alias("nbr_id"), F.col("_v").alias("_nv")),
+                "nbr_id",
+            )
+            .select("probe_id", "nbr_id", cos(F.col("_pv"), F.col("_nv")).alias("s"))
+        )
+        mined = SIM._margin_top2(scored, 11000).select("probe_id", "best_id")
+        n_mined = mined.count()
+        n_hit = mined.join(brute, ["probe_id", "best_id"]).count()
+        recall = 10000 if n_brute == 0 else (10000 * n_hit) // n_brute
+        rows.append((np_, n_cand, n_mined, n_hit, recall))
+    return spark.createDataFrame(
+        rows, "nprobe bigint, n_cand bigint, n_mined bigint, n_hit bigint, "
+        "recall_x10k bigint"
+    )
+
 
 
 @query(

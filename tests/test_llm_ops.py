@@ -1516,3 +1516,27 @@ class TestLogregGrid:
             logreg_grid_search(feats, ["chars_k"], "y", lrs=[1, 2.5])
         with pytest.raises(ValueError):
             logreg_grid_search(feats, ["chars_k"], "y", lrs=[])
+
+
+def test_margin_ivf_curve_is_monotone(spark):
+    """Sensitivity-curve invariants. STRUCTURAL: the candidate budget
+    is non-decreasing in nprobe (top-n cells are a superset of top-n-1,
+    so the candidate set only grows). EMPIRICAL-ON-THIS-CORPUS (pinned
+    by determinism, not guaranteed by superset algebra — a larger
+    candidate set raises sim2 and can flip the margin FILTER): the hit
+    count is non-decreasing too, which is the whole point of paying a
+    bigger budget and what a deployment reads the curve for."""
+    from dais2021imageprocessingondeltalake_spark.queries_llm import (
+        q_margin_ivf_curve,
+    )
+
+    from .conftest import SF_DIR_MID
+
+    rows = sorted(
+        (r.asDict() for r in q_margin_ivf_curve(spark, SF_DIR_MID).collect()),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_cand"] >= a["n_cand"], (a, b)
+        assert b["n_hit"] >= a["n_hit"], (a, b)
