@@ -196,6 +196,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_stream_pack",  # NEW r6: streamed order-dependent packing fold
     "q_logreg_grid",  # NEW r6: certified hyperparameter grid (hyperopt seam)
     "q_margin_ivf_curve",  # NEW r6: certified nprobe recall-vs-budget curve
+    "q_logreg_holdout",  # NEW r6: certified train/valid holdout evaluation
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

@@ -3520,7 +3520,9 @@ _LOGREG_F_CTE = """f AS MATERIALIZED (
     )"""
 
 
-def _logreg_fit_ctes(iters: int, lr: int = 1, tag: str = "") -> list[str]:
+def _logreg_fit_ctes(
+    iters: int, lr: int = 1, tag: str = "", src: str = "f"
+) -> list[str]:
     """Per-iteration CTE chain for one GD trajectory (w{tag}0 …
     w{tag}{iters}), shared by the fit, filter, and grid oracles. The
     update emits `- g.g{j}` at lr=1 (the certified q_logreg_fit SQL)
@@ -3541,7 +3543,7 @@ def _logreg_fit_ctes(iters: int, lr: int = 1, tag: str = "") -> list[str]:
       SELECT {gsel} FROM (
         SELECT y, {', '.join(f'x{j}' for j in range(1, d + 1))},
                1.0 / (1.0 + exp(-({z}))) AS p
-        FROM f, w{tag}{i} w
+        FROM {src}, w{tag}{i} w
       )
     )""")
         wsel = ", ".join(
@@ -3664,6 +3666,91 @@ def q_logreg_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return logreg_grid_search(
         feats, ["chars_k", "toks_h", "avg_wlen"], "y", lrs=_LOGREG_GRID_LRS, iters=3
+    )
+
+
+def _logreg_holdout_oracle(iters: int = 3) -> str:
+    """Train/validation discipline replayed in SQL: the feature CTE
+    carries a deterministic 80/20 split flag (doc_id % 10 < 8), the fit
+    chain trains on the 80% slice only (src='f' = the train view), and
+    the final row reports exact split counts plus the clamped average
+    log-loss on BOTH slices under the fitted weights."""
+    z = " + ".join(["w.b"] + [f"w.w{j} * x{j}" for j in range(1, 4)])
+    loss = (
+        "round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6)"
+    )
+    inner = (
+        f"SELECT y, least(greatest(1.0 / (1.0 + exp(-({z}))), 1e-12), "
+        f"1.0 - 1e-12) AS p"
+    )
+    return (
+        """
+    WITH fh AS MATERIALIZED (
+      SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+             n_chars / 1000.0 AS x1,
+             len(string_split(text, ' ')) / 100.0 AS x2,
+             (n_chars / len(string_split(text, ' '))) / 10.0 AS x3,
+             (doc_id % 10) < 8 AS is_train
+      FROM documents
+    ), f AS MATERIALIZED (
+      SELECT y, x1, x2, x3 FROM fh WHERE is_train
+    ), """
+        + ",\n    ".join(_logreg_fit_ctes(iters))
+        + f""", tl AS (
+      SELECT {loss} AS train_loss FROM (
+        {inner} FROM f, w{iters} w
+      )
+    ), vl AS (
+      SELECT {loss} AS valid_loss FROM (
+        {inner} FROM (SELECT * FROM fh WHERE NOT is_train), w{iters} w
+      )
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM fh WHERE is_train) AS n_train,
+           (SELECT CAST(count(*) AS BIGINT) FROM fh WHERE NOT is_train)
+             AS n_valid,
+           tl.train_loss, vl.valid_loss
+    FROM tl, vl"""
+    )
+
+
+@query("q_logreg_holdout", oracle=_logreg_holdout_oracle())
+def q_logreg_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the quality classifier — the train/valid
+    discipline the reference applies via randomSplit (`02.a:79`),
+    certified: a deterministic 80/20 split (doc_id % 10 — layout- and
+    rerun-stable, the hash-split idiom), the exact q_logreg_fit
+    trajectory on the train slice only, and the clamped average
+    log-loss reported on BOTH slices. A valid_loss far above train_loss
+    is the overfit alarm; at 3 GD steps on 3 features the two should be
+    close (test-asserted). One row: (n_train, n_valid, train_loss,
+    valid_loss)."""
+    from .operators.linear import logreg_fit_distributed, logreg_loss
+
+    docs = load_table(spark, "documents", sf_dir)
+    ntok = F.size(F.split("text", " "))
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
+        (ntok / F.lit(100.0)).alias("toks_h"),
+        ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
+        (F.col("doc_id") % 10 < 8).alias("is_train"),
+    ).localCheckpoint()
+    train = feats.filter(F.col("is_train"))
+    valid = feats.filter(~F.col("is_train"))
+    w = logreg_fit_distributed(
+        train, ["chars_k", "toks_h", "avg_wlen"], "y", iters=3, lr=1.0
+    )
+    tl = logreg_loss(train, w, "y").collect()[0]["loss"]
+    vl = logreg_loss(valid, w, "y").collect()[0]["loss"]
+    return (
+        train.agg(F.count(F.lit(1)).alias("n_train"))
+        .crossJoin(valid.agg(F.count(F.lit(1)).alias("n_valid")))
+        .select(
+            "n_train",
+            "n_valid",
+            F.lit(float(tl)).alias("train_loss"),
+            F.lit(float(vl)).alias("valid_loss"),
+        )
     )
 
 

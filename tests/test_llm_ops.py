@@ -1540,3 +1540,21 @@ def test_margin_ivf_curve_is_monotone(spark):
     for a, b in zip(rows, rows[1:]):
         assert b["n_cand"] >= a["n_cand"], (a, b)
         assert b["n_hit"] >= a["n_hit"], (a, b)
+
+
+def test_logreg_holdout_losses_close(spark):
+    """3 GD steps on 3 bounded features cannot overfit: the held-out
+    loss must be within 25% of the train loss, and both below the w=0
+    baseline ln(2) + slack."""
+    import math
+
+    from dais2021imageprocessingondeltalake_spark.queries_llm import (
+        q_logreg_holdout,
+    )
+
+    from .conftest import SF_DIR_MID
+
+    row = q_logreg_holdout(spark, SF_DIR_MID).collect()[0]
+    assert row["n_train"] + row["n_valid"] > 0
+    assert 0 < row["train_loss"] < math.log(2) + 0.1
+    assert abs(row["valid_loss"] - row["train_loss"]) <= 0.25 * row["train_loss"], row
