@@ -197,6 +197,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_logreg_grid",  # NEW r6: certified hyperparameter grid (hyperopt seam)
     "q_margin_ivf_curve",  # NEW r6: certified nprobe recall-vs-budget curve
     "q_logreg_holdout",  # NEW r6: certified train/valid holdout evaluation
+    "q_logreg_calibration",  # NEW r6: exact reliability table (z-binned)
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",

@@ -3754,6 +3754,73 @@ def q_logreg_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logreg_calibration_oracle(iters: int = 3) -> str:
+    """Fit replay + reliability table: rows binned by the INTEGER part
+    of the fitted logit z (clamped to [-5, 4] so the table is bounded),
+    per-bin row and positive counts. No transcendental anywhere in the
+    binning — z is pure IEEE arithmetic over certified weights, floor
+    and counts are exact — so the whole table is bit-exact."""
+    fit = _logreg_fit_oracle(iters)
+    head = fit[: fit.rindex("SELECT 'intercept'")].rstrip()
+    z = (
+        "w.b + w.w1 * (n_chars / 1000.0) "
+        "+ w.w2 * (len(string_split(text, ' ')) / 100.0) "
+        "+ w.w3 * ((n_chars / len(string_split(text, ' '))) / 10.0)"
+    )
+    return (
+        head
+        + f""", zb AS (
+      SELECT CAST(least(greatest(floor({z}), -5), 4) AS BIGINT) AS z_bin,
+             CAST(lang = 'en' AS INT) AS y
+      FROM documents, w{iters} w
+    )
+    SELECT z_bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos
+    FROM zb GROUP BY z_bin"""
+    )
+
+
+@query("q_logreg_calibration", oracle=_logreg_calibration_oracle())
+def q_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability table for the fitted classifier: rows
+    binned by the integer part of the logit z (clamped to [-5, 4] —
+    bin b covers predicted probability sigma(b)..sigma(b+1)), with
+    per-bin row and positive counts. A calibrated model's empirical
+    positive rate rises with the bin — the standard reliability-diagram
+    data, and the audit that decides whether the filter's threshold
+    means what it claims. Scoring is a literal projection (no join);
+    the one wide op is the |bins|-row aggregate. Binning has no
+    transcendental (z is pure IEEE over 6dp-certified weights), so
+    every count is bit-exact cross-engine."""
+    from .operators.linear import logreg_fit_distributed
+
+    docs = load_table(spark, "documents", sf_dir)
+    ntok = F.size(F.split("text", " "))
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
+        (ntok / F.lit(100.0)).alias("toks_h"),
+        ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
+    ).localCheckpoint()
+    w = logreg_fit_distributed(
+        feats, ["chars_k", "toks_h", "avg_wlen"], "y", iters=3, lr=1.0,
+        materialize=None,
+    )
+    it = dict(w)
+    z = (
+        F.lit(it["intercept"])
+        + F.lit(it["chars_k"]) * F.col("chars_k")
+        + F.lit(it["toks_h"]) * F.col("toks_h")
+        + F.lit(it["avg_wlen"]) * F.col("avg_wlen")
+    )
+    z_bin = F.least(F.greatest(F.floor(z), F.lit(-5)), F.lit(4)).cast("bigint")
+    return feats.groupBy(z_bin.alias("z_bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+    )
+
+
 def _logreg_filter_oracle() -> str:
     """Fit replay (same unrolled CTEs as q_logreg_fit) + deploy-side
     scoring: the decision z >= 0 is PURE IEEE arithmetic over the

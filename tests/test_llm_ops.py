@@ -1558,3 +1558,20 @@ def test_logreg_holdout_losses_close(spark):
     assert row["n_train"] + row["n_valid"] > 0
     assert 0 < row["train_loss"] < math.log(2) + 0.1
     assert abs(row["valid_loss"] - row["train_loss"]) <= 0.25 * row["train_loss"], row
+
+
+def test_logreg_calibration_partitions_corpus(spark):
+    """The reliability table must partition the corpus exactly: bin
+    counts sum to |docs|, positives sum to the global positive count,
+    and every bin satisfies 0 <= n_pos <= n."""
+    from dais2021imageprocessingondeltalake_spark.queries_llm import (
+        q_logreg_calibration,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    rows = q_logreg_calibration(spark, SF_DIR).collect()
+    assert sum(r["n"] for r in rows) == docs.count()
+    assert sum(r["n_pos"] for r in rows) == docs.filter("lang = 'en'").count()
+    for r in rows:
+        assert 0 <= r["n_pos"] <= r["n"], r
+        assert -5 <= r["z_bin"] <= 4, r
