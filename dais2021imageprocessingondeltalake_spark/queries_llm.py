@@ -3458,6 +3458,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_pack_sequences",
+    headline=True,
     oracle="""
     WITH d AS (
       SELECT doc_id,
@@ -3642,7 +3643,7 @@ def _logreg_grid_oracle(lrs: list[int] = _LOGREG_GRID_LRS, iters: int = 3) -> st
     )
 
 
-@query("q_logreg_grid", oracle=_logreg_grid_oracle())
+@query("q_logreg_grid", headline=True, oracle=_logreg_grid_oracle())
 def q_logreg_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hyperparameter grid over the certified trainer —
     the engine form of the reference's hyperopt seam (imported at
