@@ -53,15 +53,17 @@ def logreg_fit_distributed(
     precision) once certification is not the goal."""
     if iters < 1:
         raise ValueError(f"logreg_fit_distributed needs iters >= 1, got {iters}")
+    from .dedup import materialize_df
+
     feats = df.select(
         F.col(label_col).cast("double").alias("__y"),
         *[F.col(c).cast("double").alias(f"__x{j}") for j, c in enumerate(feature_cols)],
     )
-    if materialize == "localCheckpoint":
-        # one materialization feeds every iteration's scan: the feature
-        # projection (often derived from text) would otherwise re-run
-        # per iteration
-        feats = feats.localCheckpoint()
+    # one materialization feeds every iteration's scan: the feature
+    # projection (often derived from text) would otherwise re-run per
+    # iteration. materialize_df validates the mode and handles the
+    # True/persist/checkpoint aliases like every sibling operator.
+    feats = materialize_df(feats, materialize)
     names = ["intercept", *feature_cols]
     xs: list[Column | None] = [None, *[F.col(f"__x{j}") for j in range(len(feature_cols))]]
     w = [0.0] * len(names)
@@ -82,21 +84,30 @@ def logreg_fit_distributed(
                 expr = F.round(expr, round_dp)
             aggs.append(expr.alias(f"g{j}"))
         grad = feats.agg(*aggs).collect()[0]
+        if grad["g0"] is None:
+            # avg over zero rows is NULL — fail with a diagnosable error
+            # instead of a TypeError mid-update (reachable when a caller
+            # trains on an empty split slice)
+            raise ValueError(
+                "logreg_fit_distributed got an empty input frame "
+                "(every gradient is NULL)"
+            )
         w = [_r(w[j] - lr * grad[f"g{j}"]) for j in range(len(names))]
     return list(zip(names, w))
 
 
 def logreg_score(
-    df: DataFrame,
     weights: list[tuple[str, float]],
     threshold: float = 0.0,
 ) -> Column:
     """Linear scorer for a fitted model: returns the BOOLEAN decision
     column x·w + b >= threshold (threshold in LOGIT space — 0.0 is
-    probability 0.5). Decisions compare a double against a literal, so
-    they are exact-comparable cross-engine wherever the margin is not
-    identically the last ulp; certified consumers report integer
-    decision COUNTS, the repo's robust-compare idiom."""
+    probability 0.5), built purely from the weights — apply it to any
+    frame carrying the weight-named feature columns. Decisions compare
+    a double against a literal, so they are exact-comparable
+    cross-engine wherever the margin is not identically the last ulp;
+    certified consumers report integer decision COUNTS, the repo's
+    robust-compare idiom."""
     it = dict(weights)
     z = F.lit(it["intercept"])
     for name, wj in weights:

@@ -633,6 +633,32 @@ def label_centroids(
     )
 
 
+def _centroid_matrix(centroids_long: DataFrame):
+    """Collect a label_centroids long table into the broadcastable
+    numpy form every E-step variant scores against: (cmat [k x dim,
+    label-ascending rows], cnorm, label_arr, label SQL type). Shared by
+    assign_to_centroids and assign_topn_centroids so the tie/rounding
+    rules certified oracles replay live in exactly one place. Returns
+    None for an empty centroid table (callers emit the empty-schema
+    frame)."""
+    import numpy as np
+
+    rows = centroids_long.select("label", "dim", "centroid").collect()
+    label_type = centroids_long.schema["label"].dataType.simpleString()
+    if not rows:
+        return None
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = float(r["centroid"])
+    labels = sorted(by_label)  # ascending -> first argmax = min label on ties
+    cmat = np.array(
+        [[by_label[l][d] for d in sorted(by_label[l])] for l in labels],
+        dtype=np.float64,
+    )
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    return cmat, cnorm, np.array(labels), label_type
+
+
 def assign_to_centroids(
     df: DataFrame,
     centroids_long: DataFrame,
@@ -660,30 +686,20 @@ def assign_to_centroids(
     -label)) aggregate, which the certified oracles replay."""
     import numpy as np
 
-    rows = centroids_long.select("label", "dim", "centroid").collect()
-    label_type_empty = centroids_long.schema["label"].dataType.simpleString()
-    if not rows:
+    packed = _centroid_matrix(centroids_long)
+    if packed is None:
         # empty centroid table assigns nothing — same as the old
         # crossJoin-with-empty shape, with the schema preserved
+        label_type_empty = centroids_long.schema["label"].dataType.simpleString()
         return df.sparkSession.createDataFrame(
             [],
             schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
             f"assigned_label {label_type_empty}, sim double",
         )
-    by_label: dict = {}
-    for r in rows:
-        by_label.setdefault(r["label"], {})[r["dim"]] = float(r["centroid"])
-    labels = sorted(by_label)  # ascending -> first argmax = min label on ties
-    cmat = np.array(
-        [[by_label[l][d] for d in sorted(by_label[l])] for l in labels],
-        dtype=np.float64,
-    )
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-    label_arr = np.array(labels)
     # assigned_label keeps the INPUT label dtype — the driver's value
     # hash is type-sensitive, so widening int labels to bigint would
     # break certified consumers even with identical values
-    label_type = centroids_long.schema["label"].dataType.simpleString()
+    cmat, cnorm, label_arr, label_type = packed
 
     @F.pandas_udf(f"struct<assigned_label: {label_type}, sim: double>")
     def best(vec: pd.Series) -> pd.DataFrame:
@@ -1474,9 +1490,9 @@ def assign_topn_centroids(
     rows per input row as (id, *keep_cols, rank, assigned_label, sim)."""
     import numpy as np
 
-    rows = centroids_long.select("label", "dim", "centroid").collect()
-    label_type = centroids_long.schema["label"].dataType.simpleString()
-    if not rows:
+    packed = _centroid_matrix(centroids_long)
+    if packed is None:
+        label_type = centroids_long.schema["label"].dataType.simpleString()
         keep = ", ".join(
             f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
         )
@@ -1486,17 +1502,8 @@ def assign_topn_centroids(
             + (keep + ", " if keep else "")
             + f"rank int, assigned_label {label_type}, sim double",
         )
-    by_label: dict = {}
-    for r in rows:
-        by_label.setdefault(r["label"], {})[r["dim"]] = float(r["centroid"])
-    labels = sorted(by_label)
-    cmat = np.array(
-        [[by_label[l][d] for d in sorted(by_label[l])] for l in labels],
-        dtype=np.float64,
-    )
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-    label_arr = np.array(labels)
-    top = min(n, len(labels))
+    cmat, cnorm, label_arr, label_type = packed
+    top = min(n, len(label_arr))
 
     @F.pandas_udf(
         f"array<struct<rank: int, assigned_label: {label_type}, sim: double>>"
@@ -1547,6 +1554,7 @@ def ivf_candidate_pairs(
     vec_col: str = "embedding",
     round_dp: int = 6,
     materialize: str | bool | None = "localCheckpoint",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate generator for margin_mine_ivf, factored out (the
     lsh_candidate_pairs convention) so the scale probe counts and
@@ -1557,12 +1565,22 @@ def ivf_candidate_pairs(
     differ. Budget bound by construction: each base row appears in one
     cell, each probe row in nprobe cells, so candidates per probe are
     at most nprobe·max|cell| and a pair can match at most once (no
-    dedup stage). Returns (probe_id, nbr_id)."""
+    dedup stage). Returns (probe_id, nbr_id).
+
+    Pass `centroids` (label_centroids long form) to reuse a fit that
+    already exists — e.g. a caller probing SEVERAL nprobe settings over
+    ONE quantizer (q_margin_ivf_curve) pays one fit + n assignments
+    instead of refitting identical centroids per setting (the
+    semantic_dedup_flags assignment= idiom); `k`/`iters` are then
+    unused."""
     from .dedup import materialize_df
 
-    _, cents = kmeans_fit_distributed(
-        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, round_dp=round_dp
-    )
+    if centroids is None:
+        _, cents = kmeans_fit_distributed(
+            df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+        )
+    else:
+        cents = centroids
     top = assign_topn_centroids(
         df,
         cents,

@@ -2975,11 +2975,15 @@ def q_margin_ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "best_id"
     ).localCheckpoint()
     n_brute = brute.count()
+    # ONE fit shared by every nprobe setting (the oracle computes the
+    # fit CTE once too) — refitting per setting would run the identical
+    # seed/E-step/M-step chain three times for bit-identical centroids
+    _, cents = SIM.kmeans_fit_distributed(emb, k=k, iters=1, round_dp=6)
     cos = SIM._cosine_pairs_arrow(6)
     vecs = emb.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
     rows = []
     for np_ in _MARGIN_IVF_NPROBES:
-        cand = SIM.ivf_candidate_pairs(emb, k=k, iters=1, nprobe=np_)
+        cand = SIM.ivf_candidate_pairs(emb, k=k, nprobe=np_, centroids=cents)
         n_cand = cand.count()
         scored = (
             cand.join(
@@ -3509,6 +3513,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_len", capacity=2048)
 
 
+def _logreg_features(docs: DataFrame, *extra) -> DataFrame:
+    """The certified classifier's Spark-side feature projection — ONE
+    definition shared by every logreg query (and the scale probe) so it
+    cannot drift from the SQL twin _LOGREG_F_CTE, which certification
+    requires to stay bit-identical. `extra` prepends passthrough
+    columns (e.g. 'source', a split flag)."""
+    ntok = F.size(F.split("text", " "))
+    return docs.select(
+        *extra,
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
+        (ntok / F.lit(100.0)).alias("toks_h"),
+        ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
+    )
+
+
 #: The registered quality-classifier feature set (shared by the fit,
 #: filter, and grid oracles): 3 features, SQL expressions x1..x3.
 _LOGREG_FEATS = ["chars_k", "toks_h", "avg_wlen"]
@@ -3533,7 +3553,12 @@ def _logreg_fit_ctes(
     d = len(_LOGREG_FEATS)
     wcols = ["b"] + [f"w{j}" for j in range(1, d + 1)]
     step = "" if lr == 1 else f"{int(lr)} * "
-    ctes = [f"w{tag}0(b, w1, w2, w3) AS (SELECT 0.0, 0.0, 0.0, 0.0)"]
+    # w0 generated from the same wcols the loops use, so growing
+    # _LOGREG_FEATS can never desynchronize the initial-weight arity
+    ctes = [
+        f"w{tag}0({', '.join(wcols)}) AS "
+        f"(SELECT {', '.join('0.0' for _ in wcols)})"
+    ]
     for i in range(iters):
         z = " + ".join(["w.b"] + [f"w.w{j} * x{j}" for j in range(1, d + 1)])
         gsel = ", ".join(
@@ -3594,13 +3619,7 @@ def q_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.linear import logreg_fit_distributed
 
     docs = load_table(spark, "documents", sf_dir)
-    ntok = F.size(F.split("text", " "))
-    feats = docs.select(
-        (F.col("lang") == "en").cast("int").alias("y"),
-        (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
-        (ntok / F.lit(100.0)).alias("toks_h"),
-        ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
-    )
+    feats = _logreg_features(docs)
     w = logreg_fit_distributed(
         feats, ["chars_k", "toks_h", "avg_wlen"], "y", iters=3, lr=1.0
     )
@@ -3658,13 +3677,7 @@ def q_logreg_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.linear import logreg_grid_search
 
     docs = load_table(spark, "documents", sf_dir)
-    ntok = F.size(F.split("text", " "))
-    feats = docs.select(
-        (F.col("lang") == "en").cast("int").alias("y"),
-        (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
-        (ntok / F.lit(100.0)).alias("toks_h"),
-        ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
-    )
+    feats = _logreg_features(docs)
     return logreg_grid_search(
         feats, ["chars_k", "toks_h", "avg_wlen"], "y", lrs=_LOGREG_GRID_LRS, iters=3
     )
@@ -3728,13 +3741,8 @@ def q_logreg_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.linear import logreg_fit_distributed, logreg_loss
 
     docs = load_table(spark, "documents", sf_dir)
-    ntok = F.size(F.split("text", " "))
-    feats = docs.select(
-        (F.col("lang") == "en").cast("int").alias("y"),
-        (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
-        (ntok / F.lit(100.0)).alias("toks_h"),
-        ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
-        (F.col("doc_id") % 10 < 8).alias("is_train"),
+    feats = _logreg_features(
+        docs, (F.col("doc_id") % 10 < 8).alias("is_train")
     ).localCheckpoint()
     train = feats.filter(F.col("is_train"))
     valid = feats.filter(~F.col("is_train"))
@@ -3797,13 +3805,7 @@ def q_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.linear import logreg_fit_distributed
 
     docs = load_table(spark, "documents", sf_dir)
-    ntok = F.size(F.split("text", " "))
-    feats = docs.select(
-        (F.col("lang") == "en").cast("int").alias("y"),
-        (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
-        (ntok / F.lit(100.0)).alias("toks_h"),
-        ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
-    ).localCheckpoint()
+    feats = _logreg_features(docs).localCheckpoint()
     w = logreg_fit_distributed(
         feats, ["chars_k", "toks_h", "avg_wlen"], "y", iters=3, lr=1.0,
         materialize=None,
@@ -3862,18 +3864,11 @@ def q_logreg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.linear import logreg_fit_distributed, logreg_score
 
     docs = load_table(spark, "documents", sf_dir)
-    ntok = F.size(F.split("text", " "))
-    feats = docs.select(
-        "source",
-        (F.col("lang") == "en").cast("int").alias("y"),
-        (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
-        (ntok / F.lit(100.0)).alias("toks_h"),
-        ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
-    )
+    feats = _logreg_features(docs, "source")
     w = logreg_fit_distributed(
         feats, ["chars_k", "toks_h", "avg_wlen"], "y", iters=3, lr=1.0
     )
-    keep = logreg_score(feats, w)
+    keep = logreg_score(w)
     return feats.withColumn("keep", keep).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),

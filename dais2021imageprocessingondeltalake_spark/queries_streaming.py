@@ -31,17 +31,22 @@ def _fresh_tmpdir(prefix: str) -> str:
     return d
 
 
-def _stream_fold_partials(spark, prefix: str, src: DataFrame, fold) -> str:
+def _stream_fold_partials(
+    spark, prefix: str, src: DataFrame, fold, n_files: int = 4
+) -> str:
     """Shared scaffold for the partial-summary streaming certifications
-    (q_stream_cms / q_stream_heavy_hitters / q_stream_drift): pre-split
-    the source into 4 parquet files, stream them one file per trigger
-    (real incremental delivery), foreachBatch-fold each micro-batch's
-    partial summary into an append-only {base}/partials store, drain
-    with availableNow, and return the partials path. `fold(batch_df,
-    out_dir)` writes ONE batch's partial rows; the caller merges the
-    store and certifies merged == batch-built against the batch oracle."""
+    (q_stream_cms / q_stream_heavy_hitters / q_stream_drift /
+    q_stream_pack): pre-split the source into `n_files` parquet files,
+    stream them one file per trigger (real incremental delivery),
+    foreachBatch-fold each micro-batch's partial summary into an
+    append-only {base}/partials store, drain with availableNow, and
+    return the partials path. `fold(batch_df, out_dir, batch_id)`
+    writes ONE batch's partial rows (order-DEPENDENT folds key their
+    carried state off batch_id or sibling stores next to out_dir); the
+    caller merges the store and certifies merged == batch-built against
+    the batch oracle."""
     base = _fresh_tmpdir(prefix)
-    src.repartition(4).write.parquet(f"{base}/src")
+    src.repartition(n_files).write.parquet(f"{base}/src")
     schema = spark.read.parquet(f"{base}/src").schema
     stream = (
         spark.readStream.schema(schema)
@@ -50,7 +55,7 @@ def _stream_fold_partials(spark, prefix: str, src: DataFrame, fold) -> str:
     )
     out = f"{base}/partials"
     (
-        stream.writeStream.foreachBatch(lambda b, _id: fold(b, out))
+        stream.writeStream.foreachBatch(lambda b, bid: fold(b, out, bid))
         .option("checkpointLocation", f"{base}/ckpt")
         .trigger(availableNow=True)
         .start()
@@ -559,7 +564,7 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
 
-    def fold(batch_df: DataFrame, out: str) -> None:
+    def fold(batch_df: DataFrame, out: str, _bid: int) -> None:
         toks = batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
         SK.cms_table(toks, "tok", depth=4, hex_chars=2).write.mode("append").parquet(out)
 
@@ -595,7 +600,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
 
-    def fold(batch_df: DataFrame, out: str) -> None:
+    def fold(batch_df: DataFrame, out: str, _bid: int) -> None:
         toks = batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
         SK.misra_gries_partials(toks, "tok", counters=256).write.mode(
             "append"
@@ -648,7 +653,7 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("lang", "n_chars")
 
-    def fold(batch_df: DataFrame, out: str) -> None:
+    def fold(batch_df: DataFrame, out: str, _bid: int) -> None:
         en = F.col("lang") == "en"
         batch_df.groupBy(F.expr("n_chars div 50").alias("bin")).agg(
             F.sum(F.when(en, 1).otherwise(0)).alias("cnt_a"),
@@ -728,7 +733,7 @@ def q_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
 
-    def fold(batch_df: DataFrame, out: str) -> None:
+    def fold(batch_df: DataFrame, out: str, _bid: int) -> None:
         batch_df.select(
             F.pmod(_md5_int60(F.col("doc_id"), "shard"), F.lit(8)).alias("shard"),
             _md5_int60(F.col("doc_id"), "fp").alias("fp"),
@@ -786,35 +791,27 @@ def q_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the last ended, straddles across batch boundaries) is
     asserted in the stream==batch replay test, which re-packs the
     recorded arrival order in one shot and matches spans exactly."""
+    import os
+
     from .catalog import load_table
     from .operators.sampling import pack_sequences
 
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.size(F.split("text", " ")).alias("n_len")
     )
-    base = _fresh_tmpdir("stream_pack_")
-    docs.repartition(4).write.parquet(f"{base}/src")
-    schema = spark.read.parquet(f"{base}/src").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{base}/src")
-    )
-    out = f"{base}/spans"
-    totals = f"{base}/totals"
 
-    def fold(batch_df: DataFrame, bid: int) -> None:
-        # carried offset from the |batches|-row totals store, NOT by
-        # re-summing the spans store (which grows with the corpus —
-        # re-reading it per batch would make the fold quadratic in
-        # stream length); one tiny row per micro-batch is the same
-        # bounded-state shape as every other fold in this tier
-        try:
-            prev = (
-                spark.read.parquet(totals).agg(F.sum("t")).collect()[0][0] or 0
-            )
-        except Exception:
-            prev = 0  # first batch: no totals store yet
+    def fold(batch_df: DataFrame, out: str, bid: int) -> None:
+        # carried offset from the |batches|-row totals store (a sibling
+        # of the spans store), NOT by re-summing the growing spans store
+        # — one tiny row per micro-batch is the same bounded-state shape
+        # as every other fold in this tier. Missing-store is the ONLY
+        # tolerated read failure (checked by path existence, not a
+        # blanket except — any other error must fail the batch, or the
+        # offset would silently reset to 0 and corrupt the pack).
+        totals = os.path.join(os.path.dirname(out), "totals")
+        prev = 0
+        if os.path.exists(totals):
+            prev = spark.read.parquet(totals).agg(F.sum("t")).collect()[0][0] or 0
         spans = pack_sequences(
             batch_df, "doc_id", "n_len", capacity=2048, base_offset=prev
         )
@@ -825,15 +822,9 @@ def q_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_len").cast("long")).alias("t")
         ).write.mode("append").parquet(totals)
 
-    (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    partials = _stream_fold_partials(spark, "stream_pack_", docs, fold)
     return (
-        spark.read.parquet(out)
+        spark.read.parquet(partials)
         .groupBy("seq_id")
         .agg(F.sum("n_tok").cast("bigint").alias("n_tok"))
     )

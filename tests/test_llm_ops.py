@@ -1448,7 +1448,7 @@ class TestLogregFit:
             "y", (F.col("a") + F.col("b") > 0).cast("int")
         )
         w = logreg_fit_distributed(df, ["a", "b"], "y", iters=25, lr=2.0)
-        pred = df.withColumn("p", logreg_score(df, w))
+        pred = df.withColumn("p", logreg_score(w))
         acc = (
             pred.filter(F.col("p") == (F.col("y") == 1)).count() / pred.count()
         )

@@ -318,13 +318,14 @@ class TestStreamPack:
         out = f"{base}/spans"
 
         def fold(batch_df, bid):
-            try:
+            import os
+
+            prev = 0
+            if os.path.exists(out):  # missing-store = first batch only
                 prev = (
                     spark.read.parquet(out).agg(F.sum("n_tok")).collect()[0][0]
                     or 0
                 )
-            except Exception:
-                prev = 0
             pack_sequences(
                 batch_df, "doc_id", "n_len", capacity=cap, base_offset=prev
             ).withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(out)

@@ -335,7 +335,8 @@ def main() -> int:
 
                 tpath = build_scaled_corpus(args.base, k, scratch)
                 tdocs = spark.read.parquet(tpath)
-                point.setdefault("n_docs", tdocs.count())
+                if "n_docs" not in point:  # setdefault would scan eagerly
+                    point["n_docs"] = tdocs.count()
                 t0 = time.perf_counter()
                 toks = tdocs.select(
                     "doc_id", F.size(F.split("text", " ")).alias("n_len")
@@ -345,13 +346,11 @@ def main() -> int:
                 ).count()
                 point["pack_secs"] = round(time.perf_counter() - t0, 2)
 
-                ntok = F.size(F.split("text", " "))
-                feats = tdocs.select(
-                    (F.col("lang") == "en").cast("int").alias("y"),
-                    (F.col("n_chars") / F.lit(1000.0)).alias("chars_k"),
-                    (ntok / F.lit(100.0)).alias("toks_h"),
-                    ((F.col("n_chars") / ntok) / F.lit(10.0)).alias("avg_wlen"),
+                from dais2021imageprocessingondeltalake_spark.queries_llm import (
+                    _logreg_features,
                 )
+
+                feats = _logreg_features(tdocs)
                 t0 = time.perf_counter()
                 w = logreg_fit_distributed(
                     feats, ["chars_k", "toks_h", "avg_wlen"], "y", iters=3, lr=1.0
