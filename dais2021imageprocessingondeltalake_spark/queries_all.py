@@ -34,19 +34,19 @@ from .registry import REGISTRY, headline_queries, oracle_sql, queries  # noqa: F
 # them via ``queries()``/``oracle_sql()`` and the repo's own dual-scale sweep
 # (tools/verify_sweep.py) checks every oracle at sf0.01 AND sf0.1 each round.
 #
-# Window changes r5 -> r6 (per VERDICT r5 items 1/2; nothing unregistered):
-# - The 15 r5-certified rotating slots (TPC-H tier 2 + the 4 streaming
-#   extras — all green in CORRECTNESS_r05 except q_tpch_priority_lines)
-#   rotate to the queue tail, EXCEPT q_tpch_priority_lines, which stays
-#   resident so its one-line oracle CAST fix (HUGEINT-vs-BIGINT hash
-#   artifact, values judge-verified identical) gets a green r6 row.
-# - In come 14 of the committed r6 queue head: the r3 north-star LLM tier
-#   re-gate carrying the r5 successors — the data-sized L-table
-#   q_margin_mine_lsh, the measured q_margin_lsh_recall, and the sqrt(N)
-#   q_semdedup. Three queue-head ids that are unchanged since their green
-#   r3 rows (q_ngram_jaccard_prefix, q_dedup_spans, q_embedding_topk) plus
-#   q_embedding_ann_q8 defer to the r7 head — the window holds 15 rotating
-#   slots and the priority_lines re-gate takes one.
+# Window changes r6 -> r7 (per VERDICT r6 item 1; nothing unregistered):
+# - The 15 r6-certified rotating slots (the north-star LLM dedup/ANN/
+#   curation tier plus the q_tpch_priority_lines re-gate — all green in
+#   CORRECTNESS_r06) rotate to the queue tail.
+# - In come the 15 ids VERDICT r6 item 1 names for driver certification:
+#   the r6 training tier (logreg fit/filter/grid/holdout/calibration),
+#   sequence packing (batch + streamed fold), the IVF margin-miner trio
+#   (miner, measured recall, certified nprobe curve), and the data-plane
+#   tier (ORC round-trip, XOR shard manifest, negative sampling, epoch
+#   shuffle, chi-square drift). The four carried deferrals
+#   (q_ngram_jaccard_prefix, q_dedup_spans, q_embedding_topk,
+#   q_embedding_ann_q8) stay at the queue head for r8 — the window holds
+#   15 rotating slots and VERDICT's named training tier takes all 15.
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # SURVEY §2 resident set (35)
@@ -85,23 +85,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_scan_binary",
     "q_stream_agg",
     "q_stream_window",
-    # Rotation head promoted for r6 (VERDICT r5 items 1/2): the oracle-cast
-    # re-gate + the r3 north-star LLM tier with its data-sized successors.
-    "q_tpch_priority_lines",
-    "q_dedup_exact",
-    "q_minhash_lsh_md5",
-    "q_dedup_clusters",
-    "q_dedup_end2end",
-    "q_cross_dedup",
-    "q_decontaminate",
-    "q_embedding_ann",
-    "q_text_stats",
-    "q_llm_pipeline",
-    "q_curate_end2end",
-    "q_bm25",
-    "q_semdedup",
-    "q_margin_mine_lsh",
-    "q_margin_lsh_recall",
+    # Rotation head promoted for r7 (VERDICT r6 item 1): the r6 training /
+    # packing / IVF-margin / data-plane tier gets driver certification.
+    "q_logreg_fit",
+    "q_logreg_filter",
+    "q_logreg_grid",
+    "q_logreg_holdout",
+    "q_logreg_calibration",
+    "q_pack_sequences",
+    "q_stream_pack",
+    "q_margin_mine_ivf",
+    "q_margin_ivf_recall",
+    "q_margin_ivf_curve",
+    "q_orc_roundtrip",
+    "q_shard_manifest",
+    "q_negative_sample",
+    "q_epoch_shuffle",
+    "q_profile_drift",
 )
 
 # --- Promoted-set ledger (VERDICT r5 item 1b) --------------------------------
@@ -111,7 +111,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # registered (their green rows are history, and the dual-scale sweep keeps
 # checking their oracles). Rotations update CURRENT_ROUND + append one entry
 # here instead of hand-editing a test.
-CURRENT_ROUND = 6
+CURRENT_ROUND = 7
 PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
     4: (
         "q_minhash_lsh_md5",
@@ -164,12 +164,29 @@ PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
         "q_margin_mine_lsh",
         "q_margin_lsh_recall",
     ),
+    7: (
+        "q_logreg_fit",
+        "q_logreg_filter",
+        "q_logreg_grid",
+        "q_logreg_holdout",
+        "q_logreg_calibration",
+        "q_pack_sequences",
+        "q_stream_pack",
+        "q_margin_mine_ivf",
+        "q_margin_ivf_recall",
+        "q_margin_ivf_curve",
+        "q_orc_roundtrip",
+        "q_shard_manifest",
+        "q_negative_sample",
+        "q_epoch_shuffle",
+        "q_profile_drift",
+    ),
 }
 
 # Priority order for slots 51+; ids not listed here follow in their original
 # registration order. Rounds 7+ rotate these into freed window slots.
 ROTATION_QUEUE: tuple[str, ...] = (
-    # r7 head: the r6 queue-head ids the 15-slot window could not take
+    # r8 head: the r6/r7 queue-head ids the 15-slot window could not take
     # (unchanged since their green r3 rows; sweep-checked every round)
     "q_ngram_jaccard_prefix",
     "q_dedup_spans",
@@ -177,27 +194,12 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_embedding_ann_q8",
     "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
-    "q_epoch_shuffle",  # NEW r6: deterministic epoch shuffle + shards
-    "q_profile_drift",  # NEW r6: exact chi-square drift report (per-bin)
     "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)
     "q_auc_ranked",  # NEW r6: integer-exact Mann-Whitney ROC-AUC
     "q_spearman",  # NEW r6: midrank Spearman correlation audit
     "q_ndcg",  # NEW r6: nDCG@10 of the BM25 ranking (corpus-ideal IDCG)
     "q_lang_f1",  # NEW r6: integer-exact per-class precision/recall/F1
-    "q_shard_manifest",  # NEW r6: XOR membership fingerprints per shard
-    "q_negative_sample",  # NEW r6: deterministic hash-ring contrastive negatives
-    "q_orc_roundtrip",  # NEW r6: ORC sink+scan certified against the parquet oracle
     "q_stream_shard_manifest",  # NEW r6: streamed XOR manifest, merge==batch
-    "q_margin_mine_ivf",  # NEW r6: budget-holding IVF margin miner (N^1.5 dual)
-    "q_margin_ivf_recall",  # NEW r6: measured IVF-margin recall report
-    "q_pack_sequences",  # NEW r6: concat-and-chunk packing via parallel prefix sum
-    "q_logreg_fit",  # NEW r6: certified full-batch GD quality classifier
-    "q_logreg_filter",  # NEW r6: train-then-deploy learned curation gate
-    "q_stream_pack",  # NEW r6: streamed order-dependent packing fold
-    "q_logreg_grid",  # NEW r6: certified hyperparameter grid (hyperopt seam)
-    "q_margin_ivf_curve",  # NEW r6: certified nprobe recall-vs-budget curve
-    "q_logreg_holdout",  # NEW r6: certified train/valid holdout evaluation
-    "q_logreg_calibration",  # NEW r6: exact reliability table (z-binned)
     # remaining streaming tier
     "q_stream_static_join",
     "q_stream_dedup_watermark",
@@ -326,6 +328,23 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_stream_left_join",
     "q_stateful_stream",
     "q_stream_join",
+    # r6-certified ids rotated OUT of the window in r7 (each holds a green
+    # CORRECTNESS_r06 row; the dual-scale sweep keeps their oracles checked)
+    "q_tpch_priority_lines",
+    "q_dedup_exact",
+    "q_minhash_lsh_md5",
+    "q_dedup_clusters",
+    "q_dedup_end2end",
+    "q_cross_dedup",
+    "q_decontaminate",
+    "q_embedding_ann",
+    "q_text_stats",
+    "q_llm_pipeline",
+    "q_curate_end2end",
+    "q_bm25",
+    "q_semdedup",
+    "q_margin_mine_lsh",
+    "q_margin_lsh_recall",
 )
 
 
