@@ -1490,6 +1490,11 @@ def assign_topn_centroids(
     rows per input row as (id, *keep_cols, rank, assigned_label, sim)."""
     import numpy as np
 
+    if n < 1:
+        # n=0 would silently emit zero rows and n<0 would slice ranks
+        # from the TAIL of the argsort — fail loud like the sibling
+        # operators (pack_sequences, logreg_fit_distributed) do
+        raise ValueError(f"assign_topn_centroids requires n >= 1, got {n}")
     packed = _centroid_matrix(centroids_long)
     if packed is None:
         label_type = centroids_long.schema["label"].dataType.simpleString()

@@ -64,6 +64,38 @@ def _stream_fold_partials(
     return out
 
 
+def _write_partial(df: DataFrame, out: str, bid: int) -> None:
+    """Idempotent partial publication for at-least-once foreachBatch:
+    the partial is keyed by batch_id and written with DYNAMIC partition
+    overwrite, so a retried micro-batch replaces exactly its own rows
+    instead of double-appending them into the merge (plain
+    mode("append") silently double-counts every summary — XOR
+    fingerprints flip back, counters inflate — on the first executor
+    crash between the write and the epoch commit)."""
+    (
+        df.withColumn("batch_id", F.lit(bid))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out)
+    )
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API. Order-dependent
+    folds tolerate exactly one read failure — missing store on the first
+    batch — and driver-local os.path.exists cannot make that call for a
+    non-local partials base (HDFS/S3 paths are never local files, so it
+    returns False every batch and the carried state silently resets — the
+    corruption the check exists to prevent). Routing the probe through
+    the store's own FileSystem keeps the tolerance correct on any
+    filesystem the base may point at."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 from .streaming.stream import events_batch, events_stream, run_stream_to_memory
 from .streaming.windows import tumbling_window_agg
 
@@ -564,9 +596,9 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
 
-    def fold(batch_df: DataFrame, out: str, _bid: int) -> None:
+    def fold(batch_df: DataFrame, out: str, bid: int) -> None:
         toks = batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
-        SK.cms_table(toks, "tok", depth=4, hex_chars=2).write.mode("append").parquet(out)
+        _write_partial(SK.cms_table(toks, "tok", depth=4, hex_chars=2), out, bid)
 
     partials = _stream_fold_partials(spark, "stream_cms_", docs, fold)
     return spark.read.parquet(partials).groupBy("j", "b").agg(F.sum("cnt").alias("cnt"))
@@ -600,11 +632,9 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
 
-    def fold(batch_df: DataFrame, out: str, _bid: int) -> None:
+    def fold(batch_df: DataFrame, out: str, bid: int) -> None:
         toks = batch_df.select(F.explode(F.split("text", " ")).alias("tok"))
-        SK.misra_gries_partials(toks, "tok", counters=256).write.mode(
-            "append"
-        ).parquet(out)
+        _write_partial(SK.misra_gries_partials(toks, "tok", counters=256), out, bid)
 
     partials = _stream_fold_partials(spark, "stream_hh_", docs, fold)
     candidates = spark.read.parquet(partials).select("item").distinct()
@@ -653,12 +683,13 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("lang", "n_chars")
 
-    def fold(batch_df: DataFrame, out: str, _bid: int) -> None:
+    def fold(batch_df: DataFrame, out: str, bid: int) -> None:
         en = F.col("lang") == "en"
-        batch_df.groupBy(F.expr("n_chars div 50").alias("bin")).agg(
+        partial = batch_df.groupBy(F.expr("n_chars div 50").alias("bin")).agg(
             F.sum(F.when(en, 1).otherwise(0)).alias("cnt_a"),
             F.sum(F.when(en, 0).otherwise(1)).alias("cnt_b"),
-        ).write.mode("append").parquet(out)
+        )
+        _write_partial(partial, out, bid)
 
     partials = _stream_fold_partials(spark, "stream_drift_", docs, fold)
     merged = (
@@ -733,14 +764,15 @@ def q_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
 
-    def fold(batch_df: DataFrame, out: str, _bid: int) -> None:
-        batch_df.select(
+    def fold(batch_df: DataFrame, out: str, bid: int) -> None:
+        partial = batch_df.select(
             F.pmod(_md5_int60(F.col("doc_id"), "shard"), F.lit(8)).alias("shard"),
             _md5_int60(F.col("doc_id"), "fp").alias("fp"),
         ).groupBy("shard").agg(
             F.count(F.lit(1)).alias("n_part"),
             F.bit_xor("fp").alias("fp_part"),
-        ).write.mode("append").parquet(out)
+        )
+        _write_partial(partial, out, bid)
 
     partials = _stream_fold_partials(spark, "stream_manifest_", docs, fold)
     return (
@@ -791,8 +823,6 @@ def q_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the last ended, straddles across batch boundaries) is
     asserted in the stream==batch replay test, which re-packs the
     recorded arrival order in one shot and matches spans exactly."""
-    import os
-
     from .catalog import load_table
     from .operators.sampling import pack_sequences
 
@@ -805,22 +835,39 @@ def q_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         # of the spans store), NOT by re-summing the growing spans store
         # — one tiny row per micro-batch is the same bounded-state shape
         # as every other fold in this tier. Missing-store is the ONLY
-        # tolerated read failure (checked by path existence, not a
-        # blanket except — any other error must fail the batch, or the
-        # offset would silently reset to 0 and corrupt the pack).
-        totals = os.path.join(os.path.dirname(out), "totals")
+        # tolerated read failure, probed through the store's own Hadoop
+        # FileSystem (driver-local os.path.exists is False for any
+        # non-local base, which would silently reset the offset to 0 —
+        # the corruption this check exists to prevent); any other error
+        # must fail the batch.
+        #
+        # foreachBatch is at-least-once, and this fold is the
+        # order-DEPENDENT one, so both stores are keyed by batch_id and
+        # published via _write_partial's dynamic partition overwrite: a
+        # retried micro-batch (crash between the spans write and the
+        # totals write) recomputes from the same prev — its own batch_id
+        # is excluded from the carried sum — and replaces exactly its own
+        # partitions, never double-appending spans at a stale offset.
+        totals = out.rstrip("/").rsplit("/", 1)[0] + "/totals"
         prev = 0
-        if os.path.exists(totals):
-            prev = spark.read.parquet(totals).agg(F.sum("t")).collect()[0][0] or 0
+        if _hadoop_path_exists(spark, totals):
+            prev = (
+                spark.read.parquet(totals)
+                .filter(F.col("batch_id") != bid)
+                .agg(F.sum("t"))
+                .collect()[0][0]
+                or 0
+            )
         spans = pack_sequences(
             batch_df, "doc_id", "n_len", capacity=2048, base_offset=prev
         )
-        spans.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(out)
+        _write_partial(spans, out, bid)
         # positive lengths only — exactly what pack_sequences packs, so
         # the carried offset can never drift from the span stream
-        batch_df.filter(F.col("n_len") > 0).agg(
+        total = batch_df.filter(F.col("n_len") > 0).agg(
             F.sum(F.col("n_len").cast("long")).alias("t")
-        ).write.mode("append").parquet(totals)
+        )
+        _write_partial(total, totals, bid)
 
     partials = _stream_fold_partials(spark, "stream_pack_", docs, fold)
     return (

@@ -4,6 +4,7 @@ duplicates, ANN recall vs the brute-force baseline."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dais2021imageprocessingondeltalake_spark.catalog import load_table
@@ -1267,6 +1268,16 @@ class TestShardManifestPayload:
 
 
 class TestMarginMineIVF:
+    def test_assign_topn_rejects_out_of_contract_n(self, spark):
+        """ADVICE r6: n=0 silently emitted zero rows and n<0 truncated
+        ranks from the argsort TAIL — both must raise like the sibling
+        operators' (pack_sequences, logreg_fit_distributed) validation."""
+        emb = load_table(spark, "embeddings", SF_DIR)
+        _, cents = SIM.kmeans_fit_distributed(emb, k=4, iters=1, round_dp=6)
+        for bad in (0, -1):
+            with pytest.raises(ValueError):
+                SIM.assign_topn_centroids(emb, cents, n=bad)
+
     def test_assign_topn_rank1_matches_assign_to_centroids(self, spark):
         """The top-n E-step's rank-1 row must reproduce the single-
         assignment E-step exactly (same rounding, same lowest-label tie

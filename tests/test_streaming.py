@@ -374,3 +374,85 @@ class TestStreamPack:
         }
         last = max(fills)
         assert all(n == cap for s, n in fills.items() if s != last)
+
+
+class TestFoldIdempotency:
+    """foreachBatch is at-least-once: a micro-batch can re-run after a
+    crash anywhere between its writes and the epoch commit. The partial
+    stores must therefore absorb a replayed batch_id without
+    double-counting (ADVICE r6) — _write_partial's dynamic partition
+    overwrite is the mechanism, and the order-dependent pack fold's
+    carried offset must exclude its own batch_id when recomputing."""
+
+    def test_write_partial_replay_replaces_not_appends(self, spark):
+        from dais2021imageprocessingondeltalake_spark.queries_streaming import (
+            _fresh_tmpdir,
+            _write_partial,
+        )
+
+        out = _fresh_tmpdir("test_idem_") + "/partials"
+        df = spark.range(5).select(F.col("id"), F.lit(1).alias("cnt"))
+        _write_partial(df, out, 0)
+        _write_partial(df, out, 1)
+        # batch 1 retries: same rows land again under the same batch_id
+        _write_partial(df, out, 1)
+        merged = spark.read.parquet(out).groupBy("id").agg(F.sum("cnt").alias("c"))
+        assert {r["c"] for r in merged.collect()} == {2}  # not 3
+
+    def test_pack_fold_retry_after_partial_failure_is_exact(self, spark):
+        """Simulate the worst crash window for the order-dependent fold:
+        batch 1's SPANS land but its TOTALS write dies; batch 1 then
+        replays. The final spans store must equal a clean straight-through
+        run — the retry recomputes from prev excluding its own batch_id
+        and overwrites its own spans partition."""
+        from dais2021imageprocessingondeltalake_spark.queries_streaming import (
+            _fresh_tmpdir,
+            _hadoop_path_exists,
+            _write_partial,
+        )
+        from dais2021imageprocessingondeltalake_spark.operators.sampling import (
+            pack_sequences,
+        )
+
+        cap = 7
+        rows = [(f"d{i}", (i * 3) % 5 + 1) for i in range(20)]
+        batches = [rows[:10], rows[10:]]
+
+        def run(base, fail_totals_of=None, replay=None):
+            out, totals = base + "/spans", base + "/totals"
+
+            def fold(batch_rows, bid, skip_totals=False):
+                bdf = spark.createDataFrame(batch_rows, ["doc_id", "n_len"])
+                prev = 0
+                if _hadoop_path_exists(spark, totals):
+                    prev = (
+                        spark.read.parquet(totals)
+                        .filter(F.col("batch_id") != bid)
+                        .agg(F.sum("t"))
+                        .collect()[0][0]
+                        or 0
+                    )
+                spans = pack_sequences(
+                    bdf, "doc_id", "n_len", capacity=cap, base_offset=prev
+                )
+                _write_partial(spans, out, bid)
+                if not skip_totals:
+                    total = bdf.filter(F.col("n_len") > 0).agg(
+                        F.sum(F.col("n_len").cast("long")).alias("t")
+                    )
+                    _write_partial(total, totals, bid)
+
+            for bid, batch_rows in enumerate(batches):
+                fold(batch_rows, bid, skip_totals=(bid == fail_totals_of))
+            if replay is not None:
+                fold(batches[replay], replay)
+            return {
+                (r["doc_id"], r["seq_id"], r["doc_from"], r["doc_to"])
+                for r in spark.read.parquet(out).collect()
+            }
+
+        clean = run(_fresh_tmpdir("test_pack_clean_"))
+        retried = run(
+            _fresh_tmpdir("test_pack_retry_"), fail_totals_of=1, replay=1
+        )
+        assert clean == retried and clean
