@@ -2196,13 +2196,15 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents")
     )
-    from pyspark.sql import Window
+    from .operators.sort import parallel_global_rank
 
-    r = s.select(
-        "cents",
-        # dim-sized window: per-customer POST-AGG spend (|customers|
-        # rows, dimension-sized)
-        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("rnk"),
+    # |customers| scales WITH the corpus (TPC-H: 150k x SF), so the rank
+    # runs through parallel_global_rank — range partition, rank within
+    # partitions, broadcast prefix offsets — never a single-reducer
+    # window (VERDICT r6 item 3). Integer cents + unique custkey
+    # tiebreak keep the two-pass rank bit-identical to the SQL window.
+    r = parallel_global_rank(s, ["cents", "o_custkey"], rank_col="rnk").select(
+        "cents", "rnk"
     )
     m = r.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -2466,16 +2468,17 @@ def q_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     from pyspark.sql import Window
 
+    from .operators.sort import parallel_global_rank
+
     s = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents")
     )
-    r = s.select(
-        "cents",
-        # dim-sized window: per-customer POST-AGG spend (|customers|
-        # rows); a data-sized ranking would use the two-level bin
-        # decomposition (sampling.select_token_budget idiom)
-        F.row_number().over(Window.orderBy(F.desc("cents"), F.asc("o_custkey"))).alias("rnk"),
-    )
+    # |customers| scales WITH the corpus (TPC-H: 150k x SF), so the rank
+    # runs through parallel_global_rank (VERDICT r6 item 3) — the decile
+    # cumulative window below stays plain, it sees exactly 10 rows.
+    r = parallel_global_rank(
+        s, [F.col("cents").desc(), F.col("o_custkey").asc()], rank_col="rnk"
+    ).select("cents", "rnk")
     m = r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("double").alias("tot"),

@@ -40,6 +40,24 @@ def test_every_partitionless_window_documents_bounded_input():
     )
 
 
+def test_customer_rank_sites_use_parallel_global_rank():
+    """VERDICT r6 item 3: |customers| scales WITH the corpus (TPC-H:
+    150k x SF), so q_gini_spend and q_pareto_deciles must rank through
+    parallel_global_rank, never a partitionless window — 'dim-sized'
+    comments cannot re-justify a global window in these two functions."""
+    text = (PKG / "queries_advanced.py").read_text()
+    for fn in ("def q_gini_spend", "def q_pareto_deciles"):
+        start = text.index(fn)
+        end = text.find("\n@query", start)
+        body = text[start : end if end != -1 else len(text)]
+        assert "parallel_global_rank" in body, f"{fn} lost its scale-safe rank"
+        # the 10-row decile cumulative window may stay; a row_number rank
+        # over the per-customer table may not
+        assert "row_number().over(" not in body.replace(" ", "").replace(
+            "F.", ""
+        ), f"{fn} reintroduced a windowed rank over per-customer rows"
+
+
 def test_lint_actually_matches_known_sites():
     """The regex scan must see the known documented sites (guards against
     the lint silently matching nothing after a refactor)."""
