@@ -237,9 +237,15 @@ def ranked_auc(
     division (Spark `div` == DuckDB `//` on non-negatives).
 
     Scale shape: one groupBy(score) shuffle; the cumulative ``before``
-    is a window over DISTINCT scores (dim-sized — bounded by score
-    cardinality, never corpus-sized; continuous scores must be
-    quantized first, which any calibrated model head already is).
+    is an exclusive prefix sum over the DISTINCT-score table via the
+    two-pass parallel scan (sort.parallel_prefix_sum: range partition,
+    per-partition cumsum, broadcast |partitions|-row offsets) — so the
+    operator holds for ANY score cardinality, a CONTINUOUS unrounded
+    score column included, where distinct-count ~ N and the previous
+    single-reducer window over the distinct table silently funneled the
+    corpus through one task (VERDICT r6 item 5). Integer counts sum
+    associatively, so the two-pass ``before`` is bit-identical to the
+    window's for any boundary placement.
     NULL scores are dropped up front (unrankable — and Spark's
     nulls-first window order vs the oracle's nulls-last would silently
     shift every real rank). A single-class input (n_pos or n_neg = 0,
@@ -248,7 +254,7 @@ def ranked_auc(
     ~3e9/sqrt(scale) rows — at larger N switch the two products to
     DECIMAL(38,0).
     """
-    from pyspark.sql import Window
+    from .sort import parallel_prefix_sum
 
     label = F.col(label_col) if isinstance(label_col, str) else label_col
     score = F.col(score_col) if isinstance(score_col, str) else score_col
@@ -257,13 +263,8 @@ def ranked_auc(
         F.count(F.lit(1)).alias("__cnt"),
         F.sum(F.when(label, 1).otherwise(0)).alias("__pos"),
     )
-    # dim-sized window: input is the per-DISTINCT-score count table
-    # (bounded by score cardinality, never corpus-sized — see docstring)
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = g.select(
-        "__cnt",
-        "__pos",
-        F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__before"),
+    ranked = parallel_prefix_sum(g, ["__s"], "__cnt", out_col="__before").select(
+        "__cnt", "__pos", "__before"
     )
     return ranked.agg(
         F.sum("__pos").cast("bigint").alias("n_pos"),
@@ -285,20 +286,18 @@ def ranked_auc(
 def _midranks2(df: DataFrame, col, alias: str) -> DataFrame:
     """Per-distinct-value DOUBLED midranks for `col`: (value, 2*before +
     cnt + 1) — the integer form shared by ranked_auc and spearman_rho.
-    Dim-sized output (one row per distinct value)."""
-    from pyspark.sql import Window
+    One row per distinct value; ``before`` comes from the two-pass
+    parallel prefix scan, not a partitionless window, so the table is
+    computed scalably even when the column is continuous and
+    distinct-count ~ N (VERDICT r6 item 5)."""
+    from .sort import parallel_prefix_sum
 
     c = F.col(col) if isinstance(col, str) else col
     g = df.groupBy(c.alias(f"__v_{alias}")).agg(F.count(F.lit(1)).alias("__cnt"))
-    # dim-sized window: input is the per-DISTINCT-value count table
-    w = Window.orderBy(f"__v_{alias}").rowsBetween(Window.unboundedPreceding, -1)
-    return g.select(
+    pre = parallel_prefix_sum(g, [f"__v_{alias}"], "__cnt", out_col="__before")
+    return pre.select(
         f"__v_{alias}",
-        (
-            F.lit(2) * F.coalesce(F.sum("__cnt").over(w), F.lit(0))
-            + F.col("__cnt")
-            + 1
-        ).alias(f"__r2_{alias}"),
+        (F.lit(2) * F.col("__before") + F.col("__cnt") + 1).alias(f"__r2_{alias}"),
     )
 
 
@@ -314,10 +313,14 @@ def spearman_rho(
     float step is the final variance sqrt + division, one fixed IEEE
     expression both engines replay identically before the floor-scale.
 
-    Scale shape: two dim-sized midrank tables (one groupBy per column
-    + a window over DISTINCT values each), broadcast back onto the
-    rows, then ONE moment aggregate — the corpus shuffles zero times
-    beyond the two distinct-value aggs. Rows where either column is
+    Scale shape: two midrank tables (one groupBy per column + a
+    two-pass parallel prefix scan each — scalable for continuous
+    columns where distinct-count ~ N), joined back onto the rows with
+    NO forced broadcast: AQE converts the join to broadcast-hash at
+    runtime exactly when the midrank table is small (quantized scores),
+    and keeps a shuffled join when it is corpus-sized (continuous
+    scores) — hinting broadcast would OOM the driver in the latter
+    case. Then ONE moment aggregate. Rows where either column is
     NULL are dropped up front (pairwise-complete semantics) — they are
     not rankable, and leaving them in would silently shift every real
     rank. Numeric headroom: the per-row moments stay BIGINT-exact
@@ -332,8 +335,8 @@ def spearman_rho(
     ry = _midranks2(df, y_col, "y")
     joined = (
         df.select(F.col(x_col).alias("__v_x"), F.col(y_col).alias("__v_y"))
-        .join(F.broadcast(rx), "__v_x")
-        .join(F.broadcast(ry), "__v_y")
+        .join(rx, "__v_x")
+        .join(ry, "__v_y")
     )
     m = joined.agg(
         F.count(F.lit(1)).alias("n"),

@@ -900,6 +900,68 @@ class TestRankMetricEdges:
         ).collect()[0]
         assert (a["n"], a["rho_x1e6"]) == (b["n"], b["rho_x1e6"])
 
+    def test_auc_continuous_scores_scalable_and_exact(self, spark):
+        """VERDICT r6 item 5's done-criterion: a CONTINUOUS unrounded
+        score column (every score distinct — distinct-count == N, the
+        case where the retired midrank window became a single-reducer
+        corpus sort) must pass scalably AND exactly. Exactness: with no
+        ties AUC is the plain Mann-Whitney pair count. Scalability: the
+        physical plan contains no partitionless Window (the prefix sum
+        runs per-range-partition)."""
+        import itertools
+
+        from dais2021imageprocessingondeltalake_spark.operators.aggregates import (
+            ranked_auc,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [
+            (((i * 2654435761) % 997) / 997.0 + i * 1e-9, i % 3 == 0)
+            for i in range(400)
+        ]
+        assert len({s for s, _ in rows}) == len(rows)  # genuinely continuous
+        pos = [s for s, y in rows if y]
+        neg = [s for s, y in rows if not y]
+        num = sum(1 for p, q in itertools.product(pos, neg) if p > q)
+        expected = (1_000_000 * 2 * num) // (2 * len(pos) * len(neg))
+        df = spark.createDataFrame(rows, "s: double, y: boolean")
+        out = ranked_auc(df, F.col("y"), "s")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan or "__pid" in plan, plan
+        r = out.collect()[0]
+        assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+        assert r["auc_x1e6"] == expected
+
+    def test_spearman_continuous_columns_scalable_and_exact(self, spark):
+        """Same criterion for spearman_rho: continuous x and y (no ties,
+        distinct-count == N) — rho must equal the closed-form Spearman on
+        permutation ranks, and the midrank build must not be a
+        partitionless window."""
+        import math
+
+        from dais2021imageprocessingondeltalake_spark.operators.aggregates import (
+            spearman_rho,
+        )
+
+        n = 300
+        rows = [
+            (
+                ((i * 2654435761) % 1009) / 1009.0 + i * 1e-9,
+                ((i * 40503) % 1009) / 1009.0 + i * 1e-9,
+            )
+            for i in range(n)
+        ]
+        xs = sorted(range(n), key=lambda i: rows[i][0])
+        ys = sorted(range(n), key=lambda i: rows[i][1])
+        rank_x = {i: r + 1 for r, i in enumerate(xs)}
+        rank_y = {i: r + 1 for r, i in enumerate(ys)}
+        d2 = sum((rank_x[i] - rank_y[i]) ** 2 for i in range(n))
+        rho = 1 - 6 * d2 / (n * (n * n - 1))
+        df = spark.createDataFrame(rows, "x: double, y: double")
+        r = spearman_rho(df, "x", "y").collect()[0]
+        assert r["n"] == n
+        assert r["rho_x1e6"] == math.floor(1_000_000 * rho)
+
     def test_drift_empty_slice_reports_zero(self, spark):
         from dais2021imageprocessingondeltalake_spark.operators.profile import drift_report
         from pyspark.sql import functions as F
