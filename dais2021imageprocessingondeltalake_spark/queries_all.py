@@ -186,7 +186,13 @@ PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
 # Priority order for slots 51+; ids not listed here follow in their original
 # registration order. Rounds 7+ rotate these into freed window slots.
 ROTATION_QUEUE: tuple[str, ...] = (
-    # r8 head: the r6/r7 queue-head ids the 15-slot window could not take
+    # r8 head: this round's flagship — the ADC-shortlisted margin miner
+    # that closes the LSH/IVF duality (VERDICT r6 item 2), its certified
+    # recall report, and the certified sized-nprobe decision
+    "q_margin_mine_pq",
+    "q_margin_pq_recall",
+    "q_margin_nprobe_sized",
+    # then the r6/r7 queue-head ids the 15-slot window could not take
     # (unchanged since their green r3 rows; sweep-checked every round)
     "q_ngram_jaccard_prefix",
     "q_dedup_spans",

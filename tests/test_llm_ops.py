@@ -1095,6 +1095,101 @@ def test_margin_mine_lsh_legacy_single_table_mode(spark):
             assert approx[pr][1] == s1, (pr, b, s1, approx[pr][1])
 
 
+class TestMarginMinePQ:
+    """The ADC-shortlisted miner (VERDICT r6 item 2's closed duality):
+    recall >= 0.85 held at a C·N full-vector budget."""
+
+    def test_size_adc_shortlist_rule(self):
+        assert SIM.size_adc_shortlist(0) == 32
+        assert SIM.size_adc_shortlist(100) == 32  # 2*10 < min 32
+        assert SIM.size_adc_shortlist(500) == 46  # 2*ceil(sqrt(500))=2*23
+        assert SIM.size_adc_shortlist(2000) == 90  # 2*45
+        assert SIM.size_adc_shortlist(30000) == 348  # 2*174
+        # exact square boundary: ceil(sqrt(2025)) = 45
+        assert SIM.size_adc_shortlist(2025) == 90
+
+    def test_size_nprobe_reads_curve(self):
+        curve = [(1, 2000), (2, 3500), (4, 5500), (8, 7900), (16, 9600)]
+        assert SIM.size_nprobe(curve, 8500) == 16
+        assert SIM.size_nprobe(curve, 7900) == 8
+        assert SIM.size_nprobe(curve, 9700) is None  # honest: unreachable
+        # dict rows (the Row-access path — Row subclasses tuple, so the
+        # field path must win over positional)
+        rows = [{"nprobe": 2, "recall_x10k": 9000, "n_cand": 99999}]
+        assert SIM.size_nprobe(rows, 8500) == 2
+
+    def test_validation_and_residency_guard(self, spark):
+        emb = load_table(spark, "embeddings", SF_DIR)
+        norm = SIM.normalize_rounded(emb)
+        book = SIM.pq_fit(emb, dim=64, m=16, k_codes=16, iters=1, vec_col="embedding")
+        codes = SIM.pq_encode(emb, book, dim=64, m=16)
+        with pytest.raises(ValueError):
+            SIM.adc_shortlist_pairs(norm, book, codes, shortlist=0, dim=64, m=16)
+        with pytest.raises(ValueError):
+            SIM.adc_shortlist_pairs(norm, book, codes, shortlist=8, dim=64, m=7)
+        with pytest.raises(ValueError, match="residency budget"):
+            SIM.adc_shortlist_pairs(
+                norm, book, codes, shortlist=8, dim=64, m=16, max_index_bytes=64
+            )
+
+    def test_chunked_scan_is_chunk_invariant(self, spark):
+        """The neighbor axis scans in chunks with a running top-C merge;
+        the ranking is a total order (adc desc, nbr_id asc) so the pair
+        set must be identical at any chunk size — including chunks
+        smaller than C, the degenerate worst case."""
+        emb = load_table(spark, "embeddings", SF_DIR)
+        norm = SIM.normalize_rounded(emb, out_col="nv").localCheckpoint()
+        book = SIM.pq_fit(norm, dim=64, m=16, k_codes=16, iters=1, vec_col="nv")
+        codes = SIM.pq_encode(norm, book, dim=64, m=16, vec_col="nv")
+        def pairs(chunk):
+            return {
+                (r["probe_id"], r["nbr_id"])
+                for r in SIM.adc_shortlist_pairs(
+                    norm, book, codes, shortlist=12, dim=64, m=16,
+                    vec_col="nv", nbr_chunk=chunk,
+                ).collect()
+            }
+        big = pairs(1 << 18)
+        assert pairs(7) == big and big
+        # exactly min(C, matching-base) rows per probe
+        per = {}
+        for p, _ in big:
+            per[p] = per.get(p, 0) + 1
+        assert set(per.values()) == {12}
+
+    def test_recall_floor_and_exact_sims_both_scales(self, spark):
+        """The closed-duality contract at BOTH driver scales: pair
+        recall >= 0.90 (measured 0.9689 / 0.9628 — floor is
+        measured-minus-slack, certified at 0.85 in q_margin_pq_recall)
+        with a C·N budget, and wherever the miner picks the brute best
+        neighbor the emitted sims are IDENTICAL (exact re-rank)."""
+        from .conftest import SF_DIR_MID
+
+        for sf in (SF_DIR_MID, "/root/testdata/sf0.1"):
+            emb = load_table(spark, "embeddings", sf)
+            exact = {
+                r["probe_id"]: (r["best_id"], r["sim1"])
+                for r in SIM.margin_mine(emb, min_margin_x10k=11000).collect()
+            }
+            approx = {
+                r["probe_id"]: (r["best_id"], r["sim1"])
+                for r in SIM.margin_mine_pq(
+                    emb, dim=64, m=16, k_codes=16, iters=1,
+                    min_margin_x10k=11000,
+                ).collect()
+            }
+            assert exact, "brute oracle found no pairs — corpus degenerate"
+            hit = sum(
+                1 for pr, (b, _) in exact.items()
+                if pr in approx and approx[pr][0] == b
+            )
+            recall = hit / len(exact)
+            assert recall >= 0.90, f"PQ-margin recall {recall:.3f} at {sf}"
+            for pr, (b, s1) in exact.items():
+                if pr in approx and approx[pr][0] == b:
+                    assert approx[pr][1] == s1, (pr, b, s1, approx[pr][1])
+
+
 def test_bigram_ppl_flags_word_salad(spark):
     """The bigram LM must separate coherent repetition from word salad:
     shuffled-adjacency text (same tokens, scrambled order) scores a
