@@ -61,6 +61,8 @@ def read_training_batches(
     shuffle_seed: int | None = None,
     columns: list[str] | None = None,
     transform=None,
+    cur_shard: int | None = None,
+    shard_count: int | None = None,
 ):
     """Petastorm-equivalent DATA PLANE over the parquet ML cache
     (narrows the J6 seam, r6): a generator of dict[str, np.ndarray]
@@ -82,10 +84,34 @@ def read_training_batches(
       TransformSpec seam (`02.a:173-180`); runs AFTER decode, before
       the consumer, like petastorm's.
     - binary/string columns arrive as object ndarrays, numerics as
-      native dtypes — the consumer reshapes to tensors."""
-    import numpy as np
+      native dtypes — the consumer reshapes to tensors.
+    - `cur_shard` / `shard_count`: petastorm's rank-sharded reader
+      contract (`make_tf_dataset(cur_shard=hvd.rank(),
+      shard_count=hvd.size())`, reference `02.a:325-329`): rank i reads
+      row groups `order[i::n]` of the epoch's (seed, epoch)-permuted
+      row-group list — so the n shards are DISJOINT, their union is
+      EXACTLY the epoch's row set (every row group appears in precisely
+      one shard), each rank's stream is deterministic for a given
+      (seed, epoch, rank), and the per-epoch permutation rebalances
+      which rank reads which groups. Both params must be given
+      together; rows are sharded at ROW-GROUP granularity (petastorm's
+      own unit), so ranks may differ by up to one row group's rows —
+      the standard contract (Horovod averages gradients over whatever
+      each rank holds)."""
     import pyarrow.parquet as pq
 
+    # validate EAGERLY (this is a plain function returning a generator,
+    # not itself a generator) so a bad rank config fails at call time,
+    # not at the first batch deep inside a training loop
+    if (cur_shard is None) != (shard_count is None):
+        raise ValueError("cur_shard and shard_count must be given together")
+    if shard_count is not None:
+        if shard_count < 1:
+            raise ValueError(f"shard_count must be >= 1, got {shard_count}")
+        if not (0 <= cur_shard < shard_count):
+            raise ValueError(
+                f"cur_shard must be in [0, {shard_count}), got {cur_shard}"
+            )
     files = sorted(
         str(p) for p in Path(cache_path).rglob("*.parquet") if p.is_file()
     )
@@ -94,12 +120,31 @@ def read_training_batches(
     groups = [
         (f, g) for f in files for g in range(pq.ParquetFile(f).num_row_groups)
     ]
+    return _iterate_training_batches(
+        groups, batch_size, num_epochs, shuffle_seed, columns, transform,
+        cur_shard, shard_count,
+    )
+
+
+def _iterate_training_batches(
+    groups, batch_size, num_epochs, shuffle_seed, columns, transform,
+    cur_shard, shard_count,
+):
+    import numpy as np
+    import pyarrow.parquet as pq
+
     for epoch in range(num_epochs):
         order = list(groups)
         if shuffle_seed is not None:
             # string seed: Random() rejects tuples, and (seed, epoch)
             # must produce independent permutations per epoch
             random.Random(f"{shuffle_seed}:{epoch}").shuffle(order)
+        if shard_count is not None:
+            # shard AFTER the epoch permutation: disjoint strided cover
+            # of the permuted list — every group lands in exactly one
+            # rank's stream, and reshuffling per epoch rotates the
+            # assignment
+            order = order[cur_shard::shard_count]
         pending: dict[str, list] = {}
         n_pending = 0
         for f, g in order:

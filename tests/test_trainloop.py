@@ -85,6 +85,78 @@ def test_framework_binding_stays_declared_seam(cache_dir):
         to_ml_dataset(cache_dir)
 
 
+class TestRankSharding:
+    """Petastorm's cur_shard/shard_count reader contract (VERDICT r6
+    item 6, reference 02.a:325-329): shards are deterministic, disjoint,
+    and reassemble to exactly the epoch's row set."""
+
+    @staticmethod
+    def _ids(cache_dir, **kw):
+        return [
+            int(x)
+            for b in read_training_batches(cache_dir, batch_size=32, **kw)
+            for x in b["id"]
+        ]
+
+    def test_shards_disjoint_and_cover_epoch_exactly(self, cache_dir):
+        for seed in (None, 7):
+            shards = [
+                self._ids(cache_dir, shuffle_seed=seed, cur_shard=i, shard_count=3)
+                for i in range(3)
+            ]
+            union = [x for s in shards for x in s]
+            assert sorted(union) == list(range(257))  # exact reassembly
+            assert len(set(union)) == len(union)  # disjoint
+            assert all(s for s in shards)  # no starved rank at this size
+
+    def test_shard_stream_is_deterministic_per_rank(self, cache_dir):
+        a = self._ids(cache_dir, shuffle_seed=7, cur_shard=1, shard_count=3)
+        b = self._ids(cache_dir, shuffle_seed=7, cur_shard=1, shard_count=3)
+        assert a == b
+        # the epoch permutation rotates the assignment: a different seed
+        # gives rank 1 a different (still-valid) slice
+        c = self._ids(cache_dir, shuffle_seed=8, cur_shard=1, shard_count=3)
+        assert set(c) != set(a)
+
+    def test_sharded_epochs_rotate_assignment(self, cache_dir):
+        two = self._ids(
+            cache_dir, shuffle_seed=7, num_epochs=2, cur_shard=0, shard_count=2
+        )
+        # each epoch's shard-0 covers half-ish the groups; with per-epoch
+        # permutations the two epoch slices differ
+        n0 = len(
+            self._ids(cache_dir, shuffle_seed=7, cur_shard=0, shard_count=2)
+        )
+        assert set(two[:n0]) != set(two[n0:])
+
+    def test_xor_fingerprint_certifies_the_partition(self, cache_dir):
+        """The shard_manifest XOR idiom: per-shard XOR of md5-derived row
+        fingerprints; XOR of all shard fingerprints == the unsharded
+        epoch's, certifying the disjoint cover without comparing lists."""
+        import hashlib
+
+        def fp(ids):
+            acc = 0
+            for i in ids:
+                acc ^= int(hashlib.md5(f"fp:{i}".encode()).hexdigest()[:15], 16)
+            return acc
+
+        whole = fp(self._ids(cache_dir, shuffle_seed=3))
+        acc = 0
+        for i in range(4):
+            acc ^= fp(self._ids(cache_dir, shuffle_seed=3, cur_shard=i, shard_count=4))
+        assert acc == whole
+
+    def test_validation_is_eager(self, cache_dir):
+        # raises at CALL time (not at the first next() deep in a loop)
+        with pytest.raises(ValueError, match="together"):
+            read_training_batches(cache_dir, cur_shard=0)
+        with pytest.raises(ValueError, match="cur_shard"):
+            read_training_batches(cache_dir, cur_shard=3, shard_count=3)
+        with pytest.raises(ValueError, match="shard_count"):
+            read_training_batches(cache_dir, cur_shard=0, shard_count=0)
+
+
 def test_tracking_lifecycle_roundtrip(spark, tmp_path):
     root = str(tmp_path / "mlruns")
     tracker = TRK.ExperimentTracker(root)
