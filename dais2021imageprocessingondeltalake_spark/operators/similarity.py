@@ -2100,6 +2100,7 @@ def adc_shortlist_pairs(
     round_dp: int = 6,
     max_index_bytes: int = 1 << 30,
     nbr_chunk: int = 1 << 18,
+    n_shards: int = 1,
 ) -> DataFrame:
     """Per-probe top-`shortlist` CROSS-GROUP candidates by ADC inner
     product over the compressed codes — the quadratic scan of margin
@@ -2112,12 +2113,20 @@ def adc_shortlist_pairs(
     memory bandwidth, emitting C id-pairs per probe. This is the ONLY
     corpus-sized collect in the engine and it is guarded: the build
     raises when the index would exceed `max_index_bytes` (default 1 GiB
-    ~ 4e7 vectors at m=16), at which point a deployment shards the
-    index — runs this operator once per code-shard with the same sizing
-    and unions the shortlists before the exact re-rank (recall is
-    preserved: each probe's global top-C is contained in the union of
-    its per-shard top-Cs under the same total order). The raw-vector
-    corpus is never collected anywhere.
+    ~ 4e7 vectors at m=16).
+
+    Past the residency budget, pass `n_shards > 1` — the TESTED
+    shard-and-union path, not just a documented escape hatch: the codes
+    split into n deterministic hash shards (pmod(xxhash64(id), n)),
+    each shard builds its own guarded in-RAM index and scans the probes
+    independently (per-shard top-C WITH the rounded ADC sims), and one
+    bounded window (<= n·C rows per probe) re-selects the GLOBAL top-C
+    by the same (adc desc, nbr_id) total order. Bit-identical to the
+    unsharded scan — every global top-C pair ranks <= C within its own
+    shard, so the union contains it, and the window's order is the
+    scan's — which is what lets one oracle certify both paths
+    (tests/test_llm_ops.py::test_sharded_scan_equals_unsharded). The
+    raw-vector corpus is never collected anywhere.
 
     Determinism (oracle-replayable): per-sub LUT inner products
     accumulate sequentially over the sub_dim coordinates (the
@@ -2134,99 +2143,150 @@ def adc_shortlist_pairs(
         raise ValueError(f"adc_shortlist_pairs requires shortlist >= 1, got {shortlist}")
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     sub_dim = dim // m
     books = _codebook_matrices(codebook.collect())
-
-    # the compressed index: (nbr_id, nbr_grp, m codes), id-ascending so
-    # column order == id order and stable argsort ties break low-id
-    idx_rows = (
-        codes_df.join(
-            df_norm.select(F.col(id_col), F.col(group_col).alias("__g")), id_col
-        )
-        .select(id_col, "__g", "codes")
-        .orderBy(id_col)
-        .collect()
-    )
-    n_idx = len(idx_rows)
-    idx_bytes = n_idx * (m + 16)
-    if idx_bytes > max_index_bytes:
-        raise ValueError(
-            f"ADC index would be ~{idx_bytes} bytes for {n_idx} vectors at m={m}, "
-            f"over the {max_index_bytes} residency budget — shard the codes and "
-            "union per-shard shortlists (see docstring)"
-        )
-    nbr_ids = np.array([r[id_col] for r in idx_rows], dtype=np.int64)
-    nbr_grps = np.array([r["__g"] for r in idx_rows])
-    nbr_codes = np.array([r["codes"] for r in idx_rows], dtype=np.int64)
-    spark = df_norm.sparkSession
-    b_index = spark.sparkContext.broadcast((nbr_ids, nbr_grps, nbr_codes))
-
     code_mats = [books[j][1] for j in range(m)]  # k_codes x sub_dim each
-    top = min(shortlist, max(n_idx - 1, 0))
+    spark = df_norm.sparkSession
 
-    out_schema = f"probe_id {df_norm.schema[id_col].dataType.simpleString()}, nbr_id {df_norm.schema[id_col].dataType.simpleString()}"
+    indexed = codes_df.join(
+        df_norm.select(F.col(id_col), F.col(group_col).alias("__g")), id_col
+    ).select(id_col, "__g", "codes")
 
-    def scan(batches):
-        ids_a, grps_a, codes_a = b_index.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
-            pids = pdf[id_col].to_numpy()
-            pgrps = pdf[group_col].to_numpy()
-            # per-sub LUTs, sequential over the sub_dim coords (no BLAS)
-            luts = []
-            for j in range(m):
-                Z = X[:, j * sub_dim : (j + 1) * sub_dim]
-                Cj = code_mats[j]
-                acc = np.zeros((X.shape[0], Cj.shape[0]), dtype=np.float64)
-                for i in range(sub_dim):
-                    acc += Z[:, i, None] * Cj[None, :, i]
-                luts.append(acc)
-            best_sims = None
-            best_ids = None
-            for lo in range(0, len(ids_a), nbr_chunk):
-                hi = min(lo + nbr_chunk, len(ids_a))
-                adc = np.zeros((X.shape[0], hi - lo), dtype=np.float64)
+    def build_index(sub: DataFrame):
+        # the compressed index: (nbr_id, nbr_grp, m codes), id-ascending
+        # so column order == id order and stable argsort ties break
+        # low-id
+        idx_rows = sub.orderBy(id_col).collect()
+        n_idx = len(idx_rows)
+        idx_bytes = n_idx * (m + 16)
+        if idx_bytes > max_index_bytes:
+            raise ValueError(
+                f"ADC index would be ~{idx_bytes} bytes for {n_idx} vectors at "
+                f"m={m}, over the {max_index_bytes} residency budget — raise "
+                "n_shards (the tested shard-and-union path, see docstring)"
+            )
+        nbr_ids = np.array([r[id_col] for r in idx_rows], dtype=np.int64)
+        nbr_grps = np.array([r["__g"] for r in idx_rows])
+        nbr_codes = (
+            np.array([r["codes"] for r in idx_rows], dtype=np.int64)
+            if n_idx
+            else np.zeros((0, m), dtype=np.int64)
+        )
+        return spark.sparkContext.broadcast((nbr_ids, nbr_grps, nbr_codes))
+
+    id_type = df_norm.schema[id_col].dataType.simpleString()
+
+    def make_scan(b_index, keep_top):
+        def scan(batches):
+            ids_a, grps_a, codes_a = b_index.value
+            for pdf in batches:
+                if pdf.empty or len(ids_a) == 0 or keep_top == 0:
+                    continue
+                X = np.asarray(
+                    [np.asarray(e, dtype=np.float64) for e in pdf[vec_col]]
+                )
+                pids = pdf[id_col].to_numpy()
+                pgrps = pdf[group_col].to_numpy()
+                # per-sub LUTs, sequential over the sub_dim coords (no BLAS)
+                luts = []
                 for j in range(m):
-                    adc += luts[j][:, codes_a[lo:hi, j]]
-                adc = np.round(adc, round_dp)
-                # cross-group only (self is same-group, so also excluded)
-                adc[pgrps[:, None] == nbr_grps[None, lo:hi]] = -np.inf
-                keep = min(top, hi - lo)
-                part = np.argsort(-adc, axis=1, kind="stable")[:, :keep]
-                sims = np.take_along_axis(adc, part, axis=1)
-                ids = nbr_ids[lo:hi][part]
+                    Z = X[:, j * sub_dim : (j + 1) * sub_dim]
+                    Cj = code_mats[j]
+                    acc = np.zeros((X.shape[0], Cj.shape[0]), dtype=np.float64)
+                    for i in range(sub_dim):
+                        acc += Z[:, i, None] * Cj[None, :, i]
+                    luts.append(acc)
+                best_sims = None
+                best_ids = None
+                for lo in range(0, len(ids_a), nbr_chunk):
+                    hi = min(lo + nbr_chunk, len(ids_a))
+                    adc = np.zeros((X.shape[0], hi - lo), dtype=np.float64)
+                    for j in range(m):
+                        adc += luts[j][:, codes_a[lo:hi, j]]
+                    adc = np.round(adc, round_dp)
+                    # cross-group only (self is same-group, so excluded too)
+                    adc[pgrps[:, None] == grps_a[None, lo:hi]] = -np.inf
+                    keep = min(keep_top, hi - lo)
+                    part = np.argsort(-adc, axis=1, kind="stable")[:, :keep]
+                    sims = np.take_along_axis(adc, part, axis=1)
+                    ids = ids_a[lo:hi][part]
+                    if best_sims is None:
+                        best_sims, best_ids = sims, ids
+                    else:
+                        best_sims = np.concatenate([best_sims, sims], axis=1)
+                        best_ids = np.concatenate([best_ids, ids], axis=1)
+                    if best_sims.shape[1] > keep_top:
+                        # running merge: re-rank the union by (-sim, id) —
+                        # stable argsort over id-ascending chunk blocks is
+                        # not id-ordered across blocks, so sort explicitly
+                        order = np.lexsort((best_ids, -best_sims), axis=1)
+                        order = order[:, :keep_top]
+                        best_sims = np.take_along_axis(best_sims, order, axis=1)
+                        best_ids = np.take_along_axis(best_ids, order, axis=1)
                 if best_sims is None:
-                    best_sims, best_ids = sims, ids
-                else:
-                    best_sims = np.concatenate([best_sims, sims], axis=1)
-                    best_ids = np.concatenate([best_ids, ids], axis=1)
-                if best_sims.shape[1] > top:
-                    # running merge: re-rank the union by (-sim, id) —
-                    # stable argsort over id-ascending chunk blocks is
-                    # not id-ordered across blocks, so sort explicitly
-                    order = np.lexsort((best_ids, -best_sims), axis=1)
-                    order = order[:, :top]
+                    continue
+                if best_sims.shape[1] > keep_top:
+                    order = np.lexsort((best_ids, -best_sims), axis=1)[:, :keep_top]
                     best_sims = np.take_along_axis(best_sims, order, axis=1)
                     best_ids = np.take_along_axis(best_ids, order, axis=1)
-            if best_sims is None:
-                continue
-            if best_sims.shape[1] > top:
-                order = np.lexsort((best_ids, -best_sims), axis=1)[:, :top]
-                best_sims = np.take_along_axis(best_sims, order, axis=1)
-                best_ids = np.take_along_axis(best_ids, order, axis=1)
-            valid = np.isfinite(best_sims)
-            n_per = valid.sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "probe_id": np.repeat(pids, n_per),
-                    "nbr_id": best_ids[valid],
-                }
-            )
+                valid = np.isfinite(best_sims)
+                n_per = valid.sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.repeat(pids, n_per),
+                        "nbr_id": best_ids[valid],
+                        "adc": best_sims[valid],
+                    }
+                )
 
-    return df_norm.select(id_col, group_col, vec_col).mapInPandas(
-        scan, schema=out_schema
+        return scan
+
+    # parallelism floor: the scan's wall is (probes/partitions) x N ADC
+    # work per task — a single-file source would otherwise run the whole
+    # compressed-domain scan in ONE task (the _parallelize rationale in
+    # operators/dedup.py)
+    from .sampling import ensure_min_partitions
+
+    probes = ensure_min_partitions(
+        df_norm.select(id_col, group_col, vec_col),
+        spark.sparkContext.defaultParallelism,
+    )
+    sim_schema = f"probe_id {id_type}, nbr_id {id_type}, adc double"
+
+    if n_shards == 1:
+        b_index = build_index(indexed)
+        top = min(shortlist, max(len(b_index.value[0]) - 1, 0))
+        return probes.mapInPandas(make_scan(b_index, top), schema=sim_schema).select(
+            "probe_id", "nbr_id"
+        )
+
+    from pyspark.sql import Window
+
+    shard_outs = []
+    for s in range(n_shards):
+        sub = indexed.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)) == s
+        )
+        b_index = build_index(sub)
+        # per-shard keep is the FULL shortlist (no n-1 shrink): a pair
+        # with global rank <= C has within-shard rank <= C, so the union
+        # provably contains every global top-C pair
+        shard_outs.append(
+            probes.mapInPandas(make_scan(b_index, shortlist), schema=sim_schema)
+        )
+    union = shard_outs[0]
+    for extra in shard_outs[1:]:
+        union = union.unionByName(extra)
+    # bounded window: <= n_shards * C rows per probe; same total order
+    # as the scan, so the selection is bit-identical to the unsharded
+    # path's top-C
+    w = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("nbr_id"))
+    return (
+        union.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= shortlist)
+        .select("probe_id", "nbr_id")
     )
 
 
@@ -2243,6 +2303,7 @@ def margin_mine_pq(
     min_margin_x10k: int = 10200,
     round_dp: int = 6,
     max_index_bytes: int = 1 << 30,
+    n_shards: int = 1,
 ) -> DataFrame:
     """ADC-shortlisted margin mining — the miner that holds BOTH
     contracts the LSH/IVF duality split (VERDICT r6 item 2): measured
@@ -2294,6 +2355,7 @@ def margin_mine_pq(
         vec_col="__nv",
         round_dp=round_dp,
         max_index_bytes=max_index_bytes,
+        n_shards=n_shards,
     )
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     cos = _cosine_pairs_arrow(round_dp)

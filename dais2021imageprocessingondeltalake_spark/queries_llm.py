@@ -3251,6 +3251,31 @@ def q_margin_mine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_margin_pq_sharded", oracle=_margin_mine_pq_oracle())
+def q_margin_pq_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beyond-residency configuration of the ADC-shortlisted miner,
+    certified against THE SAME oracle as q_margin_mine_pq — which is the
+    whole claim: when the compressed index outgrows one broadcast
+    (> max_index_bytes), splitting the codes into n hash shards, scanning
+    each shard's in-RAM index independently, and re-selecting the global
+    top-C from the per-shard shortlists through one bounded window
+    (<= n·C rows per probe) changes NOTHING about the result. Every
+    global top-C pair ranks <= C within its own shard, so the union
+    contains it, and the window applies the scan's own (adc desc,
+    nbr_id) total order. One oracle string certifies both the one-shot
+    and the sharded scale-out path bit-for-bit."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.margin_mine_pq(
+        emb,
+        dim=64,
+        m=_MARGIN_PQ_M,
+        k_codes=_MARGIN_PQ_KCODES,
+        iters=1,
+        min_margin_x10k=11000,
+        n_shards=3,
+    )
+
+
 def _margin_pq_recall_oracle(min_margin_x10k: int = 11000) -> str:
     """One SQL string replaying brute-force margin mining and the
     ADC-shortlisted miner, reporting pair recall with the certified

@@ -1157,6 +1157,37 @@ class TestMarginMinePQ:
             per[p] = per.get(p, 0) + 1
         assert set(per.values()) == {12}
 
+    def test_sharded_scan_equals_unsharded(self, spark):
+        """The beyond-residency path: n hash shards of the codes, each
+        scanned against its own in-RAM index, re-selected to the global
+        top-C by the same total order — the PAIR SET must be identical
+        to the one-shot scan (this is what lets q_margin_pq_sharded
+        reuse q_margin_mine_pq's oracle verbatim)."""
+        emb = load_table(spark, "embeddings", SF_DIR)
+        norm = SIM.normalize_rounded(emb, out_col="nv").localCheckpoint()
+        book = SIM.pq_fit(norm, dim=64, m=16, k_codes=16, iters=1, vec_col="nv")
+        codes = SIM.pq_encode(norm, book, dim=64, m=16, vec_col="nv")
+
+        def pairs(**kw):
+            return {
+                (r["probe_id"], r["nbr_id"])
+                for r in SIM.adc_shortlist_pairs(
+                    norm, book, codes, shortlist=12, dim=64, m=16,
+                    vec_col="nv", **kw,
+                ).collect()
+            }
+
+        one = pairs()
+        assert pairs(n_shards=3) == one and one
+        # sharding is ALSO what satisfies the residency guard: a budget
+        # that one shard of the index fits but the whole index does not
+        n = norm.count()
+        whole_bytes = n * (16 + 16)
+        budget = whole_bytes // 2  # fails unsharded, passes at 4 shards
+        with pytest.raises(ValueError, match="residency budget"):
+            pairs(max_index_bytes=budget)
+        assert pairs(n_shards=4, max_index_bytes=budget) == one
+
     def test_recall_floor_and_exact_sims_both_scales(self, spark):
         """The closed-duality contract at BOTH driver scales: pair
         recall >= 0.90 (measured 0.9689 / 0.9628 — floor is
@@ -1642,7 +1673,15 @@ def test_margin_ivf_curve_is_monotone(spark):
         (r.asDict() for r in q_margin_ivf_curve(spark, SF_DIR_MID).collect()),
         key=lambda r: r["nprobe"],
     )
-    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    from dais2021imageprocessingondeltalake_spark.queries_llm import (
+        _MARGIN_IVF_NPROBES,
+    )
+
+    assert [r["nprobe"] for r in rows] == sorted(_MARGIN_IVF_NPROBES)
+    assert max(_MARGIN_IVF_NPROBES) >= 16, (
+        "VERDICT r6 item 2: the certified ladder must measure the upper "
+        "arm of the frontier, not stop at nprobe=4"
+    )
     for a, b in zip(rows, rows[1:]):
         assert b["n_cand"] >= a["n_cand"], (a, b)
         assert b["n_hit"] >= a["n_hit"], (a, b)

@@ -203,7 +203,7 @@ def build_scaled_embeddings(base_dir: str, factor: int, out_dir: Path, seed: int
     return str(out)
 
 
-ALL_COMPONENTS = ("docs", "sem", "knn", "gram", "margin", "train")
+ALL_COMPONENTS = ("docs", "sem", "knn", "gram", "margin", "marginpq", "train")
 
 
 def main() -> int:
@@ -358,7 +358,7 @@ def main() -> int:
                 point["logreg_secs"] = round(time.perf_counter() - t0, 2)
                 point["logreg_w_intercept"] = dict(w)["intercept"]
 
-            if want & {"sem", "knn", "gram", "margin"}:
+            if want & {"sem", "knn", "gram", "margin", "marginpq"}:
                 epath = build_scaled_embeddings(args.base, k, scratch)
                 emb = spark.read.parquet(epath)
                 n_vecs = emb.count()
@@ -520,6 +520,57 @@ def main() -> int:
                     10000 * ihits // max(len(brute_pairs), 1)
                 )
                 point["margin_ivf_recall_secs"] = round(time.perf_counter() - t0, 2)
+
+            if "marginpq" in want:
+                # Own component (not folded into "margin") so the 60x
+                # refresh doesn't re-pay the L-table block's near-N² scan
+                # (1131s at 60x in r6) just to probe the new path.
+                if "margin" not in want:
+                    ids, labels, vecs = _collect_embedding_matrix(emb)
+                    brute_pairs = _numpy_brute_margin(ids, labels, vecs)
+                    point["margin_brute_rows"] = len(brute_pairs)
+
+                # ADC-shortlisted PQ miner — the r7 path that closes the
+                # duality (q_margin_mine_pq's exact production pipeline:
+                # normalize -> certified PQ fit m=16 x 16 codes ->
+                # compressed-domain scan -> sized top-C shortlist).
+                # The two curves this block must evidence (VERDICT r6
+                # item 2's done-criterion): candidate budget C·N with
+                # C = size_adc_shortlist(N) ~ 2·sqrt(N), whose FRACTION
+                # of N² falls ~4/sqrt(N) — and recall holding >= 0.85 at
+                # every factor where IVF's nprobe=2 measures ~0.35.
+                pq_c = SIM.size_adc_shortlist(n_vecs)
+                point["margin_pq_shortlist"] = pq_c
+                t0 = time.perf_counter()
+                pq_norm = SIM.normalize_rounded(emb, out_col="nv").localCheckpoint()
+                pq_book = SIM.pq_fit(
+                    pq_norm, dim=64, m=16, k_codes=16, iters=1, vec_col="nv"
+                )
+                pq_codes = SIM.pq_encode(pq_norm, pq_book, dim=64, m=16, vec_col="nv")
+                pcand = SIM.adc_shortlist_pairs(
+                    pq_norm, pq_book, pq_codes, shortlist=pq_c, dim=64, m=16,
+                    vec_col="nv",
+                )
+                n_pcand = pcand.count()
+                point["margin_pq_cand_pairs"] = n_pcand
+                point["margin_pq_cand_secs"] = round(time.perf_counter() - t0, 2)
+                point["margin_pq_cand_frac_x10k"] = int(
+                    10000 * n_pcand // max(n_vecs * (n_vecs - 1), 1)
+                )
+                t0 = time.perf_counter()
+                pscored = _score_pairs_broadcast(spark, pcand, ids, vecs)
+                pq_pairs = {
+                    (r["probe_id"], r["best_id"])
+                    for r in SIM._margin_top2(pscored, 11000)
+                    .select("probe_id", "best_id")
+                    .collect()
+                }
+                phits = len(brute_pairs & pq_pairs)
+                point["margin_pq_pairs"] = len(pq_pairs)
+                point["margin_pq_recall_x10k"] = int(
+                    10000 * phits // max(len(brute_pairs), 1)
+                )
+                point["margin_pq_recall_secs"] = round(time.perf_counter() - t0, 2)
 
             if "gram" in want:
                 # Gram matrix partial-sum aggregate (linear in n_vecs,
