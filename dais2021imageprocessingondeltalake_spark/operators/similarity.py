@@ -2101,10 +2101,17 @@ def adc_shortlist_pairs(
     max_index_bytes: int = 1 << 30,
     nbr_chunk: int = 1 << 18,
     n_shards: int = 1,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-probe top-`shortlist` CROSS-GROUP candidates by ADC inner
     product over the compressed codes — the quadratic scan of margin
     mining run in the compressed domain. Returns (probe_id, nbr_id).
+
+    `index_df` (default: df_norm itself) supplies the (id, group) rows
+    the codes describe — pass a DIFFERENT frame for the asymmetric
+    cross-corpus shape (new batch probes a precomputed reference index,
+    margin_mine_pq_xcorpus), where the probe side never appears in the
+    index at all.
 
     Index residency contract (how FAISS deploys ADC): the CODES —
     m one-byte codes + id + group per vector, 16-30x smaller than the
@@ -2150,8 +2157,9 @@ def adc_shortlist_pairs(
     code_mats = [books[j][1] for j in range(m)]  # k_codes x sub_dim each
     spark = df_norm.sparkSession
 
+    index_src = index_df if index_df is not None else df_norm
     indexed = codes_df.join(
-        df_norm.select(F.col(id_col), F.col(group_col).alias("__g")), id_col
+        index_src.select(F.col(id_col), F.col(group_col).alias("__g")), id_col
     ).select(id_col, "__g", "codes")
 
     def build_index(sub: DataFrame):
@@ -2366,6 +2374,100 @@ def margin_mine_pq(
         )
         .join(
             vecs.select(F.col("_vid").alias("nbr_id"), F.col("_v").alias("_nv")),
+            "nbr_id",
+        )
+        .select("probe_id", "nbr_id", cos(F.col("_pv"), F.col("_nv")).alias("s"))
+    )
+    return _margin_top2(scored, min_margin_x10k)
+
+
+def margin_mine_pq_xcorpus(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    dim: int,
+    m: int = 16,
+    k_codes: int = 16,
+    iters: int = 1,
+    shortlist: int | None = None,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_margin_x10k: int = 10200,
+    round_dp: int = 6,
+    max_index_bytes: int = 1 << 30,
+    n_shards: int = 1,
+    ref_codebook: DataFrame | None = None,
+    ref_codes: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus (incremental-ingest) ADC margin mining — the
+    asymmetric production shape of margin_mine_pq, mirroring
+    dedup.cross_corpus_near_dup_flags: each NEW batch mines its
+    best/second-best cross-group neighbors from the accumulated
+    REFERENCE corpus, never from itself. This is the recurring form of
+    bitext / hard-negative mining at ingest time (Artetxe-Schwenk over
+    a growing index): the reference's codebook and codes are persisted
+    assets, so the per-snapshot cost is ONE normalization of the batch
+    + the compressed-domain scan of the ref index + an exact re-rank of
+    C·|new| pairs — the ref corpus is never re-encoded per batch.
+
+    Pass `ref_codebook` + `ref_codes` (pq_fit / pq_encode outputs over
+    the normalized reference — the persisted index) to skip the in-query
+    rebuild; when only `ref_df` is given both are derived here
+    (flag-identical output, the cross_corpus_near_dup_flags convention).
+    The codebook is fit on the REFERENCE (the asset that exists before
+    the batch arrives); probes need no encoding at all — their LUTs come
+    from the raw normalized vectors. Sizing: C = size_adc_shortlist(
+    |ref|) — the budget scales with the index being probed. Returns the
+    margin_mine schema; an unrolled CTE oracle replays the whole
+    asymmetric pipeline (queries_llm._margin_pq_xcorpus_oracle)."""
+    new_norm = normalize_rounded(
+        new_df, id_col=id_col, vec_col=vec_col, out_col="__nv", round_dp=round_dp
+    )
+    ref_norm = normalize_rounded(
+        ref_df, id_col=id_col, vec_col=vec_col, out_col="__nv", round_dp=round_dp
+    ).localCheckpoint()
+    if shortlist is None:
+        shortlist = size_adc_shortlist(ref_norm.count())
+    book = (
+        ref_codebook
+        if ref_codebook is not None
+        else pq_fit(
+            ref_norm, dim=dim, m=m, k_codes=k_codes, iters=iters,
+            id_col=id_col, vec_col="__nv", round_dp=round_dp,
+        )
+    )
+    codes = (
+        ref_codes
+        if ref_codes is not None
+        else pq_encode(ref_norm, book, dim=dim, m=m, id_col=id_col, vec_col="__nv")
+    )
+    pairs = adc_shortlist_pairs(
+        new_norm.select(id_col, group_col, "__nv"),
+        book,
+        codes,
+        shortlist=shortlist,
+        dim=dim,
+        m=m,
+        group_col=group_col,
+        id_col=id_col,
+        vec_col="__nv",
+        round_dp=round_dp,
+        max_index_bytes=max_index_bytes,
+        n_shards=n_shards,
+        index_df=ref_norm,
+    )
+    cos = _cosine_pairs_arrow(round_dp)
+    scored = (
+        pairs.join(
+            new_df.select(
+                F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+            ),
+            "probe_id",
+        )
+        .join(
+            ref_df.select(
+                F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("_nv")
+            ),
             "nbr_id",
         )
         .select("probe_id", "nbr_id", cos(F.col("_pv"), F.col("_nv")).alias("s"))

@@ -3091,18 +3091,26 @@ _MARGIN_PQ_KCODES = 16
 _MARGIN_PQ_SUBDIM = 64 // _MARGIN_PQ_M
 
 
-def _margin_pq_pairs_sql() -> str:
+def _margin_pq_pairs_sql(
+    probe_pred: str = "TRUE", ref_pred: str = "TRUE"
+) -> str:
     """Unrolled-CTE replay of the FULL ADC-shortlisted margin pipeline
     (normalize -> certified PQ fit -> encode -> per-probe LUT -> ADC
     ranking -> sized top-C cross-group shortlist -> exact-cosine rerank)
     ending in a ``pq_ranked(probe_id, nbr_id, s, rn)`` CTE — the
     _margin_ivf_pairs_sql convention. Expects ``v(vec_id, grp, ve)``
-    upstream; C = greatest(32, 2*ceil(sqrt(N))) is computed IN the SQL
-    (size_adc_shortlist's integer rule) so one string certifies every
-    scale at its own shortlist size. Every accumulation is a
+    upstream; C = greatest(32, 2*ceil(sqrt(|index|))) is computed IN the
+    SQL (size_adc_shortlist's integer rule) so one string certifies
+    every scale at its own shortlist size. Every accumulation is a
     left-to-right list_sum fold and every compare happens on 6dp-rounded
     values, mirroring the engine's sequential-numpy ADC
-    (similarity.adc_shortlist_pairs determinism contract)."""
+    (similarity.adc_shortlist_pairs determinism contract).
+
+    `probe_pred` / `ref_pred` (over vec_id) carve the ASYMMETRIC
+    cross-corpus shape: the fit, the codes, the shortlist sizing, and
+    the neighbor side all come from the REFERENCE rows; LUTs and probes
+    from the NEW rows. The defaults (both TRUE) reproduce the symmetric
+    self-mining pipeline — the id-restriction joins become no-ops."""
     m, kc, sd = _MARGIN_PQ_M, _MARGIN_PQ_KCODES, _MARGIN_PQ_SUBDIM
 
     def sumsq(a: str, b: str) -> str:
@@ -3121,15 +3129,20 @@ def _margin_pq_pairs_sql() -> str:
       SELECT vec_id, grp,
              list_transform(ve, x -> round(x / sqrt(list_sum([e * e for e in ve])), 6)) AS nv
       FROM v
+    ), pq_pids AS MATERIALIZED (
+      SELECT vec_id FROM vn WHERE {probe_pred}
+    ), pq_rids AS MATERIALIZED (
+      SELECT vec_id FROM vn WHERE {ref_pred}
     ), params AS MATERIALIZED (
-      SELECT greatest(32, 2 * CAST(ceil(sqrt(count(*))) AS INT)) AS c_short FROM vn
+      SELECT greatest(32, 2 * CAST(ceil(sqrt(count(*))) AS INT)) AS c_short
+      FROM pq_rids
     ), sv AS MATERIALIZED (
       {slices}
     ), pq_seeds AS MATERIALIZED (
       SELECT CAST(rn - 1 AS INT) AS code, vec_id FROM (
         SELECT vec_id,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM vn
+        FROM pq_rids
       ) WHERE rn <= {kc}
     ), pc0 AS MATERIALIZED (
       SELECT s.sub, d.code, list_transform(s.sv, x -> round(x, 6)) AS cv
@@ -3139,7 +3152,7 @@ def _margin_pq_pairs_sql() -> str:
         SELECT s.vec_id, s.sub, s.sv, c.code,
                row_number() OVER (PARTITION BY s.vec_id, s.sub
                                   ORDER BY {sumsq('s.sv', 'c.cv')}, c.code) AS rn
-        FROM sv s JOIN pc0 c ON s.sub = c.sub
+        FROM sv s JOIN pq_rids USING (vec_id) JOIN pc0 c ON s.sub = c.sub
       ) WHERE rn = 1
     ), pc1 AS MATERIALIZED (
       SELECT sub, code, list(round(cm, 6) ORDER BY dim) AS cv FROM (
@@ -3153,11 +3166,11 @@ def _margin_pq_pairs_sql() -> str:
         SELECT s.vec_id, s.sub, c.code,
                row_number() OVER (PARTITION BY s.vec_id, s.sub
                                   ORDER BY {sumsq('s.sv', 'c.cv')}, c.code) AS rn
-        FROM sv s JOIN pc1 c ON s.sub = c.sub
+        FROM sv s JOIN pq_rids USING (vec_id) JOIN pc1 c ON s.sub = c.sub
       ) WHERE rn = 1
     ), plut AS MATERIALIZED (
       SELECT s.vec_id AS probe_id, c.sub, c.code, {ipr} AS ip
-      FROM sv s JOIN pc1 c ON s.sub = c.sub
+      FROM sv s JOIN pq_pids USING (vec_id) JOIN pc1 c ON s.sub = c.sub
     ), padc AS MATERIALIZED (
       SELECT l.probe_id, pe.vec_id AS nbr_id, round({adc_sum}, 6) AS a
       FROM pe JOIN plut l ON pe.sub = l.sub AND pe.code = l.code
@@ -3273,6 +3286,58 @@ def q_margin_pq_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=1,
         min_margin_x10k=11000,
         n_shards=3,
+    )
+
+
+def _margin_pq_xcorpus_oracle(min_margin_x10k: int = 11000) -> str:
+    """Replay of the ASYMMETRIC cross-corpus miner: the same pipeline
+    CTEs with the fit/codes/sizing restricted to the reference rows
+    (vec_id % 3 <> 0) and the LUT/probe side to the new batch
+    (vec_id % 3 = 0) — one parameterization of _margin_pq_pairs_sql, so
+    the symmetric and incremental paths share every certified idiom."""
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS ve
+      FROM embeddings
+    ), {_margin_pq_pairs_sql(probe_pred="vec_id % 3 = 0",
+                             ref_pred="vec_id % 3 <> 0")}, best AS (
+      SELECT probe_id, nbr_id AS best_id, s AS sim1 FROM pq_ranked WHERE rn = 1
+    ), second AS (
+      SELECT probe_id, s AS sim2 FROM pq_ranked WHERE rn = 2
+    )
+    SELECT b.probe_id, b.best_id, b.sim1, s.sim2,
+           CAST(floor(10000.0 * b.sim1 / s.sim2) AS BIGINT) AS margin_x10k
+    FROM best b JOIN second s USING (probe_id)
+    WHERE s.sim2 > 0 AND floor(10000.0 * b.sim1 / s.sim2) >= {min_margin_x10k}
+    """
+
+
+@query("q_margin_pq_xcorpus", oracle=_margin_pq_xcorpus_oracle())
+def q_margin_pq_xcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest margin mining — the cross-corpus form of
+    q_margin_mine_pq, mirroring q_cross_dedup's split: doc % 3 == 0 is
+    the NEW batch, the rest the accumulated REFERENCE corpus; each new
+    vector mines its best/second-best cross-group neighbors from the
+    reference only. The production point: the reference's PQ codebook
+    and 16-byte codes are persisted assets (margin_mine_pq_xcorpus
+    accepts them via ref_codebook/ref_codes), so a recurring crawl pays
+    per snapshot only the batch's normalization, one compressed-domain
+    scan of the standing index, and an exact re-rank of C·|new| pairs —
+    the reference corpus is never re-encoded. Fit, sizing
+    (C = size_adc_shortlist(|ref|)) and neighbor side all restricted to
+    the reference in BOTH engine and oracle; one parameterized SQL
+    string replays the whole asymmetric pipeline."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    ref = emb.filter(F.col("vec_id") % 3 != 0)
+    return SIM.margin_mine_pq_xcorpus(
+        new,
+        ref,
+        dim=64,
+        m=_MARGIN_PQ_M,
+        k_codes=_MARGIN_PQ_KCODES,
+        iters=1,
+        min_margin_x10k=11000,
     )
 
 

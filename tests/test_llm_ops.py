@@ -1188,6 +1188,34 @@ class TestMarginMinePQ:
             pairs(max_index_bytes=budget)
         assert pairs(n_shards=4, max_index_bytes=budget) == one
 
+    def test_xcorpus_sides_and_persisted_asset_path(self, spark):
+        """The incremental-ingest miner: probes only from the NEW batch,
+        neighbors only from the REFERENCE; and the production path that
+        reuses a persisted codebook+codes index must be row-identical to
+        the self-computing path (the cross_corpus_near_dup_flags
+        convention)."""
+        emb = load_table(spark, "embeddings", SF_DIR)
+        new = emb.filter(F.col("vec_id") % 3 == 0)
+        ref = emb.filter(F.col("vec_id") % 3 != 0)
+        mined = SIM.margin_mine_pq_xcorpus(
+            new, ref, dim=64, m=16, k_codes=16, iters=1, min_margin_x10k=10200
+        ).collect()
+        assert mined
+        new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+        ref_ids = {r["vec_id"] for r in ref.select("vec_id").collect()}
+        assert {r["probe_id"] for r in mined} <= new_ids
+        assert {r["best_id"] for r in mined} <= ref_ids
+        # persisted-asset path: precompute the ref index, pass it in
+        ref_norm = SIM.normalize_rounded(ref, out_col="__nv").localCheckpoint()
+        book = SIM.pq_fit(ref_norm, dim=64, m=16, k_codes=16, iters=1, vec_col="__nv")
+        codes = SIM.pq_encode(ref_norm, book, dim=64, m=16, vec_col="__nv")
+        reused = SIM.margin_mine_pq_xcorpus(
+            new, ref, dim=64, m=16, k_codes=16, iters=1, min_margin_x10k=10200,
+            ref_codebook=book, ref_codes=codes,
+        ).collect()
+        key = lambda r: (r["probe_id"], r["best_id"], r["sim1"], r["sim2"])
+        assert sorted(map(key, reused)) == sorted(map(key, mined))
+
     def test_recall_floor_and_exact_sims_both_scales(self, spark):
         """The closed-duality contract at BOTH driver scales: pair
         recall >= 0.90 (measured 0.9689 / 0.9628 — floor is
