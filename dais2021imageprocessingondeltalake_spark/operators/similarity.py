@@ -2423,24 +2423,34 @@ def margin_mine_pq_xcorpus(
     new_norm = normalize_rounded(
         new_df, id_col=id_col, vec_col=vec_col, out_col="__nv", round_dp=round_dp
     )
-    ref_norm = normalize_rounded(
-        ref_df, id_col=id_col, vec_col=vec_col, out_col="__nv", round_dp=round_dp
-    ).localCheckpoint()
     if shortlist is None:
-        shortlist = size_adc_shortlist(ref_norm.count())
-    book = (
-        ref_codebook
-        if ref_codebook is not None
-        else pq_fit(
-            ref_norm, dim=dim, m=m, k_codes=k_codes, iters=iters,
-            id_col=id_col, vec_col="__nv", round_dp=round_dp,
+        shortlist = size_adc_shortlist(ref_df.count())
+    if ref_codebook is None or ref_codes is None:
+        # self-computing path: derive the index in-query (flag-identical
+        # to the persisted-asset path — pinned by tests)
+        ref_norm = normalize_rounded(
+            ref_df, id_col=id_col, vec_col=vec_col, out_col="__nv",
+            round_dp=round_dp,
+        ).localCheckpoint()
+        book = (
+            ref_codebook
+            if ref_codebook is not None
+            else pq_fit(
+                ref_norm, dim=dim, m=m, k_codes=k_codes, iters=iters,
+                id_col=id_col, vec_col="__nv", round_dp=round_dp,
+            )
         )
-    )
-    codes = (
-        ref_codes
-        if ref_codes is not None
-        else pq_encode(ref_norm, book, dim=dim, m=m, id_col=id_col, vec_col="__nv")
-    )
+        codes = (
+            ref_codes
+            if ref_codes is not None
+            else pq_encode(
+                ref_norm, book, dim=dim, m=m, id_col=id_col, vec_col="__nv"
+            )
+        )
+    else:
+        # persisted-asset path: the index side never touches normalization
+        # at all — adc_shortlist_pairs only needs (id, group) from it
+        book, codes = ref_codebook, ref_codes
     pairs = adc_shortlist_pairs(
         new_norm.select(id_col, group_col, "__nv"),
         book,
@@ -2454,7 +2464,7 @@ def margin_mine_pq_xcorpus(
         round_dp=round_dp,
         max_index_bytes=max_index_bytes,
         n_shards=n_shards,
-        index_df=ref_norm,
+        index_df=ref_df,
     )
     cos = _cosine_pairs_arrow(round_dp)
     scored = (

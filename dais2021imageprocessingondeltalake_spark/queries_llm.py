@@ -3341,6 +3341,67 @@ def q_margin_pq_xcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_stream_margin_pq", oracle=_margin_pq_xcorpus_oracle())
+def q_stream_margin_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE-INGEST margin mining: the NEW batch (vec_id % 3 == 0)
+    arrives as a real stream (pre-split source, one file per trigger)
+    and every micro-batch mines its margin pairs against the STANDING
+    reference index — the persisted PQ codebook + codes built once
+    before the stream starts, exactly the asset a production crawl
+    holds — with each batch's pairs published idempotently
+    (_write_partial, batch_id-keyed dynamic overwrite).
+
+    Why this certifies with the FULL batch oracle (not the weaker
+    rows-only class): unlike the pack fold, this fold is
+    order-INDEPENDENT — probes are disjoint across micro-batches and
+    the reference index is frozen, so each probe's best/second-best
+    is a pure function of (probe, index) regardless of arrival order,
+    and the union of per-batch outputs IS the one-shot
+    q_margin_pq_xcorpus result. One oracle string therefore certifies
+    batch, sharded, AND streamed execution of the same pipeline —
+    the strongest form of the stream==batch property this engine
+    ships."""
+    from .queries_streaming import _stream_fold_partials, _write_partial
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    new = emb.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", "label", "embedding"
+    )
+    ref = emb.filter(F.col("vec_id") % 3 != 0)
+    # the standing index: built ONCE before the stream starts (a live
+    # deployment reads these from storage; pq_fit's M-step loop already
+    # localCheckpoints the codebook)
+    ref_norm = SIM.normalize_rounded(ref, out_col="__nv").localCheckpoint()
+    book = SIM.pq_fit(
+        ref_norm, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES,
+        iters=1, vec_col="__nv",
+    )
+    codes = SIM.pq_encode(
+        ref_norm, book, dim=64, m=_MARGIN_PQ_M, vec_col="__nv"
+    ).localCheckpoint()
+    c_short = SIM.size_adc_shortlist(ref.count())
+
+    def fold(batch_df: DataFrame, out: str, bid: int) -> None:
+        mined = SIM.margin_mine_pq_xcorpus(
+            batch_df,
+            ref,
+            dim=64,
+            m=_MARGIN_PQ_M,
+            k_codes=_MARGIN_PQ_KCODES,
+            iters=1,
+            shortlist=c_short,
+            min_margin_x10k=11000,
+            ref_codebook=book,
+            ref_codes=codes,
+        )
+        _write_partial(mined, out, bid)
+
+    partials = _stream_fold_partials(spark, "stream_marginpq_", new, fold)
+    return spark.read.parquet(partials).select(
+        "probe_id", "best_id", "sim1", "sim2", "margin_x10k"
+    )
+
+
 def _margin_pq_recall_oracle(min_margin_x10k: int = 11000) -> str:
     """One SQL string replaying brute-force margin mining and the
     ADC-shortlisted miner, reporting pair recall with the certified
