@@ -1178,6 +1178,7 @@ def margin_mine(
     vec_col: str = "embedding",
     min_margin_x10k: int = 10200,
     round_dp: int = 6,
+    base_df: DataFrame | None = None,
 ) -> DataFrame:
     """Margin-based cross-group pair mining (the Artetxe-Schwenk ratio
     criterion behind CCMatrix-style bitext mining): for every vector,
@@ -1194,8 +1195,13 @@ def margin_mine(
     round() of the ratio would sit on half-boundaries. Pair scoring is
     the Arrow-batched cosine (r6): identical 6dp-rounded values as the
     zip_with fold it replaces (rounding absorbs BLAS reassociation —
-    _lsh_buckets_arrow contract), ~10x off the N² hot loop's wall."""
-    base = df.select(
+    _lsh_buckets_arrow contract), ~10x off the N² hot loop's wall.
+
+    `base_df` (default: df itself) supplies the neighbor side — pass a
+    different frame for the ASYMMETRIC cross-corpus reference (probes
+    from the new batch, neighbors from the accumulated corpus: the
+    brute oracle of margin_mine_pq_xcorpus)."""
+    base = (base_df if base_df is not None else df).select(
         F.col(id_col).alias("nbr_id"),
         F.col(group_col).alias("nbr_grp"),
         F.col(vec_col).alias("nbr_v"),
