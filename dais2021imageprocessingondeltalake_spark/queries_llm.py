@@ -3341,6 +3341,90 @@ def q_margin_pq_xcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bitext_pack_oracle(capacity: int = 512, min_margin_x10k: int = 11000) -> str:
+    """Mined-pair packing replay: the full PQ margin chain -> the pair
+    texts' token total -> the closed-form (seq_id, n_tok) pack table
+    (the q_stream_pack oracle idiom: every sequence except the last
+    holds exactly `capacity` tokens, count = ceil(total/capacity), so
+    the whole pack certifies from ONE scalar)."""
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS ve
+      FROM embeddings
+    ), {_margin_pq_pairs_sql()}, mined AS MATERIALIZED (
+      SELECT b.probe_id, b.nbr_id AS best_id
+      FROM (SELECT probe_id, nbr_id, s FROM pq_ranked WHERE rn = 1) b
+      JOIN (SELECT probe_id, s AS sim2 FROM pq_ranked WHERE rn = 2) s2
+        USING (probe_id)
+      WHERE s2.sim2 > 0
+        AND floor(10000.0 * b.s / s2.sim2) >= {min_margin_x10k}
+    ), t AS (
+      SELECT CAST(sum(len(string_split(da.text, ' '))
+                    + len(string_split(db.text, ' '))) AS BIGINT) AS total
+      FROM mined m
+      JOIN documents da ON da.doc_id = m.probe_id
+      JOIN documents db ON db.doc_id = m.best_id
+    ), s AS (
+      SELECT CAST(unnest(generate_series(0, (total - 1) // {capacity})) AS BIGINT)
+               AS seq_id,
+             total
+      FROM t
+    )
+    SELECT seq_id,
+           CAST(CASE WHEN seq_id < total // {capacity} THEN {capacity}
+                     ELSE total % {capacity} END AS BIGINT) AS n_tok
+    FROM s
+    """
+
+
+@query("q_bitext_pack", oracle=_bitext_pack_oracle())
+def q_bitext_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data production for a translation/contrast
+    objective — the composition a bitext pipeline actually ships: (1)
+    margin-mine aligned pairs with the ADC-shortlisted miner (recall
+    0.96-0.97 certified), (2) assemble each pair's training text by
+    joining both sides back to the documents table (two id-keyed hash
+    joins — the ids are the corpus keys, embeddings.vec_id ==
+    documents.doc_id), (3) concat-and-chunk the pair stream into
+    fixed-capacity training sequences via the parallel-prefix-sum
+    packer (pack_sequences: range shuffle + per-partition scan +
+    bounded totals broadcast — never a single-reducer window).
+
+    Certifiable end to end because each stage already is: the mined
+    pair set replays through the PQ chain CTEs, the token total is one
+    SQL aggregate over the joined texts, and packing's per-sequence
+    totals are order-independent (every sequence but the last is
+    exactly full), so the one-scalar closed form certifies the whole
+    pack. One mined pair = one pack item (probe text + best text stay
+    contiguous — the objective needs the pair in one sequence window).
+
+    This query is the north-star demo: three certified operators from
+    three tiers (ANN mining, relational join, training-data packing)
+    composing into one oracle-checked pipeline."""
+    from .operators.sampling import pack_sequences
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    mined = SIM.margin_mine_pq(
+        emb, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES, iters=1,
+        min_margin_x10k=11000,
+    )
+    toks = F.size(F.split("ta", " ")) + F.size(F.split("tb", " "))
+    pairs = (
+        mined.join(
+            docs.select(F.col("doc_id").alias("probe_id"), F.col("text").alias("ta")),
+            "probe_id",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("best_id"), F.col("text").alias("tb")),
+            "best_id",
+        )
+        .select("probe_id", toks.alias("n_len"))
+    )
+    spans = pack_sequences(pairs, "probe_id", "n_len", capacity=512)
+    return spans.groupBy("seq_id").agg(F.sum("n_tok").cast("bigint").alias("n_tok"))
+
+
 @query("q_stream_margin_pq", oracle=_margin_pq_xcorpus_oracle())
 def q_stream_margin_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE-INGEST margin mining: the NEW batch (vec_id % 3 == 0)
