@@ -3341,6 +3341,73 @@ def q_margin_pq_xcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hard_negatives_oracle(lo: int = 2, hi: int = 4) -> str:
+    """Replay: the PQ chain's exact-reranked shortlist, keeping ranks
+    lo..hi per probe — the negatives tail of the same ranking the
+    margin miner reads ranks 1-2 of."""
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS ve
+      FROM embeddings
+    ), {_margin_pq_pairs_sql()}
+    SELECT probe_id, nbr_id AS neg_id, s AS sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM pq_ranked WHERE rn BETWEEN {lo} AND {hi}
+    """
+
+
+@query("q_hard_negatives", oracle=_hard_negatives_oracle())
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining — the contrastive-training counterpart of
+    the margin miner, from the SAME certified machinery: per probe, the
+    exact-cosine-reranked cross-group neighbors at ranks 2..4 of the
+    ADC shortlist. Rank 1 is the positive (what q_margin_mine_pq keeps);
+    ranks 2..4 are the near-misses a contrastive objective wants as
+    negatives — semantically close enough to be informative, certified
+    NOT the best match (cf. q_negative_sample's hash-ring negatives,
+    which are random and cheap but not hard). Same scale shape as the
+    miner: compressed-domain scan keeps top-C, exact re-rank touches
+    C·N raw pairs, one bounded window per probe. Oracle reads ranks 2-4
+    from the same pq_ranked CTE the margin oracles read ranks 1-2 of."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    norm = SIM.normalize_rounded(emb, out_col="__nv").localCheckpoint()
+    book = SIM.pq_fit(
+        norm, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES, iters=1,
+        vec_col="__nv",
+    )
+    codes = SIM.pq_encode(norm, book, dim=64, m=_MARGIN_PQ_M, vec_col="__nv")
+    pairs = SIM.adc_shortlist_pairs(
+        norm, book, codes, shortlist=SIM.size_adc_shortlist(norm.count()),
+        dim=64, m=_MARGIN_PQ_M, vec_col="__nv",
+    )
+    vecs = emb.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
+    cos = SIM._cosine_pairs_arrow(6)
+    scored = (
+        pairs.join(
+            vecs.select(F.col("_vid").alias("probe_id"), F.col("_v").alias("_pv")),
+            "probe_id",
+        )
+        .join(
+            vecs.select(F.col("_vid").alias("nbr_id"), F.col("_v").alias("_nv")),
+            "nbr_id",
+        )
+        .select("probe_id", "nbr_id", cos(F.col("_pv"), F.col("_nv")).alias("s"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank").between(2, 4))
+        .select(
+            "probe_id",
+            F.col("nbr_id").alias("neg_id"),
+            F.col("s").alias("sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def _bitext_pack_oracle(capacity: int = 512, min_margin_x10k: int = 11000) -> str:
     """Mined-pair packing replay: the full PQ margin chain -> the pair
     texts' token total -> the closed-form (seq_id, n_tok) pack table
