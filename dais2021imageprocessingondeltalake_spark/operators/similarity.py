@@ -2108,10 +2108,16 @@ def adc_shortlist_pairs(
     nbr_chunk: int = 1 << 18,
     n_shards: int = 1,
     index_df: DataFrame | None = None,
+    cross_group_only: bool = True,
 ) -> DataFrame:
     """Per-probe top-`shortlist` CROSS-GROUP candidates by ADC inner
     product over the compressed codes — the quadratic scan of margin
     mining run in the compressed domain. Returns (probe_id, nbr_id).
+
+    `cross_group_only=False` switches the exclusion mask from
+    same-group to same-ID (the general batched-ANN contract:
+    pq_knn_join's queries want neighbors from EVERY group, and only a
+    vector's own row is never its neighbor).
 
     `index_df` (default: df_norm itself) supplies the (id, group) rows
     the codes describe — pass a DIFFERENT frame for the asymmetric
@@ -2220,8 +2226,12 @@ def adc_shortlist_pairs(
                     for j in range(m):
                         adc += luts[j][:, codes_a[lo:hi, j]]
                     adc = np.round(adc, round_dp)
-                    # cross-group only (self is same-group, so excluded too)
-                    adc[pgrps[:, None] == grps_a[None, lo:hi]] = -np.inf
+                    if cross_group_only:
+                        # cross-group only (self is same-group → excluded)
+                        adc[pgrps[:, None] == grps_a[None, lo:hi]] = -np.inf
+                    else:
+                        # general ANN: exclude only the probe's own row
+                        adc[pids[:, None] == ids_a[None, lo:hi]] = -np.inf
                     keep = min(keep_top, hi - lo)
                     part = np.argsort(-adc, axis=1, kind="stable")[:, :keep]
                     sims = np.take_along_axis(adc, part, axis=1)
@@ -2489,3 +2499,109 @@ def margin_mine_pq_xcorpus(
         .select("probe_id", "nbr_id", cos(F.col("_pv"), F.col("_nv")).alias("s"))
     )
     return _margin_top2(scored, min_margin_x10k)
+
+
+def pq_knn_join(
+    queries_df: DataFrame,
+    base_df: DataFrame,
+    dim: int,
+    k: int = 3,
+    m: int = 16,
+    k_codes: int = 16,
+    iters: int = 1,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    round_dp: int = 6,
+    max_index_bytes: int = 1 << 30,
+    n_shards: int = 1,
+    base_codebook: DataFrame | None = None,
+    base_codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-accelerated batch ANN join — the compressed-domain sibling of
+    lsh_knn_join: top-k base-side neighbors for EVERY query row, found
+    by the ADC scan over the base's 16-byte codes (top-C shortlist,
+    C = size_adc_shortlist(|base|) by default) and exact-cosine
+    re-ranked to k. Where the LSH join's candidate volume rides bucket
+    collision statistics (and degrades toward all-pairs on far-neighbor
+    geometry — the measured margin-LSH lesson), this join's full-vector
+    budget is C·|Q| BY CONSTRUCTION at any geometry; the index is the
+    persisted `base_codebook`/`base_codes` pair (fit + encode on the
+    base, never the queries — the FAISS serving model). Returns
+    (query_id, base_id, cosine_sim), rank-k rows per query, cosine
+    rounded before ranking with base-id tie-break — the lsh_knn_join
+    output contract, so consumers can swap index families without
+    schema changes."""
+    q_norm = normalize_rounded(
+        queries_df, id_col=id_col, vec_col=vec_col, out_col="__nv",
+        round_dp=round_dp,
+    )
+    if shortlist is None:
+        shortlist = size_adc_shortlist(base_df.count())
+    if base_codebook is None or base_codes is None:
+        base_norm = normalize_rounded(
+            base_df, id_col=id_col, vec_col=vec_col, out_col="__nv",
+            round_dp=round_dp,
+        ).localCheckpoint()
+        book = (
+            base_codebook
+            if base_codebook is not None
+            else pq_fit(
+                base_norm, dim=dim, m=m, k_codes=k_codes, iters=iters,
+                id_col=id_col, vec_col="__nv", round_dp=round_dp,
+            )
+        )
+        codes = (
+            base_codes
+            if base_codes is not None
+            else pq_encode(
+                base_norm, book, dim=dim, m=m, id_col=id_col, vec_col="__nv"
+            )
+        )
+    else:
+        book, codes = base_codebook, base_codes
+    pairs = adc_shortlist_pairs(
+        q_norm.select(id_col, group_col, "__nv"),
+        book,
+        codes,
+        shortlist=shortlist,
+        dim=dim,
+        m=m,
+        group_col=group_col,
+        id_col=id_col,
+        vec_col="__nv",
+        round_dp=round_dp,
+        max_index_bytes=max_index_bytes,
+        n_shards=n_shards,
+        index_df=base_df,
+        cross_group_only=False,
+    )
+    from pyspark.sql import Window
+
+    cos = _cosine_pairs_arrow(round_dp)
+    scored = (
+        pairs.join(
+            queries_df.select(
+                F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+            ),
+            "probe_id",
+        )
+        .join(
+            base_df.select(
+                F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("_nv")
+            ),
+            "nbr_id",
+        )
+        .select("probe_id", "nbr_id", cos(F.col("_pv"), F.col("_nv")).alias("s"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("probe_id").alias("query_id"),
+            F.col("nbr_id").alias("base_id"),
+            F.col("s").alias("cosine_sim"),
+        )
+    )

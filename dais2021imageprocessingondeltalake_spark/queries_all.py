@@ -197,6 +197,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_stream_margin_pq",
     "q_bitext_pack",
     "q_hard_negatives",
+    "q_knn_join_pq",
     "q_margin_nprobe_sized",
     # then the r6/r7 queue-head ids the 15-slot window could not take
     # (unchanged since their green r3 rows; sweep-checked every round)

@@ -3092,7 +3092,9 @@ _MARGIN_PQ_SUBDIM = 64 // _MARGIN_PQ_M
 
 
 def _margin_pq_pairs_sql(
-    probe_pred: str = "TRUE", ref_pred: str = "TRUE"
+    probe_pred: str = "TRUE",
+    ref_pred: str = "TRUE",
+    cross_group: bool = True,
 ) -> str:
     """Unrolled-CTE replay of the FULL ADC-shortlisted margin pipeline
     (normalize -> certified PQ fit -> encode -> per-probe LUT -> ADC
@@ -3110,7 +3112,10 @@ def _margin_pq_pairs_sql(
     cross-corpus shape: the fit, the codes, the shortlist sizing, and
     the neighbor side all come from the REFERENCE rows; LUTs and probes
     from the NEW rows. The defaults (both TRUE) reproduce the symmetric
-    self-mining pipeline — the id-restriction joins become no-ops."""
+    self-mining pipeline — the id-restriction joins become no-ops.
+    `cross_group=False` switches the shortlist's exclusion from
+    same-group to same-id (the general batched-ANN contract —
+    q_knn_join_pq)."""
     m, kc, sd = _MARGIN_PQ_M, _MARGIN_PQ_KCODES, _MARGIN_PQ_SUBDIM
 
     def sumsq(a: str, b: str) -> str:
@@ -3183,7 +3188,7 @@ def _margin_pq_pairs_sql(
         FROM padc a
         JOIN vn p ON p.vec_id = a.probe_id
         JOIN vn q ON q.vec_id = a.nbr_id
-        WHERE p.grp <> q.grp
+        WHERE {"p.grp <> q.grp" if cross_group else "a.probe_id <> a.nbr_id"}
       ) WHERE rn <= (SELECT c_short FROM params)
     ), pq_ranked AS MATERIALIZED (
       SELECT probe_id, nbr_id, s,
@@ -3338,6 +3343,43 @@ def q_margin_pq_xcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_codes=_MARGIN_PQ_KCODES,
         iters=1,
         min_margin_x10k=11000,
+    )
+
+
+def _pq_knn_join_oracle(k: int = 3) -> str:
+    """Replay of the PQ batch ANN join: the parameterized chain with the
+    query/base split, no group exclusion (same-id only), top-k of the
+    exact-reranked shortlist."""
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS ve
+      FROM embeddings
+    ), {_margin_pq_pairs_sql(probe_pred="vec_id % 97 = 0",
+                             ref_pred="vec_id % 97 <> 0",
+                             cross_group=False)}
+    SELECT probe_id AS query_id, nbr_id AS base_id, s AS cosine_sim
+    FROM pq_ranked WHERE rn <= {k}
+    """
+
+
+@query("q_knn_join_pq", oracle=_pq_knn_join_oracle())
+def q_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-accelerated batch ANN join — the compressed-domain sibling of
+    q_knn_join_lsh over the SAME query/base split and output schema, so
+    a consumer swaps index families without schema changes. Where the
+    LSH join's candidate volume rides bucket-collision statistics (and
+    degrades toward all-pairs on far-neighbor geometry — the measured
+    margin-LSH lesson), this join's full-vector budget is C·|Q| BY
+    CONSTRUCTION at any geometry: ADC scans the base's 16-byte codes,
+    keeps top-C per query, and exact cosine re-ranks to k. The index
+    (codebook + codes, fit and encoded on the BASE only — the FAISS
+    serving model) is a persisted asset via base_codebook/base_codes."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    base = emb.filter(F.col("vec_id") % 97 != 0)
+    return SIM.pq_knn_join(
+        queries, base, dim=64, k=3, m=_MARGIN_PQ_M,
+        k_codes=_MARGIN_PQ_KCODES, iters=1,
     )
 
 
