@@ -499,6 +499,37 @@ class TestLshKnnJoin:
         assert all(r["count"] <= 3 for r in per_q)
         assert out.filter(F.col("query_id") == F.col("base_id")).count() == 0
 
+    def test_pq_knn_join_recall_beats_lsh_sibling(self, spark):
+        """The compressed-domain join against the exact reference (the
+        lsh_knn_join recall test's setup): ADC top-C + exact re-rank
+        should recover most of the true top-3 — measured well above the
+        LSH sibling's 0.4 floor on the same far-neighbor geometry."""
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+        from dais2021imageprocessingondeltalake_spark.operators.similarity import (
+            knn_join,
+            pq_knn_join,
+        )
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        probe = F.col("vec_id") % 97 == 0
+        exact = {
+            (r.probe_id, r.nbr_id)
+            for r in knn_join(emb, k=3, probe_filter=probe).collect()
+        }
+        out = pq_knn_join(
+            emb.filter(probe), emb.filter(~probe), dim=64, k=3, m=16,
+            k_codes=16, iters=1,
+        )
+        approx = {(r.query_id, r.base_id) for r in out.collect()}
+        per_q = {}
+        for q, _ in approx:
+            per_q[q] = per_q.get(q, 0) + 1
+        assert all(c <= 3 for c in per_q.values())
+        exact_base = {(a, b) for a, b in exact if b % 97 != 0}
+        recall = len(approx & exact_base) / max(len(exact_base), 1)
+        assert recall >= 0.8, f"pq_knn_join recall {recall:.2f}"
+
 
 class TestMinhashMd5:
     def test_identical_docs_always_collide(self, spark):
