@@ -2605,3 +2605,25 @@ def pq_knn_join(
             F.col("s").alias("cosine_sim"),
         )
     )
+
+
+def pq_index_save(codebook: DataFrame, codes_df: DataFrame, path: str) -> str:
+    """Persist a PQ index — the asset every xcorpus/serving call reuses
+    (ref_codebook/ref_codes, base_codebook/base_codes): the codebook
+    long-form and the codes table as two parquet datasets under one
+    root. Overwrite semantics (an index REBUILD replaces the asset
+    atomically per dataset — the write_table convention); the loaded
+    pair is row-identical to the in-memory one, so every downstream
+    result is too (tests pin this through pq_knn_join)."""
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    codes_df.write.mode("overwrite").parquet(f"{path}/codes")
+    return path
+
+
+def pq_index_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted PQ index: (codebook, codes) — the counterpart of
+    pq_index_save."""
+    return (
+        spark.read.parquet(f"{path}/codebook"),
+        spark.read.parquet(f"{path}/codes"),
+    )

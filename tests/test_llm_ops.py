@@ -530,6 +530,42 @@ class TestLshKnnJoin:
         recall = len(approx & exact_base) / max(len(exact_base), 1)
         assert recall >= 0.8, f"pq_knn_join recall {recall:.2f}"
 
+    def test_pq_index_save_load_roundtrip(self, spark, tmp_path):
+        """The persisted-index lifecycle: save the base's codebook+codes,
+        load them back, and the join through the LOADED assets must be
+        row-identical to the in-memory one — the ref_codebook/base_codes
+        params' production contract made literal."""
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+        from dais2021imageprocessingondeltalake_spark.operators.similarity import (
+            normalize_rounded,
+            pq_encode,
+            pq_fit,
+            pq_index_load,
+            pq_index_save,
+            pq_knn_join,
+        )
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        queries = emb.filter(F.col("vec_id") % 97 == 0)
+        base = emb.filter(F.col("vec_id") % 97 != 0)
+        base_norm = normalize_rounded(base, out_col="__nv").localCheckpoint()
+        book = pq_fit(base_norm, dim=64, m=16, k_codes=16, iters=1, vec_col="__nv")
+        codes = pq_encode(base_norm, book, dim=64, m=16, vec_col="__nv")
+        path = pq_index_save(book, codes, str(tmp_path / "pqidx"))
+        book2, codes2 = pq_index_load(spark, path)
+
+        def run(b, c):
+            return sorted(
+                (r.query_id, r.base_id, r.cosine_sim)
+                for r in pq_knn_join(
+                    queries, base, dim=64, k=3, m=16, k_codes=16, iters=1,
+                    base_codebook=b, base_codes=c,
+                ).collect()
+            )
+
+        assert run(book2, codes2) == run(book, codes)
+
 
 class TestMinhashMd5:
     def test_identical_docs_always_collide(self, spark):
