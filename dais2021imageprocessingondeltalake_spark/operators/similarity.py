@@ -2164,15 +2164,28 @@ def adc_shortlist_pairs(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if cross_group_only and group_col is None:
+        raise ValueError("cross_group_only=True requires a group_col")
     sub_dim = dim // m
     books = _codebook_matrices(codebook.collect())
     code_mats = [books[j][1] for j in range(m)]  # k_codes x sub_dim each
     spark = df_norm.sparkSession
 
     index_src = index_df if index_df is not None else df_norm
+    # group_col=None (general ANN, cross_group_only=False): neither side
+    # needs a group column — the index carries a constant placeholder
+    grp_expr = (
+        F.col(group_col).alias("__g")
+        if group_col is not None
+        else F.lit("").alias("__g")
+    )
     indexed = codes_df.join(
-        index_src.select(F.col(id_col), F.col(group_col).alias("__g")), id_col
+        index_src.select(F.col(id_col), grp_expr), id_col
     ).select(id_col, "__g", "codes")
+    if n_shards > 1:
+        # the shard loop filters+collects this join once PER shard — pin
+        # it so the codes join and its upstream compute run once
+        indexed = indexed.localCheckpoint()
 
     def build_index(sub: DataFrame):
         # the compressed index: (nbr_id, nbr_grp, m codes), id-ascending
@@ -2208,7 +2221,7 @@ def adc_shortlist_pairs(
                     [np.asarray(e, dtype=np.float64) for e in pdf[vec_col]]
                 )
                 pids = pdf[id_col].to_numpy()
-                pgrps = pdf[group_col].to_numpy()
+                pgrps = pdf[group_col].to_numpy() if cross_group_only else None
                 # per-sub LUTs, sequential over the sub_dim coords (no BLAS)
                 luts = []
                 for j in range(m):
@@ -2273,15 +2286,20 @@ def adc_shortlist_pairs(
     # operators/dedup.py)
     from .sampling import ensure_min_partitions
 
+    probe_cols = [id_col] + ([group_col] if group_col is not None else []) + [vec_col]
     probes = ensure_min_partitions(
-        df_norm.select(id_col, group_col, vec_col),
+        df_norm.select(*probe_cols),
         spark.sparkContext.defaultParallelism,
     )
     sim_schema = f"probe_id {id_type}, nbr_id {id_type}, adc double"
 
     if n_shards == 1:
         b_index = build_index(indexed)
-        top = min(shortlist, max(len(b_index.value[0]) - 1, 0))
+        # keep the FULL shortlist: exclusions (self/same-group) happen by
+        # mask, never by shrinking the cap — a disjoint index (xcorpus,
+        # kNN join) has no self row, so a |index|-1 cap would silently
+        # drop one valid candidate and break the oracle/sharded parity
+        top = min(shortlist, len(b_index.value[0]))
         return probes.mapInPandas(make_scan(b_index, top), schema=sim_schema).select(
             "probe_id", "nbr_id"
         )
@@ -2311,6 +2329,39 @@ def adc_shortlist_pairs(
         union.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= shortlist)
         .select("probe_id", "nbr_id")
+    )
+
+
+def _exact_rerank_pairs(
+    pairs: DataFrame,
+    probe_src: DataFrame,
+    nbr_src: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Stage 3 of every shortlist consumer (the margin miners, the kNN
+    join, hard negatives): join candidate (probe_id, nbr_id) pairs back
+    to the RAW vectors on both sides — two id-keyed hash joins — and
+    score with the Arrow-batched cosine. The determinism contract (round
+    to `round_dp` BEFORE any compare; oracles replay
+    round(list_cosine_similarity(...), dp)) lives here once. Returns
+    (probe_id, nbr_id, s)."""
+    cos = _cosine_pairs_arrow(round_dp)
+    return (
+        pairs.join(
+            probe_src.select(
+                F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+            ),
+            "probe_id",
+        )
+        .join(
+            nbr_src.select(
+                F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("_nv")
+            ),
+            "nbr_id",
+        )
+        .select("probe_id", "nbr_id", cos(F.col("_pv"), F.col("_nv")).alias("s"))
     )
 
 
@@ -2381,18 +2432,8 @@ def margin_mine_pq(
         max_index_bytes=max_index_bytes,
         n_shards=n_shards,
     )
-    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-    cos = _cosine_pairs_arrow(round_dp)
-    scored = (
-        pairs.join(
-            vecs.select(F.col("_vid").alias("probe_id"), F.col("_v").alias("_pv")),
-            "probe_id",
-        )
-        .join(
-            vecs.select(F.col("_vid").alias("nbr_id"), F.col("_v").alias("_nv")),
-            "nbr_id",
-        )
-        .select("probe_id", "nbr_id", cos(F.col("_pv"), F.col("_nv")).alias("s"))
+    scored = _exact_rerank_pairs(
+        pairs, df, df, id_col=id_col, vec_col=vec_col, round_dp=round_dp
     )
     return _margin_top2(scored, min_margin_x10k)
 
@@ -2482,21 +2523,8 @@ def margin_mine_pq_xcorpus(
         n_shards=n_shards,
         index_df=ref_df,
     )
-    cos = _cosine_pairs_arrow(round_dp)
-    scored = (
-        pairs.join(
-            new_df.select(
-                F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
-            ),
-            "probe_id",
-        )
-        .join(
-            ref_df.select(
-                F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("_nv")
-            ),
-            "nbr_id",
-        )
-        .select("probe_id", "nbr_id", cos(F.col("_pv"), F.col("_nv")).alias("s"))
+    scored = _exact_rerank_pairs(
+        pairs, new_df, ref_df, id_col=id_col, vec_col=vec_col, round_dp=round_dp
     )
     return _margin_top2(scored, min_margin_x10k)
 
@@ -2512,7 +2540,7 @@ def pq_knn_join(
     shortlist: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    group_col: str = "label",
+    group_col: str | None = None,
     round_dp: int = 6,
     max_index_bytes: int = 1 << 30,
     n_shards: int = 1,
@@ -2532,7 +2560,9 @@ def pq_knn_join(
     (query_id, base_id, cosine_sim), rank-k rows per query, cosine
     rounded before ranking with base-id tie-break — the lsh_knn_join
     output contract, so consumers can swap index families without
-    schema changes."""
+    schema changes. `group_col=None` (the default) matches that
+    contract exactly: general ANN never reads groups — only a vector's
+    own row is excluded."""
     q_norm = normalize_rounded(
         queries_df, id_col=id_col, vec_col=vec_col, out_col="__nv",
         round_dp=round_dp,
@@ -2561,8 +2591,9 @@ def pq_knn_join(
         )
     else:
         book, codes = base_codebook, base_codes
+    probe_cols = [id_col] + ([group_col] if group_col is not None else []) + ["__nv"]
     pairs = adc_shortlist_pairs(
-        q_norm.select(id_col, group_col, "__nv"),
+        q_norm.select(*probe_cols),
         book,
         codes,
         shortlist=shortlist,
@@ -2579,21 +2610,9 @@ def pq_knn_join(
     )
     from pyspark.sql import Window
 
-    cos = _cosine_pairs_arrow(round_dp)
-    scored = (
-        pairs.join(
-            queries_df.select(
-                F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
-            ),
-            "probe_id",
-        )
-        .join(
-            base_df.select(
-                F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("_nv")
-            ),
-            "nbr_id",
-        )
-        .select("probe_id", "nbr_id", cos(F.col("_pv"), F.col("_nv")).alias("s"))
+    scored = _exact_rerank_pairs(
+        pairs, queries_df, base_df, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp,
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), F.col("nbr_id"))
     return (

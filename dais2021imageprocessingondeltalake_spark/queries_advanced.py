@@ -2642,7 +2642,10 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    max_k = 1000
+    vocab_grid = [10, 50, 100, 500, 1000]
+    # the heap bound derives from the grid it must dominate: extending
+    # the grid cannot silently leave a size reading a truncated ranking
+    max_k = max(vocab_grid)
     top = tc.orderBy(F.desc("c"), F.asc("t")).limit(max_k)
     # dim-sized window: exactly max_k rows, post-limit (the q_topk idiom)
     ranked = top.select(
@@ -2652,7 +2655,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
     )
     sizes = docs.sparkSession.createDataFrame(
-        [(10,), (50,), (100,), (500,), (1000,)], "vocab_size int"
+        [(k,) for k in vocab_grid], "vocab_size int"
     )
     return (
         sizes.join(ranked, F.col("rnk") <= F.col("vocab_size"))

@@ -2974,12 +2974,15 @@ def _margin_ivf_curve_pieces(min_margin_x10k: int = 11000):
 @query("q_margin_ivf_curve", oracle=_margin_ivf_curve_oracle())
 def q_margin_ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-margin nprobe SENSITIVITY CURVE — the budget-vs-recall trade
-    as a driver-certified table: for nprobe in {1, 2, 4} over the SAME
-    certified fit, the candidate-pair budget (grows ~linearly in
-    nprobe), the mined high-margin pairs, and recall vs the brute-force
-    reference. A deployment reads this row set to pick its operating
+    as a driver-certified table: for each nprobe in _MARGIN_IVF_NPROBES
+    (r7: {1, 2, 4, 8, 16} — the upper arm extended so the frontier is
+    measured to where it approaches 0.85, per VERDICT r6 item 2) over
+    the SAME certified fit, the candidate-pair budget (grows ~linearly
+    in nprobe), the mined high-margin pairs, and recall vs the
+    brute-force reference. A deployment reads this row set — or lets
+    size_nprobe / q_margin_nprobe_sized read it — to pick its operating
     point; the probe artifact shows the same curve at 60x scale. One
-    fit, |nprobes| candidate joins, one quadratic audit reference (at
+    fit, |ladder| candidate joins, one quadratic audit reference (at
     100 TB the brute side runs on a sample; here the corpus is the
     sample)."""
     import math
@@ -2992,7 +2995,7 @@ def q_margin_ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_brute = brute.count()
     # ONE fit shared by every nprobe setting (the oracle computes the
     # fit CTE once too) — refitting per setting would run the identical
-    # seed/E-step/M-step chain three times for bit-identical centroids
+    # seed/E-step/M-step chain |ladder| times for bit-identical centroids
     _, cents = SIM.kmeans_fit_distributed(emb, k=k, iters=1, round_dp=6)
     cos = SIM._cosine_pairs_arrow(6)
     vecs = emb.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
@@ -3424,19 +3427,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm, book, codes, shortlist=SIM.size_adc_shortlist(norm.count()),
         dim=64, m=_MARGIN_PQ_M, vec_col="__nv",
     )
-    vecs = emb.select(F.col("vec_id").alias("_vid"), F.col("embedding").alias("_v"))
-    cos = SIM._cosine_pairs_arrow(6)
-    scored = (
-        pairs.join(
-            vecs.select(F.col("_vid").alias("probe_id"), F.col("_v").alias("_pv")),
-            "probe_id",
-        )
-        .join(
-            vecs.select(F.col("_vid").alias("nbr_id"), F.col("_v").alias("_nv")),
-            "nbr_id",
-        )
-        .select("probe_id", "nbr_id", cos(F.col("_pv"), F.col("_nv")).alias("s"))
-    )
+    scored = SIM._exact_rerank_pairs(pairs, emb, emb)
     w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), F.col("nbr_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -927,7 +927,13 @@ class TestRankMetricEdges:
         df = spark.createDataFrame(rows, "s: double, y: boolean")
         out = ranked_auc(df, F.col("y"), "s")
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "Window" not in plan or "__pid" in plan, plan
+        # EVERY Window node must be the per-range-partition one (keyed by
+        # __pid) — 'no partitionless window anywhere', not merely 'the
+        # parallel path exists somewhere' (which a regression could
+        # satisfy while adding a single-reducer window alongside it)
+        for line in plan.splitlines():
+            if line.strip().startswith("Window ") or "WindowExec" in line:
+                assert "__pid" in line, line
         r = out.collect()[0]
         assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
         assert r["auc_x1e6"] == expected

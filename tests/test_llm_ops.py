@@ -530,6 +530,47 @@ class TestLshKnnJoin:
         recall = len(approx & exact_base) / max(len(exact_base), 1)
         assert recall >= 0.8, f"pq_knn_join recall {recall:.2f}"
 
+    def test_disjoint_index_keeps_full_shortlist(self, spark):
+        """Review r7: the scan's cap must be min(C, |index|), never
+        |index|-1 — the self row is excluded by MASK, and a DISJOINT
+        index (kNN join, xcorpus) has no self row at all. Worst case:
+        a 1-row base must still be every query's top-1 (the old cap
+        made keep_top 0 and returned ZERO rows); and a |ref| <=
+        shortlist xcorpus index must emit every valid candidate."""
+        from dais2021imageprocessingondeltalake_spark.operators.similarity import (
+            pq_knn_join,
+        )
+
+        qdf = spark.createDataFrame(
+            [(i, "a", [float((i * 7 + j) % 5 - 2) for j in range(64)]) for i in range(6)],
+            ["vec_id", "label", "embedding"],
+        )
+        bdf = spark.createDataFrame(
+            [(100, "b", [1.0] * 64)], ["vec_id", "label", "embedding"]
+        )
+        out = pq_knn_join(qdf, bdf, dim=64, k=3, m=16, k_codes=1, iters=1).collect()
+        assert {r.base_id for r in out} == {100}
+        assert len(out) == 6  # every query found the single base row
+        # small-ref xcorpus: |ref| < C floor, all 5 ref rows reachable
+        ref = spark.createDataFrame(
+            [(200 + i, "b", [float((i + j) % 3) for j in range(64)]) for i in range(5)],
+            ["vec_id", "label", "embedding"],
+        )
+        pairs = SIM.adc_shortlist_pairs(
+            SIM.normalize_rounded(qdf, out_col="nv"),
+            SIM.pq_fit(SIM.normalize_rounded(ref, out_col="nv"), dim=64, m=16,
+                       k_codes=2, iters=1, vec_col="nv"),
+            SIM.pq_encode(SIM.normalize_rounded(ref, out_col="nv"),
+                          SIM.pq_fit(SIM.normalize_rounded(ref, out_col="nv"),
+                                     dim=64, m=16, k_codes=2, iters=1, vec_col="nv"),
+                          dim=64, m=16, vec_col="nv"),
+            shortlist=32, dim=64, m=16, vec_col="nv", index_df=ref,
+        ).collect()
+        per = {}
+        for r in pairs:
+            per[r["probe_id"]] = per.get(r["probe_id"], 0) + 1
+        assert set(per.values()) == {5}  # ALL ref rows, not |ref|-1
+
     def test_pq_index_save_load_roundtrip(self, spark, tmp_path):
         """The persisted-index lifecycle: save the base's codebook+codes,
         load them back, and the join through the LOADED assets must be
