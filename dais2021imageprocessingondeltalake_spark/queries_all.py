@@ -34,19 +34,21 @@ from .registry import REGISTRY, headline_queries, oracle_sql, queries  # noqa: F
 # them via ``queries()``/``oracle_sql()`` and the repo's own dual-scale sweep
 # (tools/verify_sweep.py) checks every oracle at sf0.01 AND sf0.1 each round.
 #
-# Window changes r6 -> r7 (per VERDICT r6 item 1; nothing unregistered):
-# - The 15 r6-certified rotating slots (the north-star LLM dedup/ANN/
-#   curation tier plus the q_tpch_priority_lines re-gate — all green in
-#   CORRECTNESS_r06) rotate to the queue tail.
-# - In come the 15 ids VERDICT r6 item 1 names for driver certification:
-#   the r6 training tier (logreg fit/filter/grid/holdout/calibration),
-#   sequence packing (batch + streamed fold), the IVF margin-miner trio
-#   (miner, measured recall, certified nprobe curve), and the data-plane
-#   tier (ORC round-trip, XOR shard manifest, negative sampling, epoch
-#   shuffle, chi-square drift). The four carried deferrals
+# Window changes r7 -> r8 (per VERDICT r7 items 1 and 5; nothing
+# unregistered):
+# - The 15 r7-certified rotating slots (training tier, packing,
+#   IVF-margin trio, data-plane tier — all green in CORRECTNESS_r07)
+#   rotate to the queue tail.
+# - In come the ids VERDICT r7 item 1 names: the r7 PQ flagship tier
+#   (ADC-shortlisted margin miner, its 0.85-floor recall report, the
+#   beyond-residency sharded scan, the cross-corpus incremental miner +
+#   its recall report, the live-ingest streamed variant, the bitext
+#   mine->assemble->pack composition, hard-negative mining, the
+#   PQ-accelerated batch kNN join, and the certified sized-nprobe
+#   decision) — 10 ids — plus the four carried deferrals
 #   (q_ngram_jaccard_prefix, q_dedup_spans, q_embedding_topk,
-#   q_embedding_ann_q8) stay at the queue head for r8 — the window holds
-#   15 rotating slots and VERDICT's named training tier takes all 15.
+#   q_embedding_ann_q8) and the never-gated q_experiment_tracking
+#   (VERDICT r7 item 5), filling all 15 rotating slots.
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # SURVEY §2 resident set (35)
@@ -85,23 +87,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_scan_binary",
     "q_stream_agg",
     "q_stream_window",
-    # Rotation head promoted for r7 (VERDICT r6 item 1): the r6 training /
-    # packing / IVF-margin / data-plane tier gets driver certification.
-    "q_logreg_fit",
-    "q_logreg_filter",
-    "q_logreg_grid",
-    "q_logreg_holdout",
-    "q_logreg_calibration",
-    "q_pack_sequences",
-    "q_stream_pack",
-    "q_margin_mine_ivf",
-    "q_margin_ivf_recall",
-    "q_margin_ivf_curve",
-    "q_orc_roundtrip",
-    "q_shard_manifest",
-    "q_negative_sample",
-    "q_epoch_shuffle",
-    "q_profile_drift",
+    # Rotation head promoted for r8 (VERDICT r7 items 1 + 5): the r7 PQ
+    # flagship tier gets driver certification, plus the carried deferrals
+    # and the never-gated experiment-tracking id.
+    "q_margin_mine_pq",
+    "q_margin_pq_recall",
+    "q_margin_pq_sharded",
+    "q_margin_pq_xcorpus",
+    "q_margin_xcorpus_recall",
+    "q_stream_margin_pq",
+    "q_bitext_pack",
+    "q_hard_negatives",
+    "q_knn_join_pq",
+    "q_margin_nprobe_sized",
+    "q_ngram_jaccard_prefix",
+    "q_dedup_spans",
+    "q_embedding_topk",
+    "q_embedding_ann_q8",
+    "q_experiment_tracking",
 )
 
 # --- Promoted-set ledger (VERDICT r5 item 1b) --------------------------------
@@ -111,7 +114,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # registered (their green rows are history, and the dual-scale sweep keeps
 # checking their oracles). Rotations update CURRENT_ROUND + append one entry
 # here instead of hand-editing a test.
-CURRENT_ROUND = 7
+CURRENT_ROUND = 8
 PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
     4: (
         "q_minhash_lsh_md5",
@@ -181,30 +184,30 @@ PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
         "q_epoch_shuffle",
         "q_profile_drift",
     ),
+    8: (
+        "q_margin_mine_pq",
+        "q_margin_pq_recall",
+        "q_margin_pq_sharded",
+        "q_margin_pq_xcorpus",
+        "q_margin_xcorpus_recall",
+        "q_stream_margin_pq",
+        "q_bitext_pack",
+        "q_hard_negatives",
+        "q_knn_join_pq",
+        "q_margin_nprobe_sized",
+        "q_ngram_jaccard_prefix",
+        "q_dedup_spans",
+        "q_embedding_topk",
+        "q_embedding_ann_q8",
+        "q_experiment_tracking",
+    ),
 }
 
 # Priority order for slots 51+; ids not listed here follow in their original
 # registration order. Rounds 7+ rotate these into freed window slots.
 ROTATION_QUEUE: tuple[str, ...] = (
-    # r8 head: this round's flagship — the ADC-shortlisted margin miner
-    # that closes the LSH/IVF duality (VERDICT r6 item 2), its certified
-    # recall report, and the certified sized-nprobe decision
-    "q_margin_mine_pq",
-    "q_margin_pq_recall",
-    "q_margin_pq_sharded",
-    "q_margin_pq_xcorpus",
-    "q_margin_xcorpus_recall",
-    "q_stream_margin_pq",
-    "q_bitext_pack",
-    "q_hard_negatives",
-    "q_knn_join_pq",
-    "q_margin_nprobe_sized",
-    # then the r6/r7 queue-head ids the 15-slot window could not take
-    # (unchanged since their green r3 rows; sweep-checked every round)
-    "q_ngram_jaccard_prefix",
-    "q_dedup_spans",
-    "q_embedding_topk",
-    "q_embedding_ann_q8",
+    # r9 head: the r6-certified statistical/certified tier that has never
+    # re-gated since r6, plus the r8 IVFADC additions once registered
     "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
     "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)
@@ -358,6 +361,23 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_semdedup",
     "q_margin_mine_lsh",
     "q_margin_lsh_recall",
+    # r7-certified ids rotated OUT of the window in r8 (each holds a green
+    # CORRECTNESS_r07 row; the dual-scale sweep keeps their oracles checked)
+    "q_logreg_fit",
+    "q_logreg_filter",
+    "q_logreg_grid",
+    "q_logreg_holdout",
+    "q_logreg_calibration",
+    "q_pack_sequences",
+    "q_stream_pack",
+    "q_margin_mine_ivf",
+    "q_margin_ivf_recall",
+    "q_margin_ivf_curve",
+    "q_orc_roundtrip",
+    "q_shard_manifest",
+    "q_negative_sample",
+    "q_epoch_shuffle",
+    "q_profile_drift",
 )
 
 
