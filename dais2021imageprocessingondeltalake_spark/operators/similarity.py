@@ -2055,16 +2055,26 @@ def size_nprobe(curve_rows, recall_target_x10k: int = 8500):
     does — the honest answer on far-mate geometry, where the curve
     crosses 0.85 only past ~40% of all cells and the caller should
     switch to margin_mine_pq instead of freezing a quadratic nprobe.
-    `curve_rows` is any iterable of (nprobe, recall_x10k) pairs or Row
-    objects with those fields (q_margin_ivf_curve's output)."""
+    `curve_rows` is any iterable of Row/dict objects with `nprobe` and
+    `recall_x10k` fields (q_margin_ivf_curve's output) or STRICT
+    (nprobe, recall_x10k) 2-tuples/lists. Mapping-like rows missing the
+    named fields re-raise instead of being read positionally — a Row
+    with reordered fields must never silently size from the wrong
+    column (ADVICE r7) — and wider plain tuples are rejected for the
+    same reason."""
     best = None
     for r in curve_rows:
-        try:
-            # pyspark Row / dict — field access (Row subclasses tuple, so
-            # this MUST come before the positional fallback)
+        if isinstance(r, (tuple, list)) and not hasattr(r, "__fields__"):
+            # plain positional form: exactly (nprobe, recall_x10k)
+            if len(r) != 2:
+                raise ValueError(
+                    "size_nprobe positional rows must be exactly "
+                    f"(nprobe, recall_x10k) pairs, got {len(r)} fields"
+                )
+            np_, rec = r
+        else:
+            # pyspark Row / dict — named access only, no positional rescue
             np_, rec = r["nprobe"], r["recall_x10k"]
-        except (TypeError, KeyError, ValueError, IndexError):
-            np_, rec = r[0], r[1]
         if rec >= recall_target_x10k and (best is None or np_ < best):
             best = int(np_)
     return best
@@ -2085,12 +2095,22 @@ def normalize_rounded(
     ve])), 6))`` reproduces the output bit-for-bit. Normalizing BEFORE
     PQ makes ADC inner products approximate cosine directly (no
     per-neighbor norm term), which is what the margin criterion ranks
-    by."""
+    by.
+
+    Zero-norm rows (an all-zero embedding has no direction to
+    normalize) are dropped EXPLICITLY here (ADVICE r7) rather than
+    silently as NaN fallout of the downstream isfinite mask: a
+    degenerate vector can be neither a probe nor a neighbor in any
+    cosine-ranked pipeline, and the predicate (sum of squares > 0) is
+    the one an oracle mirrors verbatim when its corpus can contain
+    such rows — the registered corpora cannot (generator-enforced), so
+    the registered oracles need no extra predicate."""
     v = _to_double(F.col(vec_col))
-    nrm = F.sqrt(
-        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    sumsq = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    nrm = F.sqrt(sumsq)
+    return df.filter(sumsq > 0).withColumn(
+        out_col, F.transform(v, lambda x: F.round(x / nrm, round_dp))
     )
-    return df.withColumn(out_col, F.transform(v, lambda x: F.round(x / nrm, round_dp)))
 
 
 def adc_shortlist_pairs(
@@ -2109,10 +2129,20 @@ def adc_shortlist_pairs(
     n_shards: int = 1,
     index_df: DataFrame | None = None,
     cross_group_only: bool = True,
+    validate_coverage: bool = False,
 ) -> DataFrame:
     """Per-probe top-`shortlist` CROSS-GROUP candidates by ADC inner
     product over the compressed codes — the quadratic scan of margin
     mining run in the compressed domain. Returns (probe_id, nbr_id).
+
+    `validate_coverage=True` asserts the codes exactly cover the index
+    rows before scanning (ADVICE r7): the codes⋈index join is INNER, so
+    a STALE persisted index — `codes_df` missing newly-ingested
+    `index_df` rows, or carrying ids deleted from it — would otherwise
+    silently scan only the intersection. The persisted-asset callers
+    (margin_mine_pq_xcorpus / pq_knn_join with a loaded pq_index) turn
+    this on; in-query-derived codes are covering by construction and
+    skip the two count jobs.
 
     `cross_group_only=False` switches the exclusion mask from
     same-group to same-ID (the general batched-ANN contract:
@@ -2182,6 +2212,19 @@ def adc_shortlist_pairs(
     indexed = codes_df.join(
         index_src.select(F.col(id_col), grp_expr), id_col
     ).select(id_col, "__g", "codes")
+    if validate_coverage:
+        # staleness guard: ids must match EXACTLY in both directions —
+        # |codes| == |index| == |codes ⋈ index| (ids are unique on both
+        # sides by the pq_encode/table contracts, so three counts suffice)
+        n_codes = codes_df.count()
+        n_index = index_src.count()
+        n_joined = indexed.count()
+        if not (n_codes == n_index == n_joined):
+            raise ValueError(
+                f"stale PQ index: codes cover {n_joined} of {n_index} index "
+                f"rows ({n_codes} code rows) — re-encode the index "
+                "(pq_index_save) so codes and index ids match exactly"
+            )
     if n_shards > 1:
         # the shard loop filters+collects this join once PER shard — pin
         # it so the codes join and its upstream compute run once
@@ -2522,6 +2565,8 @@ def margin_mine_pq_xcorpus(
         max_index_bytes=max_index_bytes,
         n_shards=n_shards,
         index_df=ref_df,
+        # persisted codes can drift from the live ref table — guard it
+        validate_coverage=ref_codes is not None,
     )
     scored = _exact_rerank_pairs(
         pairs, new_df, ref_df, id_col=id_col, vec_col=vec_col, round_dp=round_dp
@@ -2607,6 +2652,8 @@ def pq_knn_join(
         n_shards=n_shards,
         index_df=base_df,
         cross_group_only=False,
+        # persisted codes can drift from the live base table — guard it
+        validate_coverage=base_codes is not None,
     )
     from pyspark.sql import Window
 

@@ -1226,6 +1226,59 @@ class TestMarginMinePQ:
         rows = [{"nprobe": 2, "recall_x10k": 9000, "n_cand": 99999}]
         assert SIM.size_nprobe(rows, 8500) == 2
 
+    def test_size_nprobe_rejects_ambiguous_rows(self):
+        """ADVICE r7: no positional rescue for structured rows — a Row
+        or dict missing the named fields must raise, not silently size
+        from whatever its first two fields happen to be; and a plain
+        tuple wider than (nprobe, recall_x10k) is ambiguous too."""
+        from pyspark.sql import Row
+
+        with pytest.raises(KeyError):
+            SIM.size_nprobe([{"recall_x10k": 9000, "np": 2}], 8500)
+        # reordered-field Row: named access reads the RIGHT columns
+        r = Row(recall_x10k=9000, nprobe=2)
+        assert SIM.size_nprobe([r], 8500) == 2
+        with pytest.raises(ValueError, match="positional rows"):
+            SIM.size_nprobe([(2, 123456, 9000)], 8500)
+
+    def test_normalize_rounded_drops_zero_norm(self, spark):
+        """ADVICE r7: an all-zero embedding has no direction — it is
+        dropped by an explicit sum-of-squares predicate, not as silent
+        NaN fallout downstream."""
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0, 3.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+        out = SIM.normalize_rounded(df).collect()
+        assert [r["vec_id"] for r in out] == [1]
+        assert out[0]["nv"] == [0.0, 0.0, 0.0, 1.0]
+
+    def test_stale_persisted_index_raises(self, spark):
+        """ADVICE r7: a persisted code set that does not exactly cover
+        the live index rows (new unencoded rows, or deleted ids still
+        in the codes) must raise, not silently scan the intersection."""
+        emb = load_table(spark, "embeddings", SF_DIR).limit(40).localCheckpoint()
+        norm = SIM.normalize_rounded(emb, out_col="nv").localCheckpoint()
+        book = SIM.pq_fit(norm, dim=64, m=16, k_codes=8, iters=1, vec_col="nv")
+        codes = SIM.pq_encode(norm, book, dim=64, m=16, vec_col="nv")
+        stale_codes = codes.filter(F.col("vec_id") % 5 != 0)  # missing rows
+        with pytest.raises(ValueError, match="stale PQ index"):
+            SIM.adc_shortlist_pairs(
+                norm, book, stale_codes, shortlist=4, dim=64, m=16,
+                vec_col="nv", validate_coverage=True,
+            ).collect()
+        # exact cover passes, and the guarded scan equals the unguarded one
+        guarded = SIM.adc_shortlist_pairs(
+            norm, book, codes, shortlist=4, dim=64, m=16,
+            vec_col="nv", validate_coverage=True,
+        )
+        plain = SIM.adc_shortlist_pairs(
+            norm, book, codes, shortlist=4, dim=64, m=16, vec_col="nv",
+        )
+        assert {tuple(r) for r in guarded.collect()} == {
+            tuple(r) for r in plain.collect()
+        }
+
     def test_validation_and_residency_guard(self, spark):
         emb = load_table(spark, "embeddings", SF_DIR)
         norm = SIM.normalize_rounded(emb)
