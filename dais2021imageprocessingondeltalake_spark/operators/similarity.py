@@ -2080,6 +2080,27 @@ def size_nprobe(curve_rows, recall_target_x10k: int = 8500):
     return best
 
 
+def _adc_luts(X, code_mats, m: int, sub_dim: int):
+    """Per-probe ADC lookup tables: for each subspace j, the inner
+    products of every probe's j-th slice with every code centroid —
+    m matrices of (|probes| x k_codes). Accumulated SEQUENTIALLY over
+    the sub_dim coordinates (no BLAS reassociation/FMA — the
+    _pq_sumsq_seq convention) so the oracle's left-to-right list_sum
+    fold reproduces every entry bit-for-bit. Shared by the flat ADC
+    scan and the IVF-pruned one."""
+    import numpy as np
+
+    luts = []
+    for j in range(m):
+        Z = X[:, j * sub_dim : (j + 1) * sub_dim]
+        Cj = code_mats[j]
+        acc = np.zeros((X.shape[0], Cj.shape[0]), dtype=np.float64)
+        for i in range(sub_dim):
+            acc += Z[:, i, None] * Cj[None, :, i]
+        luts.append(acc)
+    return luts
+
+
 def normalize_rounded(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -2266,14 +2287,7 @@ def adc_shortlist_pairs(
                 pids = pdf[id_col].to_numpy()
                 pgrps = pdf[group_col].to_numpy() if cross_group_only else None
                 # per-sub LUTs, sequential over the sub_dim coords (no BLAS)
-                luts = []
-                for j in range(m):
-                    Z = X[:, j * sub_dim : (j + 1) * sub_dim]
-                    Cj = code_mats[j]
-                    acc = np.zeros((X.shape[0], Cj.shape[0]), dtype=np.float64)
-                    for i in range(sub_dim):
-                        acc += Z[:, i, None] * Cj[None, :, i]
-                    luts.append(acc)
+                luts = _adc_luts(X, code_mats, m, sub_dim)
                 best_sims = None
                 best_ids = None
                 for lo in range(0, len(ids_a), nbr_chunk):
@@ -2693,3 +2707,357 @@ def pq_index_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/codebook"),
         spark.read.parquet(f"{path}/codes"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVFADC: coarse-cell pruning composed IN FRONT of the ADC scan
+# --------------------------------------------------------------------------
+#
+# The flat ADC scan (adc_shortlist_pairs) made the SHORTLIST sub-quadratic
+# (C·N pairs, C ~ 2√N) but its compute is still Θ(N²·m) LUT ops — every
+# probe touches every code. FAISS's production index (IVFADC — Jégou,
+# Douze, Schmid, TPAMI 2011 §V) prunes that scan with a coarse quantizer:
+# each index vector lives in the inverted list of its nearest coarse cell,
+# and a probe scans only the lists of its `nprobe` nearest cells — here
+# ~nprobe/k of the codes with k ~ √N cells, so the scan itself drops to
+# Θ(nprobe·N^1.5·m). Recall is a MEASURED output (the probed cells may
+# miss a true mate's home cell); the registered queries size nprobe from
+# a measured recall curve per corpus (q_margin_ivfadc_curve /
+# q_margin_ivfadc_sized — the size_nprobe idiom), and the curve's top rung
+# (nprobe = k) degenerates to the flat scan, so a sizing target is always
+# reachable.
+
+
+def assign_cells_ranked(
+    df: DataFrame,
+    centroids_long: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+    round_dp: int = 6,
+    out_col: str = "cells",
+) -> DataFrame:
+    """Top-n cell assignment as ONE ARRAY COLUMN per row (rank order) —
+    assign_topn_centroids without the explode: the IVFADC pipelines need
+    a probe's probed-cell SET riding along into the scan and a curve
+    query slicing one full ranking at several nprobe values
+    (F.slice(cells, 1, nprobe)), so exploding to n rows and regrouping
+    would be a wasted round-trip shuffle. Same determinism contract as
+    assign_topn_centroids (one broadcast k x dim matrix, one Arrow
+    matmul, sims rounded BEFORE ranking, stable argsort over
+    label-ascending columns == row_number OVER (ORDER BY sim DESC,
+    label)); cells[0] is the home cell (rank 1)."""
+    import numpy as np
+
+    if n < 1:
+        raise ValueError(f"assign_cells_ranked requires n >= 1, got {n}")
+    packed = _centroid_matrix(centroids_long)
+    if packed is None:
+        label_type = centroids_long.schema["label"].dataType.simpleString()
+        keep = ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+        )
+        return df.sparkSession.createDataFrame(
+            [],
+            schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+            + (keep + ", " if keep else "")
+            + f"{out_col} array<{label_type}>",
+        )
+    cmat, cnorm, label_arr, label_type = packed
+    top = min(n, len(label_arr))
+
+    @F.pandas_udf(f"array<{label_type}>")
+    def best_cells(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(e, dtype=np.float64) for e in vec])
+        xn = np.sqrt((x * x).sum(axis=1))
+        sims = np.round(x @ cmat.T / (xn[:, None] * cnorm[None, :]), round_dp)
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+        return pd.Series([label_arr[row].tolist() for row in idx])
+
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        best_cells(F.col(vec_col)).alias(out_col),
+    )
+
+
+def ivfadc_shortlist_pairs(
+    probes_df: DataFrame,
+    codebook: DataFrame,
+    codes_df: DataFrame,
+    home_df: DataFrame,
+    shortlist: int,
+    dim: int,
+    m: int = 16,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "nv",
+    cells_col: str = "cells",
+    round_dp: int = 6,
+    max_index_bytes: int = 1 << 30,
+    index_df: DataFrame | None = None,
+    cross_group_only: bool = True,
+) -> DataFrame:
+    """IVF-pruned ADC scan: per-probe top-`shortlist` candidates by ADC
+    inner product, computed ONLY over the codes whose home cell is one
+    of the probe's probed cells. Returns (probe_id, nbr_id) — the
+    adc_shortlist_pairs contract with the Θ(N²·m) flat scan replaced by
+    Θ(Σ_probes Σ_{probed cells} |cell|·m), i.e. ~nprobe/k of the flat
+    compute.
+
+    Inputs: `probes_df` carries (id, group, normalized vec, and
+    `cells_col` — the ARRAY of probed cell ids from assign_cells_ranked
+    sliced to nprobe; membership only, order irrelevant); `home_df`
+    carries (id, cell) — each index row's rank-1 cell. The broadcast
+    index stores codes GROUPED BY CELL (sorted by (cell, id), one
+    contiguous slice per cell), so a probe's scan touches exactly its
+    cells' slices — the inverted-file layout of FAISS's IVFADC, realized
+    as slice offsets into one broadcast array instead of a partitioned
+    table (the index is guarded RAM-resident, same residency contract
+    and `max_index_bytes` raise as the flat scan; the beyond-residency
+    move at this layer is sharding the CELLS across broadcasts, which
+    composes with the same bounded re-merge window as
+    adc_shortlist_pairs' tested n_shards path — not needed below the
+    guard and not implemented here).
+
+    Determinism (oracle-replayable, the adc_shortlist_pairs contract):
+    LUT inner products accumulate sequentially (_adc_luts), per-sub
+    partials add in ascending sub order, ADC totals round to `round_dp`
+    BEFORE ranking, within-cell ties break to the lowest nbr_id (codes
+    id-ascending inside each cell slice + stable argsort), and the
+    cross-cell merge re-sorts the per-cell survivors by the same
+    (adc desc, nbr_id) TOTAL order — so the emitted top-C is identical
+    to ranking the cell-restricted candidate set in one SQL window, and
+    is independent of cell iteration order (each global top-C candidate
+    survives its own cell's local top-C)."""
+    import numpy as np
+
+    if shortlist < 1:
+        raise ValueError(
+            f"ivfadc_shortlist_pairs requires shortlist >= 1, got {shortlist}"
+        )
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if cross_group_only and group_col is None:
+        raise ValueError("cross_group_only=True requires a group_col")
+    sub_dim = dim // m
+    books = _codebook_matrices(codebook.collect())
+    code_mats = [books[j][1] for j in range(m)]
+    spark = probes_df.sparkSession
+
+    index_src = index_df if index_df is not None else probes_df
+    grp_expr = (
+        F.col(group_col).alias("__g")
+        if group_col is not None
+        else F.lit("").alias("__g")
+    )
+    indexed = (
+        codes_df.join(index_src.select(F.col(id_col), grp_expr), id_col)
+        .join(home_df.select(F.col(id_col), F.col("cell").alias("__cell")), id_col)
+        .select(id_col, "__g", "__cell", "codes")
+    )
+    # inverted-file layout: one collect, rows sorted by (cell, id) so each
+    # cell is a contiguous, id-ascending slice of the broadcast arrays
+    idx_rows = indexed.collect()
+    n_idx = len(idx_rows)
+    idx_bytes = n_idx * (m + 24)  # m codes + id/group/cell bookkeeping
+    if idx_bytes > max_index_bytes:
+        raise ValueError(
+            f"IVFADC index would be ~{idx_bytes} bytes for {n_idx} vectors at "
+            f"m={m}, over the {max_index_bytes} residency budget — shard the "
+            "cells across broadcasts (see docstring) or use "
+            "adc_shortlist_pairs(n_shards=...)"
+        )
+    nbr_ids = np.array([r[id_col] for r in idx_rows], dtype=np.int64)
+    nbr_grps = np.array([r["__g"] for r in idx_rows])
+    nbr_cells = np.array([r["__cell"] for r in idx_rows], dtype=np.int64)
+    nbr_codes = (
+        np.array([r["codes"] for r in idx_rows], dtype=np.int64)
+        if n_idx
+        else np.zeros((0, m), dtype=np.int64)
+    )
+    order = np.lexsort((nbr_ids, nbr_cells))
+    nbr_ids, nbr_grps, nbr_cells, nbr_codes = (
+        nbr_ids[order], nbr_grps[order], nbr_cells[order], nbr_codes[order],
+    )
+    # cell -> (start, end) slice offsets into the sorted arrays
+    cell_slices: dict[int, tuple[int, int]] = {}
+    if n_idx:
+        bounds = np.flatnonzero(np.diff(nbr_cells)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [n_idx]])
+        cell_slices = {
+            int(nbr_cells[s]): (int(s), int(e)) for s, e in zip(starts, ends)
+        }
+    b_index = spark.sparkContext.broadcast(
+        (nbr_ids, nbr_grps, nbr_codes, cell_slices)
+    )
+    top = min(shortlist, n_idx) if n_idx else 0
+
+    id_type = probes_df.schema[id_col].dataType.simpleString()
+    sim_schema = f"probe_id {id_type}, nbr_id {id_type}"
+
+    def scan(batches):
+        ids_a, grps_a, codes_a, slices = b_index.value
+        for pdf in batches:
+            if pdf.empty or len(ids_a) == 0 or top == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf[vec_col]]
+            )
+            pids = pdf[id_col].to_numpy()
+            pgrps = pdf[group_col].to_numpy() if cross_group_only else None
+            luts = _adc_luts(X, code_mats, m, sub_dim)
+            # invert: cell -> probe rows that probe it (iteration order is
+            # irrelevant — the final merge is a total order)
+            cell_rows: dict[int, list[int]] = {}
+            for i, cl in enumerate(pdf[cells_col]):
+                for c in cl:
+                    if int(c) in slices:
+                        cell_rows.setdefault(int(c), []).append(i)
+            best: list[list] = [[] for _ in range(len(pids))]
+            for c, rows in cell_rows.items():
+                lo, hi = slices[c]
+                rp = np.array(rows, dtype=np.int64)
+                adc = np.zeros((len(rp), hi - lo), dtype=np.float64)
+                for j in range(m):
+                    adc += luts[j][rp][:, codes_a[lo:hi, j]]
+                adc = np.round(adc, round_dp)
+                if cross_group_only:
+                    adc[pgrps[rp][:, None] == grps_a[None, lo:hi]] = -np.inf
+                else:
+                    adc[pids[rp][:, None] == ids_a[None, lo:hi]] = -np.inf
+                keep = min(top, hi - lo)
+                part = np.argsort(-adc, axis=1, kind="stable")[:, :keep]
+                sims = np.take_along_axis(adc, part, axis=1)
+                nids = ids_a[lo:hi][part]
+                for t in range(len(rp)):
+                    best[rp[t]].append((sims[t], nids[t]))
+            out_pids, out_nids = [], []
+            for i, cand in enumerate(best):
+                if not cand:
+                    continue
+                s = np.concatenate([x[0] for x in cand])
+                d = np.concatenate([x[1] for x in cand])
+                keep_n = min(top, len(s))
+                order_i = np.lexsort((d, -s))[:keep_n]
+                s, d = s[order_i], d[order_i]
+                fin = np.isfinite(s)
+                if fin.any():
+                    out_pids.append(np.full(int(fin.sum()), pids[i]))
+                    out_nids.append(d[fin])
+            if out_pids:
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.concatenate(out_pids),
+                        "nbr_id": np.concatenate(out_nids),
+                    }
+                )
+
+    from .sampling import ensure_min_partitions
+
+    probe_cols = (
+        [id_col] + ([group_col] if group_col is not None else [])
+        + [vec_col, cells_col]
+    )
+    probes = ensure_min_partitions(
+        probes_df.select(*probe_cols),
+        spark.sparkContext.defaultParallelism,
+    )
+    return probes.mapInPandas(scan, schema=sim_schema).select("probe_id", "nbr_id")
+
+
+def margin_mine_ivfadc(
+    df: DataFrame,
+    dim: int,
+    nprobe: int,
+    k_cells: int | None = None,
+    m: int = 16,
+    k_codes: int = 16,
+    iters: int = 1,
+    shortlist: int | None = None,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_margin_x10k: int = 10200,
+    round_dp: int = 6,
+    max_index_bytes: int = 1 << 30,
+    centroids: DataFrame | None = None,
+    ranked_cells: DataFrame | None = None,
+    norm: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC margin mining — the margin_mine_pq pipeline with coarse-
+    cell pruning composed in front of the ADC scan (VERDICT r7 item 2),
+    making the SCAN sub-quadratic (~nprobe/k of the flat LUT compute),
+    not just the shortlist. Pipeline: certified √N-cell coarse fit on
+    the raw corpus (kmeans_fit_distributed — the margin_mine_ivf
+    quantizer, so one oracle fit CTE serves both families), full cell
+    RANKING per vector as one array column (assign_cells_ranked),
+    normalize + certified PQ fit/encode (the margin_mine_pq stages),
+    then the inverted-file ADC scan over each probe's top-`nprobe`
+    cells' codes, exact re-rank of the top-C shortlist, margin top-2.
+
+    `nprobe` is REQUIRED — the registered queries size it per corpus
+    from the measured recall curve (q_margin_ivfadc_sized, the
+    size_nprobe idiom); hardcoding a default here is exactly the
+    frozen-parameter drift VERDICT r7 item 4 warns about. The optional
+    asset params (centroids / ranked_cells / norm / codebook / codes)
+    let a curve query share ONE fit + ranking + encode across its
+    ladder points."""
+    if norm is None:
+        norm = normalize_rounded(
+            df, id_col=id_col, vec_col=vec_col, out_col="__nv", round_dp=round_dp
+        ).localCheckpoint()
+    if k_cells is None:
+        k_cells = max(1, math.isqrt(max(norm.count() - 1, 0)) + 1)
+    if centroids is None:
+        _, centroids = kmeans_fit_distributed(
+            df, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+            round_dp=round_dp,
+        )
+    if ranked_cells is None:
+        ranked_cells = assign_cells_ranked(
+            df, centroids, n=k_cells, id_col=id_col, vec_col=vec_col,
+            round_dp=round_dp,
+        ).localCheckpoint()
+    if shortlist is None:
+        shortlist = size_adc_shortlist(norm.count())
+    if codebook is None:
+        codebook = pq_fit(
+            norm, dim=dim, m=m, k_codes=k_codes, iters=iters,
+            id_col=id_col, vec_col="__nv", round_dp=round_dp,
+        )
+    if codes is None:
+        codes = pq_encode(norm, codebook, dim=dim, m=m, id_col=id_col, vec_col="__nv")
+    home = ranked_cells.select(
+        F.col(id_col), F.element_at("cells", 1).alias("cell")
+    )
+    probes = norm.select(id_col, group_col, "__nv").join(
+        ranked_cells.select(
+            F.col(id_col), F.slice("cells", 1, nprobe).alias("__cells")
+        ),
+        id_col,
+    )
+    pairs = ivfadc_shortlist_pairs(
+        probes,
+        codebook,
+        codes,
+        home,
+        shortlist=shortlist,
+        dim=dim,
+        m=m,
+        group_col=group_col,
+        id_col=id_col,
+        vec_col="__nv",
+        cells_col="__cells",
+        round_dp=round_dp,
+        max_index_bytes=max_index_bytes,
+    )
+    scored = _exact_rerank_pairs(
+        pairs, df, df, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+    )
+    return _margin_top2(scored, min_margin_x10k)

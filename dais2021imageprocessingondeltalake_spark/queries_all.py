@@ -206,8 +206,12 @@ PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
 # Priority order for slots 51+; ids not listed here follow in their original
 # registration order. Rounds 7+ rotate these into freed window slots.
 ROTATION_QUEUE: tuple[str, ...] = (
-    # r9 head: the r6-certified statistical/certified tier that has never
-    # re-gated since r6, plus the r8 IVFADC additions once registered
+    # r9 head: the r8 IVFADC tier (the sub-quadratic-scan composition,
+    # VERDICT r7 item 2) and the r8 shortlist-sizing curve, then the
+    # r6-certified tiers that have never re-gated
+    "q_margin_ivfadc_curve",  # NEW r8: cell-pruned ADC recall/budget ladder
+    "q_margin_ivfadc_sized",  # NEW r8: sized fraction decision (always reaches)
+    "q_margin_mine_ivfadc",  # NEW r8: the miner at the sized operating point
     "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
     "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)

@@ -2962,7 +2962,15 @@ def _margin_ivf_curve_pieces(min_margin_x10k: int = 11000):
                   AS BIGINT)
             FROM pairs{tag} JOIN brute_pairs USING (probe_id, best_id))
              AS recall_x10k""")
-    parts.append(f"""brute_ranked AS MATERIALIZED (
+    parts.append(_margin_brute_sql(min_margin_x10k))
+    return parts, selects
+
+
+def _margin_brute_sql(min_margin_x10k: int = 11000) -> str:
+    """Brute-force cross-group margin reference as CTEs (brute_ranked +
+    brute_pairs) — the quadratic audit every margin recall/curve oracle
+    joins against. Expects ``v(vec_id, grp, ve)`` upstream."""
+    return f"""brute_ranked AS MATERIALIZED (
       SELECT probe_id, nbr_id, s,
              row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, nbr_id) AS rn
       FROM (
@@ -2977,8 +2985,7 @@ def _margin_ivf_curve_pieces(min_margin_x10k: int = 11000):
         USING (probe_id)
       WHERE s2.sim2 > 0
         AND floor(10000.0 * b.s / s2.sim2) >= {min_margin_x10k}
-    )""")
-    return parts, selects
+    )"""
 
 
 #: Collected (nprobe, n_cand, n_mined, n_hit, recall_x10k) ladder rows per
@@ -3133,10 +3140,9 @@ _MARGIN_PQ_KCODES = 16
 _MARGIN_PQ_SUBDIM = 64 // _MARGIN_PQ_M
 
 
-def _margin_pq_pairs_sql(
+def _pq_adc_core_sql(
     probe_pred: str = "TRUE",
     ref_pred: str = "TRUE",
-    cross_group: bool = True,
 ) -> str:
     """Unrolled-CTE replay of the FULL ADC-shortlisted margin pipeline
     (normalize -> certified PQ fit -> encode -> per-probe LUT -> ADC
@@ -3155,9 +3161,11 @@ def _margin_pq_pairs_sql(
     the neighbor side all come from the REFERENCE rows; LUTs and probes
     from the NEW rows. The defaults (both TRUE) reproduce the symmetric
     self-mining pipeline — the id-restriction joins become no-ops.
-    `cross_group=False` switches the shortlist's exclusion from
-    same-group to same-id (the general batched-ANN contract —
-    q_knn_join_pq)."""
+
+    This is the CORE (normalize .. padc ADC scores) shared by the flat
+    shortlist tail (_margin_pq_pairs_sql) and the IVFADC ladder oracles
+    (r8), which restrict the same padc scores to each probe's probed
+    cells before the top-C window."""
     m, kc, sd = _MARGIN_PQ_M, _MARGIN_PQ_KCODES, _MARGIN_PQ_SUBDIM
 
     def sumsq(a: str, b: str) -> str:
@@ -3222,7 +3230,20 @@ def _margin_pq_pairs_sql(
       SELECT l.probe_id, pe.vec_id AS nbr_id, round({adc_sum}, 6) AS a
       FROM pe JOIN plut l ON pe.sub = l.sub AND pe.code = l.code
       GROUP BY 1, 2
-    ), pq_short AS MATERIALIZED (
+    )"""
+
+
+def _pq_shortlist_tail_sql(
+    cross_group: bool = True,
+    cell_restrict: str = "",
+    short_cte: str = "pq_short",
+    ranked_cte: str = "pq_ranked",
+) -> str:
+    """The sized top-C window + exact-cosine rerank over the core's padc
+    scores. `cell_restrict` (extra JOIN/AND text spliced into the window
+    subquery) is how the IVFADC oracles prune the candidate set to each
+    probe's probed cells — empty replays the flat scan."""
+    return f"""{short_cte} AS MATERIALIZED (
       SELECT probe_id, nbr_id FROM (
         SELECT a.probe_id, a.nbr_id,
                row_number() OVER (PARTITION BY a.probe_id
@@ -3230,18 +3251,35 @@ def _margin_pq_pairs_sql(
         FROM padc a
         JOIN vn p ON p.vec_id = a.probe_id
         JOIN vn q ON q.vec_id = a.nbr_id
+        {cell_restrict}
         WHERE {"p.grp <> q.grp" if cross_group else "a.probe_id <> a.nbr_id"}
       ) WHERE rn <= (SELECT c_short FROM params)
-    ), pq_ranked AS MATERIALIZED (
+    ), {ranked_cte} AS MATERIALIZED (
       SELECT probe_id, nbr_id, s,
              row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, nbr_id) AS rn
       FROM (
         SELECT t.probe_id, t.nbr_id,
                round(list_cosine_similarity(a.ve, b.ve), 6) AS s
-        FROM pq_short t JOIN v a ON a.vec_id = t.probe_id
+        FROM {short_cte} t JOIN v a ON a.vec_id = t.probe_id
                         JOIN v b ON b.vec_id = t.nbr_id
       )
     )"""
+
+
+def _margin_pq_pairs_sql(
+    probe_pred: str = "TRUE",
+    ref_pred: str = "TRUE",
+    cross_group: bool = True,
+) -> str:
+    """Full flat-scan chain: the ADC core + the sized top-C window +
+    exact rerank, ending in ``pq_ranked(probe_id, nbr_id, s, rn)`` —
+    the pre-r8 single-string form, now composed from the shared core so
+    the IVFADC oracles certify the SAME fit/encode/ADC text."""
+    return (
+        _pq_adc_core_sql(probe_pred, ref_pred)
+        + ", "
+        + _pq_shortlist_tail_sql(cross_group)
+    )
 
 
 def _margin_mine_pq_oracle(min_margin_x10k: int = 11000) -> str:
@@ -3807,6 +3845,336 @@ def q_margin_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall.alias("recall_x10k"),
         F.lit(_MARGIN_PQ_FLOOR_X10K).cast("bigint").alias("floor_x10k"),
         (recall >= F.lit(_MARGIN_PQ_FLOOR_X10K)).alias("meets_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: coarse-cell pruning composed in front of the ADC scan (r8,
+# VERDICT r7 item 2). Ladder in TWELFTHS of the k = ceil(sqrt(N)) cell
+# count — nprobe = ceil(k*s/12) — so the operating point is a corpus-
+# relative FRACTION and the scale probe can show that fraction falling
+# with N. The top rung (s = 12) scans every cell = the flat PQ miner
+# (engine-tested identical), so the 0.85 sizing target is always
+# reachable and the sized row is never vacuously empty.
+# ---------------------------------------------------------------------------
+
+_IVFADC_TWELFTHS = (3, 4, 5, 6, 8, 12)
+
+
+def _ivfadc_np_expr(s: int) -> str:
+    """nprobe = ceil(k*s/12) in integer SQL — replays the engine's
+    (k*s + 11) // 12 exactly."""
+    return f"(((SELECT k FROM kk) * {s} + 11) // 12)"
+
+
+def _ivfadc_ladder_parts(min_margin_x10k: int = 11000):
+    """Shared CTE parts + per-rung SELECTs for the IVFADC oracles: the
+    certified coarse fit (_MARGIN_IVF_FIT_SQL), the full cell ranking
+    t2a / home / cell sizes, the PQ ADC core (fit, encode, padc scores —
+    computed ONCE, shared by every rung), the brute reference, and per
+    twelfths rung s a cell-restricted top-C window + exact rerank +
+    margin filter + a curve SELECT reporting the scanned-code budget
+    and measured recall."""
+    parts = [
+        """kk AS MATERIALIZED (
+      SELECT CAST(ceil(sqrt(count(*))) AS INT) AS k FROM v
+    )""",
+        _MARGIN_IVF_FIT_SQL,
+        """t2a AS MATERIALIZED (
+      SELECT vec_id, grp, cl, rn FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cl) AS rn
+        FROM (
+          SELECT v.vec_id, v.grp, c.cl,
+                 round(list_cosine_similarity(v.ve, c.cvec), 6) AS sim
+          FROM v CROSS JOIN c1 c
+        ) s
+      )
+    ), home AS MATERIALIZED (
+      SELECT vec_id, cl FROM t2a WHERE rn = 1
+    ), cellsz AS MATERIALIZED (
+      SELECT cl, CAST(count(*) AS BIGINT) AS sz FROM home GROUP BY cl
+    )""",
+        _pq_adc_core_sql(),
+        _margin_brute_sql(min_margin_x10k),
+    ]
+    selects = []
+    for s in _IVFADC_TWELFTHS:
+        np_expr = _ivfadc_np_expr(s)
+        restrict = f"""JOIN home h ON h.vec_id = a.nbr_id
+        JOIN t2a pc ON pc.vec_id = a.probe_id AND pc.cl = h.cl
+          AND pc.rn <= {np_expr}"""
+        parts.append(
+            _pq_shortlist_tail_sql(
+                True, restrict, f"short_c{s}", f"ranked_c{s}"
+            )
+        )
+        parts.append(f"""mined_c{s} AS MATERIALIZED (
+      SELECT b.probe_id, b.nbr_id AS best_id
+      FROM (SELECT probe_id, nbr_id, s FROM ranked_c{s} WHERE rn = 1) b
+      JOIN (SELECT probe_id, s AS sim2 FROM ranked_c{s} WHERE rn = 2) s2
+        USING (probe_id)
+      WHERE s2.sim2 > 0
+        AND floor(10000.0 * b.s / s2.sim2) >= {min_margin_x10k}
+    )""")
+        selects.append(f"""SELECT CAST({s} AS BIGINT) AS twelfths,
+           CAST({np_expr} AS BIGINT) AS nprobe,
+           (SELECT CAST(sum(cz.sz) AS BIGINT) FROM t2a pc
+            JOIN cellsz cz ON pc.cl = cz.cl
+            WHERE pc.rn <= {np_expr}) AS n_scanned,
+           (SELECT CAST(count(*) AS BIGINT) FROM mined_c{s}) AS n_mined,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM mined_c{s} JOIN brute_pairs USING (probe_id, best_id)) AS n_hit,
+           (SELECT CAST(CASE WHEN (SELECT count(*) FROM brute_pairs) = 0
+                             THEN 10000
+                             ELSE floor(10000.0 * count(*) /
+                                  (SELECT count(*) FROM brute_pairs)) END
+                  AS BIGINT)
+            FROM mined_c{s} JOIN brute_pairs USING (probe_id, best_id))
+             AS recall_x10k""")
+    return parts, selects
+
+
+_IVFADC_V_CTE = """
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS ve
+      FROM embeddings
+    ), """
+
+
+def _margin_ivfadc_curve_oracle(min_margin_x10k: int = 11000) -> str:
+    parts, selects = _ivfadc_ladder_parts(min_margin_x10k)
+    return (
+        _IVFADC_V_CTE
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n      UNION ALL ".join(selects)
+    )
+
+
+def _ivfadc_sized_ctes(target_x10k: int, min_margin_x10k: int):
+    """ladder + sized CTE text shared by the sized-decision and miner
+    oracles."""
+    parts, selects = _ivfadc_ladder_parts(min_margin_x10k)
+    ladder = "\n      UNION ALL ".join(selects)
+    return parts, f"""ladder AS MATERIALIZED (
+      {ladder}
+    ), sized AS MATERIALIZED (
+      SELECT * FROM ladder WHERE recall_x10k >= {target_x10k}
+      ORDER BY twelfths LIMIT 1
+    )"""
+
+
+def _margin_ivfadc_sized_oracle(
+    target_x10k: int = 8500, min_margin_x10k: int = 11000
+) -> str:
+    parts, sized = _ivfadc_sized_ctes(target_x10k, min_margin_x10k)
+    return (
+        _IVFADC_V_CTE
+        + ",\n    ".join(parts)
+        + ",\n    "
+        + sized
+        + f"""
+    SELECT CAST({target_x10k} AS BIGINT) AS target_x10k,
+           (SELECT CAST(twelfths AS BIGINT) FROM sized) AS sized_twelfths,
+           (SELECT CAST(nprobe AS BIGINT) FROM sized) AS sized_nprobe,
+           (SELECT CAST(floor(10000.0 * n_scanned /
+                   ((SELECT count(*) FROM v) * (SELECT count(*) FROM v)))
+                 AS BIGINT) FROM sized) AS scan_frac_x10k,
+           EXISTS (SELECT 1 FROM sized) AS reached
+    """
+    )
+
+
+def _margin_mine_ivfadc_oracle(
+    target_x10k: int = 8500, min_margin_x10k: int = 11000
+) -> str:
+    """Replay ladder, sizing decision, AND the final mine at the sized
+    nprobe (ladder max when no rung clears the target — the top rung is
+    the flat scan, so in practice the decision always reaches) in one
+    string."""
+    parts, sized = _ivfadc_sized_ctes(target_x10k, min_margin_x10k)
+    np_sized = (
+        "(SELECT coalesce((SELECT nprobe FROM sized),"
+        " (SELECT max(nprobe) FROM ladder)))"
+    )
+    restrict = f"""JOIN home h ON h.vec_id = a.nbr_id
+        JOIN t2a pc ON pc.vec_id = a.probe_id AND pc.cl = h.cl
+          AND pc.rn <= {np_sized}"""
+    tail = _pq_shortlist_tail_sql(True, restrict, "short_sz", "ranked_sz")
+    return (
+        _IVFADC_V_CTE
+        + ",\n    ".join(parts)
+        + ",\n    "
+        + sized
+        + ",\n    "
+        + tail
+        + f""", best AS (
+      SELECT probe_id, nbr_id AS best_id, s AS sim1 FROM ranked_sz WHERE rn = 1
+    ), second AS (
+      SELECT probe_id, s AS sim2 FROM ranked_sz WHERE rn = 2
+    )
+    SELECT b.probe_id, b.best_id, b.sim1, s.sim2,
+           CAST(floor(10000.0 * b.sim1 / s.sim2) AS BIGINT) AS margin_x10k
+    FROM best b JOIN second s USING (probe_id)
+    WHERE s.sim2 > 0 AND floor(10000.0 * b.sim1 / s.sim2) >= {min_margin_x10k}
+    """
+    )
+
+
+#: Measured IVFADC ladder rows per corpus, cached like _IVF_CURVE_CACHE:
+#: the curve, the sized decision, and the miner share ONE ladder execution.
+_IVFADC_CURVE_CACHE: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
+
+
+def _ivfadc_curve_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, int, int, int, int, int]]:
+    """Compute (or reuse) the measured IVFADC ladder for one corpus:
+    per twelfths rung, (twelfths, nprobe, n_scanned, n_mined, n_hit,
+    recall_x10k). ONE coarse fit + cell ranking + PQ fit/encode + brute
+    reference shared across the rungs via margin_mine_ivfadc's asset
+    params."""
+    import math
+
+    cached = _IVFADC_CURVE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    k = math.isqrt(n - 1) + 1 if n > 1 else 1
+    norm = SIM.normalize_rounded(emb, out_col="__nv").localCheckpoint()
+    shortlist = SIM.size_adc_shortlist(norm.count())
+    _, cents = SIM.kmeans_fit_distributed(emb, k=k, iters=1, round_dp=6)
+    ranked = SIM.assign_cells_ranked(emb, cents, n=k).localCheckpoint()
+    book = SIM.pq_fit(
+        norm, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES, iters=1,
+        vec_col="__nv",
+    )
+    codes = SIM.pq_encode(
+        norm, book, dim=64, m=_MARGIN_PQ_M, vec_col="__nv"
+    ).localCheckpoint()
+    brute = (
+        SIM.margin_mine(emb, min_margin_x10k=11000)
+        .select("probe_id", "best_id")
+        .localCheckpoint()
+    )
+    n_brute = brute.count()
+    home = ranked.select("vec_id", F.element_at("cells", 1).alias("cell"))
+    cellsz = home.groupBy("cell").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
+    rows = []
+    for s in _IVFADC_TWELFTHS:
+        np_ = (k * s + 11) // 12
+        mined = SIM.margin_mine_ivfadc(
+            emb, dim=64, nprobe=np_, k_cells=k, m=_MARGIN_PQ_M,
+            k_codes=_MARGIN_PQ_KCODES, iters=1, shortlist=shortlist,
+            min_margin_x10k=11000, centroids=cents, ranked_cells=ranked,
+            norm=norm, codebook=book, codes=codes,
+        ).select("probe_id", "best_id")
+        n_mined = mined.count()
+        n_hit = mined.join(brute, ["probe_id", "best_id"]).count()
+        n_scanned = (
+            ranked.select(F.explode(F.slice("cells", 1, np_)).alias("cell"))
+            .join(cellsz, "cell")
+            .agg(F.sum("sz"))
+            .collect()[0][0]
+        )
+        recall = 10000 if n_brute == 0 else (10000 * n_hit) // n_brute
+        rows.append((s, np_, int(n_scanned), int(n_mined), int(n_hit), int(recall)))
+    _IVFADC_CURVE_CACHE[sf_dir] = rows
+    return rows
+
+
+@query("q_margin_ivfadc_curve", oracle=_margin_ivfadc_curve_oracle())
+def q_margin_ivfadc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC nprobe SENSITIVITY CURVE (VERDICT r7 item 2): for each
+    rung s of _IVFADC_TWELFTHS, the miner runs with nprobe =
+    ceil(k*s/12) of the k = ceil(√N) coarse cells and reports the
+    scanned-code budget (n_scanned = Σ over probes of their probed
+    cells' sizes — the LUT-op count the pruning is FOR) and measured
+    pair-recall vs brute force. The flat PQ scan is the s = 12 rung
+    (every cell probed — engine-tested bit-identical to
+    q_margin_mine_pq's scan), so the curve measures exactly what cell
+    pruning costs in recall at each budget. One coarse fit, one PQ
+    fit/encode, one padc score table shared by every rung (both engine
+    and oracle); the decision consumers (q_margin_ivfadc_sized,
+    q_margin_mine_ivfadc) read this measured ladder through the same
+    per-corpus cache."""
+    return spark.createDataFrame(
+        _ivfadc_curve_rows(spark, sf_dir),
+        "twelfths bigint, nprobe bigint, n_scanned bigint, n_mined bigint, "
+        "n_hit bigint, recall_x10k bigint",
+    )
+
+
+@query("q_margin_ivfadc_sized", oracle=_margin_ivfadc_sized_oracle())
+def q_margin_ivfadc_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIZED-nprobe decision for IVFADC (the size_nprobe idiom
+    applied a fifth time): smallest twelfths rung whose measured recall
+    clears the 0.85 floor, with the scanned-code fraction that rung
+    pays (scan_frac_x10k = n_scanned / N² — the pruning win: 10000
+    would be the flat scan). Unlike plain IVF's honest negative result
+    (q_margin_nprobe_sized: unreachable at sf0.1), this decision always
+    reaches — the top rung IS the flat scan — so it certifies the
+    cheapest-safe operating point rather than a refusal; the scale
+    probe tracks the sized fraction FALLING with N (0.478 → 0.333
+    measured at 1× → 16× in the r8 geometry study)."""
+    rows = _ivfadc_curve_rows(spark, sf_dir)
+    n = load_table(spark, "embeddings", sf_dir).count()
+    hit = next((r for r in rows if r[5] >= _MARGIN_PQ_FLOOR_X10K), None)
+    out = (
+        (
+            _MARGIN_PQ_FLOOR_X10K,
+            hit[0] if hit else None,
+            hit[1] if hit else None,
+            (10000 * hit[2]) // (n * n) if hit else None,
+            hit is not None,
+        ),
+    )
+    return spark.createDataFrame(
+        out,
+        "target_x10k bigint, sized_twelfths bigint, sized_nprobe bigint, "
+        "scan_frac_x10k bigint, reached boolean",
+    )
+
+
+@query(
+    "q_margin_mine_ivfadc",
+    headline=True,
+    oracle=_margin_mine_ivfadc_oracle(),
+)
+def q_margin_mine_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC margin mining AT THE SIZED OPERATING POINT — the last
+    asymptotic wall of the ANN tier closed (VERDICT r7 item 2): where
+    q_margin_mine_pq's flat ADC scan touches every (probe, code) pair
+    (Θ(N²·m) LUT ops even though its OUTPUT is sub-quadratic), this
+    miner composes the certified √N-cell coarse quantizer in front —
+    each probe scans only its nprobe nearest cells' inverted lists,
+    ~nprobe/k of the codes — with nprobe sized per corpus from the
+    measured recall curve (q_margin_ivfadc_curve via the shared cache,
+    target 0.85), never frozen. FAISS's production index composition
+    (Jégou-Douze-Schmid TPAMI 2011 §V) on the same certified fit
+    family as margin_mine_ivf, so ONE oracle fit CTE serves both.
+
+    The oracle replays the ENTIRE decision chain — coarse fit, full
+    cell ranking, PQ fit/encode, per-rung cell-restricted shortlists,
+    the measured ladder, the sizing decision, and the final mine at
+    the decided nprobe — so the driver certifies not just the mined
+    pairs but that the operating point came from the measured curve."""
+    import math
+
+    rows = _ivfadc_curve_rows(spark, sf_dir)
+    s_sized = SIM.size_nprobe(
+        [(s, rec) for s, _np, _sc, _nm, _nh, rec in rows],
+        recall_target_x10k=_MARGIN_PQ_FLOOR_X10K,
+    )
+    by_s = {s: np_ for s, np_, *_ in rows}
+    np_ = by_s[s_sized] if s_sized is not None else max(by_s.values())
+    emb = load_table(spark, "embeddings", sf_dir)
+    k = math.isqrt(emb.count() - 1) + 1
+    return SIM.margin_mine_ivfadc(
+        emb, dim=64, nprobe=np_, k_cells=k, m=_MARGIN_PQ_M,
+        k_codes=_MARGIN_PQ_KCODES, iters=1, min_margin_x10k=11000,
     )
 
 

@@ -1410,6 +1410,94 @@ class TestMarginMinePQ:
                     assert approx[pr][1] == s1, (pr, b, s1, approx[pr][1])
 
 
+class TestIvfadc:
+    """IVFADC (r8): coarse-cell pruning composed in front of the ADC
+    scan — the FAISS production composition (Jégou-Douze-Schmid TPAMI
+    2011 §V), making the mining SCAN sub-quadratic, not just its
+    shortlist."""
+
+    def test_full_probe_equals_flat_scan(self, spark):
+        """nprobe = k (every cell probed) must reproduce the flat PQ
+        miner EXACTLY — the property that makes the sizing ladder's top
+        rung a guaranteed-reachable operating point and lets one recall
+        framework certify both scans."""
+        import math
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        k = math.isqrt(emb.count() - 1) + 1
+        key = lambda r: tuple(r)
+        flat = sorted(
+            map(key, SIM.margin_mine_pq(
+                emb, dim=64, m=16, k_codes=16, iters=1, min_margin_x10k=11000
+            ).collect())
+        )
+        full = sorted(
+            map(key, SIM.margin_mine_ivfadc(
+                emb, dim=64, nprobe=k, k_cells=k, m=16, k_codes=16,
+                iters=1, min_margin_x10k=11000,
+            ).collect())
+        )
+        assert flat == full and flat
+
+    def test_assign_cells_ranked_matches_topn(self, spark):
+        """The array-form assignment must agree rank-for-rank with the
+        exploded assign_topn_centroids (same certified E-step
+        machinery, no explode+regroup round trip)."""
+        emb = load_table(spark, "embeddings", SF_DIR).limit(60).localCheckpoint()
+        _, cents = SIM.kmeans_fit_distributed(emb, k=7, iters=1, round_dp=6)
+        arr = {
+            r["vec_id"]: list(r["cells"])
+            for r in SIM.assign_cells_ranked(emb, cents, n=4).collect()
+        }
+        exploded = {}
+        for r in SIM.assign_topn_centroids(emb, cents, n=4).collect():
+            exploded.setdefault(r["vec_id"], {})[r["rank"]] = r["assigned_label"]
+        assert arr and set(arr) == set(exploded)
+        for vid, cells in arr.items():
+            assert cells == [exploded[vid][rk] for rk in range(1, len(cells) + 1)]
+        with pytest.raises(ValueError, match="n >= 1"):
+            SIM.assign_cells_ranked(emb, cents, n=0)
+
+    def test_curve_monotone_and_sized_consistent(self, spark):
+        """The measured ladder: scanned-code budget strictly grows with
+        the rung, recall is non-decreasing (more cells probed can only
+        add candidates under a total-order top-C... up to shortlist
+        displacement — asserted non-decreasing on this corpus), the top
+        rung scans ALL N² codes, and the sized decision row equals the
+        first ladder rung clearing the floor."""
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        curve = sorted(
+            q.REGISTRY["q_margin_ivfadc_curve"].fn(spark, SF_DIR).collect(),
+            key=lambda r: r["twelfths"],
+        )
+        assert [r["twelfths"] for r in curve] == [3, 4, 5, 6, 8, 12]
+        n = load_table(spark, "embeddings", SF_DIR).count()
+        assert curve[-1]["n_scanned"] == n * n
+        for a, b in zip(curve, curve[1:]):
+            assert a["n_scanned"] < b["n_scanned"]
+            assert a["recall_x10k"] <= b["recall_x10k"]
+        sized = q.REGISTRY["q_margin_ivfadc_sized"].fn(spark, SF_DIR).collect()[0]
+        assert sized["reached"]
+        first = next(r for r in curve if r["recall_x10k"] >= 8500)
+        assert sized["sized_twelfths"] == first["twelfths"]
+        assert sized["sized_nprobe"] == first["nprobe"]
+        assert sized["scan_frac_x10k"] == (10000 * first["n_scanned"]) // (n * n)
+        # the whole point: the sized rung scans a proper fraction
+        assert sized["scan_frac_x10k"] < 10000
+
+    def test_ivfadc_guards(self, spark):
+        import math
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        k = math.isqrt(emb.count() - 1) + 1
+        with pytest.raises(ValueError, match="residency budget"):
+            SIM.margin_mine_ivfadc(
+                emb, dim=64, nprobe=2, k_cells=k, m=16, k_codes=16,
+                iters=1, max_index_bytes=64,
+            )
+
+
 def test_bigram_ppl_flags_word_salad(spark):
     """The bigram LM must separate coherent repetition from word salad:
     shuffled-adjacency text (same tokens, scrambled order) scores a
