@@ -2048,6 +2048,32 @@ def size_adc_shortlist(n_rows: int, min_shortlist: int = 32) -> int:
     return max(min_shortlist, 2 * ceil_sqrt)
 
 
+def size_adc_mult(curve_rows, recall_target_x10k: int = 8500):
+    """Size the ADC shortlist MULTIPLIER from a measured (mult,
+    recall_x10k) curve — the size_nprobe idiom applied to C: smallest
+    multiplier of ceil(√N) whose measured pair-recall clears the
+    target, or None when no rung does (VERDICT r7 item 3: the frozen
+    2·√N rule's recall decays with N — 0.898 at the 60× probe, 48bp
+    over the floor — so deployments at larger N size C from THEIR
+    corpus's measured curve instead of trusting the driver-scale
+    constant). Same strict row contract as size_nprobe: named
+    `mult`/`recall_x10k` fields, or exactly-2-field positional pairs."""
+    best = None
+    for r in curve_rows:
+        if isinstance(r, (tuple, list)) and not hasattr(r, "__fields__"):
+            if len(r) != 2:
+                raise ValueError(
+                    "size_adc_mult positional rows must be exactly "
+                    f"(mult, recall_x10k) pairs, got {len(r)} fields"
+                )
+            mult, rec = r
+        else:
+            mult, rec = r["mult"], r["recall_x10k"]
+        if rec >= recall_target_x10k and (best is None or mult < best):
+            best = int(mult)
+    return best
+
+
 def size_nprobe(curve_rows, recall_target_x10k: int = 8500):
     """Size the IVF miner's nprobe from the CERTIFIED recall curve
     (VERDICT r6 item 2): smallest measured nprobe whose recall_x10k

@@ -1498,6 +1498,51 @@ class TestIvfadc:
             )
 
 
+class TestShortlistSizing:
+    """Recall-targeted C sizing (r8, VERDICT r7 items 3+4): the curve,
+    the sizing function, and the no-drift lockstep between the measured
+    curve and the production rule the composites run."""
+
+    def test_size_adc_mult_reads_curve(self):
+        curve = [(1, 8996), (2, 9628), (3, 9851)]
+        assert SIM.size_adc_mult(curve, 8500) == 1
+        assert SIM.size_adc_mult(curve, 9700) == 3
+        assert SIM.size_adc_mult(curve, 9900) is None
+        assert SIM.size_adc_mult([{"mult": 2, "recall_x10k": 9000}], 8500) == 2
+        with pytest.raises(ValueError, match="positional rows"):
+            SIM.size_adc_mult([(1, 2, 3)], 8500)
+        with pytest.raises(KeyError):
+            SIM.size_adc_mult([{"m": 1, "recall_x10k": 9000}], 8500)
+
+    def test_curve_monotone_and_production_lockstep(self, spark):
+        """Recall must be non-decreasing in C; the mult-2 rung must be
+        EXACTLY the C that size_adc_shortlist (what margin_mine_pq and
+        every PQ composite defaults to) computes for this corpus; and
+        the certified decision row must agree with the curve — so the
+        production sizing can never silently drift off the measured,
+        certified operating point."""
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        curve = sorted(
+            q.REGISTRY["q_margin_pq_c_curve"].fn(spark, SF_DIR).collect(),
+            key=lambda r: r["mult"],
+        )
+        assert [r["mult"] for r in curve] == [1, 2, 3]
+        for a, b in zip(curve, curve[1:]):
+            assert a["c_short"] < b["c_short"]
+            assert a["recall_x10k"] <= b["recall_x10k"]
+        n = load_table(spark, "embeddings", SF_DIR).count()
+        prod = next(r for r in curve if r["mult"] == 2)
+        assert prod["c_short"] == SIM.size_adc_shortlist(n)
+        sized = q.REGISTRY["q_margin_c_sized"].fn(spark, SF_DIR).collect()[0]
+        assert sized["reached"] and sized["prod_meets_target"]
+        assert sized["prod_recall_x10k"] == prod["recall_x10k"]
+        assert sized["sized_mult"] <= sized["prod_mult"]
+        first = next(r for r in curve if r["recall_x10k"] >= 8500)
+        assert sized["sized_mult"] == first["mult"]
+        assert sized["sized_c"] == first["c_short"]
+
+
 def test_bigram_ppl_flags_word_salad(spark):
     """The bigram LM must separate coherent repetition from word salad:
     shuffled-adjacency text (same tokens, scrambled order) scores a
