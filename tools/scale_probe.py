@@ -93,6 +93,36 @@ def _numpy_brute_margin(ids, labels, vecs, min_margin_x10k=11000, block=512):
     return out
 
 
+def _numpy_brute_margin_x(
+    ids_p, labs_p, vecs_p, ids_r, labs_r, vecs_r,
+    min_margin_x10k=11000, block=512,
+):
+    """ASYMMETRIC brute margin reference: probes from the NEW side,
+    candidates from the REFERENCE side only, cross-label — the exact
+    semantics of margin_mine_pq_xcorpus's audit (6dp cosine, min-id
+    tie-break, second-best VALUE, floor-scaled filter). Returns the set
+    of (probe_id, best_id)."""
+    vp = vecs_p / np.linalg.norm(vecs_p, axis=1, keepdims=True)
+    vr = vecs_r / np.linalg.norm(vecs_r, axis=1, keepdims=True)
+    big = np.iinfo(np.int64).max
+    out = set()
+    for s0 in range(0, len(ids_p), block):
+        s1 = min(s0 + block, len(ids_p))
+        sims = np.round(vp[s0:s1] @ vr.T, 6)
+        sims[labs_p[s0:s1, None] == labs_r[None, :]] = -np.inf
+        m1 = sims.max(axis=1)
+        ok = np.isfinite(m1)
+        best_ids = np.where(sims == m1[:, None], ids_r[None, :], big).min(axis=1)
+        sims2 = sims.copy()
+        for r in np.nonzero(ok)[0]:
+            sims2[r, np.nonzero(ids_r == best_ids[r])[0][0]] = -np.inf
+        m2 = sims2.max(axis=1)
+        for r in np.nonzero(ok & np.isfinite(m2) & (m2 > 0))[0]:
+            if math.floor(10000.0 * m1[r] / m2[r]) >= min_margin_x10k:
+                out.add((int(ids_p[s0 + r]), int(best_ids[r])))
+    return out
+
+
 def _score_pairs_broadcast(spark, pairs, ids, vecs):
     """Score candidate (probe_id, nbr_id) pairs against a broadcast
     normalized-vector matrix (mapInPandas + searchsorted lookup): Arrow
@@ -203,7 +233,10 @@ def build_scaled_embeddings(base_dir: str, factor: int, out_dir: Path, seed: int
     return str(out)
 
 
-ALL_COMPONENTS = ("docs", "sem", "knn", "gram", "margin", "marginpq", "train")
+ALL_COMPONENTS = (
+    "docs", "sem", "knn", "gram", "margin", "marginpq", "train",
+    "ivfadc", "csize", "xpq",
+)
 
 
 def main() -> int:
@@ -358,7 +391,8 @@ def main() -> int:
                 point["logreg_secs"] = round(time.perf_counter() - t0, 2)
                 point["logreg_w_intercept"] = dict(w)["intercept"]
 
-            if want & {"sem", "knn", "gram", "margin", "marginpq"}:
+            if want & {"sem", "knn", "gram", "margin", "marginpq",
+                       "ivfadc", "csize", "xpq"}:
                 epath = build_scaled_embeddings(args.base, k, scratch)
                 emb = spark.read.parquet(epath)
                 n_vecs = emb.count()
@@ -571,6 +605,179 @@ def main() -> int:
                     10000 * phits // max(len(brute_pairs), 1)
                 )
                 point["margin_pq_recall_secs"] = round(time.perf_counter() - t0, 2)
+
+            if want & {"ivfadc", "csize"}:
+                # shared assets for the r8 blocks, reused from the
+                # margin/marginpq blocks when those ran in this JVM
+                if not (want & {"margin", "marginpq"}):
+                    ids, labels, vecs = _collect_embedding_matrix(emb)
+                    brute_pairs = _numpy_brute_margin(ids, labels, vecs)
+                    point["margin_brute_rows"] = len(brute_pairs)
+                if "marginpq" not in want:
+                    pq_norm = SIM.normalize_rounded(
+                        emb, out_col="nv"
+                    ).localCheckpoint()
+                    pq_book = SIM.pq_fit(
+                        pq_norm, dim=64, m=16, k_codes=16, iters=1, vec_col="nv"
+                    )
+                    pq_codes = SIM.pq_encode(
+                        pq_norm, pq_book, dim=64, m=16, vec_col="nv"
+                    ).localCheckpoint()
+                    pq_c = SIM.size_adc_shortlist(n_vecs)
+
+            if "ivfadc" in want:
+                # IVFADC (r8): the cell-pruned scan at the twelfths
+                # ladder, ascending until the first rung clears the 0.85
+                # floor — the SIZED operating point. The evidence VERDICT
+                # r7 item 2 asks for: the sized scanned-code FRACTION
+                # falling with N while recall holds the floor.
+                kk_cells = int(math.ceil(math.sqrt(n_vecs)))
+                t0 = time.perf_counter()
+                _, iv_cents = SIM.kmeans_fit_distributed(
+                    emb, k=kk_cells, iters=1, round_dp=6
+                )
+                iv_ranked = SIM.assign_cells_ranked(
+                    emb, iv_cents, n=kk_cells
+                ).localCheckpoint()
+                iv_home = iv_ranked.select(
+                    "vec_id", F.element_at("cells", 1).alias("cell")
+                )
+                iv_cellsz = iv_home.groupBy("cell").agg(
+                    F.count(F.lit(1)).alias("sz")
+                ).localCheckpoint()
+                point["ivfadc_setup_secs"] = round(time.perf_counter() - t0, 2)
+                curve = []
+                sized = None
+                for s in (3, 4, 5, 6, 8, 12):
+                    np_ = (kk_cells * s + 11) // 12
+                    t0 = time.perf_counter()
+                    probes = pq_norm.select("vec_id", "label", "nv").join(
+                        iv_ranked.select(
+                            "vec_id", F.slice("cells", 1, np_).alias("pc")
+                        ),
+                        "vec_id",
+                    )
+                    pairs = SIM.ivfadc_shortlist_pairs(
+                        probes, pq_book, pq_codes, iv_home,
+                        shortlist=pq_c, dim=64, m=16, vec_col="nv",
+                        cells_col="pc",
+                    )
+                    iscored = _score_pairs_broadcast(spark, pairs, ids, vecs)
+                    mined = {
+                        (r["probe_id"], r["best_id"])
+                        for r in SIM._margin_top2(iscored, 11000)
+                        .select("probe_id", "best_id")
+                        .collect()
+                    }
+                    secs = round(time.perf_counter() - t0, 2)
+                    rec = int(
+                        10000 * len(mined & brute_pairs)
+                        // max(len(brute_pairs), 1)
+                    )
+                    n_sc = (
+                        iv_ranked.select(
+                            F.explode(F.slice("cells", 1, np_)).alias("cell")
+                        )
+                        .join(iv_cellsz, "cell")
+                        .agg(F.sum("sz"))
+                        .collect()[0][0]
+                    )
+                    entry = {
+                        "twelfths": s,
+                        "nprobe": np_,
+                        "scan_frac_x10k": int(10000 * int(n_sc) // (n_vecs * n_vecs)),
+                        "recall_x10k": rec,
+                        "secs": secs,
+                    }
+                    curve.append(entry)
+                    print(json.dumps({"factor": k, "ivfadc_rung": entry}), flush=True)
+                    if rec >= 8500:
+                        sized = entry
+                        break
+                point["ivfadc_k_cells"] = kk_cells
+                point["ivfadc_curve"] = curve
+                if sized is not None:
+                    point["ivfadc_sized_twelfths"] = sized["twelfths"]
+                    point["ivfadc_sized_nprobe"] = sized["nprobe"]
+                    point["ivfadc_scan_frac_x10k"] = sized["scan_frac_x10k"]
+                    point["ivfadc_recall_x10k"] = sized["recall_x10k"]
+                    point["ivfadc_secs"] = sized["secs"]
+
+            if "csize" in want:
+                # Recall-targeted shortlist sizing (r8, VERDICT r7
+                # item 3): the C-multiplier ladder at this factor and the
+                # SIZED multiplier holding the 0.85 floor — the deep-
+                # factor evidence that size_adc_mult provisions C where
+                # the frozen mult-2 rule thins.
+                rt = int(math.isqrt(max(n_vecs - 1, 0))) + 1
+                c_curve = []
+                for mult in (1, 2, 3):
+                    cc = max(32, mult * rt)
+                    t0 = time.perf_counter()
+                    pairs = SIM.adc_shortlist_pairs(
+                        pq_norm, pq_book, pq_codes, shortlist=cc,
+                        dim=64, m=16, vec_col="nv",
+                    )
+                    cscored = _score_pairs_broadcast(spark, pairs, ids, vecs)
+                    mined = {
+                        (r["probe_id"], r["best_id"])
+                        for r in SIM._margin_top2(cscored, 11000)
+                        .select("probe_id", "best_id")
+                        .collect()
+                    }
+                    entry = {
+                        "mult": mult,
+                        "c": cc,
+                        "recall_x10k": int(
+                            10000 * len(mined & brute_pairs)
+                            // max(len(brute_pairs), 1)
+                        ),
+                        "secs": round(time.perf_counter() - t0, 2),
+                    }
+                    c_curve.append(entry)
+                    print(json.dumps({"factor": k, "csize_rung": entry}), flush=True)
+                point["pq_c_curve"] = c_curve
+                sized_mult = SIM.size_adc_mult(
+                    [(e["mult"], e["recall_x10k"]) for e in c_curve], 8500
+                )
+                point["pq_c_sized_mult"] = sized_mult
+                if sized_mult is not None:
+                    srow = next(e for e in c_curve if e["mult"] == sized_mult)
+                    point["pq_c_sized_c"] = srow["c"]
+                    point["pq_c_sized_recall_x10k"] = srow["recall_x10k"]
+
+            if "xpq" in want:
+                # Cross-corpus PQ margin mining at scale (VERDICT r7
+                # item 8): the incremental-ingest shape — new batch
+                # (vec_id % 3 == 0) probes the accumulated reference —
+                # with its OWN asymmetric brute audit. Per-batch cost is
+                # LINEAR in the batch at fixed index; this block
+                # evidences recall holding and wall scaling at depth.
+                if not (want & {"margin", "marginpq", "ivfadc", "csize"}):
+                    ids, labels, vecs = _collect_embedding_matrix(emb)
+                new_emb = emb.filter(F.col("vec_id") % 3 == 0)
+                ref_emb = emb.filter(F.col("vec_id") % 3 != 0)
+                t0 = time.perf_counter()
+                xmined = {
+                    (r["probe_id"], r["best_id"])
+                    for r in SIM.margin_mine_pq_xcorpus(
+                        new_emb, ref_emb, dim=64, m=16, k_codes=16,
+                        iters=1, min_margin_x10k=11000,
+                    )
+                    .select("probe_id", "best_id")
+                    .collect()
+                }
+                point["xpq_secs"] = round(time.perf_counter() - t0, 2)
+                point["xpq_pairs"] = len(xmined)
+                mask = ids % 3 == 0
+                brute_x = _numpy_brute_margin_x(
+                    ids[mask], labels[mask], vecs[mask],
+                    ids[~mask], labels[~mask], vecs[~mask],
+                )
+                point["xpq_brute_rows"] = len(brute_x)
+                point["xpq_recall_x10k"] = int(
+                    10000 * len(xmined & brute_x) // max(len(brute_x), 1)
+                )
 
             if "gram" in want:
                 # Gram matrix partial-sum aggregate (linear in n_vecs,
