@@ -3087,3 +3087,118 @@ def margin_mine_ivfadc(
         pairs, df, df, id_col=id_col, vec_col=vec_col, round_dp=round_dp
     )
     return _margin_top2(scored, min_margin_x10k)
+
+
+def ivfadc_knn_join(
+    queries_df: DataFrame,
+    base_df: DataFrame,
+    dim: int,
+    k: int = 3,
+    nprobe: int | None = None,
+    k_cells: int | None = None,
+    m: int = 16,
+    k_codes: int = 16,
+    iters: int = 1,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    max_index_bytes: int = 1 << 30,
+    base_codebook: DataFrame | None = None,
+    base_codes: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC batch ANN join — pq_knn_join with the coarse-cell pruning
+    composed in front of its ADC scan, completing the IVFADC composition
+    across the SERVING tier too (FAISS's actual deployed query path):
+    the coarse quantizer and the inverted-file code index are fit and
+    built on the BASE only (the persisted serving assets — pass
+    `centroids` + `base_codebook`/`base_codes` to reuse them), each
+    query probes its `nprobe` nearest cells (default ceil(k_cells/2) —
+    the twelfths-6 rung that the certified mining decisions bound from
+    above at both driver scales, q_margin_ivfadc_sized), scans ~nprobe/k
+    of the codes, and exact cosine re-ranks the top-C shortlist to k.
+    Same output contract as pq_knn_join/lsh_knn_join: (query_id,
+    base_id, cosine_sim), rank-k per query, rounded-before-ranking with
+    base-id tie-break."""
+    if k_cells is None:
+        k_cells = max(1, math.isqrt(max(base_df.count() - 1, 0)) + 1)
+    if nprobe is None:
+        nprobe = (k_cells + 1) // 2
+    if centroids is None:
+        _, centroids = kmeans_fit_distributed(
+            base_df, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+            round_dp=round_dp,
+        )
+    home = assign_cells_ranked(
+        base_df, centroids, n=1, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp,
+    ).select(F.col(id_col), F.element_at("cells", 1).alias("cell"))
+    qcells = assign_cells_ranked(
+        queries_df, centroids, n=nprobe, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp,
+    )
+    q_norm = normalize_rounded(
+        queries_df, id_col=id_col, vec_col=vec_col, out_col="__nv",
+        round_dp=round_dp,
+    )
+    if shortlist is None:
+        shortlist = size_adc_shortlist(base_df.count())
+    if base_codebook is None or base_codes is None:
+        base_norm = normalize_rounded(
+            base_df, id_col=id_col, vec_col=vec_col, out_col="__nv",
+            round_dp=round_dp,
+        ).localCheckpoint()
+        book = (
+            base_codebook
+            if base_codebook is not None
+            else pq_fit(
+                base_norm, dim=dim, m=m, k_codes=k_codes, iters=iters,
+                id_col=id_col, vec_col="__nv", round_dp=round_dp,
+            )
+        )
+        codes = (
+            base_codes
+            if base_codes is not None
+            else pq_encode(
+                base_norm, book, dim=dim, m=m, id_col=id_col, vec_col="__nv"
+            )
+        )
+    else:
+        book, codes = base_codebook, base_codes
+    probes = q_norm.select(id_col, "__nv").join(
+        qcells.select(F.col(id_col), F.col("cells").alias("__cells")), id_col
+    )
+    pairs = ivfadc_shortlist_pairs(
+        probes,
+        book,
+        codes,
+        home,
+        shortlist=shortlist,
+        dim=dim,
+        m=m,
+        group_col=None,
+        id_col=id_col,
+        vec_col="__nv",
+        cells_col="__cells",
+        round_dp=round_dp,
+        max_index_bytes=max_index_bytes,
+        index_df=base_df,
+        cross_group_only=False,
+    )
+    from pyspark.sql import Window
+
+    scored = _exact_rerank_pairs(
+        pairs, queries_df, base_df, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp,
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("s").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("probe_id").alias("query_id"),
+            F.col("nbr_id").alias("base_id"),
+            F.col("s").alias("cosine_sim"),
+        )
+    )

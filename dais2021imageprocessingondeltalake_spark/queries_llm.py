@@ -3466,6 +3466,85 @@ def q_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfadc_knn_join_oracle(k: int = 3) -> str:
+    """Replay of the IVFADC batch ANN join: base-only coarse fit (the
+    _MARGIN_IVF_FIT_SQL text re-aimed at the base rows), base home
+    cells, per-query top-ceil(kc/2) probed cells, the PQ chain with the
+    shortlist window restricted to probed cells, top-k of the exact
+    rerank."""
+    fit_b = (
+        _MARGIN_IVF_FIT_SQL
+        .replace("FROM v\n", "FROM vb\n")
+        .replace("FROM v)", "FROM vb)")
+        .replace("FROM v CROSS JOIN", "FROM vb v CROSS JOIN")
+    )
+    nprobe_expr = "((SELECT k FROM kkb) + 1) // 2"
+    restrict = """JOIN homeb h ON h.vec_id = a.nbr_id
+        JOIN t2q pc ON pc.vec_id = a.probe_id AND pc.cl = h.cl"""
+    tail = _pq_shortlist_tail_sql(False, restrict, "short_kj", "ranked_kj")
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS ve
+      FROM embeddings
+    ), vb AS MATERIALIZED (
+      SELECT * FROM v WHERE vec_id % 97 <> 0
+    ), vq AS MATERIALIZED (
+      SELECT * FROM v WHERE vec_id % 97 = 0
+    ), kkb AS MATERIALIZED (
+      SELECT CAST(ceil(sqrt(count(*))) AS INT) AS k FROM vb
+    ), {fit_b}, homeb AS MATERIALIZED (
+      SELECT vec_id, cl FROM (
+        SELECT s.vec_id, s.cl,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY s.sim DESC, s.cl) AS rn
+        FROM (
+          SELECT v.vec_id, c.cl,
+                 round(list_cosine_similarity(v.ve, c.cvec), 6) AS sim
+          FROM vb v CROSS JOIN c1 c
+        ) s
+      ) WHERE rn = 1
+    ), t2q AS MATERIALIZED (
+      SELECT vec_id, cl FROM (
+        SELECT s.vec_id, s.cl,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY s.sim DESC, s.cl) AS rn
+        FROM (
+          SELECT v.vec_id, c.cl,
+                 round(list_cosine_similarity(v.ve, c.cvec), 6) AS sim
+          FROM vq v CROSS JOIN c1 c
+        ) s
+      ) WHERE rn <= {nprobe_expr}
+    ), {_pq_adc_core_sql(probe_pred="vec_id % 97 = 0",
+                         ref_pred="vec_id % 97 <> 0")}, {tail}
+    SELECT probe_id AS query_id, nbr_id AS base_id, s AS cosine_sim
+    FROM ranked_kj WHERE rn <= {k}
+    """
+
+
+@query("q_knn_join_ivfadc", oracle=_ivfadc_knn_join_oracle())
+def q_knn_join_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC batch ANN join (NEW r8) — the SERVING-tier half of the
+    IVFADC composition: same query/base split and output schema as
+    q_knn_join_pq / q_knn_join_lsh, but each query scans only its
+    probed cells' inverted lists (~nprobe/k of the base codes) instead
+    of the whole code index — FAISS's deployed query path. The coarse
+    quantizer, home-cell lists, and PQ codes are all base-side
+    persisted-asset shapes (centroids/base_codebook/base_codes params).
+    nprobe = ceil(k_cells/2): the twelfths-6 rung, which the certified
+    mining decisions bound from above at both driver scales
+    (q_margin_ivfadc_sized sizes 6/12ths at sf0.01, 5/12ths at sf0.1 —
+    this join probes at least as much of the corpus as the certified
+    mining floor needed). kNN recall vs the exact join is
+    pytest-measured (test_llm_ops)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    base = emb.filter(F.col("vec_id") % 97 != 0)
+    return SIM.ivfadc_knn_join(
+        queries, base, dim=64, k=3, m=_MARGIN_PQ_M,
+        k_codes=_MARGIN_PQ_KCODES, iters=1,
+    )
+
+
 def _hard_negatives_oracle(lo: int = 2, hi: int = 4) -> str:
     """Replay: the PQ chain's exact-reranked shortlist, keeping ranks
     lo..hi per probe — the negatives tail of the same ranking the

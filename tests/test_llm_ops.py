@@ -530,6 +530,52 @@ class TestLshKnnJoin:
         recall = len(approx & exact_base) / max(len(exact_base), 1)
         assert recall >= 0.8, f"pq_knn_join recall {recall:.2f}"
 
+    def test_ivfadc_knn_join_recall_and_asset_reuse(self, spark):
+        """The cell-pruned serving join (r8): same output contract as
+        pq_knn_join, kNN recall vs the exact join holding >= 0.7 while
+        scanning only ~half the cells; and the persisted-asset path
+        (centroids + base codebook/codes passed in) must be
+        row-identical to the self-computing path."""
+        import math
+
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+        from dais2021imageprocessingondeltalake_spark.operators.similarity import (
+            ivfadc_knn_join,
+            knn_join,
+        )
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        probe = F.col("vec_id") % 97 == 0
+        qdf = emb.filter(probe).localCheckpoint()
+        bdf = emb.filter(~probe).localCheckpoint()
+        exact = {
+            (r.probe_id, r.nbr_id)
+            for r in knn_join(emb, k=3, probe_filter=probe).collect()
+            if r.nbr_id % 97 != 0
+        }
+        out = ivfadc_knn_join(
+            qdf, bdf, dim=64, k=3, m=16, k_codes=16, iters=1
+        ).collect()
+        approx = {(r.query_id, r.base_id) for r in out}
+        per_q = {}
+        for q, _ in approx:
+            per_q[q] = per_q.get(q, 0) + 1
+        assert all(c <= 3 for c in per_q.values())
+        recall = len(approx & exact) / max(len(exact), 1)
+        assert recall >= 0.7, f"ivfadc_knn_join recall {recall:.2f}"
+        # persisted-asset path: precompute quantizer + code index
+        kc = math.isqrt(bdf.count() - 1) + 1
+        _, cents = SIM.kmeans_fit_distributed(bdf, k=kc, iters=1, round_dp=6)
+        bnorm = SIM.normalize_rounded(bdf, out_col="__nv").localCheckpoint()
+        book = SIM.pq_fit(bnorm, dim=64, m=16, k_codes=16, iters=1, vec_col="__nv")
+        codes = SIM.pq_encode(bnorm, book, dim=64, m=16, vec_col="__nv")
+        reused = ivfadc_knn_join(
+            qdf, bdf, dim=64, k=3, m=16, k_codes=16, iters=1,
+            centroids=cents, base_codebook=book, base_codes=codes,
+        ).collect()
+        key = lambda r: (r.query_id, r.base_id, r.cosine_sim)
+        assert sorted(map(key, reused)) == sorted(map(key, out))
+
     def test_disjoint_index_keeps_full_shortlist(self, spark):
         """Review r7: the scan's cap must be min(C, |index|), never
         |index|-1 — the self row is excluded by MASK, and a DISJOINT
