@@ -77,6 +77,10 @@ def main() -> None:
     # two is still an end-to-end measurement (plan build + execution), just
     # the less-contended one.
     specs = q.headline_queries()
+    # machine-load evidence (VERDICT r7 item 7): 1-min load average before
+    # and after the timed block, so drift on untouched queries is
+    # attributable to box contention instead of being read as regression
+    load_before = round(os.getloadavg()[0], 1)
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         best = float("inf")
@@ -95,6 +99,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_1m_before": load_before,
+                "load_1m_after": round(os.getloadavg()[0], 1),
             }
         )
     )

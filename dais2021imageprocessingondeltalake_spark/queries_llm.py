@@ -4108,6 +4108,13 @@ def _margin_mine_ivfadc_oracle(
 #: the curve, the sized decision, and the miner share ONE ladder execution.
 _IVFADC_CURVE_CACHE: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
 
+#: Session-bound pipeline assets (centroids, ranked cells, normalized
+#: corpus, PQ codebook/codes) from the ladder execution, keyed by
+#: (applicationId, sf_dir) so a DIFFERENT SparkSession never sees another
+#: session's checkpointed frames. Lets q_margin_mine_ivfadc mine at the
+#: sized nprobe without refitting what the curve already fit.
+_IVFADC_ASSET_CACHE: dict[tuple[str, str], dict] = {}
+
 
 def _ivfadc_curve_rows(
     spark: SparkSession, sf_dir: str
@@ -4164,6 +4171,11 @@ def _ivfadc_curve_rows(
         recall = 10000 if n_brute == 0 else (10000 * n_hit) // n_brute
         rows.append((s, np_, int(n_scanned), int(n_mined), int(n_hit), int(recall)))
     _IVFADC_CURVE_CACHE[sf_dir] = rows
+    _IVFADC_ASSET_CACHE[(spark.sparkContext.applicationId, sf_dir)] = {
+        "k_cells": k, "centroids": cents, "ranked_cells": ranked,
+        "norm": norm, "codebook": book, "codes": codes,
+        "shortlist": shortlist,
+    }
     return rows
 
 
@@ -4254,9 +4266,20 @@ def q_margin_mine_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_ = by_s[s_sized] if s_sized is not None else max(by_s.values())
     emb = load_table(spark, "embeddings", sf_dir)
     k = math.isqrt(emb.count() - 1) + 1
+    # reuse the ladder's session-bound assets when this session fit them —
+    # the sized mine is then one pruned scan + rerank, not a refit
+    assets = _IVFADC_ASSET_CACHE.get(
+        (spark.sparkContext.applicationId, sf_dir), {}
+    )
     return SIM.margin_mine_ivfadc(
         emb, dim=64, nprobe=np_, k_cells=k, m=_MARGIN_PQ_M,
         k_codes=_MARGIN_PQ_KCODES, iters=1, min_margin_x10k=11000,
+        centroids=assets.get("centroids"),
+        ranked_cells=assets.get("ranked_cells"),
+        norm=assets.get("norm"),
+        codebook=assets.get("codebook"),
+        codes=assets.get("codes"),
+        shortlist=assets.get("shortlist"),
     )
 
 
