@@ -3202,3 +3202,111 @@ def ivfadc_knn_join(
             F.col("s").alias("cosine_sim"),
         )
     )
+
+
+def margin_mine_ivfadc_xcorpus(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    dim: int,
+    nprobe: int | None = None,
+    k_cells: int | None = None,
+    m: int = 16,
+    k_codes: int = 16,
+    iters: int = 1,
+    shortlist: int | None = None,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_margin_x10k: int = 10200,
+    round_dp: int = 6,
+    max_index_bytes: int = 1 << 30,
+    centroids: DataFrame | None = None,
+    ref_codebook: DataFrame | None = None,
+    ref_codes: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus IVFADC margin mining — the third shape of the
+    cell-pruned composition (self-mining: margin_mine_ivfadc; serving
+    join: ivfadc_knn_join; THIS: incremental ingest): each NEW batch
+    mines its best/second-best cross-group neighbors from the
+    accumulated REFERENCE, scanning only its nprobe nearest cells'
+    inverted lists of the ref's code index. ALL index-side artifacts —
+    coarse quantizer (`centroids`), home-cell lists, PQ codebook/codes
+    (`ref_codebook`/`ref_codes`) — are persisted serving assets built
+    once on the reference; the per-batch cost is one normalization +
+    cell ranking of the batch and a ~nprobe/k scan, which is what makes
+    continuous ingest at a 1e9-vector standing index payable where the
+    flat xcorpus scan (margin_mine_pq_xcorpus) pays Θ(|new|·|ref|) LUT
+    ops per batch. nprobe defaults to ceil(k_cells/2) — the rung the
+    certified self-mining decisions bound from above at the driver
+    scales. nprobe = k_cells reproduces margin_mine_pq_xcorpus
+    bit-identically (tested)."""
+    if k_cells is None:
+        k_cells = max(1, math.isqrt(max(ref_df.count() - 1, 0)) + 1)
+    if nprobe is None:
+        nprobe = (k_cells + 1) // 2
+    if centroids is None:
+        _, centroids = kmeans_fit_distributed(
+            ref_df, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+            round_dp=round_dp,
+        )
+    home = assign_cells_ranked(
+        ref_df, centroids, n=1, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp,
+    ).select(F.col(id_col), F.element_at("cells", 1).alias("cell"))
+    qcells = assign_cells_ranked(
+        new_df, centroids, n=nprobe, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp,
+    )
+    new_norm = normalize_rounded(
+        new_df, id_col=id_col, vec_col=vec_col, out_col="__nv",
+        round_dp=round_dp,
+    )
+    if shortlist is None:
+        shortlist = size_adc_shortlist(ref_df.count())
+    if ref_codebook is None or ref_codes is None:
+        ref_norm = normalize_rounded(
+            ref_df, id_col=id_col, vec_col=vec_col, out_col="__nv",
+            round_dp=round_dp,
+        ).localCheckpoint()
+        book = (
+            ref_codebook
+            if ref_codebook is not None
+            else pq_fit(
+                ref_norm, dim=dim, m=m, k_codes=k_codes, iters=iters,
+                id_col=id_col, vec_col="__nv", round_dp=round_dp,
+            )
+        )
+        codes = (
+            ref_codes
+            if ref_codes is not None
+            else pq_encode(
+                ref_norm, book, dim=dim, m=m, id_col=id_col, vec_col="__nv"
+            )
+        )
+    else:
+        book, codes = ref_codebook, ref_codes
+    probes = new_norm.select(id_col, group_col, "__nv").join(
+        qcells.select(F.col(id_col), F.col("cells").alias("__cells")), id_col
+    )
+    pairs = ivfadc_shortlist_pairs(
+        probes,
+        book,
+        codes,
+        home,
+        shortlist=shortlist,
+        dim=dim,
+        m=m,
+        group_col=group_col,
+        id_col=id_col,
+        vec_col="__nv",
+        cells_col="__cells",
+        round_dp=round_dp,
+        max_index_bytes=max_index_bytes,
+        index_df=ref_df,
+        cross_group_only=True,
+    )
+    scored = _exact_rerank_pairs(
+        pairs, new_df, ref_df, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp,
+    )
+    return _margin_top2(scored, min_margin_x10k)

@@ -3466,12 +3466,18 @@ def q_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfadc_knn_join_oracle(k: int = 3) -> str:
-    """Replay of the IVFADC batch ANN join: base-only coarse fit (the
-    _MARGIN_IVF_FIT_SQL text re-aimed at the base rows), base home
-    cells, per-query top-ceil(kc/2) probed cells, the PQ chain with the
-    shortlist window restricted to probed cells, top-k of the exact
-    rerank."""
+def _ivfadc_asym_ctes(
+    probe_pred: str,
+    ref_pred: str,
+    cross_group: bool,
+    ranked_cte: str,
+) -> str:
+    """Shared WITH-chain (everything after ``WITH``) for the ASYMMETRIC
+    IVFADC oracles (serving kNN join, xcorpus mining): base/ref-only
+    coarse fit (the _MARGIN_IVF_FIT_SQL text re-aimed at the vb rows),
+    ref home cells, per-probe top-ceil(kc/2) probed cells, the PQ chain
+    with the shortlist window restricted to probed cells, exact rerank
+    into `ranked_cte`."""
     fit_b = (
         _MARGIN_IVF_FIT_SQL
         .replace("FROM v\n", "FROM vb\n")
@@ -3481,15 +3487,16 @@ def _ivfadc_knn_join_oracle(k: int = 3) -> str:
     nprobe_expr = "((SELECT k FROM kkb) + 1) // 2"
     restrict = """JOIN homeb h ON h.vec_id = a.nbr_id
         JOIN t2q pc ON pc.vec_id = a.probe_id AND pc.cl = h.cl"""
-    tail = _pq_shortlist_tail_sql(False, restrict, "short_kj", "ranked_kj")
-    return f"""
-    WITH v AS MATERIALIZED (
+    tail = _pq_shortlist_tail_sql(
+        cross_group, restrict, f"short_{ranked_cte}", ranked_cte
+    )
+    return f"""v AS MATERIALIZED (
       SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS ve
       FROM embeddings
     ), vb AS MATERIALIZED (
-      SELECT * FROM v WHERE vec_id % 97 <> 0
+      SELECT * FROM v WHERE {ref_pred}
     ), vq AS MATERIALIZED (
-      SELECT * FROM v WHERE vec_id % 97 = 0
+      SELECT * FROM v WHERE {probe_pred}
     ), kkb AS MATERIALIZED (
       SELECT CAST(ceil(sqrt(count(*))) AS INT) AS k FROM vb
     ), {fit_b}, homeb AS MATERIALIZED (
@@ -3514,11 +3521,63 @@ def _ivfadc_knn_join_oracle(k: int = 3) -> str:
           FROM vq v CROSS JOIN c1 c
         ) s
       ) WHERE rn <= {nprobe_expr}
-    ), {_pq_adc_core_sql(probe_pred="vec_id % 97 = 0",
-                         ref_pred="vec_id % 97 <> 0")}, {tail}
+    ), {_pq_adc_core_sql(probe_pred=probe_pred, ref_pred=ref_pred)}, {tail}"""
+
+
+def _ivfadc_knn_join_oracle(k: int = 3) -> str:
+    """Replay of the IVFADC batch ANN join: the asymmetric chain with
+    the query/base split, same-id-only exclusion, top-k of the exact
+    rerank."""
+    return f"""
+    WITH {_ivfadc_asym_ctes("vec_id % 97 = 0", "vec_id % 97 <> 0",
+                            False, "ranked_kj")}
     SELECT probe_id AS query_id, nbr_id AS base_id, s AS cosine_sim
     FROM ranked_kj WHERE rn <= {k}
     """
+
+
+def _ivfadc_xcorpus_oracle(min_margin_x10k: int = 11000) -> str:
+    """Replay of the cross-corpus IVFADC miner: the asymmetric chain
+    with the ingest split, cross-group shortlist restricted to probed
+    cells, margin filter tail."""
+    return f"""
+    WITH {_ivfadc_asym_ctes("vec_id % 3 = 0", "vec_id % 3 <> 0",
+                            True, "ranked_xj")}, best AS (
+      SELECT probe_id, nbr_id AS best_id, s AS sim1 FROM ranked_xj WHERE rn = 1
+    ), second AS (
+      SELECT probe_id, s AS sim2 FROM ranked_xj WHERE rn = 2
+    )
+    SELECT b.probe_id, b.best_id, b.sim1, s.sim2,
+           CAST(floor(10000.0 * b.sim1 / s.sim2) AS BIGINT) AS margin_x10k
+    FROM best b JOIN second s USING (probe_id)
+    WHERE s.sim2 > 0 AND floor(10000.0 * b.sim1 / s.sim2) >= {min_margin_x10k}
+    """
+
+
+@query("q_margin_ivfadc_xcorpus", oracle=_ivfadc_xcorpus_oracle())
+def q_margin_ivfadc_xcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus IVFADC margin mining (NEW r8) — the INGEST-tier
+    shape of the cell-pruned composition, completing IVFADC across all
+    three production shapes (self-mining q_margin_mine_ivfadc, serving
+    join q_knn_join_ivfadc, and THIS). Same %3 ingest split as
+    q_margin_pq_xcorpus, but each new-batch probe scans only its
+    ceil(k_cells/2) nearest cells' inverted lists of the standing
+    reference index (~half the flat per-batch LUT ops at the driver
+    scales, ~nprobe/k in general). Every index-side artifact — coarse
+    quantizer, home-cell lists, PQ codebook/codes — is a persisted
+    asset built once on the reference (params on
+    margin_mine_ivfadc_xcorpus; reuse row-identity tested), so a
+    recurring crawl pays per snapshot ONLY the batch's normalization +
+    cell ranking + the pruned scan + a C·|new| exact re-rank. At
+    nprobe = k_cells this reproduces q_margin_pq_xcorpus
+    bit-identically (tested) — one recall framework certifies both."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    ref = emb.filter(F.col("vec_id") % 3 != 0)
+    return SIM.margin_mine_ivfadc_xcorpus(
+        new, ref, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES,
+        iters=1, min_margin_x10k=11000,
+    )
 
 
 @query("q_knn_join_ivfadc", oracle=_ivfadc_knn_join_oracle())

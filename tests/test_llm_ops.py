@@ -1532,6 +1532,48 @@ class TestIvfadc:
         # the whole point: the sized rung scans a proper fraction
         assert sized["scan_frac_x10k"] < 10000
 
+    def test_xcorpus_full_probe_equals_flat_and_asset_reuse(self, spark):
+        """The ingest-tier composition: at nprobe = k_cells the
+        cell-pruned xcorpus miner must reproduce margin_mine_pq_xcorpus
+        EXACTLY; sides must be contained (probes from NEW, neighbors
+        from REF); and the persisted-asset path (quantizer + ref
+        codebook/codes passed in) must be row-identical."""
+        import math
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        new = emb.filter(F.col("vec_id") % 3 == 0).localCheckpoint()
+        ref = emb.filter(F.col("vec_id") % 3 != 0).localCheckpoint()
+        kc = math.isqrt(ref.count() - 1) + 1
+        key = lambda r: tuple(r)
+        flat = sorted(map(key, SIM.margin_mine_pq_xcorpus(
+            new, ref, dim=64, m=16, k_codes=16, iters=1, min_margin_x10k=11000
+        ).collect()))
+        full = sorted(map(key, SIM.margin_mine_ivfadc_xcorpus(
+            new, ref, dim=64, nprobe=kc, k_cells=kc, m=16, k_codes=16,
+            iters=1, min_margin_x10k=11000,
+        ).collect()))
+        assert flat == full and flat
+        # default (pruned) nprobe: sides contained, assets reusable
+        mined = SIM.margin_mine_ivfadc_xcorpus(
+            new, ref, dim=64, m=16, k_codes=16, iters=1,
+            min_margin_x10k=11000,
+        ).collect()
+        assert mined
+        new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+        ref_ids = {r["vec_id"] for r in ref.select("vec_id").collect()}
+        assert {r["probe_id"] for r in mined} <= new_ids
+        assert {r["best_id"] for r in mined} <= ref_ids
+        _, cents = SIM.kmeans_fit_distributed(ref, k=kc, iters=1, round_dp=6)
+        rnorm = SIM.normalize_rounded(ref, out_col="__nv").localCheckpoint()
+        book = SIM.pq_fit(rnorm, dim=64, m=16, k_codes=16, iters=1, vec_col="__nv")
+        codes = SIM.pq_encode(rnorm, book, dim=64, m=16, vec_col="__nv")
+        reused = SIM.margin_mine_ivfadc_xcorpus(
+            new, ref, dim=64, m=16, k_codes=16, iters=1,
+            min_margin_x10k=11000, centroids=cents,
+            ref_codebook=book, ref_codes=codes,
+        ).collect()
+        assert sorted(map(key, reused)) == sorted(map(key, mined))
+
     def test_ivfadc_guards(self, spark):
         import math
 
