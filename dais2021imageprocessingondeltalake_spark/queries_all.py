@@ -216,6 +216,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_margin_c_sized",  # NEW r8: C sizing decision + production-rule audit
     "q_knn_join_ivfadc",  # NEW r8: cell-pruned serving-path ANN join
     "q_margin_ivfadc_xcorpus",  # NEW r8: cell-pruned incremental-ingest miner
+    "q_stream_margin_ivfadc",  # NEW r8: live-ingest cell-pruned miner
     "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
     "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)

@@ -3804,6 +3804,68 @@ def q_stream_margin_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_stream_margin_ivfadc", oracle=_ivfadc_xcorpus_oracle())
+def q_stream_margin_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE-INGEST IVFADC margin mining (NEW r8) — q_stream_margin_pq
+    with the cell-pruned scan: every micro-batch probes only its
+    ceil(k_cells/2) nearest cells of the STANDING reference index. The
+    standing assets now include the coarse quantizer and home-cell
+    lists alongside the PQ codebook/codes — all built once before the
+    stream starts, exactly what a production crawler persists. The
+    stream==batch argument is unchanged (disjoint probes, frozen index,
+    order-independent fold published idempotently by batch_id), so the
+    BATCH q_margin_ivfadc_xcorpus oracle certifies the stream verbatim
+    — with this, every execution shape of the PQ mining family (batch,
+    sharded, cross-corpus, streamed) exists in BOTH the flat-scan and
+    the cell-pruned generation."""
+    import math
+
+    from .queries_streaming import _stream_fold_partials, _write_partial
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    new = emb.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", "label", "embedding"
+    )
+    ref = emb.filter(F.col("vec_id") % 3 != 0)
+    kc = math.isqrt(ref.count() - 1) + 1
+    # standing index assets, built ONCE before the stream: quantizer,
+    # PQ codebook + codes (home-cell lists derive from the quantizer
+    # inside the per-batch call; the codes collect is per-batch but the
+    # FIT work — the expensive part — never re-runs)
+    _, cents = SIM.kmeans_fit_distributed(ref, k=kc, iters=1, round_dp=6)
+    ref_norm = SIM.normalize_rounded(ref, out_col="__nv").localCheckpoint()
+    book = SIM.pq_fit(
+        ref_norm, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES,
+        iters=1, vec_col="__nv",
+    )
+    codes = SIM.pq_encode(
+        ref_norm, book, dim=64, m=_MARGIN_PQ_M, vec_col="__nv"
+    ).localCheckpoint()
+    c_short = SIM.size_adc_shortlist(ref.count())
+
+    def fold(batch_df: DataFrame, out: str, bid: int) -> None:
+        mined = SIM.margin_mine_ivfadc_xcorpus(
+            batch_df,
+            ref,
+            dim=64,
+            k_cells=kc,
+            m=_MARGIN_PQ_M,
+            k_codes=_MARGIN_PQ_KCODES,
+            iters=1,
+            shortlist=c_short,
+            min_margin_x10k=11000,
+            centroids=cents,
+            ref_codebook=book,
+            ref_codes=codes,
+        )
+        _write_partial(mined, out, bid)
+
+    partials = _stream_fold_partials(spark, "stream_marginivfadc_", new, fold)
+    return spark.read.parquet(partials).select(
+        "probe_id", "best_id", "sim1", "sim2", "margin_x10k"
+    )
+
+
 def _margin_xcorpus_recall_oracle(min_margin_x10k: int = 11000) -> str:
     """Recall report for the ASYMMETRIC miner: the parameterized PQ
     chain and a brute reference restricted to the same probe/ref split
