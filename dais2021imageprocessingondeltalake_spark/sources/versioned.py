@@ -25,9 +25,17 @@ on S3-class stores the atomic put-if-absent needs a coordination service,
 which is where the real Delta log store plugs in — documented seam).
 
 Scale note: replaying the log is O(#versions) driver-side JSON reads of
-a few hundred bytes each — never data-sized. Snapshot reads hand Spark
-the live directory list; partition pruning, pushdown, and parallelism
-are untouched parquet-scan behavior.
+a few hundred bytes each — never data-sized — until `checkpoint(table)`
+compacts it: a checkpoint file snapshots the replayed state at version N
+plus a `_last_checkpoint` pointer (Delta's exact mechanism,
+`_delta_log/_last_checkpoint`), after which every log read loads ONE
+checkpoint + only the commits newer than it, O(tail) instead of
+O(#versions). `expire_log` then deletes the pre-checkpoint commit files
+(Delta's log-retention cleanup) — at a production cadence of a commit a
+minute, this is the difference between reading a handful of files per
+snapshot and half a million. Snapshot reads hand Spark the live
+directory list; partition pruning, pushdown, and parallelism are
+untouched parquet-scan behavior.
 """
 
 from __future__ import annotations
@@ -40,6 +48,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_txn_log"
+_LAST_CKPT = "_last_checkpoint"
 
 
 class VersionConflictError(RuntimeError):
@@ -55,12 +64,40 @@ def _entry_path(table: str, version: int) -> Path:
     return _log_path(table) / f"{version:020d}.json"
 
 
+def _ckpt_path(table: str, version: int) -> Path:
+    return _log_path(table) / f"{version:020d}.checkpoint.json"
+
+
+def _read_last_checkpoint(table: str) -> dict | None:
+    p = _log_path(table) / _LAST_CKPT
+    if not p.is_file():
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def _read_log(table: str) -> list[dict]:
+    """Full ordered entry list, checkpoint-aware: with a checkpoint at
+    version N, this reads ONE checkpoint file plus only the commit files
+    newer than N (their zero-padded names sort after the checkpoint's),
+    reconstructing exactly the list a full replay would produce — so
+    every consumer (snapshot reads, history, vacuum, the stream sink's
+    batch_id dedup, the next writer's version assignment) is checkpoint-
+    transparent."""
     log_dir = _log_path(table)
     if not log_dir.is_dir():
         return []
-    entries = []
+    last = _read_last_checkpoint(table)
+    entries: list[dict] = []
+    floor_name = ""
+    if last is not None:
+        with open(log_dir / last["path"]) as f:
+            ckpt = json.load(f)
+        entries = list(ckpt["entries"])
+        floor_name = f"{last['version']:020d}.json"
     for p in sorted(log_dir.glob("*.json")):
+        if p.name.endswith(".checkpoint.json") or p.name <= floor_name:
+            continue
         with open(p) as f:
             entries.append(json.load(f))
     return entries
@@ -156,6 +193,60 @@ def versioned_read(
     if merge_schema:
         reader = reader.option("mergeSchema", True)
     return reader.parquet(*[str(Path(table) / d) for d in dirs])
+
+
+def checkpoint(table: str) -> int:
+    """Compact the log at the latest version (Delta protocol
+    checkpoints): write `<v>.checkpoint.json` holding the full replayed
+    entry list through v, then atomically repoint `_last_checkpoint`
+    (temp file + rename — readers see the old pointer or the new one,
+    never a partial). Subsequent log reads load the checkpoint + only
+    newer commits; prior commit files become deletable via expire_log.
+    Publication uses the same exclusive-create as commits, so two
+    concurrent checkpointers cannot interleave a torn file; a lost race
+    at the same version is harmless (identical content) and surfaces as
+    VersionConflictError for symmetry. Returns the checkpointed
+    version."""
+    log = _read_log(table)
+    if not log:
+        raise FileNotFoundError(f"no versioned table at {table}")
+    version = log[-1]["version"]
+    ckpt = {"version": version, "timestamp": time.time(), "entries": log}
+    path = _ckpt_path(table, version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise VersionConflictError(
+            f"checkpoint at version {version} of {table} already exists"
+        ) from e
+    with os.fdopen(fd, "w") as f:
+        json.dump(ckpt, f)
+    pointer = {"version": version, "path": path.name}
+    tmp = _log_path(table) / f".{_LAST_CKPT}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(pointer, f)
+    os.replace(tmp, _log_path(table) / _LAST_CKPT)
+    return version
+
+
+def expire_log(table: str) -> list[str]:
+    """Delete commit files the current checkpoint already contains
+    (Delta's log-retention cleanup): every `<v>.json` with v <= the
+    `_last_checkpoint` version is redundant — its entry lives in the
+    checkpoint — so snapshot reads, history, time travel, vacuum, and
+    the stream sink's dedup are all unaffected (tested). Without a
+    checkpoint this is a no-op. Returns the deleted file names."""
+    last = _read_last_checkpoint(table)
+    if last is None:
+        return []
+    floor_name = f"{last['version']:020d}.json"
+    removed = []
+    for p in sorted(_log_path(table).glob("*.json")):
+        if p.name.endswith(".checkpoint.json") or p.name > floor_name:
+            continue
+        p.unlink()
+        removed.append(p.name)
+    return removed
 
 
 def history(table: str) -> list[dict]:

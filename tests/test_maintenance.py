@@ -111,6 +111,68 @@ class TestVersionedTable:
         with pytest.raises(Exception):
             V.versioned_read(spark, t, version=0).count()
 
+    def test_checkpoint_compacts_log_reads(self, spark, tmp_path):
+        """Delta-protocol log checkpoints (r8): after checkpoint(), every
+        log consumer (snapshot, time travel, history, vacuum, the next
+        writer's version assignment) reads ONE checkpoint + only newer
+        commits — proven by expire_log deleting every pre-checkpoint
+        commit file and ALL semantics surviving, including commits made
+        AFTER the checkpoint."""
+        V, t = self._mk(spark, tmp_path)
+        ks = lambda df: sorted(r["k"] for r in df.collect())
+        before_latest = ks(V.versioned_read(spark, t))
+        before_v1 = ks(V.versioned_read(spark, t, version=1))
+        assert V.checkpoint(t) == 2
+        removed = V.expire_log(t)
+        assert removed == [f"{v:020d}.json" for v in (0, 1, 2)]
+        # all reads identical post-expiry: the checkpoint carries the state
+        assert ks(V.versioned_read(spark, t)) == before_latest
+        assert ks(V.versioned_read(spark, t, version=1)) == before_v1
+        assert [e["version"] for e in V.history(t)] == [2, 1, 0]
+        # the log keeps growing past the checkpoint: tail commits compose
+        d = spark.range(300, 302).withColumnRenamed("id", "k")
+        assert V.versioned_write(d, t, mode="append") == 3
+        assert ks(V.versioned_read(spark, t)) == before_latest + [300, 301]
+        assert ks(V.versioned_read(spark, t, version=2)) == before_latest
+        # a second checkpoint folds the tail in; expiry again leaves reads intact
+        assert V.checkpoint(t) == 3
+        assert V.expire_log(t) == [f"{3:020d}.json"]
+        assert ks(V.versioned_read(spark, t)) == before_latest + [300, 301]
+        # vacuum still sees the full live-set lineage through checkpoints
+        assert V.vacuum(t, retain_last=1) == ["v0"]
+        # double-checkpoint at the same version is a detected conflict
+        import pytest
+
+        with pytest.raises(V.VersionConflictError):
+            V.checkpoint(t)
+        # expire without any checkpoint is a no-op
+        t2 = str(tmp_path / "tbl_nockpt")
+        V.versioned_write(spark.range(2).withColumnRenamed("id", "k"), t2)
+        assert V.expire_log(t2) == []
+
+    def test_checkpoint_preserves_stream_sink_idempotence(self, spark, tmp_path):
+        """The stream sink's batch_id dedup reads the log; a checkpoint
+        + expiry between restarts must not resurrect an already-applied
+        batch (the stream_batch_id entries live in the checkpoint)."""
+        from dais2021imageprocessingondeltalake_spark.sources import versioned as V
+
+        t = str(tmp_path / "tbl_stream")
+        # simulate two committed micro-batches via the sink's log shape
+        for bid in (0, 1):
+            df = spark.range(bid * 10, bid * 10 + 3).withColumnRenamed("id", "k")
+            log = V._read_log(t)
+            version = (log[-1]["version"] + 1) if log else 0
+            df.write.mode("errorifexists").parquet(f"{t}/v{version}")
+            V._log_path(t).mkdir(parents=True, exist_ok=True)
+            V._entry_path(t, version).write_text(
+                f'{{"version": {version}, "timestamp": 0, "operation": '
+                f'"append", "data_dir": "v{version}", "stream_batch_id": {bid}}}'
+            )
+        V.checkpoint(t)
+        V.expire_log(t)
+        done = {e.get("stream_batch_id") for e in V._read_log(t)}
+        assert done == {0, 1}  # replayed batches still dedup post-expiry
+
     def test_version_conflict_detected(self, spark, tmp_path, monkeypatch):
         """Optimistic concurrency: a writer whose log read went stale
         (another writer published the same version number between read
