@@ -217,6 +217,9 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_knn_join_ivfadc",  # NEW r8: cell-pruned serving-path ANN join
     "q_margin_ivfadc_xcorpus",  # NEW r8: cell-pruned incremental-ingest miner
     "q_stream_margin_ivfadc",  # NEW r8: live-ingest cell-pruned miner
+    "q_margin_ivfadc_res_curve",  # NEW r8: RESIDUAL-encoding recall ladder
+    "q_margin_ivfadc_res_sized",  # NEW r8: residual sized decision (cheaper rung)
+    "q_margin_mine_ivfadc_res",  # NEW r8: true-IVFADC miner (residual codes)
     "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
     "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)

