@@ -1,0 +1,184 @@
+"""Diversity-aware subset selection over embedding columns — the
+coverage/redundancy axis of training-data curation the dedup tier does
+not address: dedup removes NEAR-COPIES, these operators pick maximally
+SPREAD exemplars (core-set selection for labeling/distillation budgets,
+diverse retrieval for RAG).
+
+Beyond-reference capability (the 6-notebook reference has no embedding
+ops at all); algorithms from public literature:
+
+- Greedy k-center / farthest-first traversal (Gonzalez 1985, a 2-approx
+  of the k-center objective; Sener & Savarese ICLR 2018 use exactly this
+  for core-set selection over CNN embeddings).
+- Maximal Marginal Relevance (Carbonell & Goldstein SIGIR 1998) — the
+  standard relevance-vs-redundancy re-ranker for retrieval.
+
+Scale design: both are k-round greedy loops where each round is ONE
+corpus scan against a BROADCAST selected-set matrix (≤ k·dim doubles)
+followed by a TakeOrderedAndProject top-1 — the kmeans-E-step shape. No
+shuffle touches data-sized state; total work O(k·N·dim) with k scans.
+At 100 TB one would fuse rounds per pass (select several farthest points
+per scan) — here k is report-sized, so the textbook one-per-round form
+is the certified semantics.
+
+Determinism contract (the similarity-tier convention): every cosine
+rounds to `round_dp` BEFORE any compare; distances are single IEEE ops
+on rounded values; every argmax tie-breaks to the LOWEST id — so a
+DuckDB oracle replays each round with
+``ORDER BY round(list_cosine_similarity(..), 6) …, vec_id LIMIT 1``
+and the whole greedy trajectory is bit-reproducible cross-engine.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _to_double
+
+
+def _mindist_maxsim_udf(sel_vecs, round_dp: int):
+    """Arrow UDF: vector -> (min over selected of 1 − round(cos, dp),
+    max over selected of round(cos, dp)) — one numpy pass per batch
+    against the broadcast selected-set matrix. Both derive from the
+    same rounded-cosine row maximum, so the SQL least()/greatest()
+    chains over per-selected terms replay them exactly (IEEE rounding
+    is monotone: least_j fl(1 − c_j) == fl(1 − max_j c_j))."""
+    import numpy as np
+
+    S = np.asarray(sel_vecs, dtype=np.float64)
+    Sn = np.sqrt((S * S).sum(axis=1))
+
+    @F.pandas_udf("struct<mind: double, maxsim: double>")
+    def score(vec: pd.Series) -> pd.DataFrame:
+        if len(vec) == 0:
+            return pd.DataFrame({"mind": [], "maxsim": []})
+        X = np.asarray([np.asarray(e, dtype=np.float64) for e in vec])
+        Xn = np.sqrt((X * X).sum(axis=1))
+        sims = np.round(X @ S.T / (Xn[:, None] * Sn[None, :]), round_dp)
+        best = sims.max(axis=1)
+        return pd.DataFrame({"mind": 1.0 - best, "maxsim": best})
+
+    return score
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Greedy k-center (farthest-first traversal): seed with the
+    md5-rank-first vector (the kmeans_fit_distributed seed idiom —
+    layout- and rerun-stable), then k−1 times select the point whose
+    cosine distance to its NEAREST already-selected point is largest
+    (ties → lowest id). Returns (rank, id, sel_dist) where sel_dist is
+    the coverage radius the point was selected at (NULL for the seed) —
+    a non-increasing sequence, which is the classic certificate that
+    the selection is 2-approx optimal coverage (Gonzalez 1985).
+
+    Each round: one scan against the broadcast selected matrix + one
+    TakeOrderedAndProject top-1 collect (a single k·dim-bounded row) —
+    never a data-sized driver transfer."""
+    if k < 1:
+        raise ValueError(f"kcenter_select requires k >= 1, got {k}")
+    digest = F.md5(F.col(id_col).cast("string"))
+    src = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
+    seed = (
+        src.orderBy(digest, F.col(id_col)).limit(1).collect()[0]
+    )
+    selected = [(seed[id_col], list(seed["__v"]), None)]
+    for _ in range(1, k):
+        score = _mindist_maxsim_udf([v for _, v, _ in selected], round_dp)
+        ranked = (
+            src.select(F.col(id_col), "__v", score(F.col("__v")).alias("__s"))
+            .filter(
+                ~F.col(id_col).isin([i for i, _, _ in selected])
+            )
+            .orderBy(F.col("__s.mind").desc(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not ranked:
+            break
+        r = ranked[0]
+        selected.append((r[id_col], list(r["__v"]), float(r["__s"]["mind"])))
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        [(i + 1, sid, d) for i, (sid, _, d) in enumerate(selected)],
+        f"rank bigint, {id_col} {id_type}, sel_dist double",
+    )
+
+
+def mmr_select(
+    df: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    query_vec: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance top-k (Carbonell & Goldstein 1998):
+    rank 1 is the most query-relevant row; each later rank maximizes
+    ``λ·rel − (1−λ)·max_sim_to_selected`` (ties → lowest id), trading
+    relevance against redundancy — the standard diverse-retrieval
+    re-ranker. `query_vec` defaults to the 6dp-rounded corpus MEAN (the
+    cell_anchors aggregate over one corpus-wide cell): the most central
+    query, so the registered form is self-contained AND non-degenerate
+    (a corpus-member query would make rank 1 itself and zero out every
+    round-2 score); rel = round(cos(v, q), dp).
+
+    The MMR score is computed on ROUNDED relevance and redundancy terms
+    with one multiply-subtract per side, so an oracle replays it as
+    ``{lam} * rel - {1-lam} * greatest(per-selected rounded cosines)``
+    verbatim. Same scan shape as kcenter_select."""
+    if k < 1:
+        raise ValueError(f"mmr_select requires k >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_select requires 0 <= lam <= 1, got {lam}")
+    src = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
+    if query_vec is None:
+        query_vec = [
+            float(r["a"])
+            for r in src.select(F.posexplode("__v").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.round(F.avg("x"), round_dp).alias("a"))
+            .orderBy("pos")
+            .collect()
+        ]
+    rel_udf = _mindist_maxsim_udf([list(query_vec)], round_dp)
+    rel = src.select(
+        F.col(id_col), "__v", rel_udf(F.col("__v"))["maxsim"].alias("__rel")
+    ).localCheckpoint()
+    first = rel.orderBy(F.col("__rel").desc(), F.col(id_col)).limit(1).collect()[0]
+    selected = [(first[id_col], list(first["__v"]), float(first["__rel"]))]
+    for _ in range(1, k):
+        score = _mindist_maxsim_udf([v for _, v, _ in selected], round_dp)
+        ranked = (
+            rel.select(
+                F.col(id_col), "__v", "__rel",
+                (
+                    F.lit(float(lam)) * F.col("__rel")
+                    - F.lit(float(1.0 - lam))
+                    * score(F.col("__v"))["maxsim"]
+                ).alias("__mmr"),
+            )
+            .filter(~F.col(id_col).isin([i for i, _, _ in selected]))
+            .orderBy(F.col("__mmr").desc(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not ranked:
+            break
+        r = ranked[0]
+        selected.append((r[id_col], list(r["__v"]), float(r["__mmr"])))
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        [(i + 1, sid, s) for i, (sid, _, s) in enumerate(selected)],
+        f"rank bigint, {id_col} {id_type}, score double",
+    )

@@ -220,6 +220,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_margin_ivfadc_res_curve",  # NEW r8: RESIDUAL-encoding recall ladder
     "q_margin_ivfadc_res_sized",  # NEW r8: residual sized decision (cheaper rung)
     "q_margin_mine_ivfadc_res",  # NEW r8: true-IVFADC miner (residual codes)
+    "q_kcenter_select",  # NEW r8: greedy k-center core-set selection
+    "q_mmr_select",  # NEW r8: maximal-marginal-relevance diverse top-k
     "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
     "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .operators import aggregates as AGG
+from .operators import diversity as DIV
 from .operators import sampling as S
 from .operators import text as TX
 from .registry import query
@@ -2333,3 +2334,145 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.crossJoin(i).select(
         "dcg", "idcg", F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg")
     )
+
+
+# --------------------------------------------------------------------------
+# Diversity-aware subset selection (r8): the coverage/redundancy axis of
+# curation the dedup tier does not address — dedup removes near-copies,
+# these pick maximally SPREAD exemplars. Greedy k-center (Gonzalez 1985;
+# Sener & Savarese 2018 core-set selection) and Maximal Marginal Relevance
+# (Carbonell & Goldstein 1998). Both are k-round greedy loops whose every
+# round is ONE corpus scan vs a broadcast <= k x dim selected matrix + a
+# TakeOrderedAndProject top-1 — the kmeans-E-step shape, k scans total,
+# no data-sized shuffle or driver transfer. The oracles unroll the full
+# greedy trajectory (one CTE per round, argmax replayed as ORDER BY ...
+# LIMIT 1 with the lowest-id tie-break) so the ENTIRE selection sequence
+# is certified, not just the final set.
+# --------------------------------------------------------------------------
+
+_DIVERSITY_K = 8
+_MMR_LAMBDA = 0.5
+
+_DIV_V_CTE = """v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    )"""
+
+_DIV_SEED_RN = """row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"""
+
+
+def _greatest(terms: list[str]) -> str:
+    return terms[0] if len(terms) == 1 else f"greatest({', '.join(terms)})"
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled farthest-first replay: per round i, mind = 1 −
+    max over s1..s{i−1} of round(cos, 6) — the engine computes the same
+    1 − rowmax on rounded cosines, and IEEE rounding monotonicity makes
+    the two forms identical bit-for-bit."""
+    parts = [
+        f"""s1 AS MATERIALIZED (
+      SELECT vec_id, ve FROM (
+        SELECT vec_id, ve, {_DIV_SEED_RN} AS rn FROM v
+      ) WHERE rn = 1
+    )"""
+    ]
+    for i in range(2, k + 1):
+        cos_terms = [
+            f"round(list_cosine_similarity(v.ve, (SELECT ve FROM s{j})), 6)"
+            for j in range(1, i)
+        ]
+        notin = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        parts.append(f"""s{i} AS MATERIALIZED (
+      SELECT vec_id, ve, mind FROM (
+        SELECT v.vec_id, v.ve, 1 - {_greatest(cos_terms)} AS mind
+        FROM v WHERE v.vec_id NOT IN ({notin})
+      ) ORDER BY mind DESC, vec_id LIMIT 1
+    )""")
+    unions = [
+        "SELECT CAST(1 AS BIGINT) AS rank, vec_id,"
+        " CAST(NULL AS DOUBLE) AS sel_dist FROM s1"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT), vec_id, mind FROM s{i}"
+        for i in range(2, k + 1)
+    ]
+    return (
+        "WITH " + _DIV_V_CTE + ",\n    " + ",\n    ".join(parts)
+        + "\n    " + "\n    UNION ALL ".join(unions)
+    )
+
+
+def _mmr_oracle(k: int, lam: float) -> str:
+    """Unrolled MMR replay: rel computed once (rounded cosine to the
+    6dp-rounded corpus-mean query vector), each round's score =
+    lam·rel − (1−lam)·max over selected of round(cos, 6) — literal
+    multiply/subtract order matching the engine expression exactly."""
+    l1, l2 = repr(float(lam)), repr(float(1.0 - lam))
+    parts = [
+        f"""qv AS MATERIALIZED (
+      SELECT list(round(am, 6) ORDER BY dim) AS ve FROM (
+        SELECT dim, avg(x) AS am FROM (
+          SELECT unnest(ve) AS x, generate_subscripts(ve, 1) AS dim FROM v
+        ) GROUP BY dim
+      )
+    ), rel AS MATERIALIZED (
+      SELECT vec_id, ve,
+             round(list_cosine_similarity(ve, (SELECT ve FROM qv)), 6) AS rel
+      FROM v
+    ), s1 AS MATERIALIZED (
+      SELECT vec_id, ve, rel, CAST(rel AS DOUBLE) AS score FROM (
+        SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT 1
+      )
+    )"""
+    ]
+    for i in range(2, k + 1):
+        cos_terms = [
+            f"round(list_cosine_similarity(r.ve, (SELECT ve FROM s{j})), 6)"
+            for j in range(1, i)
+        ]
+        notin = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        parts.append(f"""s{i} AS MATERIALIZED (
+      SELECT vec_id, ve, rel, score FROM (
+        SELECT r.vec_id, r.ve, r.rel,
+               {l1} * r.rel - {l2} * {_greatest(cos_terms)} AS score
+        FROM rel r WHERE r.vec_id NOT IN ({notin})
+      ) ORDER BY score DESC, vec_id LIMIT 1
+    )""")
+    unions = [
+        "SELECT CAST(1 AS BIGINT) AS rank, vec_id, score FROM s1"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT), vec_id, score FROM s{i}"
+        for i in range(2, k + 1)
+    ]
+    return (
+        "WITH " + _DIV_V_CTE + ",\n    " + ",\n    ".join(parts)
+        + "\n    " + "\n    UNION ALL ".join(unions)
+    )
+
+
+@query("q_kcenter_select", oracle=_kcenter_oracle(_DIVERSITY_K))
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center core-set selection over the embedding corpus
+    (Sener & Savarese 2018): the k exemplars that 2-approx-minimize the
+    maximum distance from any corpus vector to its nearest exemplar —
+    the labeling/distillation-budget picker. Output is the full greedy
+    trajectory (rank, vec_id, sel_dist): sel_dist non-increasing is the
+    textbook optimality certificate, and the oracle replays every
+    round's argmax including tie-breaks."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return DIV.kcenter_select(emb, k=_DIVERSITY_K)
+
+
+@query("q_mmr_select", oracle=_mmr_oracle(_DIVERSITY_K, _MMR_LAMBDA))
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998) against the 6dp-rounded corpus-mean query vector (the most
+    central query — deterministic and never a corpus member): rank 1 is
+    the most relevant row, later ranks trade relevance against
+    similarity to what is already selected at λ = 0.5 — the standard
+    RAG diverse-retrieval re-ranker, certified round by round."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return DIV.mmr_select(emb, k=_DIVERSITY_K, lam=_MMR_LAMBDA)

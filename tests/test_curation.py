@@ -1388,3 +1388,138 @@ class TestEpochShuffle:
             S.epoch_shuffle(docs, "doc_id", epochs=0)
         with pytest.raises(ValueError):
             S.epoch_shuffle(docs, "doc_id", n_shards=0)
+
+
+class TestDiversitySelection:
+    """Greedy k-center + MMR (r8): the trajectory invariants oracles
+    certify value-for-value but whose SEMANTICS deserve independent
+    pinning — a brute-force numpy replay of the greedy recurrences, and
+    the textbook structural properties."""
+
+    @staticmethod
+    def _matrix(spark):
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+        import numpy as np
+
+        rows = (
+            load_table(spark, "embeddings", SF_DIR)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        X = np.array(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+        )
+        order = np.argsort(ids)
+        return ids[order], X[order]
+
+    def test_kcenter_matches_numpy_greedy(self, spark):
+        """The engine trajectory equals a from-scratch numpy greedy
+        (same seed rule, same rounding, same tie-breaks) — independent
+        of the Spark plan entirely."""
+        import hashlib
+        import numpy as np
+        from dais2021imageprocessingondeltalake_spark.operators import (
+            diversity as DIV,
+        )
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+        ids, X = self._matrix(spark)
+        norms = np.sqrt((X * X).sum(axis=1))
+        k = 6
+        seed_order = sorted(
+            range(len(ids)),
+            key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+        )
+        sel = [seed_order[0]]
+        expected = [(1, int(ids[sel[0]]), None)]
+        for rank in range(2, k + 1):
+            sims = np.round(
+                X @ X[sel].T / (norms[:, None] * norms[sel][None, :]), 6
+            )
+            mind = 1.0 - sims.max(axis=1)
+            cand = [i for i in range(len(ids)) if i not in sel]
+            best = min(cand, key=lambda i: (-mind[i], ids[i]))
+            sel.append(best)
+            expected.append((rank, int(ids[best]), float(mind[best])))
+        emb = load_table(spark, "embeddings", SF_DIR)
+        got = [
+            (r["rank"], r["vec_id"], r["sel_dist"])
+            for r in DIV.kcenter_select(emb, k=k)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == expected
+
+    def test_kcenter_radius_non_increasing_and_distinct(self, spark):
+        """Gonzalez's certificate: selection distances never increase,
+        and the selected ids are distinct."""
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        rows = sorted(
+            q.REGISTRY["q_kcenter_select"].fn(spark, SF_DIR).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len({r["vec_id"] for r in rows}) == len(rows)
+        dists = [r["sel_dist"] for r in rows[1:]]
+        assert all(d is not None for d in dists)
+        assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+    def test_mmr_lambda_one_is_pure_relevance(self, spark):
+        """λ = 1 degenerates MMR to plain relevance top-k — the scores
+        must equal the rounded cosine ranking with the lowest-id
+        tie-break, redundancy never consulted."""
+        import numpy as np
+        from dais2021imageprocessingondeltalake_spark.operators import (
+            diversity as DIV,
+        )
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+        ids, X = self._matrix(spark)
+        norms = np.sqrt((X * X).sum(axis=1))
+        q_vec = np.round(X.mean(axis=0), 6)
+        rel = np.round(X @ q_vec / (norms * np.sqrt((q_vec * q_vec).sum())), 6)
+        order = sorted(range(len(ids)), key=lambda i: (-rel[i], ids[i]))[:5]
+        expected = [(int(ids[i]), float(rel[i])) for i in order]
+        emb = load_table(spark, "embeddings", SF_DIR)
+        got = [
+            (r["vec_id"], r["score"])
+            for r in DIV.mmr_select(emb, k=5, lam=1.0).orderBy("rank").collect()
+        ]
+        # numpy's blas mean/dot may differ in last-bit from the engine's
+        # fold; compare ids exactly and scores to 1e-9
+        assert [g[0] for g in got] == [e[0] for e in expected]
+        assert all(abs(g[1] - e[1]) < 1e-9 for g, e in zip(got, expected))
+
+    def test_mmr_diversifies_vs_pure_relevance(self, spark):
+        """At λ = 0.5 the selected set must differ from the pure-
+        relevance top-k (the whole point), while rank 1 agrees (first
+        pick has no redundancy term)."""
+        from dais2021imageprocessingondeltalake_spark.operators import (
+            diversity as DIV,
+        )
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        pure = [r["vec_id"] for r in DIV.mmr_select(emb, k=6, lam=1.0)
+                .orderBy("rank").collect()]
+        mixed = [r["vec_id"] for r in DIV.mmr_select(emb, k=6, lam=0.5)
+                 .orderBy("rank").collect()]
+        assert pure[0] == mixed[0]
+        assert pure != mixed
+
+    def test_diversity_guards(self, spark):
+        import pytest
+        from dais2021imageprocessingondeltalake_spark.operators import (
+            diversity as DIV,
+        )
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        with pytest.raises(ValueError, match="k >= 1"):
+            DIV.kcenter_select(emb, k=0)
+        with pytest.raises(ValueError, match="k >= 1"):
+            DIV.mmr_select(emb, k=0)
+        with pytest.raises(ValueError, match="lam"):
+            DIV.mmr_select(emb, k=2, lam=1.5)
