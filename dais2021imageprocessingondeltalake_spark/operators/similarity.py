@@ -3238,6 +3238,8 @@ def ivfadc_knn_join(
     base_codebook: DataFrame | None = None,
     base_codes: DataFrame | None = None,
     centroids: DataFrame | None = None,
+    residual: bool = False,
+    base_anchors: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC batch ANN join — pq_knn_join with the coarse-cell pruning
     composed in front of its ADC scan, completing the IVFADC composition
@@ -3251,7 +3253,14 @@ def ivfadc_knn_join(
     of the codes, and exact cosine re-ranks the top-C shortlist to k.
     Same output contract as pq_knn_join/lsh_knn_join: (query_id,
     base_id, cosine_sim), rank-k per query, rounded-before-ranking with
-    base-id tie-break."""
+    base-id tie-break.
+
+    `residual=True` is the serving form of true IVFADC: the base index
+    encodes residuals to per-cell anchors (cell_anchors over the base's
+    normalized vectors — persisted alongside the codes via
+    `base_anchors`), and each query's ADC score seeds with its
+    anchor inner product — finer ranking from the same code bytes, so
+    fewer true neighbors fall outside the top-C at the same nprobe."""
     if k_cells is None:
         k_cells = max(1, math.isqrt(max(base_df.count() - 1, 0)) + 1)
     if nprobe is None:
@@ -3275,24 +3284,39 @@ def ivfadc_knn_join(
     )
     if shortlist is None:
         shortlist = size_adc_shortlist(base_df.count())
-    if base_codebook is None or base_codes is None:
+    if base_codebook is None or base_codes is None or (
+        residual and base_anchors is None
+    ):
         base_norm = normalize_rounded(
             base_df, id_col=id_col, vec_col=vec_col, out_col="__nv",
             round_dp=round_dp,
         ).localCheckpoint()
+        if residual:
+            if base_anchors is None:
+                base_anchors = cell_anchors(
+                    base_norm, home, id_col=id_col, vec_col="__nv",
+                    round_dp=round_dp,
+                ).localCheckpoint()
+            enc_src = residualize(
+                base_norm.select(id_col, "__nv"), home, base_anchors,
+                id_col=id_col, vec_col="__nv", out_col="__rv",
+            )
+            enc_col = "__rv"
+        else:
+            enc_src, enc_col = base_norm, "__nv"
         book = (
             base_codebook
             if base_codebook is not None
             else pq_fit(
-                base_norm, dim=dim, m=m, k_codes=k_codes, iters=iters,
-                id_col=id_col, vec_col="__nv", round_dp=round_dp,
+                enc_src, dim=dim, m=m, k_codes=k_codes, iters=iters,
+                id_col=id_col, vec_col=enc_col, round_dp=round_dp,
             )
         )
         codes = (
             base_codes
             if base_codes is not None
             else pq_encode(
-                base_norm, book, dim=dim, m=m, id_col=id_col, vec_col="__nv"
+                enc_src, book, dim=dim, m=m, id_col=id_col, vec_col=enc_col
             )
         )
     else:
@@ -3316,6 +3340,7 @@ def ivfadc_knn_join(
         max_index_bytes=max_index_bytes,
         index_df=base_df,
         cross_group_only=False,
+        anchors_df=base_anchors if residual else None,
     )
     from pyspark.sql import Window
 
@@ -3354,10 +3379,14 @@ def margin_mine_ivfadc_xcorpus(
     centroids: DataFrame | None = None,
     ref_codebook: DataFrame | None = None,
     ref_codes: DataFrame | None = None,
+    residual: bool = False,
+    ref_anchors: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus IVFADC margin mining — the third shape of the
     cell-pruned composition (self-mining: margin_mine_ivfadc; serving
-    join: ivfadc_knn_join; THIS: incremental ingest): each NEW batch
+    join: ivfadc_knn_join; THIS: incremental ingest; `residual=True`
+    gives each the true-IVFADC residual index, `ref_anchors` being the
+    persisted anchor asset next to the ref codebook/codes): each NEW batch
     mines its best/second-best cross-group neighbors from the
     accumulated REFERENCE, scanning only its nprobe nearest cells'
     inverted lists of the ref's code index. ALL index-side artifacts —
@@ -3394,24 +3423,39 @@ def margin_mine_ivfadc_xcorpus(
     )
     if shortlist is None:
         shortlist = size_adc_shortlist(ref_df.count())
-    if ref_codebook is None or ref_codes is None:
+    if ref_codebook is None or ref_codes is None or (
+        residual and ref_anchors is None
+    ):
         ref_norm = normalize_rounded(
             ref_df, id_col=id_col, vec_col=vec_col, out_col="__nv",
             round_dp=round_dp,
         ).localCheckpoint()
+        if residual:
+            if ref_anchors is None:
+                ref_anchors = cell_anchors(
+                    ref_norm, home, id_col=id_col, vec_col="__nv",
+                    round_dp=round_dp,
+                ).localCheckpoint()
+            enc_src = residualize(
+                ref_norm.select(id_col, "__nv"), home, ref_anchors,
+                id_col=id_col, vec_col="__nv", out_col="__rv",
+            )
+            enc_col = "__rv"
+        else:
+            enc_src, enc_col = ref_norm, "__nv"
         book = (
             ref_codebook
             if ref_codebook is not None
             else pq_fit(
-                ref_norm, dim=dim, m=m, k_codes=k_codes, iters=iters,
-                id_col=id_col, vec_col="__nv", round_dp=round_dp,
+                enc_src, dim=dim, m=m, k_codes=k_codes, iters=iters,
+                id_col=id_col, vec_col=enc_col, round_dp=round_dp,
             )
         )
         codes = (
             ref_codes
             if ref_codes is not None
             else pq_encode(
-                ref_norm, book, dim=dim, m=m, id_col=id_col, vec_col="__nv"
+                enc_src, book, dim=dim, m=m, id_col=id_col, vec_col=enc_col
             )
         )
     else:
@@ -3435,6 +3479,7 @@ def margin_mine_ivfadc_xcorpus(
         max_index_bytes=max_index_bytes,
         index_df=ref_df,
         cross_group_only=True,
+        anchors_df=ref_anchors if residual else None,
     )
     scored = _exact_rerank_pairs(
         pairs, new_df, ref_df, id_col=id_col, vec_col=vec_col,

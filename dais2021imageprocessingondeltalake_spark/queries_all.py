@@ -222,6 +222,9 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_margin_mine_ivfadc_res",  # NEW r8: true-IVFADC miner (residual codes)
     "q_kcenter_select",  # NEW r8: greedy k-center core-set selection
     "q_mmr_select",  # NEW r8: maximal-marginal-relevance diverse top-k
+    "q_margin_ivfadc_res_xcorpus",  # NEW r8: residual-index incremental ingest
+    "q_knn_join_ivfadc_res",  # NEW r8: residual-index serving ANN join
+    "q_stream_margin_ivfadc_res",  # NEW r8: residual-index live-ingest stream
     "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
     "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)

@@ -3233,19 +3233,28 @@ def _pq_adc_core_sql(
     )"""
 
 
-def _pq_adc_res_core_sql() -> str:
+def _pq_adc_res_core_sql(
+    probe_pred: str = "TRUE",
+    ref_pred: str = "TRUE",
+    home_cte: str = "home",
+) -> str:
     """RESIDUAL variant of the ADC core (true IVFADC, Jégou-Douze-Schmid
     TPAMI 2011 §III): PQ fits and encodes the residuals r = nv −
     anchor(home cell) — the anchor being the 6dp-rounded per-cell mean
-    of the normalized vectors (cell_anchors) — and every ADC score is
-    the left-to-right fold ⟨q, anchor⟩ + lut_0 + … + lut_{m-1}, rounded
-    once at the end (ivfadc_shortlist_pairs' residual determinism
-    contract). Emits the SAME terminal CTE names as _pq_adc_core_sql
-    (vn, params, padc) so _pq_shortlist_tail_sql and the ladder
-    restricts splice in unchanged; EXPECTS the coarse-cell CTEs (home)
-    upstream, which is why the residual ladder orders it after t2a/home
-    where the flat core is cell-independent. Self-mining symmetric only
-    (probes = index = the whole corpus)."""
+    of the index side's normalized vectors (cell_anchors) — and every
+    ADC score is the left-to-right fold ⟨q, anchor⟩ + lut_0 + … +
+    lut_{m-1}, rounded once at the end (ivfadc_shortlist_pairs' residual
+    determinism contract). Emits the SAME terminal CTE names as
+    _pq_adc_core_sql (vn, params, padc) so _pq_shortlist_tail_sql and
+    the ladder restricts splice in unchanged; EXPECTS the coarse-cell
+    home CTE (`home_cte`) upstream, which is why the residual chains
+    order it after the cell assignment where the flat core is
+    cell-independent. `probe_pred`/`ref_pred` carve the asymmetric
+    serving/ingest shapes exactly like the flat core: anchors,
+    residuals, fit, codes, and shortlist sizing all come from the
+    REFERENCE rows (which `home_cte` already covers — homeb in the
+    asymmetric chains lists only index rows); LUTs and anchor offsets
+    from the probe rows."""
     m, kc, sd = _MARGIN_PQ_M, _MARGIN_PQ_KCODES, _MARGIN_PQ_SUBDIM
     dim = m * sd
 
@@ -3261,7 +3270,8 @@ def _pq_adc_res_core_sql() -> str:
         for j in range(m)
     )
     slices_p = "\n      UNION ALL ".join(
-        f"SELECT vec_id, {j} AS sub, nv[{j * sd + 1}:{(j + 1) * sd}] AS sv FROM vn"
+        f"SELECT vec_id, {j} AS sub, nv[{j * sd + 1}:{(j + 1) * sd}] AS sv"
+        f" FROM vn JOIN pq_pids USING (vec_id)"
         for j in range(m)
     )
     adc_sum = " + ".join(
@@ -3271,19 +3281,24 @@ def _pq_adc_res_core_sql() -> str:
       SELECT vec_id, grp,
              list_transform(ve, x -> round(x / sqrt(list_sum([e * e for e in ve])), 6)) AS nv
       FROM v
+    ), pq_pids AS MATERIALIZED (
+      SELECT vec_id FROM vn WHERE {probe_pred}
+    ), pq_rids AS MATERIALIZED (
+      SELECT vec_id FROM vn WHERE {ref_pred}
     ), params AS MATERIALIZED (
       SELECT greatest(32, 2 * CAST(ceil(sqrt(count(*))) AS INT)) AS c_short
-      FROM vn
+      FROM pq_rids
     ), anch AS MATERIALIZED (
       SELECT cl, list(round(am, 6) ORDER BY dim) AS av FROM (
         SELECT h.cl, u.dim, avg(u.x) AS am FROM (
           SELECT vec_id, unnest(nv) AS x, generate_subscripts(nv, 1) AS dim
           FROM vn
-        ) u JOIN home h USING (vec_id) GROUP BY h.cl, u.dim
+        ) u JOIN {home_cte} h USING (vec_id) GROUP BY h.cl, u.dim
       ) GROUP BY cl
     ), rvt AS MATERIALIZED (
       SELECT n.vec_id, [n.nv[i] - a.av[i] for i in range(1, {dim + 1})] AS rv
-      FROM vn n JOIN home h ON h.vec_id = n.vec_id JOIN anch a ON a.cl = h.cl
+      FROM vn n JOIN {home_cte} h ON h.vec_id = n.vec_id
+      JOIN anch a ON a.cl = h.cl
     ), svr AS MATERIALIZED (
       {slices_r}
     ), svp AS MATERIALIZED (
@@ -3292,7 +3307,7 @@ def _pq_adc_res_core_sql() -> str:
       SELECT CAST(rn - 1 AS INT) AS code, vec_id FROM (
         SELECT vec_id,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM vn
+        FROM pq_rids
       ) WHERE rn <= {kc}
     ), pc0 AS MATERIALIZED (
       SELECT s.sub, d.code, list_transform(s.sv, x -> round(x, 6)) AS cv
@@ -3324,11 +3339,11 @@ def _pq_adc_res_core_sql() -> str:
     ), qanch AS MATERIALIZED (
       SELECT n.vec_id AS probe_id, a.cl,
              list_sum([ n.nv[i] * a.av[i] for i in range(1, {dim + 1}) ]) AS ip
-      FROM vn n CROSS JOIN anch a
+      FROM vn n JOIN pq_pids USING (vec_id) CROSS JOIN anch a
     ), padc AS MATERIALIZED (
       SELECT l.probe_id, pe.vec_id AS nbr_id, round(qa.ip + {adc_sum}, 6) AS a
       FROM pe
-      JOIN home h ON h.vec_id = pe.vec_id
+      JOIN {home_cte} h ON h.vec_id = pe.vec_id
       JOIN plut l ON pe.sub = l.sub AND pe.code = l.code
       JOIN qanch qa ON qa.probe_id = l.probe_id AND qa.cl = h.cl
       GROUP BY l.probe_id, pe.vec_id, qa.ip
@@ -3573,13 +3588,15 @@ def _ivfadc_asym_ctes(
     ref_pred: str,
     cross_group: bool,
     ranked_cte: str,
+    residual: bool = False,
 ) -> str:
     """Shared WITH-chain (everything after ``WITH``) for the ASYMMETRIC
     IVFADC oracles (serving kNN join, xcorpus mining): base/ref-only
     coarse fit (the _MARGIN_IVF_FIT_SQL text re-aimed at the vb rows),
     ref home cells, per-probe top-ceil(kc/2) probed cells, the PQ chain
     with the shortlist window restricted to probed cells, exact rerank
-    into `ranked_cte`."""
+    into `ranked_cte`. `residual=True` swaps in the residual-encoding
+    core aimed at the homeb cells (true-IVFADC serving/ingest)."""
     fit_b = (
         _MARGIN_IVF_FIT_SQL
         .replace("FROM v\n", "FROM vb\n")
@@ -3623,28 +3640,32 @@ def _ivfadc_asym_ctes(
           FROM vq v CROSS JOIN c1 c
         ) s
       ) WHERE rn <= {nprobe_expr}
-    ), {_pq_adc_core_sql(probe_pred=probe_pred, ref_pred=ref_pred)}, {tail}"""
+    ), {_pq_adc_res_core_sql(probe_pred, ref_pred, home_cte="homeb")
+        if residual
+        else _pq_adc_core_sql(probe_pred=probe_pred, ref_pred=ref_pred)}, {tail}"""
 
 
-def _ivfadc_knn_join_oracle(k: int = 3) -> str:
+def _ivfadc_knn_join_oracle(k: int = 3, residual: bool = False) -> str:
     """Replay of the IVFADC batch ANN join: the asymmetric chain with
     the query/base split, same-id-only exclusion, top-k of the exact
     rerank."""
     return f"""
     WITH {_ivfadc_asym_ctes("vec_id % 97 = 0", "vec_id % 97 <> 0",
-                            False, "ranked_kj")}
+                            False, "ranked_kj", residual)}
     SELECT probe_id AS query_id, nbr_id AS base_id, s AS cosine_sim
     FROM ranked_kj WHERE rn <= {k}
     """
 
 
-def _ivfadc_xcorpus_oracle(min_margin_x10k: int = 11000) -> str:
+def _ivfadc_xcorpus_oracle(
+    min_margin_x10k: int = 11000, residual: bool = False
+) -> str:
     """Replay of the cross-corpus IVFADC miner: the asymmetric chain
     with the ingest split, cross-group shortlist restricted to probed
     cells, margin filter tail."""
     return f"""
     WITH {_ivfadc_asym_ctes("vec_id % 3 = 0", "vec_id % 3 <> 0",
-                            True, "ranked_xj")}, best AS (
+                            True, "ranked_xj", residual)}, best AS (
       SELECT probe_id, nbr_id AS best_id, s AS sim1 FROM ranked_xj WHERE rn = 1
     ), second AS (
       SELECT probe_id, s AS sim2 FROM ranked_xj WHERE rn = 2
@@ -3703,6 +3724,51 @@ def q_knn_join_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfadc_knn_join(
         queries, base, dim=64, k=3, m=_MARGIN_PQ_M,
         k_codes=_MARGIN_PQ_KCODES, iters=1,
+    )
+
+
+@query(
+    "q_margin_ivfadc_res_xcorpus",
+    oracle=_ivfadc_xcorpus_oracle(residual=True),
+)
+def q_margin_ivfadc_res_xcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus RESIDUAL-IVFADC margin mining — the ingest-tier
+    shape with the true-IVFADC residual index: the standing reference's
+    codes quantize residuals to its per-cell anchors (one more persisted
+    asset, ref_anchors, next to the quantizer and codebook/codes), and
+    each new-batch probe's scan seeds with its anchor inner products.
+    Same %3 ingest split, same per-batch cost shape as
+    q_margin_ivfadc_xcorpus — the finer ranking is free at serve time
+    because anchors ship in the same broadcast as the inverted file."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    ref = emb.filter(F.col("vec_id") % 3 != 0)
+    return SIM.margin_mine_ivfadc_xcorpus(
+        new, ref, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES,
+        iters=1, min_margin_x10k=11000, residual=True,
+    )
+
+
+@query(
+    "q_knn_join_ivfadc_res",
+    oracle=_ivfadc_knn_join_oracle(residual=True),
+)
+def q_knn_join_ivfadc_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-IVFADC batch ANN join — the serving-tier shape with the
+    true-IVFADC residual index (FAISS's deployed IndexIVFPQ encodes
+    exactly this): same query/base split and output schema as
+    q_knn_join_ivfadc, base codes quantize residuals to per-cell
+    anchors, query scans seed with anchor inner products. With this and
+    the xcorpus/self-mining rows, every execution shape of the
+    cell-pruned family (mining, serving join, incremental ingest,
+    live stream) exists in both the flat-code and residual-code
+    generations, all oracle-certified."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    base = emb.filter(F.col("vec_id") % 97 != 0)
+    return SIM.ivfadc_knn_join(
+        queries, base, dim=64, k=3, m=_MARGIN_PQ_M,
+        k_codes=_MARGIN_PQ_KCODES, iters=1, residual=True,
     )
 
 
@@ -3963,6 +4029,76 @@ def q_stream_margin_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _write_partial(mined, out, bid)
 
     partials = _stream_fold_partials(spark, "stream_marginivfadc_", new, fold)
+    return spark.read.parquet(partials).select(
+        "probe_id", "best_id", "sim1", "sim2", "margin_x10k"
+    )
+
+
+@query(
+    "q_stream_margin_ivfadc_res",
+    oracle=_ivfadc_xcorpus_oracle(residual=True),
+)
+def q_stream_margin_ivfadc_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE-INGEST RESIDUAL-IVFADC margin mining — the streamed shape of
+    the true-IVFADC family: the standing assets built once before the
+    stream now include the per-cell anchors and the RESIDUAL codebook +
+    codes (what FAISS persists for IndexIVFPQ), and every micro-batch's
+    pruned scan seeds with its anchor inner products. Stream==batch
+    argument unchanged (disjoint probes, frozen index, batch_id-
+    idempotent fold), so the batch q_margin_ivfadc_res_xcorpus oracle
+    certifies the stream verbatim — closing the residual generation
+    over all four execution shapes."""
+    import math
+
+    from .queries_streaming import _stream_fold_partials, _write_partial
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    new = emb.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", "label", "embedding"
+    )
+    ref = emb.filter(F.col("vec_id") % 3 != 0)
+    kc = math.isqrt(ref.count() - 1) + 1
+    _, cents = SIM.kmeans_fit_distributed(ref, k=kc, iters=1, round_dp=6)
+    ref_norm = SIM.normalize_rounded(ref, out_col="__nv").localCheckpoint()
+    home = SIM.assign_cells_ranked(ref, cents, n=1).select(
+        "vec_id", F.element_at("cells", 1).alias("cell")
+    )
+    anchors = SIM.cell_anchors(ref_norm, home, vec_col="__nv").localCheckpoint()
+    rv = SIM.residualize(
+        ref_norm.select("vec_id", "__nv"), home, anchors,
+        vec_col="__nv", out_col="__rv",
+    ).localCheckpoint()
+    book = SIM.pq_fit(
+        rv, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES,
+        iters=1, vec_col="__rv",
+    )
+    codes = SIM.pq_encode(
+        rv, book, dim=64, m=_MARGIN_PQ_M, vec_col="__rv"
+    ).localCheckpoint()
+    c_short = SIM.size_adc_shortlist(ref.count())
+
+    def fold(batch_df: DataFrame, out: str, bid: int) -> None:
+        mined = SIM.margin_mine_ivfadc_xcorpus(
+            batch_df,
+            ref,
+            dim=64,
+            k_cells=kc,
+            m=_MARGIN_PQ_M,
+            k_codes=_MARGIN_PQ_KCODES,
+            iters=1,
+            shortlist=c_short,
+            min_margin_x10k=11000,
+            centroids=cents,
+            ref_codebook=book,
+            ref_codes=codes,
+            residual=True,
+            ref_anchors=anchors,
+        )
+        _write_partial(mined, out, bid)
+
+    partials = _stream_fold_partials(
+        spark, "stream_marginivfadcres_", new, fold
+    )
     return spark.read.parquet(partials).select(
         "probe_id", "best_id", "sim1", "sim2", "margin_x10k"
     )

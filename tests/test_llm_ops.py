@@ -1697,6 +1697,74 @@ class TestIvfadc:
         assert brute and flat and res
         assert len(res & brute) >= len(flat & brute)
 
+    def test_residual_xcorpus_sides_and_asset_reuse(self, spark):
+        """The asymmetric residual shapes: sides contained (probes from
+        NEW, neighbors from REF), and the persisted-asset path (anchors
+        + residual codebook/codes passed in) row-identical to the
+        self-fit path — the contract that makes the anchor table a
+        persistable serving asset next to the codes."""
+        import math
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        new = emb.filter(F.col("vec_id") % 3 == 0).localCheckpoint()
+        ref = emb.filter(F.col("vec_id") % 3 != 0).localCheckpoint()
+        kc = math.isqrt(ref.count() - 1) + 1
+        key = lambda r: tuple(r)
+        mined = SIM.margin_mine_ivfadc_xcorpus(
+            new, ref, dim=64, m=16, k_codes=16, iters=1,
+            min_margin_x10k=11000, residual=True,
+        ).collect()
+        assert mined
+        new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+        ref_ids = {r["vec_id"] for r in ref.select("vec_id").collect()}
+        assert {r["probe_id"] for r in mined} <= new_ids
+        assert {r["best_id"] for r in mined} <= ref_ids
+        _, cents = SIM.kmeans_fit_distributed(ref, k=kc, iters=1, round_dp=6)
+        home = SIM.assign_cells_ranked(ref, cents, n=1).select(
+            "vec_id", F.element_at("cells", 1).alias("cell")
+        )
+        rnorm = SIM.normalize_rounded(ref, out_col="__nv").localCheckpoint()
+        anchors = SIM.cell_anchors(rnorm, home, vec_col="__nv").localCheckpoint()
+        rv = SIM.residualize(
+            rnorm.select("vec_id", "__nv"), home, anchors,
+            vec_col="__nv", out_col="__rv",
+        )
+        book = SIM.pq_fit(rv, dim=64, m=16, k_codes=16, iters=1, vec_col="__rv")
+        codes = SIM.pq_encode(rv, book, dim=64, m=16, vec_col="__rv")
+        reused = SIM.margin_mine_ivfadc_xcorpus(
+            new, ref, dim=64, m=16, k_codes=16, iters=1,
+            min_margin_x10k=11000, residual=True, centroids=cents,
+            ref_codebook=book, ref_codes=codes, ref_anchors=anchors,
+        ).collect()
+        assert sorted(map(key, reused)) == sorted(map(key, mined))
+
+    def test_residual_knn_join_recall(self, spark):
+        """The residual serving join holds the same recall bar as the
+        flat one against the exact kNN reference."""
+        from dais2021imageprocessingondeltalake_spark.operators.similarity import (
+            ivfadc_knn_join,
+            knn_join,
+        )
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        probe = F.col("vec_id") % 97 == 0
+        queries = emb.filter(probe).localCheckpoint()
+        base = emb.filter(~probe).localCheckpoint()
+        exact = {
+            (r.probe_id, r.nbr_id)
+            for r in knn_join(emb, k=3, probe_filter=probe).collect()
+            if r.nbr_id % 97 != 0
+        }
+        got = {
+            (r["query_id"], r["base_id"])
+            for r in ivfadc_knn_join(
+                queries, base, dim=64, k=3, m=16, k_codes=16, iters=1,
+                residual=True,
+            ).collect()
+        }
+        recall = len(got & exact) / max(len(exact), 1)
+        assert recall >= 0.7, f"residual ivfadc_knn_join recall {recall:.2f}"
+
     def test_residual_curve_sized_consistent_and_not_worse(self, spark):
         """The residual ladder mirrors the flat ladder's invariants
         (monotone scanned budget, non-decreasing recall, top rung scans
