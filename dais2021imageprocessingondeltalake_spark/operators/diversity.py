@@ -38,6 +38,21 @@ from pyspark.sql import functions as F
 from .similarity import _to_double
 
 
+def _nonzero_src(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, __v double-array) with zero-norm rows dropped EXPLICITLY (the
+    normalize_rounded convention, ADVICE r7): a direction-less vector
+    would score NaN cosines, and Spark sorts NaN above every finite
+    value, so one degenerate row would win every greedy argmax and
+    poison the whole trajectory. The registered corpora cannot contain
+    such rows (generator-enforced), so the registered oracles need no
+    extra predicate."""
+    return df.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
+    ).filter(
+        F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: a + x * x) > 0
+    )
+
+
 def _mindist_maxsim_udf(sel_vecs, round_dp: int):
     """Arrow UDF: vector -> (min over selected of 1 − round(cos, dp),
     max over selected of round(cos, dp)) — one numpy pass per batch
@@ -85,7 +100,7 @@ def kcenter_select(
     if k < 1:
         raise ValueError(f"kcenter_select requires k >= 1, got {k}")
     digest = F.md5(F.col(id_col).cast("string"))
-    src = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
+    src = _nonzero_src(df, id_col, vec_col)
     seed = (
         src.orderBy(digest, F.col(id_col)).limit(1).collect()[0]
     )
@@ -140,7 +155,7 @@ def mmr_select(
         raise ValueError(f"mmr_select requires k >= 1, got {k}")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"mmr_select requires 0 <= lam <= 1, got {lam}")
-    src = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
+    src = _nonzero_src(df, id_col, vec_col)
     if query_vec is None:
         query_vec = [
             float(r["a"])

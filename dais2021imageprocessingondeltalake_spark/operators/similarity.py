@@ -2048,6 +2048,29 @@ def size_adc_shortlist(n_rows: int, min_shortlist: int = 32) -> int:
     return max(min_shortlist, 2 * ceil_sqrt)
 
 
+def _size_from_curve(curve_rows, key_field: str, recall_target_x10k: int):
+    """Shared sizing rule for every measured recall curve: smallest
+    `key_field` value whose recall_x10k clears the target, or None when
+    no rung does. STRICT row contract (ADVICE r7): named access for
+    Row/dict rows — a Row with reordered fields must never silently
+    size from the wrong column — and plain tuples/lists accepted
+    positionally ONLY as exactly (key, recall_x10k) pairs."""
+    best = None
+    for r in curve_rows:
+        if isinstance(r, (tuple, list)) and not hasattr(r, "__fields__"):
+            if len(r) != 2:
+                raise ValueError(
+                    f"positional rows must be exactly "
+                    f"({key_field}, recall_x10k) pairs, got {len(r)} fields"
+                )
+            key, rec = r
+        else:
+            key, rec = r[key_field], r["recall_x10k"]
+        if rec >= recall_target_x10k and (best is None or key < best):
+            best = int(key)
+    return best
+
+
 def size_adc_mult(curve_rows, recall_target_x10k: int = 8500):
     """Size the ADC shortlist MULTIPLIER from a measured (mult,
     recall_x10k) curve — the size_nprobe idiom applied to C: smallest
@@ -2056,22 +2079,8 @@ def size_adc_mult(curve_rows, recall_target_x10k: int = 8500):
     2·√N rule's recall decays with N — 0.898 at the 60× probe, 48bp
     over the floor — so deployments at larger N size C from THEIR
     corpus's measured curve instead of trusting the driver-scale
-    constant). Same strict row contract as size_nprobe: named
-    `mult`/`recall_x10k` fields, or exactly-2-field positional pairs."""
-    best = None
-    for r in curve_rows:
-        if isinstance(r, (tuple, list)) and not hasattr(r, "__fields__"):
-            if len(r) != 2:
-                raise ValueError(
-                    "size_adc_mult positional rows must be exactly "
-                    f"(mult, recall_x10k) pairs, got {len(r)} fields"
-                )
-            mult, rec = r
-        else:
-            mult, rec = r["mult"], r["recall_x10k"]
-        if rec >= recall_target_x10k and (best is None or mult < best):
-            best = int(mult)
-    return best
+    constant). Strict row contract via _size_from_curve."""
+    return _size_from_curve(curve_rows, "mult", recall_target_x10k)
 
 
 def size_nprobe(curve_rows, recall_target_x10k: int = 8500):
@@ -2081,29 +2090,10 @@ def size_nprobe(curve_rows, recall_target_x10k: int = 8500):
     does — the honest answer on far-mate geometry, where the curve
     crosses 0.85 only past ~40% of all cells and the caller should
     switch to margin_mine_pq instead of freezing a quadratic nprobe.
-    `curve_rows` is any iterable of Row/dict objects with `nprobe` and
-    `recall_x10k` fields (q_margin_ivf_curve's output) or STRICT
-    (nprobe, recall_x10k) 2-tuples/lists. Mapping-like rows missing the
-    named fields re-raise instead of being read positionally — a Row
-    with reordered fields must never silently size from the wrong
-    column (ADVICE r7) — and wider plain tuples are rejected for the
-    same reason."""
-    best = None
-    for r in curve_rows:
-        if isinstance(r, (tuple, list)) and not hasattr(r, "__fields__"):
-            # plain positional form: exactly (nprobe, recall_x10k)
-            if len(r) != 2:
-                raise ValueError(
-                    "size_nprobe positional rows must be exactly "
-                    f"(nprobe, recall_x10k) pairs, got {len(r)} fields"
-                )
-            np_, rec = r
-        else:
-            # pyspark Row / dict — named access only, no positional rescue
-            np_, rec = r["nprobe"], r["recall_x10k"]
-        if rec >= recall_target_x10k and (best is None or np_ < best):
-            best = int(np_)
-    return best
+    Strict row contract via _size_from_curve: named `nprobe`/
+    `recall_x10k` fields (q_margin_ivf_curve's output) or exactly-
+    2-field positional pairs."""
+    return _size_from_curve(curve_rows, "nprobe", recall_target_x10k)
 
 
 def _adc_luts(X, code_mats, m: int, sub_dim: int):
@@ -2270,7 +2260,10 @@ def adc_shortlist_pairs(
             raise ValueError(
                 f"stale PQ index: codes cover {n_joined} of {n_index} index "
                 f"rows ({n_codes} code rows) — re-encode the index "
-                "(pq_index_save) so codes and index ids match exactly"
+                "(pq_index_save) so codes and index ids match exactly. If "
+                "re-encoding does not fix it, the index table contains "
+                "zero-norm vectors (normalize_rounded drops them by "
+                "contract) — filter those rows out of the index first"
             )
     if n_shards > 1:
         # the shard loop filters+collects this join once PER shard — pin
@@ -2890,6 +2883,7 @@ def ivfadc_shortlist_pairs(
     index_df: DataFrame | None = None,
     cross_group_only: bool = True,
     anchors_df: DataFrame | None = None,
+    validate_coverage: bool = False,
 ) -> DataFrame:
     """IVF-pruned ADC scan: per-probe top-`shortlist` candidates by ADC
     inner product, computed ONLY over the codes whose home cell is one
@@ -2962,6 +2956,24 @@ def ivfadc_shortlist_pairs(
         .join(home_df.select(F.col(id_col), F.col("cell").alias("__cell")), id_col)
         .select(id_col, "__g", "__cell", "codes")
     )
+    if validate_coverage:
+        # staleness guard (the adc_shortlist_pairs convention, ADVICE r7
+        # applied to the cell-pruned family): codes, home cells, and index
+        # ids must match EXACTLY — an inner join would otherwise silently
+        # scan only the intersection of a stale persisted index
+        n_codes = codes_df.count()
+        n_index = index_src.count()
+        n_joined = indexed.count()
+        if not (n_codes == n_index == n_joined):
+            raise ValueError(
+                f"stale IVFADC index: codes+home cover {n_joined} of "
+                f"{n_index} index rows ({n_codes} code rows) — rebuild the "
+                "persisted assets (quantizer, home cells, codes, anchors) "
+                "on the current index table so ids match exactly. If "
+                "rebuilding does not fix it, the index table contains "
+                "zero-norm vectors (normalize_rounded drops them by "
+                "contract) — filter those rows out of the index first"
+            )
     # inverted-file layout: one collect, rows sorted by (cell, id) so each
     # cell is a contiguous, id-ascending slice of the broadcast arrays
     idx_rows = indexed.collect()
@@ -3341,6 +3353,7 @@ def ivfadc_knn_join(
         index_df=base_df,
         cross_group_only=False,
         anchors_df=base_anchors if residual else None,
+        validate_coverage=base_codes is not None,
     )
     from pyspark.sql import Window
 
@@ -3480,6 +3493,7 @@ def margin_mine_ivfadc_xcorpus(
         index_df=ref_df,
         cross_group_only=True,
         anchors_df=ref_anchors if residual else None,
+        validate_coverage=ref_codes is not None,
     )
     scored = _exact_rerank_pairs(
         pairs, new_df, ref_df, id_col=id_col, vec_col=vec_col,

@@ -3886,7 +3886,14 @@ def q_bitext_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This query is the north-star demo: three certified operators from
     three tiers (ANN mining, relational join, training-data packing)
-    composing into one oracle-checked pipeline."""
+    composing into one oracle-checked pipeline.
+
+    Mining-stage routing (deliberate, not drift): the composite runs the
+    FLAT PQ miner — the highest-recall certified path (0.96-0.97), whose
+    Θ(N²·m) compressed-domain scan is memory-bandwidth-trivial at
+    composite scale. Past ~1e9 vectors the sub-quadratic-scan swap is
+    margin_mine_ivfadc(residual=True) (q_margin_mine_ivfadc_res), which
+    holds the same 0.85 floor at ~1/4 of the scanned codes."""
     from .operators.sampling import pack_sequences
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -4473,6 +4480,16 @@ def _margin_mine_ivfadc_oracle(
     )
 
 
+def _evict_dead_sessions(cache: dict, spark: SparkSession) -> None:
+    """Drop asset-cache entries keyed to OTHER applicationIds before
+    inserting for the live one: a process that cycles SparkSessions
+    would otherwise pin checkpointed DataFrames (and their dead-JVM
+    references) in these module dicts forever."""
+    live = spark.sparkContext.applicationId
+    for key in [k for k in cache if k[0] != live]:
+        del cache[key]
+
+
 #: Measured IVFADC ladder rows per corpus, cached like _IVF_CURVE_CACHE:
 #: the curve, the sized decision, and the miner share ONE ladder execution.
 _IVFADC_CURVE_CACHE: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
@@ -4485,32 +4502,56 @@ _IVFADC_CURVE_CACHE: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
 _IVFADC_ASSET_CACHE: dict[tuple[str, str], dict] = {}
 
 
-def _ivfadc_curve_rows(
-    spark: SparkSession, sf_dir: str
+def _ivfadc_ladder_exec(
+    spark: SparkSession, sf_dir: str, residual: bool
 ) -> list[tuple[int, int, int, int, int, int]]:
     """Compute (or reuse) the measured IVFADC ladder for one corpus:
     per twelfths rung, (twelfths, nprobe, n_scanned, n_mined, n_hit,
-    recall_x10k). ONE coarse fit + cell ranking + PQ fit/encode + brute
+    recall_x10k). ONE coarse fit + cell ranking + encode + brute
     reference shared across the rungs via margin_mine_ivfadc's asset
-    params."""
+    params; the flat and residual generations run through this SAME
+    body (only the encoding setup differs), so their ladder bookkeeping
+    can never drift apart. The two generations also share the coarse
+    assets (centroids / ranked cells / norm / shortlist) through the
+    session-bound asset caches when the other ladder already ran."""
     import math
 
-    cached = _IVFADC_CURVE_CACHE.get(sf_dir)
+    cache = _IVFADC_RES_CURVE_CACHE if residual else _IVFADC_CURVE_CACHE
+    asset_cache = _IVFADC_RES_ASSET_CACHE if residual else _IVFADC_ASSET_CACHE
+    peer_cache = _IVFADC_ASSET_CACHE if residual else _IVFADC_RES_ASSET_CACHE
+    cached = cache.get(sf_dir)
     if cached is not None:
         return cached
     emb = load_table(spark, "embeddings", sf_dir)
     n = emb.count()
     k = math.isqrt(n - 1) + 1 if n > 1 else 1
-    norm = SIM.normalize_rounded(emb, out_col="__nv").localCheckpoint()
-    shortlist = SIM.size_adc_shortlist(norm.count())
-    _, cents = SIM.kmeans_fit_distributed(emb, k=k, iters=1, round_dp=6)
-    ranked = SIM.assign_cells_ranked(emb, cents, n=k).localCheckpoint()
+    peer = peer_cache.get((spark.sparkContext.applicationId, sf_dir), {})
+    norm = peer.get("norm")
+    if norm is None:
+        norm = SIM.normalize_rounded(emb, out_col="__nv").localCheckpoint()
+    shortlist = peer.get("shortlist") or SIM.size_adc_shortlist(n)
+    cents = peer.get("centroids")
+    if cents is None:
+        _, cents = SIM.kmeans_fit_distributed(emb, k=k, iters=1, round_dp=6)
+    ranked = peer.get("ranked_cells")
+    if ranked is None:
+        ranked = SIM.assign_cells_ranked(emb, cents, n=k).localCheckpoint()
+    home = ranked.select("vec_id", F.element_at("cells", 1).alias("cell"))
+    if residual:
+        anchors = SIM.cell_anchors(norm, home, vec_col="__nv").localCheckpoint()
+        enc_src = SIM.residualize(
+            norm.select("vec_id", "__nv"), home, anchors,
+            vec_col="__nv", out_col="__rv",
+        ).localCheckpoint()
+        enc_col = "__rv"
+    else:
+        anchors, enc_src, enc_col = None, norm, "__nv"
     book = SIM.pq_fit(
-        norm, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES, iters=1,
-        vec_col="__nv",
+        enc_src, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES, iters=1,
+        vec_col=enc_col,
     )
     codes = SIM.pq_encode(
-        norm, book, dim=64, m=_MARGIN_PQ_M, vec_col="__nv"
+        enc_src, book, dim=64, m=_MARGIN_PQ_M, vec_col=enc_col
     ).localCheckpoint()
     brute = (
         SIM.margin_mine(emb, min_margin_x10k=11000)
@@ -4518,7 +4559,6 @@ def _ivfadc_curve_rows(
         .localCheckpoint()
     )
     n_brute = brute.count()
-    home = ranked.select("vec_id", F.element_at("cells", 1).alias("cell"))
     cellsz = home.groupBy("cell").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
     rows = []
     for s in _IVFADC_TWELFTHS:
@@ -4528,6 +4568,7 @@ def _ivfadc_curve_rows(
             k_codes=_MARGIN_PQ_KCODES, iters=1, shortlist=shortlist,
             min_margin_x10k=11000, centroids=cents, ranked_cells=ranked,
             norm=norm, codebook=book, codes=codes,
+            residual=residual, anchors=anchors,
         ).select("probe_id", "best_id")
         n_mined = mined.count()
         n_hit = mined.join(brute, ["probe_id", "best_id"]).count()
@@ -4539,13 +4580,79 @@ def _ivfadc_curve_rows(
         )
         recall = 10000 if n_brute == 0 else (10000 * n_hit) // n_brute
         rows.append((s, np_, int(n_scanned), int(n_mined), int(n_hit), int(recall)))
-    _IVFADC_CURVE_CACHE[sf_dir] = rows
-    _IVFADC_ASSET_CACHE[(spark.sparkContext.applicationId, sf_dir)] = {
+    cache[sf_dir] = rows
+    _evict_dead_sessions(asset_cache, spark)
+    assets = {
         "k_cells": k, "centroids": cents, "ranked_cells": ranked,
         "norm": norm, "codebook": book, "codes": codes,
         "shortlist": shortlist,
     }
+    if residual:
+        assets["anchors"] = anchors
+    asset_cache[(spark.sparkContext.applicationId, sf_dir)] = assets
     return rows
+
+
+def _ivfadc_sized_result(
+    spark: SparkSession, sf_dir: str, rows
+) -> DataFrame:
+    """The sized-decision row shared by the flat and residual sized
+    queries: cheapest rung clearing the floor + its scanned fraction."""
+    n = load_table(spark, "embeddings", sf_dir).count()
+    hit = next((r for r in rows if r[5] >= _MARGIN_PQ_FLOOR_X10K), None)
+    out = (
+        (
+            _MARGIN_PQ_FLOOR_X10K,
+            hit[0] if hit else None,
+            hit[1] if hit else None,
+            (10000 * hit[2]) // (n * n) if hit else None,
+            hit is not None,
+        ),
+    )
+    return spark.createDataFrame(
+        out,
+        "target_x10k bigint, sized_twelfths bigint, sized_nprobe bigint, "
+        "scan_frac_x10k bigint, reached boolean",
+    )
+
+
+def _ivfadc_sized_mine(
+    spark: SparkSession, sf_dir: str, residual: bool
+) -> DataFrame:
+    """The sized mine shared by the flat and residual miners: size
+    nprobe from the (cached) measured ladder, then mine once reusing
+    the ladder's session-bound assets."""
+    import math
+
+    rows = _ivfadc_ladder_exec(spark, sf_dir, residual)
+    s_sized = SIM.size_nprobe(
+        [(s, rec) for s, _np, _sc, _nm, _nh, rec in rows],
+        recall_target_x10k=_MARGIN_PQ_FLOOR_X10K,
+    )
+    by_s = {s: np_ for s, np_, *_ in rows}
+    np_ = by_s[s_sized] if s_sized is not None else max(by_s.values())
+    emb = load_table(spark, "embeddings", sf_dir)
+    k = math.isqrt(emb.count() - 1) + 1
+    asset_cache = _IVFADC_RES_ASSET_CACHE if residual else _IVFADC_ASSET_CACHE
+    assets = asset_cache.get((spark.sparkContext.applicationId, sf_dir), {})
+    return SIM.margin_mine_ivfadc(
+        emb, dim=64, nprobe=np_, k_cells=k, m=_MARGIN_PQ_M,
+        k_codes=_MARGIN_PQ_KCODES, iters=1, min_margin_x10k=11000,
+        centroids=assets.get("centroids"),
+        ranked_cells=assets.get("ranked_cells"),
+        norm=assets.get("norm"),
+        codebook=assets.get("codebook"),
+        codes=assets.get("codes"),
+        shortlist=assets.get("shortlist"),
+        residual=residual,
+        anchors=assets.get("anchors"),
+    )
+
+
+def _ivfadc_curve_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, int, int, int, int, int]]:
+    return _ivfadc_ladder_exec(spark, sf_dir, residual=False)
 
 
 @query("q_margin_ivfadc_curve", oracle=_margin_ivfadc_curve_oracle())
@@ -4582,22 +4689,8 @@ def q_margin_ivfadc_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest-safe operating point rather than a refusal; the scale
     probe tracks the sized fraction FALLING with N (0.478 → 0.333
     measured at 1× → 16× in the r8 geometry study)."""
-    rows = _ivfadc_curve_rows(spark, sf_dir)
-    n = load_table(spark, "embeddings", sf_dir).count()
-    hit = next((r for r in rows if r[5] >= _MARGIN_PQ_FLOOR_X10K), None)
-    out = (
-        (
-            _MARGIN_PQ_FLOOR_X10K,
-            hit[0] if hit else None,
-            hit[1] if hit else None,
-            (10000 * hit[2]) // (n * n) if hit else None,
-            hit is not None,
-        ),
-    )
-    return spark.createDataFrame(
-        out,
-        "target_x10k bigint, sized_twelfths bigint, sized_nprobe bigint, "
-        "scan_frac_x10k bigint, reached boolean",
+    return _ivfadc_sized_result(
+        spark, sf_dir, _ivfadc_ladder_exec(spark, sf_dir, residual=False)
     )
 
 
@@ -4624,32 +4717,7 @@ def q_margin_mine_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measured ladder, the sizing decision, and the final mine at
     the decided nprobe — so the driver certifies not just the mined
     pairs but that the operating point came from the measured curve."""
-    import math
-
-    rows = _ivfadc_curve_rows(spark, sf_dir)
-    s_sized = SIM.size_nprobe(
-        [(s, rec) for s, _np, _sc, _nm, _nh, rec in rows],
-        recall_target_x10k=_MARGIN_PQ_FLOOR_X10K,
-    )
-    by_s = {s: np_ for s, np_, *_ in rows}
-    np_ = by_s[s_sized] if s_sized is not None else max(by_s.values())
-    emb = load_table(spark, "embeddings", sf_dir)
-    k = math.isqrt(emb.count() - 1) + 1
-    # reuse the ladder's session-bound assets when this session fit them —
-    # the sized mine is then one pruned scan + rerank, not a refit
-    assets = _IVFADC_ASSET_CACHE.get(
-        (spark.sparkContext.applicationId, sf_dir), {}
-    )
-    return SIM.margin_mine_ivfadc(
-        emb, dim=64, nprobe=np_, k_cells=k, m=_MARGIN_PQ_M,
-        k_codes=_MARGIN_PQ_KCODES, iters=1, min_margin_x10k=11000,
-        centroids=assets.get("centroids"),
-        ranked_cells=assets.get("ranked_cells"),
-        norm=assets.get("norm"),
-        codebook=assets.get("codebook"),
-        codes=assets.get("codes"),
-        shortlist=assets.get("shortlist"),
-    )
+    return _ivfadc_sized_mine(spark, sf_dir, residual=False)
 
 
 # ---------------------------------------------------------------------------
@@ -4670,83 +4738,13 @@ _IVFADC_RES_ASSET_CACHE: dict[tuple[str, str], dict] = {}
 def _ivfadc_res_curve_rows(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, int, int, int, int, int]]:
-    """Measured RESIDUAL-IVFADC ladder per corpus — the
-    _ivfadc_curve_rows shape with residual encoding: anchors = per-cell
-    nv means, PQ fit/encode on r = nv − anchor(home), scan scores
-    ⟨q, anchor⟩ + ⟨q, r̂⟩. Reuses the flat ladder's session-bound coarse
-    assets (centroids / ranked cells / norm / shortlist) when that
-    ladder already ran in this session — the two curves then share ONE
-    coarse fit, differing only in the encoding they certify."""
-    import math
-
-    cached = _IVFADC_RES_CURVE_CACHE.get(sf_dir)
-    if cached is not None:
-        return cached
-    emb = load_table(spark, "embeddings", sf_dir)
-    n = emb.count()
-    k = math.isqrt(n - 1) + 1 if n > 1 else 1
-    flat = _IVFADC_ASSET_CACHE.get(
-        (spark.sparkContext.applicationId, sf_dir), {}
-    )
-    norm = flat.get("norm")
-    if norm is None:
-        norm = SIM.normalize_rounded(emb, out_col="__nv").localCheckpoint()
-    shortlist = flat.get("shortlist") or SIM.size_adc_shortlist(n)
-    cents = flat.get("centroids")
-    if cents is None:
-        _, cents = SIM.kmeans_fit_distributed(emb, k=k, iters=1, round_dp=6)
-    ranked = flat.get("ranked_cells")
-    if ranked is None:
-        ranked = SIM.assign_cells_ranked(emb, cents, n=k).localCheckpoint()
-    home = ranked.select("vec_id", F.element_at("cells", 1).alias("cell"))
-    anchors = SIM.cell_anchors(
-        norm, home, vec_col="__nv"
-    ).localCheckpoint()
-    rv = SIM.residualize(
-        norm.select("vec_id", "__nv"), home, anchors,
-        vec_col="__nv", out_col="__rv",
-    ).localCheckpoint()
-    book = SIM.pq_fit(
-        rv, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES, iters=1,
-        vec_col="__rv",
-    )
-    codes = SIM.pq_encode(
-        rv, book, dim=64, m=_MARGIN_PQ_M, vec_col="__rv"
-    ).localCheckpoint()
-    brute = (
-        SIM.margin_mine(emb, min_margin_x10k=11000)
-        .select("probe_id", "best_id")
-        .localCheckpoint()
-    )
-    n_brute = brute.count()
-    cellsz = home.groupBy("cell").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
-    rows = []
-    for s in _IVFADC_TWELFTHS:
-        np_ = (k * s + 11) // 12
-        mined = SIM.margin_mine_ivfadc(
-            emb, dim=64, nprobe=np_, k_cells=k, m=_MARGIN_PQ_M,
-            k_codes=_MARGIN_PQ_KCODES, iters=1, shortlist=shortlist,
-            min_margin_x10k=11000, centroids=cents, ranked_cells=ranked,
-            norm=norm, codebook=book, codes=codes,
-            residual=True, anchors=anchors,
-        ).select("probe_id", "best_id")
-        n_mined = mined.count()
-        n_hit = mined.join(brute, ["probe_id", "best_id"]).count()
-        n_scanned = (
-            ranked.select(F.explode(F.slice("cells", 1, np_)).alias("cell"))
-            .join(cellsz, "cell")
-            .agg(F.sum("sz"))
-            .collect()[0][0]
-        )
-        recall = 10000 if n_brute == 0 else (10000 * n_hit) // n_brute
-        rows.append((s, np_, int(n_scanned), int(n_mined), int(n_hit), int(recall)))
-    _IVFADC_RES_CURVE_CACHE[sf_dir] = rows
-    _IVFADC_RES_ASSET_CACHE[(spark.sparkContext.applicationId, sf_dir)] = {
-        "k_cells": k, "centroids": cents, "ranked_cells": ranked,
-        "norm": norm, "codebook": book, "codes": codes,
-        "shortlist": shortlist, "anchors": anchors,
-    }
-    return rows
+    """Measured RESIDUAL-IVFADC ladder per corpus — _ivfadc_ladder_exec
+    with residual encoding: anchors = per-cell nv means, PQ fit/encode
+    on r = nv − anchor(home), scan scores ⟨q, anchor⟩ + ⟨q, r̂⟩. Shares
+    the flat ladder's session-bound coarse assets when that ladder
+    already ran, so the two curves differ only in the encoding they
+    certify."""
+    return _ivfadc_ladder_exec(spark, sf_dir, residual=True)
 
 
 @query(
@@ -4781,27 +4779,14 @@ def q_margin_ivfadc_res_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the flat decision's on the same corpus — the certified
     statement that residual encoding buys scan budget, not just
     recall."""
-    rows = _ivfadc_res_curve_rows(spark, sf_dir)
-    n = load_table(spark, "embeddings", sf_dir).count()
-    hit = next((r for r in rows if r[5] >= _MARGIN_PQ_FLOOR_X10K), None)
-    out = (
-        (
-            _MARGIN_PQ_FLOOR_X10K,
-            hit[0] if hit else None,
-            hit[1] if hit else None,
-            (10000 * hit[2]) // (n * n) if hit else None,
-            hit is not None,
-        ),
-    )
-    return spark.createDataFrame(
-        out,
-        "target_x10k bigint, sized_twelfths bigint, sized_nprobe bigint, "
-        "scan_frac_x10k bigint, reached boolean",
+    return _ivfadc_sized_result(
+        spark, sf_dir, _ivfadc_ladder_exec(spark, sf_dir, residual=True)
     )
 
 
 @query(
     "q_margin_mine_ivfadc_res",
+    headline=True,
     oracle=_margin_mine_ivfadc_oracle(residual=True),
 )
 def q_margin_mine_ivfadc_res(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4811,32 +4796,7 @@ def q_margin_mine_ivfadc_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual codes, nprobe sized from the residual curve (shared cache,
     0.85 target). The oracle replays the whole decision chain including
     the residual encoding."""
-    import math
-
-    rows = _ivfadc_res_curve_rows(spark, sf_dir)
-    s_sized = SIM.size_nprobe(
-        [(s, rec) for s, _np, _sc, _nm, _nh, rec in rows],
-        recall_target_x10k=_MARGIN_PQ_FLOOR_X10K,
-    )
-    by_s = {s: np_ for s, np_, *_ in rows}
-    np_ = by_s[s_sized] if s_sized is not None else max(by_s.values())
-    emb = load_table(spark, "embeddings", sf_dir)
-    k = math.isqrt(emb.count() - 1) + 1
-    assets = _IVFADC_RES_ASSET_CACHE.get(
-        (spark.sparkContext.applicationId, sf_dir), {}
-    )
-    return SIM.margin_mine_ivfadc(
-        emb, dim=64, nprobe=np_, k_cells=k, m=_MARGIN_PQ_M,
-        k_codes=_MARGIN_PQ_KCODES, iters=1, min_margin_x10k=11000,
-        centroids=assets.get("centroids"),
-        ranked_cells=assets.get("ranked_cells"),
-        norm=assets.get("norm"),
-        codebook=assets.get("codebook"),
-        codes=assets.get("codes"),
-        shortlist=assets.get("shortlist"),
-        residual=True,
-        anchors=assets.get("anchors"),
-    )
+    return _ivfadc_sized_mine(spark, sf_dir, residual=True)
 
 
 # ---------------------------------------------------------------------------

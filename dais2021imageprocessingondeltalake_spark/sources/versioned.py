@@ -76,14 +76,7 @@ def _read_last_checkpoint(table: str) -> dict | None:
         return json.load(f)
 
 
-def _read_log(table: str) -> list[dict]:
-    """Full ordered entry list, checkpoint-aware: with a checkpoint at
-    version N, this reads ONE checkpoint file plus only the commit files
-    newer than N (their zero-padded names sort after the checkpoint's),
-    reconstructing exactly the list a full replay would produce — so
-    every consumer (snapshot reads, history, vacuum, the stream sink's
-    batch_id dedup, the next writer's version assignment) is checkpoint-
-    transparent."""
+def _read_log_once(table: str) -> list[dict]:
     log_dir = _log_path(table)
     if not log_dir.is_dir():
         return []
@@ -101,6 +94,42 @@ def _read_log(table: str) -> list[dict]:
         with open(p) as f:
             entries.append(json.load(f))
     return entries
+
+
+def _read_log(table: str) -> list[dict]:
+    """Full ordered entry list, checkpoint-aware: with a checkpoint at
+    version N, this reads ONE checkpoint file plus only the commit files
+    newer than N (their zero-padded names sort after the checkpoint's),
+    reconstructing exactly the list a full replay would produce — so
+    every consumer (snapshot reads, history, vacuum, the stream sink's
+    batch_id dedup, the next writer's version assignment) is checkpoint-
+    transparent.
+
+    The pointer-then-glob sequence is NOT atomic against a concurrent
+    checkpoint() + expire_log(): a reader holding a pre-checkpoint
+    pointer can glob AFTER the old commit files are deleted, silently
+    losing the log prefix (or crash opening a just-deleted file). Every
+    VALID entry list starts at version 0 and is gap-free (a checkpoint
+    stores the FULL replayed list through its version), so both races
+    are detectable — on a truncated/gapped read or a vanished file,
+    re-read the (by then advanced) pointer and retry."""
+    for _ in range(5):
+        try:
+            entries = _read_log_once(table)
+        except FileNotFoundError:
+            continue  # commit file expired between glob and open — retry
+        if not entries:
+            return entries
+        versions = [e["version"] for e in entries]
+        if versions[0] == 0 and versions == list(
+            range(versions[0], versions[0] + len(versions))
+        ):
+            return entries
+    raise VersionConflictError(
+        f"log read of {table} kept racing concurrent checkpoint/expire "
+        "cycles (5 attempts) — the table's log is being rewritten faster "
+        "than it can be read, or the log is corrupt (missing versions)"
+    )
 
 
 def latest_version(table: str) -> int | None:
@@ -203,10 +232,16 @@ def checkpoint(table: str) -> int:
     never a partial). Subsequent log reads load the checkpoint + only
     newer commits; prior commit files become deletable via expire_log.
     Publication uses the same exclusive-create as commits, so two
-    concurrent checkpointers cannot interleave a torn file; a lost race
-    at the same version is harmless (identical content) and surfaces as
-    VersionConflictError for symmetry. Returns the checkpointed
-    version."""
+    concurrent checkpointers cannot interleave a torn file. An existing
+    checkpoint file at this version is recovered, not refused: its
+    content is deterministic (the replayed log through v), so whether it
+    came from a concurrent checkpointer or a crash BETWEEN the file
+    write and the pointer replace (the orphan that would otherwise block
+    re-checkpointing this version forever), repointing `_last_checkpoint`
+    at it completes the interrupted operation idempotently. A pointer
+    already at (or past) this version means another checkpointer fully
+    won — that surfaces as VersionConflictError for symmetry with
+    commits. Returns the checkpointed version."""
     log = _read_log(table)
     if not log:
         raise FileNotFoundError(f"no versioned table at {table}")
@@ -216,11 +251,16 @@ def checkpoint(table: str) -> int:
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError as e:
-        raise VersionConflictError(
-            f"checkpoint at version {version} of {table} already exists"
-        ) from e
-    with os.fdopen(fd, "w") as f:
-        json.dump(ckpt, f)
+        last = _read_last_checkpoint(table)
+        if last is not None and last["version"] >= version:
+            raise VersionConflictError(
+                f"checkpoint at version {version} of {table} already exists"
+            ) from e
+        # orphan from a crash between file write and pointer replace:
+        # finish the interrupted publication (identical content)
+    else:
+        with os.fdopen(fd, "w") as f:
+            json.dump(ckpt, f)
     pointer = {"version": version, "path": path.name}
     tmp = _log_path(table) / f".{_LAST_CKPT}.tmp"
     with open(tmp, "w") as f:

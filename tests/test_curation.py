@@ -1523,3 +1523,33 @@ class TestDiversitySelection:
             DIV.mmr_select(emb, k=0)
         with pytest.raises(ValueError, match="lam"):
             DIV.mmr_select(emb, k=2, lam=1.5)
+
+    def test_zero_norm_rows_never_selected(self, spark):
+        """A direction-less (all-zero) embedding scores NaN cosines, and
+        Spark sorts NaN above every finite value — so without the
+        explicit drop it would win every greedy argmax. Planted zero
+        vector must appear in NO trajectory (the normalize_rounded
+        drop convention, ADVICE r7)."""
+        from dais2021imageprocessingondeltalake_spark.operators import (
+            diversity as DIV,
+        )
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "embeddings", SF_DIR).limit(50)
+        zero = emb.sparkSession.createDataFrame(
+            [(999_999, [0.0] * 64, 0)], "vec_id bigint, embedding array<double>, label int"
+        )
+        planted = emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            "label",
+        ).unionByName(zero)
+        kc = DIV.kcenter_select(planted, k=5)
+        mm = DIV.mmr_select(planted, k=5)
+        assert 999_999 not in {r["vec_id"] for r in kc.collect()}
+        assert 999_999 not in {r["vec_id"] for r in mm.collect()}
+        for r in kc.collect():
+            assert r["sel_dist"] is None or r["sel_dist"] == r["sel_dist"]
+        for r in mm.collect():
+            assert r["score"] == r["score"]  # no NaN scores

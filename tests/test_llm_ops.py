@@ -1738,6 +1738,30 @@ class TestIvfadc:
         ).collect()
         assert sorted(map(key, reused)) == sorted(map(key, mined))
 
+    def test_ivfadc_stale_persisted_index_raises(self, spark):
+        """The cell-pruned family's staleness guard (the
+        adc_shortlist_pairs convention threaded through r8 review): a
+        persisted code index missing newly-ingested reference rows must
+        RAISE, never silently scan only the intersection."""
+        import math
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        new = emb.filter(F.col("vec_id") % 3 == 0).localCheckpoint()
+        ref = emb.filter(F.col("vec_id") % 3 != 0).localCheckpoint()
+        # index built on a STALE subset of ref (simulating later ingest)
+        stale_ref = ref.filter(F.col("vec_id") % 5 != 0).localCheckpoint()
+        kc = math.isqrt(ref.count() - 1) + 1
+        _, cents = SIM.kmeans_fit_distributed(ref, k=kc, iters=1, round_dp=6)
+        snorm = SIM.normalize_rounded(stale_ref, out_col="__nv").localCheckpoint()
+        book = SIM.pq_fit(snorm, dim=64, m=16, k_codes=16, iters=1, vec_col="__nv")
+        stale_codes = SIM.pq_encode(snorm, book, dim=64, m=16, vec_col="__nv")
+        with pytest.raises(ValueError, match="stale IVFADC index"):
+            SIM.margin_mine_ivfadc_xcorpus(
+                new, ref, dim=64, m=16, k_codes=16, iters=1,
+                min_margin_x10k=11000, centroids=cents,
+                ref_codebook=book, ref_codes=stale_codes,
+            ).count()
+
     def test_residual_knn_join_recall(self, spark):
         """The residual serving join holds the same recall bar as the
         flat one against the exact kNN reference."""

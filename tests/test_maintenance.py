@@ -276,3 +276,66 @@ def test_forget_then_vacuum_completes_erasure(spark, tmp_path):
     assert {r["id"] for r in V.versioned_read(spark, t).collect()} == live
     with pytest.raises(Exception):
         V.versioned_read(spark, t, version=0).collect()
+
+
+class TestCheckpointRecovery:
+    """Crash/race hardening of the checkpoint protocol (r8 review): an
+    orphaned checkpoint file must be recoverable, and a reader racing a
+    concurrent checkpoint+expire must never silently serve a truncated
+    log."""
+
+    @staticmethod
+    def _mk(spark, tmp_path):
+        from dais2021imageprocessingondeltalake_spark.sources import versioned as V
+
+        t = str(tmp_path / "tbl_rec")
+        for lo in (0, 10, 20):
+            V.versioned_write(
+                spark.range(lo, lo + 3).withColumnRenamed("id", "k"),
+                t,
+                mode="append",
+            )
+        return V, t
+
+    def test_orphan_checkpoint_file_is_recovered(self, spark, tmp_path):
+        """A crash between the <v>.checkpoint.json write and the
+        _last_checkpoint pointer replace leaves an orphan; the next
+        checkpoint() call at that version must FINISH the interrupted
+        publication (identical content) instead of refusing forever."""
+        import json
+
+        V, t = self._mk(spark, tmp_path)
+        # simulate the crash: write the checkpoint file, no pointer
+        log = V._read_log(t)
+        version = log[-1]["version"]
+        orphan = V._ckpt_path(t, version)
+        with open(orphan, "w") as f:
+            json.dump(
+                {"version": version, "timestamp": 0.0, "entries": log}, f
+            )
+        assert V._read_last_checkpoint(t) is None
+        assert V.checkpoint(t) == version  # recovery, not conflict
+        assert V._read_last_checkpoint(t)["version"] == version
+        # a completed checkpoint at the version is still a conflict
+        import pytest
+
+        with pytest.raises(V.VersionConflictError):
+            V.checkpoint(t)
+        # and the recovered table keeps full semantics through expiry
+        assert V.expire_log(t) == [f"{v:020d}.json" for v in (0, 1, 2)]
+        assert sorted(r["k"] for r in V.versioned_read(spark, t).collect()) == [
+            0, 1, 2, 10, 11, 12, 20, 21, 22,
+        ]
+
+    def test_truncated_log_read_is_detected(self, spark, tmp_path):
+        """A log whose version-0 prefix vanished WITHOUT a checkpoint
+        pointer (the reader side of the checkpoint+expire race, or real
+        corruption) must raise, never return a silently truncated entry
+        list (which would reassign version 0 and serve wrong data)."""
+        import os
+        import pytest
+
+        V, t = self._mk(spark, tmp_path)
+        os.remove(V._entry_path(t, 0))
+        with pytest.raises(V.VersionConflictError, match="racing|missing"):
+            V._read_log(t)

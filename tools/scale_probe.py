@@ -235,7 +235,7 @@ def build_scaled_embeddings(base_dir: str, factor: int, out_dir: Path, seed: int
 
 ALL_COMPONENTS = (
     "docs", "sem", "knn", "gram", "margin", "marginpq", "train",
-    "ivfadc", "ivfadcres", "csize", "xpq",
+    "ivfadc", "ivfadcres", "csize", "xpq", "xres",
 )
 
 
@@ -392,7 +392,7 @@ def main() -> int:
                 point["logreg_w_intercept"] = dict(w)["intercept"]
 
             if want & {"sem", "knn", "gram", "margin", "marginpq",
-                       "ivfadc", "ivfadcres", "csize", "xpq"}:
+                       "ivfadc", "ivfadcres", "csize", "xpq", "xres"}:
                 epath = build_scaled_embeddings(args.base, k, scratch)
                 emb = spark.read.parquet(epath)
                 n_vecs = emb.count()
@@ -814,6 +814,42 @@ def main() -> int:
                 point["xpq_brute_rows"] = len(brute_x)
                 point["xpq_recall_x10k"] = int(
                     10000 * len(xmined & brute_x) // max(len(brute_x), 1)
+                )
+
+            if "xres" in want:
+                # Cross-corpus RESIDUAL-IVFADC mining at scale: the
+                # ingest-tier shape of the residual index — new batch
+                # probes ceil(k/2) cells of the standing reference's
+                # residual code lists. Evidences recall holding at depth
+                # with the pruned scan AND the finer residual ranking.
+                if not (want & {"margin", "marginpq", "ivfadc",
+                                "ivfadcres", "csize", "xpq"}):
+                    ids, labels, vecs = _collect_embedding_matrix(emb)
+                new_emb = emb.filter(F.col("vec_id") % 3 == 0)
+                ref_emb = emb.filter(F.col("vec_id") % 3 != 0)
+                t0 = time.perf_counter()
+                xrmined = {
+                    (r["probe_id"], r["best_id"])
+                    for r in SIM.margin_mine_ivfadc_xcorpus(
+                        new_emb, ref_emb, dim=64, m=16, k_codes=16,
+                        iters=1, min_margin_x10k=11000, residual=True,
+                    )
+                    .select("probe_id", "best_id")
+                    .collect()
+                }
+                point["xres_secs"] = round(time.perf_counter() - t0, 2)
+                point["xres_pairs"] = len(xrmined)
+                mask = ids % 3 == 0
+                if "xpq" in want:
+                    brute_xr = brute_x  # same split, same audit — reuse
+                else:
+                    brute_xr = _numpy_brute_margin_x(
+                        ids[mask], labels[mask], vecs[mask],
+                        ids[~mask], labels[~mask], vecs[~mask],
+                    )
+                point["xres_brute_rows"] = len(brute_xr)
+                point["xres_recall_x10k"] = int(
+                    10000 * len(xrmined & brute_xr) // max(len(brute_xr), 1)
                 )
 
             if "gram" in want:
