@@ -2728,6 +2728,66 @@ def pq_index_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+#: dataset name -> whether it is required in a persisted IVFADC index
+_IVFADC_INDEX_PARTS = {
+    "centroids": True,
+    "home": True,
+    "codebook": True,
+    "codes": True,
+    "anchors": False,  # residual indexes only
+}
+
+
+def ivfadc_index_save(
+    centroids: DataFrame,
+    home_df: DataFrame,
+    codebook: DataFrame,
+    codes_df: DataFrame,
+    path: str,
+    anchors_df: DataFrame | None = None,
+) -> str:
+    """Persist the FULL IVFADC serving asset set — what FAISS writes for
+    an IndexIVFPQ: the coarse quantizer (centroids long-form), each
+    index row's home cell, the PQ codebook and codes, and (residual
+    indexes) the per-cell anchors. One parquet dataset per part under
+    one root, overwrite semantics per dataset (the pq_index_save
+    convention) — a rebuild replaces the asset atomically per part, and
+    the loaded set is row-identical to the in-memory one so every
+    downstream scan is too (reuse-identity tested)."""
+    parts = {
+        "centroids": centroids,
+        "home": home_df,
+        "codebook": codebook,
+        "codes": codes_df,
+    }
+    if anchors_df is not None:
+        parts["anchors"] = anchors_df
+    for name, df in parts.items():
+        df.write.mode("overwrite").parquet(f"{path}/{name}")
+    return path
+
+
+def ivfadc_index_load(spark, path: str) -> dict[str, DataFrame]:
+    """Load a persisted IVFADC index as a dict of its parts
+    (centroids / home / codebook / codes, plus anchors when the saved
+    index was residual) — the counterpart of ivfadc_index_save. Raises
+    on a root missing any REQUIRED part rather than silently serving a
+    partial index."""
+    from pyspark.errors import AnalysisException
+
+    out: dict[str, DataFrame] = {}
+    for name, required in _IVFADC_INDEX_PARTS.items():
+        try:
+            out[name] = spark.read.parquet(f"{path}/{name}")
+        except AnalysisException:
+            if required:
+                raise ValueError(
+                    f"persisted IVFADC index at {path} is missing its "
+                    f"'{name}' dataset — rebuild it with ivfadc_index_save"
+                ) from None
+    return out
+
+
 # --------------------------------------------------------------------------
 # IVFADC: coarse-cell pruning composed IN FRONT of the ADC scan
 # --------------------------------------------------------------------------
@@ -3252,6 +3312,7 @@ def ivfadc_knn_join(
     centroids: DataFrame | None = None,
     residual: bool = False,
     base_anchors: DataFrame | None = None,
+    base_home: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC batch ANN join — pq_knn_join with the coarse-cell pruning
     composed in front of its ADC scan, completing the IVFADC composition
@@ -3282,10 +3343,14 @@ def ivfadc_knn_join(
             base_df, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col,
             round_dp=round_dp,
         )
-    home = assign_cells_ranked(
-        base_df, centroids, n=1, id_col=id_col, vec_col=vec_col,
-        round_dp=round_dp,
-    ).select(F.col(id_col), F.element_at("cells", 1).alias("cell"))
+    home = (
+        base_home
+        if base_home is not None
+        else assign_cells_ranked(
+            base_df, centroids, n=1, id_col=id_col, vec_col=vec_col,
+            round_dp=round_dp,
+        ).select(F.col(id_col), F.element_at("cells", 1).alias("cell"))
+    )
     qcells = assign_cells_ranked(
         queries_df, centroids, n=nprobe, id_col=id_col, vec_col=vec_col,
         round_dp=round_dp,
@@ -3394,6 +3459,7 @@ def margin_mine_ivfadc_xcorpus(
     ref_codes: DataFrame | None = None,
     residual: bool = False,
     ref_anchors: DataFrame | None = None,
+    ref_home: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus IVFADC margin mining — the third shape of the
     cell-pruned composition (self-mining: margin_mine_ivfadc; serving
@@ -3422,10 +3488,14 @@ def margin_mine_ivfadc_xcorpus(
             ref_df, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col,
             round_dp=round_dp,
         )
-    home = assign_cells_ranked(
-        ref_df, centroids, n=1, id_col=id_col, vec_col=vec_col,
-        round_dp=round_dp,
-    ).select(F.col(id_col), F.element_at("cells", 1).alias("cell"))
+    home = (
+        ref_home
+        if ref_home is not None
+        else assign_cells_ranked(
+            ref_df, centroids, n=1, id_col=id_col, vec_col=vec_col,
+            round_dp=round_dp,
+        ).select(F.col(id_col), F.element_at("cells", 1).alias("cell"))
+    )
     qcells = assign_cells_ranked(
         new_df, centroids, n=nprobe, id_col=id_col, vec_col=vec_col,
         round_dp=round_dp,

@@ -1762,6 +1762,58 @@ class TestIvfadc:
                 ref_codebook=book, ref_codes=stale_codes,
             ).count()
 
+    def test_ivfadc_index_lifecycle_roundtrip(self, spark, tmp_path):
+        """The FULL persisted IVFADC serving asset set (quantizer + home
+        cells + codebook + codes + anchors — what FAISS writes for an
+        IndexIVFPQ): save, load, and mine with every part loaded —
+        row-identical to the self-fit run, with NO per-call home
+        recompute. A root missing a required part must raise."""
+        import math
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        new = emb.filter(F.col("vec_id") % 3 == 0).localCheckpoint()
+        ref = emb.filter(F.col("vec_id") % 3 != 0).localCheckpoint()
+        kc = math.isqrt(ref.count() - 1) + 1
+        _, cents = SIM.kmeans_fit_distributed(ref, k=kc, iters=1, round_dp=6)
+        home = SIM.assign_cells_ranked(ref, cents, n=1).select(
+            "vec_id", F.element_at("cells", 1).alias("cell")
+        )
+        rnorm = SIM.normalize_rounded(ref, out_col="__nv").localCheckpoint()
+        anchors = SIM.cell_anchors(rnorm, home, vec_col="__nv").localCheckpoint()
+        rv = SIM.residualize(
+            rnorm.select("vec_id", "__nv"), home, anchors,
+            vec_col="__nv", out_col="__rv",
+        )
+        book = SIM.pq_fit(rv, dim=64, m=16, k_codes=16, iters=1, vec_col="__rv")
+        codes = SIM.pq_encode(rv, book, dim=64, m=16, vec_col="__rv")
+        root = str(tmp_path / "ivfadc_idx")
+        SIM.ivfadc_index_save(cents, home, book, codes, root, anchors_df=anchors)
+        idx = SIM.ivfadc_index_load(spark, root)
+        assert set(idx) == {"centroids", "home", "codebook", "codes", "anchors"}
+        key = lambda r: tuple(r)
+        fresh = sorted(map(key, SIM.margin_mine_ivfadc_xcorpus(
+            new, ref, dim=64, m=16, k_codes=16, iters=1,
+            min_margin_x10k=11000, residual=True,
+        ).collect()))
+        loaded = sorted(map(key, SIM.margin_mine_ivfadc_xcorpus(
+            new, ref, dim=64, m=16, k_codes=16, iters=1,
+            min_margin_x10k=11000, residual=True,
+            centroids=idx["centroids"], ref_codebook=idx["codebook"],
+            ref_codes=idx["codes"], ref_anchors=idx["anchors"],
+            ref_home=idx["home"],
+        ).collect()))
+        assert fresh == loaded and fresh
+        # a non-residual save omits anchors; load succeeds without them
+        root2 = str(tmp_path / "ivfadc_idx_flat")
+        SIM.ivfadc_index_save(cents, home, book, codes, root2)
+        assert "anchors" not in SIM.ivfadc_index_load(spark, root2)
+        # a root missing a REQUIRED part raises
+        import shutil
+
+        shutil.rmtree(f"{root2}/codes")
+        with pytest.raises(ValueError, match="missing its 'codes'"):
+            SIM.ivfadc_index_load(spark, root2)
+
     def test_residual_knn_join_recall(self, spark):
         """The residual serving join holds the same recall bar as the
         flat one against the exact kNN reference."""

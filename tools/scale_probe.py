@@ -235,7 +235,7 @@ def build_scaled_embeddings(base_dir: str, factor: int, out_dir: Path, seed: int
 
 ALL_COMPONENTS = (
     "docs", "sem", "knn", "gram", "margin", "marginpq", "train",
-    "ivfadc", "ivfadcres", "csize", "xpq", "xres",
+    "ivfadc", "ivfadcres", "csize", "xpq", "xres", "div",
 )
 
 
@@ -392,7 +392,7 @@ def main() -> int:
                 point["logreg_w_intercept"] = dict(w)["intercept"]
 
             if want & {"sem", "knn", "gram", "margin", "marginpq",
-                       "ivfadc", "ivfadcres", "csize", "xpq", "xres"}:
+                       "ivfadc", "ivfadcres", "csize", "xpq", "xres", "div"}:
                 epath = build_scaled_embeddings(args.base, k, scratch)
                 emb = spark.read.parquet(epath)
                 n_vecs = emb.count()
@@ -851,6 +851,26 @@ def main() -> int:
                 point["xres_recall_x10k"] = int(
                     10000 * len(xrmined & brute_xr) // max(len(brute_xr), 1)
                 )
+
+            if "div" in want:
+                # Diversity selection (r8): greedy k-center + MMR are k
+                # broadcast-scan rounds — wall should grow LINEARLY with
+                # the corpus at fixed k (the kmeans-E-step shape).
+                from dais2021imageprocessingondeltalake_spark.operators import (
+                    diversity as DIV,
+                )
+
+                t0 = time.perf_counter()
+                kc_rows = DIV.kcenter_select(emb, k=8).collect()
+                point["kcenter_secs"] = round(time.perf_counter() - t0, 2)
+                point["kcenter_rows"] = len(kc_rows)
+                point["kcenter_radius_x10k"] = int(
+                    10000 * min(r["sel_dist"] for r in kc_rows if r["sel_dist"] is not None)
+                )
+                t0 = time.perf_counter()
+                mm_rows = DIV.mmr_select(emb, k=8).collect()
+                point["mmr_secs"] = round(time.perf_counter() - t0, 2)
+                point["mmr_rows"] = len(mm_rows)
 
             if "gram" in want:
                 # Gram matrix partial-sum aggregate (linear in n_vecs,
