@@ -2476,3 +2476,110 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAG diverse-retrieval re-ranker, certified round by round."""
     emb = load_table(spark, "embeddings", sf_dir)
     return DIV.mmr_select(emb, k=_DIVERSITY_K, lam=_MMR_LAMBDA)
+
+
+# --------------------------------------------------------------------------
+# Loss-aware domain reweighting (r8) — the third mixing mechanism next to
+# temperature rebalancing (token-share-only) and DSIR (per-doc importance):
+# tilt the domain mixture toward domains the current LM finds HARD, the
+# weight shape of DoReMi (Xie et al. 2023). In-engine the proxy loss is
+# the corpus-unigram surprisal (the zero-dependency stand-in the unigram-
+# logprob filter already certifies); with a real proxy/reference model the
+# same pipeline consumes its per-doc losses — that model is the documented
+# out-of-container seam. Every stage is aggregates + scalar libm, so the
+# whole weight derivation replays in SQL.
+# --------------------------------------------------------------------------
+
+_DOMAIN_REWEIGHT_ETA = 1.0
+
+
+def _domain_reweight_oracle(eta: float) -> str:
+    e = repr(float(eta))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT term, count(*) AS term_n FROM toks GROUP BY 1
+    ), total AS (SELECT count(*) AS total_n FROM toks),
+    perdoc AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(-ln(CAST(c.term_n AS DOUBLE) / total.total_n)), 6)
+               AS surp
+      FROM toks t JOIN counts c USING (term), total GROUP BY 1
+    ), dom AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+             round(avg(p.surp), 6) AS mean_surprisal
+      FROM documents d JOIN perdoc p USING (doc_id) GROUP BY 1
+    ), agg AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+             min(mean_surprisal) AS lmin
+      FROM dom
+    ), tw AS (
+      SELECT dom.*,
+             round(CAST(n_tokens AS DOUBLE) / tot, 6) AS prior,
+             round(exp({e} * (mean_surprisal - lmin)), 6) AS tilt
+      FROM dom, agg
+    ), un AS (
+      SELECT tw.*, round(prior * tilt, 6) AS unnorm FROM tw
+    ), z AS (SELECT sum(unnorm) AS z FROM un)
+    SELECT source, n_docs, n_tokens, mean_surprisal, prior, tilt,
+           round(unnorm / z, 6) AS weight
+    FROM un, z
+    """
+
+
+@query("q_domain_reweight", oracle=_domain_reweight_oracle(_DOMAIN_REWEIGHT_ETA))
+def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-aware domain mixture weights, DoReMi-shaped (Xie et al.
+    2023): each source's weight is its token-share PRIOR times an
+    exponentiated-gradient TILT exp(η·(loss_d − min_d loss)) toward
+    hard domains, normalized — where the in-engine proxy loss is the
+    certified corpus-unigram surprisal (macro-averaged over the
+    domain's docs). Distinct from q_temperature_mix (reweights by
+    token share alone — no notion of difficulty) and q_dsir_score
+    (per-DOC importance, not a domain mixture). The min-loss shift
+    makes the tilt numerically stable AND deterministic (the smallest
+    tilt is exactly exp(0) = 1).
+
+    Scale shape: the unigram-LM scan (explode → dictionary agg →
+    broadcast join back), one per-doc agg, one |domains|-row agg, two
+    scalar broadcasts — nothing data-sized past the first agg. 6dp
+    rounds at every libm/accumulation point (ln, exp, avgs) per the
+    established convention."""
+    docs = load_table(spark, "documents", sf_dir)
+    lp = TX.unigram_logprob_score(docs)
+    perdoc = (
+        docs.select("doc_id", "source")
+        .join(lp, "doc_id")
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.round(-F.col("mean_logprob"), 6).alias("surp"),
+        )
+    )
+    dom = perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("surp"), 6).alias("mean_surprisal"),
+    )
+    agg = dom.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.min("mean_surprisal").alias("lmin"),
+    )
+    tw = dom.crossJoin(F.broadcast(agg)).select(
+        "source", "n_docs", "n_tokens", "mean_surprisal",
+        F.round(F.col("n_tokens").cast("double") / F.col("tot"), 6).alias("prior"),
+        F.round(
+            F.exp(
+                F.lit(float(_DOMAIN_REWEIGHT_ETA))
+                * (F.col("mean_surprisal") - F.col("lmin"))
+            ),
+            6,
+        ).alias("tilt"),
+    )
+    un = tw.withColumn("unnorm", F.round(F.col("prior") * F.col("tilt"), 6))
+    z = un.agg(F.sum("unnorm").alias("z"))
+    return un.crossJoin(F.broadcast(z)).select(
+        "source", "n_docs", "n_tokens", "mean_surprisal", "prior", "tilt",
+        F.round(F.col("unnorm") / F.col("z"), 6).alias("weight"),
+    )

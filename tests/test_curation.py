@@ -1553,3 +1553,31 @@ class TestDiversitySelection:
             assert r["sel_dist"] is None or r["sel_dist"] == r["sel_dist"]
         for r in mm.collect():
             assert r["score"] == r["score"]  # no NaN scores
+
+
+class TestDomainReweight:
+    """Loss-aware domain mixture (DoReMi-shaped): invariants the oracle
+    certifies value-for-value but whose semantics deserve pinning."""
+
+    def test_weights_form_a_tilted_distribution(self, spark):
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        rows = q.REGISTRY["q_domain_reweight"].fn(spark, SF_DIR).collect()
+        assert rows
+        # a (rounded) probability distribution
+        assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+        assert all(r["weight"] > 0 for r in rows)
+        # the easiest domain's tilt is exactly exp(0) = 1; others >= 1
+        assert min(r["tilt"] for r in rows) == 1.0
+        assert all(r["tilt"] >= 1.0 for r in rows)
+        # tilt is monotone in the loss: the hardest domain has the
+        # largest tilt
+        hardest = max(rows, key=lambda r: r["mean_surprisal"])
+        assert hardest["tilt"] == max(r["tilt"] for r in rows)
+        # and the tilt moves weight TOWARD hard domains relative to the
+        # token-share prior: weight/prior ordering follows surprisal
+        ratio = {r["source"]: r["weight"] / r["prior"] for r in rows}
+        surp = {r["source"]: r["mean_surprisal"] for r in rows}
+        hi = max(surp, key=surp.get)
+        lo = min(surp, key=surp.get)
+        assert ratio[hi] > ratio[lo]
