@@ -226,6 +226,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_knn_join_ivfadc_res",  # NEW r8: residual-index serving ANN join
     "q_stream_margin_ivfadc_res",  # NEW r8: residual-index live-ingest stream
     "q_domain_reweight",  # NEW r8: DoReMi-shaped loss-aware domain mixture
+    "q_reweight_apply",  # NEW r8: the mixture executed as a sampling plan
     "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
     "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)

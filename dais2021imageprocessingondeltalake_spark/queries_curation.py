@@ -2493,10 +2493,12 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOMAIN_REWEIGHT_ETA = 1.0
 
 
-def _domain_reweight_oracle(eta: float) -> str:
+def _domain_reweight_ctes(eta: float) -> str:
+    """WITH-chain (after ``WITH``) ending in ``dw(source, n_docs,
+    n_tokens, mean_surprisal, prior, tilt, weight)`` — shared by the
+    weight report and the sampling-plan composite."""
     e = repr(float(eta))
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ), counts AS (
       SELECT term, count(*) AS term_n FROM toks GROUP BY 1
@@ -2522,31 +2524,25 @@ def _domain_reweight_oracle(eta: float) -> str:
       FROM dom, agg
     ), un AS (
       SELECT tw.*, round(prior * tilt, 6) AS unnorm FROM tw
-    ), z AS (SELECT sum(unnorm) AS z FROM un)
-    SELECT source, n_docs, n_tokens, mean_surprisal, prior, tilt,
-           round(unnorm / z, 6) AS weight
-    FROM un, z
+    ), z AS (SELECT sum(unnorm) AS z FROM un),
+    dw AS (
+      SELECT source, n_docs, n_tokens, mean_surprisal, prior, tilt,
+             round(unnorm / z, 6) AS weight
+      FROM un, z
+    )"""
+
+
+def _domain_reweight_oracle(eta: float) -> str:
+    return f"""
+    WITH {_domain_reweight_ctes(eta)}
+    SELECT * FROM dw
     """
 
 
-@query("q_domain_reweight", oracle=_domain_reweight_oracle(_DOMAIN_REWEIGHT_ETA))
-def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Loss-aware domain mixture weights, DoReMi-shaped (Xie et al.
-    2023): each source's weight is its token-share PRIOR times an
-    exponentiated-gradient TILT exp(η·(loss_d − min_d loss)) toward
-    hard domains, normalized — where the in-engine proxy loss is the
-    certified corpus-unigram surprisal (macro-averaged over the
-    domain's docs). Distinct from q_temperature_mix (reweights by
-    token share alone — no notion of difficulty) and q_dsir_score
-    (per-DOC importance, not a domain mixture). The min-loss shift
-    makes the tilt numerically stable AND deterministic (the smallest
-    tilt is exactly exp(0) = 1).
-
-    Scale shape: the unigram-LM scan (explode → dictionary agg →
-    broadcast join back), one per-doc agg, one |domains|-row agg, two
-    scalar broadcasts — nothing data-sized past the first agg. 6dp
-    rounds at every libm/accumulation point (ln, exp, avgs) per the
-    established convention."""
+def _domain_reweight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (source, n_docs, n_tokens, mean_surprisal, prior, tilt,
+    weight) frame both the weight report and the sampling-plan
+    composite read — one derivation, no drift."""
     docs = load_table(spark, "documents", sf_dir)
     lp = TX.unigram_logprob_score(docs)
     perdoc = (
@@ -2583,3 +2579,77 @@ def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "n_tokens", "mean_surprisal", "prior", "tilt",
         F.round(F.col("unnorm") / F.col("z"), 6).alias("weight"),
     )
+
+
+@query("q_domain_reweight", oracle=_domain_reweight_oracle(_DOMAIN_REWEIGHT_ETA))
+def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-aware domain mixture weights, DoReMi-shaped (Xie et al.
+    2023): each source's weight is its token-share PRIOR times an
+    exponentiated-gradient TILT exp(η·(loss_d − min_d loss)) toward
+    hard domains, normalized — where the in-engine proxy loss is the
+    certified corpus-unigram surprisal (macro-averaged over the
+    domain's docs). Distinct from q_temperature_mix (reweights by
+    token share alone — no notion of difficulty) and q_dsir_score
+    (per-DOC importance, not a domain mixture). The min-loss shift
+    makes the tilt numerically stable AND deterministic (the smallest
+    tilt is exactly exp(0) = 1).
+
+    Scale shape: the unigram-LM scan (explode → dictionary agg →
+    broadcast join back), one per-doc agg, one |domains|-row agg, two
+    scalar broadcasts — nothing data-sized past the first agg. 6dp
+    rounds at every libm/accumulation point (ln, exp, avgs) per the
+    established convention."""
+    return _domain_reweight_frame(spark, sf_dir)
+
+
+def _reweight_apply_oracle(eta: float, salt: str = "drw") -> str:
+    return f"""
+    WITH {_domain_reweight_ctes(eta)},
+    ratio AS (
+      SELECT source, round(weight / prior, 6) AS ratio FROM dw
+    ), mx AS (SELECT max(ratio) AS maxr FROM ratio),
+    rates AS (
+      SELECT source, round(ratio / maxr, 6) AS keep_rate FROM ratio, mx
+    ), thr AS (
+      SELECT source, keep_rate,
+             CASE WHEN keep_rate >= 1.0 THEN 'g'
+                  ELSE lower(lpad(hex(CAST(floor(keep_rate * 4294967296.0)
+                                           AS BIGINT)), 8, '0'))
+             END AS thr
+      FROM rates
+    )
+    SELECT d.doc_id, d.source, t.keep_rate
+    FROM documents d JOIN thr t USING (source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '{salt}'), 1, 8) < t.thr
+    """
+
+
+@query(
+    "q_reweight_apply",
+    oracle=_reweight_apply_oracle(_DOMAIN_REWEIGHT_ETA),
+)
+def q_reweight_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the DoReMi-shaped mixture as a SAMPLING PLAN — the
+    composite that turns q_domain_reweight's target weights into kept
+    rows: per-domain keep rate = (weight/prior) / max(weight/prior)
+    (downsample-only — the domain needing the largest upweight keeps
+    everything, every other domain thins proportionally, so the
+    REALIZED token mixture tracks the target weights), then the same
+    deterministic md5-threshold Bernoulli every sampler here uses
+    (apply_rate_table, in-engine hex conversion). One weight
+    derivation + one |domains|-row rate table broadcast onto the
+    corpus — the corpus never shuffles, and the whole policy replays
+    from the data alone."""
+    docs = load_table(spark, "documents", sf_dir)
+    dw = _domain_reweight_frame(spark, sf_dir)
+    ratio = dw.select(
+        "source", F.round(F.col("weight") / F.col("prior"), 6).alias("ratio")
+    )
+    mx = ratio.agg(F.max("ratio").alias("maxr"))
+    rates = ratio.crossJoin(F.broadcast(mx)).select(
+        "source", F.round(F.col("ratio") / F.col("maxr"), 6).alias("keep_rate")
+    )
+    kept = S.apply_rate_table(
+        docs.select("doc_id", "source"), rates, "doc_id", "source", salt="drw"
+    )
+    return kept.select("doc_id", "source", "keep_rate")

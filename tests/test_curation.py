@@ -1581,3 +1581,24 @@ class TestDomainReweight:
         hi = max(surp, key=surp.get)
         lo = min(surp, key=surp.get)
         assert ratio[hi] > ratio[lo]
+
+    def test_reweight_apply_tracks_weights(self, spark):
+        """The executed plan: per-domain keep rates in (0, 1], the
+        upweight-most domain keeps EVERYTHING (downsample-only), and
+        kept counts track rate * n_docs within binomial noise."""
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        w = {r["source"]: r for r in
+             q.REGISTRY["q_domain_reweight"].fn(spark, SF_DIR).collect()}
+        kept = q.REGISTRY["q_reweight_apply"].fn(spark, SF_DIR).collect()
+        rates = {r["source"]: r["keep_rate"] for r in kept}
+        assert all(0.0 < v <= 1.0 for v in rates.values())
+        ratio = {s: r["weight"] / r["prior"] for s, r in w.items()}
+        top = max(ratio, key=ratio.get)
+        assert rates[top] == 1.0
+        from collections import Counter
+
+        n_kept = Counter(r["source"] for r in kept)
+        for s_, r in w.items():
+            expect = rates[s_] * r["n_docs"]
+            assert abs(n_kept.get(s_, 0) - expect) <= max(5, 0.5 * expect)
