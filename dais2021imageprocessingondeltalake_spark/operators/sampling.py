@@ -204,6 +204,121 @@ def apply_rate_table(
     )
 
 
+def unimax_alloc(
+    df: DataFrame,
+    strata_col: str,
+    weight_col,
+    budget_mult: float,
+    epoch_cap: float,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023): distribute a
+    total training-token budget B = budget_mult x corpus tokens across
+    strata (languages, domains) as UNIFORMLY as possible, subject to no
+    stratum repeating more than `epoch_cap` epochs of its own data.
+    The fourth mixing mechanism next to temperature rebalancing
+    (token-share-only), DSIR (per-doc importance), and DoReMi
+    (loss-aware tilt) — UniMax alone reasons about REPETITION: a tail
+    stratum stops absorbing budget at epoch_cap x its size instead of
+    being oversampled into memorization, and the head strata share the
+    remainder evenly.
+
+    Exact waterfilling, not an iterative approximation: sort strata by
+    capacity c_s = epoch_cap x tokens_s ascending (stratum-name
+    tie-break), and stratum i is capped iff every j <= i satisfies
+    c_j * (D - j + 1) <= B - cumsum_{j-1}(c) — the capped set is always
+    a prefix of this order, so one running-min over the per-row
+    condition replays the whole loop. Uncapped strata split the
+    leftover budget evenly (the water level).
+
+    Engine-deterministic BY CONSTRUCTION, not by rounding: capacities
+    and their prefix sums are integer-valued doubles (exact at any
+    addition order), B rounds once from an exact integer total, and
+    every comparison uses the same single-rounded operands on both
+    engines; only the emitted level/epochs/share quotients round to
+    6dp. Scale shape: one |strata|-row aggregate, two windows and one
+    aggregate over that |strata|-row frame (bounded by the stratum
+    vocabulary, never data-sized), one scalar broadcast back.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if budget_mult <= 0.0:
+        raise ValueError(f"budget_mult must be > 0, got {budget_mult}")
+    if epoch_cap <= 0.0:
+        raise ValueError(f"epoch_cap must be > 0, got {epoch_cap}")
+    weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    dom = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(weight.cast("bigint")).alias("n_tokens"),
+    )
+    tot = dom.agg(
+        (F.sum("n_tokens").cast("double") * F.lit(float(budget_mult))).alias(
+            "__budget"
+        ),
+        F.count(F.lit(1)).alias("__d"),
+    )
+    w_ord = Window.orderBy("capacity", strata_col)
+    ranked = (
+        dom.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "capacity", F.col("n_tokens").cast("double") * F.lit(float(epoch_cap))
+        )
+        .withColumn("__rn", F.row_number().over(w_ord))
+        .withColumn(
+            "__cum_prev",
+            F.coalesce(
+                F.sum("capacity").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+    )
+    cond = ranked.withColumn(
+        "__cond",
+        F.when(
+            F.col("capacity") * (F.col("__d") - F.col("__rn") + F.lit(1))
+            <= F.col("__budget") - F.col("__cum_prev"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    capped = cond.withColumn(
+        "capped",
+        F.min("__cond").over(
+            Window.orderBy("__rn").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        == F.lit(1),
+    )
+    lvl = capped.agg(
+        F.sum(F.when(F.col("capped"), F.col("capacity")).otherwise(0.0)).alias(
+            "__capped_cap"
+        ),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("__n_capped"),
+    )
+    alloc = (
+        F.when(F.col("capped"), F.col("capacity"))
+        .otherwise(
+            F.when(
+                F.col("__d") > F.col("__n_capped"),
+                (F.col("__budget") - F.col("__capped_cap"))
+                / (F.col("__d") - F.col("__n_capped")),
+            ).otherwise(F.lit(0.0))
+        )
+    )
+    return capped.crossJoin(F.broadcast(lvl)).select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        "capacity",
+        "capped",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        F.round(alloc / F.col("__budget"), 6).alias("budget_share"),
+    )
+
+
 def _md5_uniform(key_col: str, salt: str):
     """Deterministic uniform in (0, 1]: (int(md5[:8], 16) + 1) / (2^32+1).
     Engines disagree on hex→int BUILTINS, not on arithmetic — so the

@@ -2653,3 +2653,187 @@ def q_reweight_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source"), rates, "doc_id", "source", salt="drw"
     )
     return kept.select("doc_id", "source", "keep_rate")
+
+
+# --------------------------------------------------------------------------
+# UniMax epoch-capped budget allocation (r8) — the fourth mixing mechanism:
+# temperature rebalancing reshapes token SHARES, DSIR scores per-doc
+# importance, DoReMi tilts toward hard domains — none of them reasons
+# about REPETITION. UniMax (Chung et al., ICLR 2023) allocates a total
+# training budget as uniformly as possible subject to a per-stratum epoch
+# cap, so tail languages stop absorbing budget at cap x their own size
+# instead of being oversampled into memorization. The waterfilling loop
+# is replayed exactly in SQL: the capped set is a prefix of the
+# ascending-capacity order, certified by a running-min condition.
+# --------------------------------------------------------------------------
+
+_UNIMAX_BUDGET_MULT = 1.6
+_UNIMAX_EPOCH_CAP = 2.0
+
+
+def _unimax_ctes(budget_mult: float, epoch_cap: float) -> str:
+    """WITH-chain (after ``WITH``) ending in ``ua(lang, n_docs, n_tokens,
+    capacity, capped, alloc_tokens, epochs, budget_share)`` — shared by
+    the allocation report and the repetition-manifest composite."""
+    bm = repr(float(budget_mult))
+    ec = repr(float(epoch_cap))
+    return f"""dom AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) * {bm} AS budget,
+             count(*) AS d
+      FROM dom
+    ), ord AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) * {ec} AS capacity,
+             row_number() OVER (
+               ORDER BY CAST(n_tokens AS DOUBLE) * {ec}, lang) AS rn,
+             coalesce(sum(CAST(n_tokens AS DOUBLE) * {ec}) OVER (
+               ORDER BY CAST(n_tokens AS DOUBLE) * {ec}, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS cum_prev
+      FROM dom
+    ), cnd AS (
+      SELECT ord.*, tot.budget, tot.d,
+             CASE WHEN capacity * (tot.d - rn + 1) <= tot.budget - cum_prev
+                  THEN 1 ELSE 0 END AS cond
+      FROM ord, tot
+    ), cap AS (
+      SELECT cnd.*,
+             min(cond) OVER (ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+               AS capped
+      FROM cnd
+    ), lvl AS (
+      SELECT sum(CASE WHEN capped THEN capacity ELSE 0.0 END) AS capped_cap,
+             sum(CASE WHEN capped THEN 1 ELSE 0 END) AS n_capped
+      FROM cap
+    ), ua AS (
+      SELECT lang, n_docs, n_tokens, capacity, capped,
+             round(alloc, 6) AS alloc_tokens,
+             round(alloc / n_tokens, 6) AS epochs,
+             round(alloc / budget, 6) AS budget_share
+      FROM (
+        SELECT cap.*,
+               CASE WHEN capped THEN capacity
+                    WHEN d > lvl.n_capped
+                      THEN (budget - lvl.capped_cap) / (d - lvl.n_capped)
+                    ELSE 0.0 END AS alloc
+        FROM cap, lvl
+      )
+    )"""
+
+
+@query(
+    "q_unimax_alloc",
+    oracle=f"""
+    WITH {_unimax_ctes(_UNIMAX_BUDGET_MULT, _UNIMAX_EPOCH_CAP)}
+    SELECT * FROM ua
+    """,
+)
+def q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped budget allocation over languages (Chung et
+    al., ICLR 2023): spread a budget of 1.6x the corpus's tokens as
+    uniformly as possible across languages, with no language repeated
+    past 2 epochs of its own data. On this corpus the four tail
+    languages hit the 2-epoch cap at both driver scales and the head
+    language absorbs the leftover at ~1.03-1.08 epochs — exactly the
+    published motivation (heads near one epoch, tails capped, nothing
+    oversampled hundreds of times the way temperature sampling does to
+    rare languages). Exact waterfilling replayed in SQL via the
+    prefix-capped running-min identity; determinism is BY CONSTRUCTION
+    (integer-valued capacities and prefix sums are exact at any
+    addition order) rather than by rounding. Scale shape: one
+    |langs|-row aggregate then windows/aggregates over that bounded
+    frame only."""
+    docs = load_table(spark, "documents", sf_dir)
+    return S.unimax_alloc(
+        docs.select("lang", TX.token_count(F.col("text")).alias("__w")),
+        strata_col="lang",
+        weight_col="__w",
+        budget_mult=_UNIMAX_BUDGET_MULT,
+        epoch_cap=_UNIMAX_EPOCH_CAP,
+    )
+
+
+@query(
+    "q_unimax_manifest",
+    oracle=f"""
+    WITH {_unimax_ctes(_UNIMAX_BUDGET_MULT, _UNIMAX_EPOCH_CAP)},
+    pl AS (
+      SELECT lang, CAST(floor(epochs) AS BIGINT) AS n_full,
+             round(epochs - floor(epochs), 6) AS frac
+      FROM ua
+    ), thr AS (
+      SELECT lang, n_full,
+             CASE WHEN frac >= 1.0 THEN 'g'
+                  ELSE lower(lpad(hex(CAST(floor(frac * 4294967296.0)
+                                           AS BIGINT)), 8, '0'))
+             END AS thr
+      FROM pl
+    ), copies AS (
+      SELECT d.doc_id, d.lang,
+             t.n_full + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)
+                                              || 'umx'), 1, 8) < t.thr
+                             THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN thr t USING (lang)
+    )
+    SELECT doc_id, lang,
+           CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_idx
+    FROM copies WHERE n_copies > 0
+    """,
+)
+def q_unimax_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the UniMax allocation as a REPETITION MANIFEST — the
+    composite that turns q_unimax_alloc's per-language epoch counts
+    into one row per (document, copy) for the training data plane:
+    every doc repeats floor(epochs) times, plus one more with
+    probability frac(epochs) via the same deterministic md5-threshold
+    Bernoulli every sampler here uses — so the realized token count
+    per language matches the allocation in expectation, exactly
+    reproducibly. This is the side the downsample-only mixers
+    (q_reweight_apply, q_temperature_mix) cannot express: epochs > 1
+    NEED duplication, and the manifest is what q_epoch_shuffle /
+    q_shard_manifest consume upstream. Scale shape: the |langs|-row
+    allocation broadcast onto the corpus, then a per-row
+    explode(sequence(1, n_copies)) bounded by the epoch cap — output
+    <= cap x corpus rows, no shuffle of the corpus itself."""
+    docs = load_table(spark, "documents", sf_dir)
+    ua = S.unimax_alloc(
+        docs.select("lang", TX.token_count(F.col("text")).alias("__w")),
+        strata_col="lang",
+        weight_col="__w",
+        budget_mult=_UNIMAX_BUDGET_MULT,
+        epoch_cap=_UNIMAX_EPOCH_CAP,
+    )
+    pl = ua.select(
+        "lang",
+        F.floor("epochs").cast("bigint").alias("__n_full"),
+        F.round(F.col("epochs") - F.floor("epochs"), 6).alias("__frac"),
+    )
+    digest = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("umx"))), 1, 8
+    )
+    copies = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(pl), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("__n_full")
+                + F.when(
+                    digest < S._hex_threshold_col(F.col("__frac")), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("__n_copies"),
+        )
+    )
+    return copies.filter(F.col("__n_copies") > 0).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(F.lit(1), F.col("__n_copies").cast("int"))
+        ).alias("copy_idx"),
+    )

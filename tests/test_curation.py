@@ -1602,3 +1602,121 @@ class TestDomainReweight:
         for s_, r in w.items():
             expect = rates[s_] * r["n_docs"]
             assert abs(n_kept.get(s_, 0) - expect) <= max(5, 0.5 * expect)
+
+
+class TestUnimax:
+    """UniMax epoch-capped budget allocation: the waterfilling identity,
+    the cap semantics, and the manifest composite — plus a pure-Python
+    replay of the published loop as an independent reference."""
+
+    @staticmethod
+    def _python_waterfill(caps, budget):
+        """Reference implementation: the loop as published (repeat:
+        share leftover uniformly; cap any stratum whose capacity is
+        below its share; stop when none caps)."""
+        alloc = {}
+        remaining = dict(caps)
+        left = budget
+        while remaining:
+            share = left / len(remaining)
+            below = {s: c for s, c in remaining.items() if c <= share}
+            if not below:
+                for s in remaining:
+                    alloc[s] = share
+                return alloc
+            for s, c in below.items():
+                alloc[s] = c
+                left -= c
+                del remaining[s]
+        return alloc
+
+    def test_alloc_matches_python_reference(self, spark):
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        rows = q.REGISTRY["q_unimax_alloc"].fn(spark, SF_DIR).collect()
+        assert rows
+        caps = {r["lang"]: r["capacity"] for r in rows}
+        budget = 1.6 * sum(r["n_tokens"] for r in rows)
+        ref = self._python_waterfill(caps, budget)
+        for r in rows:
+            assert math.isclose(r["alloc_tokens"], ref[r["lang"]], rel_tol=1e-9)
+
+    def test_cap_and_level_semantics(self, spark):
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        rows = sorted(
+            q.REGISTRY["q_unimax_alloc"].fn(spark, SF_DIR).collect(),
+            key=lambda r: (r["capacity"], r["lang"]),
+        )
+        # both branches are exercised on this corpus
+        assert any(r["capped"] for r in rows)
+        assert any(not r["capped"] for r in rows)
+        # the capped set is a PREFIX of the ascending-capacity order
+        flags = [r["capped"] for r in rows]
+        assert flags == sorted(flags, reverse=True)
+        # capped strata sit exactly at the epoch cap; uncapped below it
+        for r in rows:
+            if r["capped"]:
+                assert r["alloc_tokens"] == r["capacity"]
+                assert r["epochs"] == 2.0
+            else:
+                assert r["epochs"] < 2.0
+        # uncapped strata share ONE water level
+        levels = {r["alloc_tokens"] for r in rows if not r["capped"]}
+        assert len(levels) == 1
+        # the budget is exhausted (some stratum is uncapped)
+        budget = 1.6 * sum(r["n_tokens"] for r in rows)
+        assert math.isclose(
+            sum(r["alloc_tokens"] for r in rows), budget, rel_tol=1e-6
+        )
+
+    def test_all_capped_when_budget_exceeds_capacity(self, spark):
+        """budget > sum(capacities): every stratum caps and the leftover
+        is simply not spent (the published degenerate case)."""
+        docs = load_table(spark, "documents", SF_DIR)
+        out = S.unimax_alloc(
+            docs.select("lang", TX.token_count(F.col("text")).alias("__w")),
+            strata_col="lang",
+            weight_col="__w",
+            budget_mult=3.0,
+            epoch_cap=2.0,
+        ).collect()
+        assert all(r["capped"] for r in out)
+        assert all(r["alloc_tokens"] == r["capacity"] for r in out)
+
+    def test_manifest_tracks_allocation(self, spark):
+        from collections import Counter
+
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        alloc = {r["lang"]: r for r in
+                 q.REGISTRY["q_unimax_alloc"].fn(spark, SF_DIR).collect()}
+        rows = q.REGISTRY["q_unimax_manifest"].fn(spark, SF_DIR).collect()
+        per_doc = Counter((r["doc_id"], r["lang"]) for r in rows)
+        # copy_idx is contiguous from 1 per doc
+        seen = {}
+        for r in rows:
+            seen.setdefault((r["doc_id"], r["lang"]), set()).add(r["copy_idx"])
+        for k, idxs in seen.items():
+            assert idxs == set(range(1, len(idxs) + 1))
+        # capped languages (epochs exactly 2.0) repeat every doc exactly twice
+        for lang, a in alloc.items():
+            n = [c for (d, lg), c in per_doc.items() if lg == lang]
+            if a["epochs"] == 2.0:
+                assert set(n) == {2}
+            else:
+                lo, hi = math.floor(a["epochs"]), math.ceil(a["epochs"])
+                assert set(n) <= {lo, hi}
+                # realized copies track epochs * n_docs within noise
+                expect = a["epochs"] * a["n_docs"]
+                assert abs(sum(n) - expect) <= max(5, 0.2 * expect)
+
+    def test_validates_args(self, spark):
+        import pytest
+
+        docs = load_table(spark, "documents", SF_DIR)
+        sel = docs.select("lang", TX.token_count(F.col("text")).alias("__w"))
+        with pytest.raises(ValueError):
+            S.unimax_alloc(sel, "lang", "__w", budget_mult=0.0, epoch_cap=2.0)
+        with pytest.raises(ValueError):
+            S.unimax_alloc(sel, "lang", "__w", budget_mult=1.6, epoch_cap=-1.0)
