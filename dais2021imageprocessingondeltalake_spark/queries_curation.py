@@ -2758,9 +2758,57 @@ def q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_unimax_manifest",
-    oracle=f"""
+def _unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The |langs|-row repetition plan (lang, __n_full, __frac) the
+    manifest composites broadcast — one allocation derivation shared by
+    the batch manifest and its streamed shape, no drift."""
+    docs = load_table(spark, "documents", sf_dir)
+    ua = S.unimax_alloc(
+        docs.select("lang", TX.token_count(F.col("text")).alias("__w")),
+        strata_col="lang",
+        weight_col="__w",
+        budget_mult=_UNIMAX_BUDGET_MULT,
+        epoch_cap=_UNIMAX_EPOCH_CAP,
+    )
+    return ua.select(
+        "lang",
+        F.floor("epochs").cast("bigint").alias("__n_full"),
+        F.round(F.col("epochs") - F.floor("epochs"), 6).alias("__frac"),
+    )
+
+
+def _unimax_copies(rows: DataFrame, plan: DataFrame) -> DataFrame:
+    """Expand (doc_id, lang) rows into the (doc_id, lang, copy_idx)
+    repetition manifest under a broadcast plan — stateless per row
+    given the plan, which is what lets the streamed shape run it
+    unchanged per micro-batch."""
+    digest = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("umx"))), 1, 8
+    )
+    copies = (
+        rows.select("doc_id", "lang")
+        .join(F.broadcast(plan), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("__n_full")
+                + F.when(
+                    digest < S._hex_threshold_col(F.col("__frac")), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("__n_copies"),
+        )
+    )
+    return copies.filter(F.col("__n_copies") > 0).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(F.lit(1), F.col("__n_copies").cast("int"))
+        ).alias("copy_idx"),
+    )
+
+
+_UNIMAX_MANIFEST_ORACLE = f"""
     WITH {_unimax_ctes(_UNIMAX_BUDGET_MULT, _UNIMAX_EPOCH_CAP)},
     pl AS (
       SELECT lang, CAST(floor(epochs) AS BIGINT) AS n_full,
@@ -2783,8 +2831,10 @@ def q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang,
            CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_idx
     FROM copies WHERE n_copies > 0
-    """,
-)
+    """
+
+
+@query("q_unimax_manifest", oracle=_UNIMAX_MANIFEST_ORACLE)
 def q_unimax_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute the UniMax allocation as a REPETITION MANIFEST — the
     composite that turns q_unimax_alloc's per-language epoch counts
@@ -2801,39 +2851,31 @@ def q_unimax_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode(sequence(1, n_copies)) bounded by the epoch cap — output
     <= cap x corpus rows, no shuffle of the corpus itself."""
     docs = load_table(spark, "documents", sf_dir)
-    ua = S.unimax_alloc(
-        docs.select("lang", TX.token_count(F.col("text")).alias("__w")),
-        strata_col="lang",
-        weight_col="__w",
-        budget_mult=_UNIMAX_BUDGET_MULT,
-        epoch_cap=_UNIMAX_EPOCH_CAP,
+    return _unimax_copies(docs, _unimax_plan(spark, sf_dir))
+
+
+@query("q_stream_unimax", oracle=_UNIMAX_MANIFEST_ORACLE)
+def q_stream_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE-INGEST UniMax manifest — the repetition plan derived ONCE
+    from the standing corpus snapshot (the policy-from-snapshot shape
+    every streamed mixer here uses: a global allocation cannot run
+    statelessly inside the stream), then each arriving micro-batch of
+    documents expands against the broadcast |langs|-row plan in
+    flight. The per-row expansion is stateless given the frozen plan,
+    so the fold is order-independent and published batch_id-idempotent
+    (dynamic partition overwrite) — the merged store equals the batch
+    manifest VERBATIM and the batch oracle certifies the stream. With
+    this, the repetition side of mixing has both execution shapes,
+    like the margin-mining and curation tiers before it."""
+    from .queries_streaming import _stream_fold_partials, _write_partial
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _unimax_plan(spark, sf_dir).localCheckpoint()
+
+    def fold(batch_df: DataFrame, out: str, bid: int) -> None:
+        _write_partial(_unimax_copies(batch_df, plan), out, bid)
+
+    partials = _stream_fold_partials(
+        spark, "stream_unimax_", docs.select("doc_id", "lang"), fold
     )
-    pl = ua.select(
-        "lang",
-        F.floor("epochs").cast("bigint").alias("__n_full"),
-        F.round(F.col("epochs") - F.floor("epochs"), 6).alias("__frac"),
-    )
-    digest = F.substring(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("umx"))), 1, 8
-    )
-    copies = (
-        docs.select("doc_id", "lang")
-        .join(F.broadcast(pl), "lang")
-        .select(
-            "doc_id",
-            "lang",
-            (
-                F.col("__n_full")
-                + F.when(
-                    digest < S._hex_threshold_col(F.col("__frac")), F.lit(1)
-                ).otherwise(F.lit(0))
-            ).alias("__n_copies"),
-        )
-    )
-    return copies.filter(F.col("__n_copies") > 0).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.sequence(F.lit(1), F.col("__n_copies").cast("int"))
-        ).alias("copy_idx"),
-    )
+    return spark.read.parquet(partials).select("doc_id", "lang", "copy_idx")

@@ -1720,3 +1720,20 @@ class TestUnimax:
             S.unimax_alloc(sel, "lang", "__w", budget_mult=0.0, epoch_cap=2.0)
         with pytest.raises(ValueError):
             S.unimax_alloc(sel, "lang", "__w", budget_mult=1.6, epoch_cap=-1.0)
+
+    def test_stream_equals_batch_manifest(self, spark):
+        """The streamed shape merges to EXACTLY the batch manifest —
+        the frozen-plan + stateless-expansion argument, asserted
+        row-for-row (not just through the shared oracle)."""
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        batch = {
+            (r["doc_id"], r["lang"], r["copy_idx"])
+            for r in q.REGISTRY["q_unimax_manifest"].fn(spark, SF_DIR).collect()
+        }
+        streamed = [
+            (r["doc_id"], r["lang"], r["copy_idx"])
+            for r in q.REGISTRY["q_stream_unimax"].fn(spark, SF_DIR).collect()
+        ]
+        assert len(streamed) == len(set(streamed)) == len(batch)
+        assert set(streamed) == batch
