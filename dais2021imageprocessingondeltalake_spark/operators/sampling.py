@@ -247,9 +247,17 @@ def unimax_alloc(
     if epoch_cap <= 0.0:
         raise ValueError(f"epoch_cap must be > 0, got {epoch_cap}")
     weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    dom = df.groupBy(strata_col).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(weight.cast("bigint")).alias("n_tokens"),
+    # The |strata|-row aggregate feeds FOUR downstream subtrees (budget,
+    # ranking, cap frame, water level); without truncation each replays
+    # the corpus scan — 4 full passes at 100 TB for 5 rows of state.
+    # localCheckpoint pins the tiny frame so the corpus is read ONCE.
+    dom = (
+        df.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(weight.cast("bigint")).alias("n_tokens"),
+        )
+        .localCheckpoint()
     )
     tot = dom.agg(
         (F.sum("n_tokens").cast("double") * F.lit(float(budget_mult))).alias(
