@@ -235,7 +235,7 @@ def build_scaled_embeddings(base_dir: str, factor: int, out_dir: Path, seed: int
 
 ALL_COMPONENTS = (
     "docs", "sem", "knn", "gram", "margin", "marginpq", "train",
-    "ivfadc", "ivfadcres", "csize", "xpq", "xres", "div",
+    "ivfadc", "ivfadcres", "csize", "xpq", "xres", "div", "mix",
 )
 
 
@@ -390,6 +390,76 @@ def main() -> int:
                 )
                 point["logreg_secs"] = round(time.perf_counter() - t0, 2)
                 point["logreg_w_intercept"] = dict(w)["intercept"]
+
+            if "mix" in want:
+                # NEW r8 mixing tier: the UniMax allocation is ONE
+                # corpus pass into a |langs|-row waterfilling frame, and
+                # the repetition manifest is a broadcast plan join + an
+                # explode bounded by the epoch cap — both should stay
+                # ~linear in corpus tokens. The realized-vs-target token
+                # deviation is recorded alongside the wall so linearity
+                # can't be bought by emitting garbage copies.
+                from dais2021imageprocessingondeltalake_spark.operators import (
+                    sampling as SA,
+                )
+                from dais2021imageprocessingondeltalake_spark.operators import (
+                    text as TXT,
+                )
+                from dais2021imageprocessingondeltalake_spark.queries_curation import (
+                    _unimax_copies,
+                )
+
+                mpath = build_scaled_corpus(args.base, k, scratch)
+                mdocs = spark.read.parquet(mpath)
+                if "n_docs" not in point:
+                    point["n_docs"] = mdocs.count()
+                sel = mdocs.select(
+                    "lang", TXT.token_count(F.col("text")).alias("__w")
+                )
+                t0 = time.perf_counter()
+                ua = SA.unimax_alloc(
+                    sel, strata_col="lang", weight_col="__w",
+                    budget_mult=1.6, epoch_cap=2.0,
+                ).localCheckpoint()
+                ua_rows = ua.collect()
+                point["unimax_alloc_secs"] = round(time.perf_counter() - t0, 2)
+                point["unimax_langs"] = len(ua_rows)
+                point["unimax_n_capped"] = sum(1 for r in ua_rows if r["capped"])
+                plan = ua.select(
+                    "lang",
+                    F.floor("epochs").cast("bigint").alias("__n_full"),
+                    F.round(F.col("epochs") - F.floor("epochs"), 6).alias(
+                        "__frac"
+                    ),
+                )
+                t0 = time.perf_counter()
+                man = _unimax_copies(mdocs.select("doc_id", "lang"), plan)
+                realized = (
+                    man.join(
+                        mdocs.select(
+                            "doc_id",
+                            TXT.token_count(F.col("text")).alias("__t"),
+                        ),
+                        "doc_id",
+                    )
+                    .groupBy("lang")
+                    .agg(
+                        F.count(F.lit(1)).alias("rows"),
+                        F.sum("__t").alias("rt"),
+                    )
+                    .collect()
+                )
+                point["unimax_manifest_secs"] = round(
+                    time.perf_counter() - t0, 2
+                )
+                point["unimax_manifest_rows"] = sum(r["rows"] for r in realized)
+                target = {r["lang"]: r["alloc_tokens"] for r in ua_rows}
+                point["unimax_track_maxdev_x10k"] = int(
+                    10000
+                    * max(
+                        abs(r["rt"] / target[r["lang"]] - 1.0) for r in realized
+                    )
+                )
 
             if want & {"sem", "knn", "gram", "margin", "marginpq",
                        "ivfadc", "ivfadcres", "csize", "xpq", "xres", "div"}:
