@@ -265,6 +265,9 @@ def unimax_alloc(
         ),
         F.count(F.lit(1)).alias("__d"),
     )
+    # dim-sized window: input is the post-agg |strata|-row frame
+    # (languages/domains — a vocabulary, not the corpus), so the
+    # partitionless sort is bounded regardless of corpus size.
     w_ord = Window.orderBy("capacity", strata_col)
     ranked = (
         dom.crossJoin(F.broadcast(tot))
@@ -293,6 +296,7 @@ def unimax_alloc(
     capped = cond.withColumn(
         "capped",
         F.min("__cond").over(
+            # dim-sized window: same |strata|-row frame as w_ord above.
             Window.orderBy("__rn").rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
             )
