@@ -2808,8 +2808,11 @@ def _unimax_copies(rows: DataFrame, plan: DataFrame) -> DataFrame:
     )
 
 
-_UNIMAX_MANIFEST_ORACLE = f"""
-    WITH {_unimax_ctes(_UNIMAX_BUDGET_MULT, _UNIMAX_EPOCH_CAP)},
+def _unimax_manifest_ctes() -> str:
+    """WITH-chain (after ``WITH``) ending in ``man(doc_id, lang,
+    copy_idx)`` — shared by the manifest queries and the pack
+    composite."""
+    return f"""{_unimax_ctes(_UNIMAX_BUDGET_MULT, _UNIMAX_EPOCH_CAP)},
     pl AS (
       SELECT lang, CAST(floor(epochs) AS BIGINT) AS n_full,
              round(epochs - floor(epochs), 6) AS frac
@@ -2827,10 +2830,16 @@ _UNIMAX_MANIFEST_ORACLE = f"""
                                               || 'umx'), 1, 8) < t.thr
                              THEN 1 ELSE 0 END AS n_copies
       FROM documents d JOIN thr t USING (lang)
-    )
-    SELECT doc_id, lang,
-           CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_idx
-    FROM copies WHERE n_copies > 0
+    ), man AS (
+      SELECT doc_id, lang,
+             CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_idx
+      FROM copies WHERE n_copies > 0
+    )"""
+
+
+_UNIMAX_MANIFEST_ORACLE = f"""
+    WITH {_unimax_manifest_ctes()}
+    SELECT doc_id, lang, copy_idx FROM man
     """
 
 
@@ -2879,3 +2888,74 @@ def q_stream_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "stream_unimax_", docs.select("doc_id", "lang"), fold
     )
     return spark.read.parquet(partials).select("doc_id", "lang", "copy_idx")
+
+
+
+_UNIMAX_PACK_ORACLE = f"""
+    WITH {_unimax_manifest_ctes()},
+    d AS (
+      SELECT m.doc_id, m.copy_idx,
+             m.doc_id * 8 + m.copy_idx AS item_id,
+             CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_len,
+             md5(CAST(m.doc_id * 8 + m.copy_idx AS VARCHAR)) AS okey
+      FROM man m JOIN documents doc USING (doc_id)
+    ), o AS (
+      SELECT doc_id, copy_idx, item_id, n_len,
+             CAST(COALESCE(sum(n_len) OVER (
+                    ORDER BY okey, item_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS off
+      FROM d WHERE n_len > 0
+    ), s AS (
+      SELECT doc_id, copy_idx, n_len, off,
+             CAST(unnest(generate_series(off // 2048,
+                                         (off + n_len - 1) // 2048))
+                  AS BIGINT) AS seq_id
+      FROM o
+    )
+    SELECT doc_id, copy_idx, seq_id,
+           greatest(CAST(0 AS BIGINT), seq_id * 2048 - off) AS doc_from,
+           least(n_len, seq_id * 2048 + 2048 - off) AS doc_to,
+           greatest(CAST(0 AS BIGINT), off - seq_id * 2048) AS pos_in_seq,
+           least(n_len, seq_id * 2048 + 2048 - off)
+             - greatest(CAST(0 AS BIGINT), seq_id * 2048 - off) AS n_tok
+    FROM s
+    """
+
+
+@query("q_unimax_pack", oracle=_UNIMAX_PACK_ORACLE)
+def q_unimax_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix -> manifest -> pack, end-to-end: the UniMax repetition
+    manifest fed straight into concat-and-chunk sequence packing — the
+    full mixture-execution path a pretraining run ships (allocate the
+    budget, materialize the per-copy manifest, lay the token stream
+    into fixed-2048 training sequences). Each manifest row becomes an
+    independent packable item keyed item_id = doc_id*8 + copy_idx
+    (copy_idx <= epoch cap << 8, so the key is unique and the
+    md5-order re-deal treats each COPY as its own document — the two
+    copies of a capped doc land at independent stream positions, the
+    decorrelation epoch re-shuffling exists to provide). Scale shape:
+    the manifest's broadcast-join + bounded explode, one equi-join to
+    the token counts, then pack_sequences' single range shuffle
+    (parallel_prefix_sum offsets — never a single-reducer window);
+    arithmetic all-integer past the 6dp-rounded epochs, so the whole
+    composition replays bit-exactly in SQL."""
+    docs = load_table(spark, "documents", sf_dir)
+    man = _unimax_copies(docs, _unimax_plan(spark, sf_dir))
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_len")
+    )
+    items = man.join(toks, "doc_id").select(
+        (F.col("doc_id") * F.lit(8) + F.col("copy_idx")).alias("item_id"),
+        "n_len",
+    )
+    spans = S.pack_sequences(items, "item_id", "n_len", capacity=2048)
+    return spans.select(
+        F.expr("item_id DIV 8").alias("doc_id"),
+        (F.col("item_id") % F.lit(8)).cast("int").alias("copy_idx"),
+        "seq_id",
+        "doc_from",
+        "doc_to",
+        "pos_in_seq",
+        "n_tok",
+    )

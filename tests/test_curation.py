@@ -1737,3 +1737,32 @@ class TestUnimax:
         ]
         assert len(streamed) == len(set(streamed)) == len(batch)
         assert set(streamed) == batch
+
+    def test_pack_composite_lays_out_manifest_tokens(self, spark):
+        """Mix -> manifest -> pack: every sequence except the last is
+        exactly full, and the packed token total equals the manifest's
+        token total (each copy contributes its full document)."""
+        from collections import Counter
+
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+
+        spans = q.REGISTRY["q_unimax_pack"].fn(spark, SF_DIR).collect()
+        per_seq = Counter()
+        for r in spans:
+            per_seq[r["seq_id"]] += r["n_tok"]
+        last = max(per_seq)
+        assert all(v == 2048 for s_, v in per_seq.items() if s_ != last)
+        assert 0 < per_seq[last] <= 2048
+        man = q.REGISTRY["q_unimax_manifest"].fn(spark, SF_DIR)
+        docs = load_table(spark, "documents", SF_DIR).select(
+            "doc_id", TX.token_count(F.col("text")).alias("n_len")
+        )
+        man_tokens = (
+            man.join(docs, "doc_id").agg(F.sum("n_len")).collect()[0][0]
+        )
+        assert sum(per_seq.values()) == man_tokens
+        # a doc capped at 2 epochs occupies two INDEPENDENT stream spots
+        two = [
+            (r["doc_id"], r["copy_idx"]) for r in spans if r["copy_idx"] == 2
+        ]
+        assert two
