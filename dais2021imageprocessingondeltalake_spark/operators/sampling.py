@@ -326,7 +326,13 @@ def unimax_alloc(
         "capacity",
         "capped",
         F.round(alloc, 6).alias("alloc_tokens"),
-        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        # a zero-token stratum (capacity 0, always capped, alloc 0) would
+        # make alloc/n_tokens NULL and silently drop the stratum's docs
+        # from the repetition manifest downstream — emit epochs=0.0 so
+        # _unimax_plan's n_full/frac stay non-null (ADVICE r8)
+        F.when(F.col("n_tokens") > 0, F.round(alloc / F.col("n_tokens"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
         F.round(alloc / F.col("__budget"), 6).alias("budget_share"),
     )
 

@@ -2670,6 +2670,18 @@ def q_reweight_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNIMAX_BUDGET_MULT = 1.6
 _UNIMAX_EPOCH_CAP = 2.0
 
+# q_unimax_pack encodes each manifest row as item_id = doc_id * STRIDE +
+# copy_idx and decodes with DIV/%; copy_idx ranges over [0, floor(cap)]
+# (the fractional copy reuses index n_full), so the stride must strictly
+# exceed the largest copy_idx or a future cap raise silently corrupts the
+# packed doc_id/copy_idx decode (ADVICE r8). The guard fails loudly at
+# import time instead.
+_UNIMAX_PACK_STRIDE = 8
+assert int(_UNIMAX_EPOCH_CAP) + 1 < _UNIMAX_PACK_STRIDE, (
+    f"_UNIMAX_PACK_STRIDE={_UNIMAX_PACK_STRIDE} cannot encode copy_idx up "
+    f"to {int(_UNIMAX_EPOCH_CAP)} distinctly — raise the stride with the cap"
+)
+
 
 def _unimax_ctes(budget_mult: float, epoch_cap: float) -> str:
     """WITH-chain (after ``WITH``) ending in ``ua(lang, n_docs, n_tokens,
@@ -2895,9 +2907,9 @@ _UNIMAX_PACK_ORACLE = f"""
     WITH {_unimax_manifest_ctes()},
     d AS (
       SELECT m.doc_id, m.copy_idx,
-             m.doc_id * 8 + m.copy_idx AS item_id,
+             m.doc_id * {_UNIMAX_PACK_STRIDE} + m.copy_idx AS item_id,
              CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_len,
-             md5(CAST(m.doc_id * 8 + m.copy_idx AS VARCHAR)) AS okey
+             md5(CAST(m.doc_id * {_UNIMAX_PACK_STRIDE} + m.copy_idx AS VARCHAR)) AS okey
       FROM man m JOIN documents doc USING (doc_id)
     ), o AS (
       SELECT doc_id, copy_idx, item_id, n_len,
@@ -2946,13 +2958,15 @@ def q_unimax_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split("text", " ")).alias("n_len")
     )
     items = man.join(toks, "doc_id").select(
-        (F.col("doc_id") * F.lit(8) + F.col("copy_idx")).alias("item_id"),
+        (F.col("doc_id") * F.lit(_UNIMAX_PACK_STRIDE) + F.col("copy_idx")).alias(
+            "item_id"
+        ),
         "n_len",
     )
     spans = S.pack_sequences(items, "item_id", "n_len", capacity=2048)
     return spans.select(
-        F.expr("item_id DIV 8").alias("doc_id"),
-        (F.col("item_id") % F.lit(8)).cast("int").alias("copy_idx"),
+        F.expr(f"item_id DIV {_UNIMAX_PACK_STRIDE}").alias("doc_id"),
+        (F.col("item_id") % F.lit(_UNIMAX_PACK_STRIDE)).cast("int").alias("copy_idx"),
         "seq_id",
         "doc_from",
         "doc_to",

@@ -118,6 +118,13 @@ def _read_log(table: str) -> list[dict]:
             entries = _read_log_once(table)
         except FileNotFoundError:
             continue  # commit file expired between glob and open — retry
+        except (json.JSONDecodeError, KeyError):
+            # third race variant: a commit/checkpoint file created via
+            # O_EXCL whose json.dump has not finished yet (or a torn
+            # file) — retry like a vanished file so in-progress writes
+            # get the same grace as deleted ones
+            time.sleep(0.01)
+            continue
         if not entries:
             return entries
         versions = [e["version"] for e in entries]
@@ -257,7 +264,28 @@ def checkpoint(table: str) -> int:
                 f"checkpoint at version {version} of {table} already exists"
             ) from e
         # orphan from a crash between file write and pointer replace:
-        # finish the interrupted publication (identical content)
+        # finish the interrupted publication — but VALIDATE first. A
+        # crash mid-json.dump (or a concurrent checkpointer still
+        # writing through its own fd) leaves a torn/empty file;
+        # publishing it as authoritative would make every subsequent
+        # _read_log raise and let expire_log delete the only copy of
+        # the pre-checkpoint commits. Adopt the orphan only if it
+        # parses AND replays to exactly this log; otherwise rewrite it
+        # atomically (temp file + os.replace) before repointing.
+        try:
+            with open(path) as f:
+                existing = json.load(f)
+            intact = (
+                existing.get("version") == version
+                and existing.get("entries") == log
+            )
+        except (json.JSONDecodeError, OSError):
+            intact = False
+        if not intact:
+            tmp_ckpt = _log_path(table) / f".{path.name}.tmp"
+            with open(tmp_ckpt, "w") as f:
+                json.dump(ckpt, f)
+            os.replace(tmp_ckpt, path)
     else:
         with os.fdopen(fd, "w") as f:
             json.dump(ckpt, f)

@@ -1721,6 +1721,30 @@ class TestUnimax:
         with pytest.raises(ValueError):
             S.unimax_alloc(sel, "lang", "__w", budget_mult=1.6, epoch_cap=-1.0)
 
+    def test_zero_token_stratum_yields_zero_epochs(self, spark):
+        """ADVICE r8 (low): a stratum whose documents total ZERO tokens
+        (capacity 0, always capped, alloc 0) must emit epochs=0.0 — not
+        NULL from alloc/0 — so _unimax_plan's n_full/frac stay non-null
+        and the stratum is dropped EXPLICITLY (0 copies) rather than
+        silently by null propagation."""
+        rows = spark.createDataFrame(
+            [("en", 40), ("en", 60), ("empty", 0), ("empty", 0), ("fr", 30)],
+            "lang string, __w int",
+        )
+        out = {
+            r["lang"]: r
+            for r in S.unimax_alloc(
+                rows, "lang", "__w", budget_mult=1.0, epoch_cap=2.0
+            ).collect()
+        }
+        z = out["empty"]
+        assert z["n_tokens"] == 0 and z["capacity"] == 0.0 and z["capped"]
+        assert z["alloc_tokens"] == 0.0
+        assert z["epochs"] == 0.0  # was NULL before the guard
+        assert z["budget_share"] == 0.0
+        # non-degenerate strata unaffected
+        assert all(out[k]["epochs"] is not None for k in ("en", "fr"))
+
     def test_stream_equals_batch_manifest(self, spark):
         """The streamed shape merges to EXACTLY the batch manifest —
         the frozen-plan + stateless-expansion argument, asserted

@@ -327,6 +327,56 @@ class TestCheckpointRecovery:
             0, 1, 2, 10, 11, 12, 20, 21, 22,
         ]
 
+    def test_torn_orphan_checkpoint_is_rewritten(self, spark, tmp_path):
+        """ADVICE r8 (high): a crash MID-json.dump leaves a torn/empty
+        orphan checkpoint file. Recovery must validate the orphan before
+        repointing _last_checkpoint at it — publishing the torn file
+        would make every subsequent _read_log raise and let expire_log
+        destroy the only copy of the pre-checkpoint commits."""
+        import json
+
+        V, t = self._mk(spark, tmp_path)
+        log = V._read_log(t)
+        version = log[-1]["version"]
+        for torn in ("", '{"version": 2, "entr'):  # empty / mid-dump crash
+            with open(V._ckpt_path(t, version), "w") as f:
+                f.write(torn)
+            assert V.checkpoint(t) == version  # rewrite, not adopt
+            # the published checkpoint must parse and replay the full log
+            with open(V._ckpt_path(t, version)) as f:
+                ckpt = json.load(f)
+            assert ckpt["entries"] == log
+            assert V._read_log(t) == log
+            # reset pointer so the next torn variant re-exercises recovery
+            import os
+
+            os.remove(V._log_path(t) / V._LAST_CKPT)
+        # a stale-but-valid orphan whose entries mismatch (e.g. a bug or a
+        # foreign table's file landing here) is also rewritten, not adopted
+        with open(V._ckpt_path(t, version), "w") as f:
+            json.dump({"version": version, "timestamp": 0.0, "entries": log[:1]}, f)
+        assert V.checkpoint(t) == version
+        with open(V._ckpt_path(t, version)) as f:
+            assert json.load(f)["entries"] == log
+        assert V.expire_log(t) == [f"{v:020d}.json" for v in (0, 1, 2)]
+        assert sorted(r["k"] for r in V.versioned_read(spark, t).collect()) == [
+            0, 1, 2, 10, 11, 12, 20, 21, 22,
+        ]
+
+    def test_torn_commit_file_read_raises_after_retries(self, spark, tmp_path):
+        """ADVICE r8 (medium): a commit file created via O_EXCL whose
+        json.dump has not finished parses as torn JSON. _read_log must
+        treat it like a vanished file (retry — in production the writer
+        finishes within the grace window) and surface the bounded-retry
+        VersionConflictError if it never heals, not JSONDecodeError."""
+        import pytest
+
+        V, t = self._mk(spark, tmp_path)
+        with open(V._entry_path(t, 3), "w") as f:
+            f.write('{"version": 3, "op')  # torn: writer died mid-dump
+        with pytest.raises(V.VersionConflictError, match="racing|corrupt"):
+            V._read_log(t)
+
     def test_truncated_log_read_is_detected(self, spark, tmp_path):
         """A log whose version-0 prefix vanished WITHOUT a checkpoint
         pointer (the reader side of the checkpoint+expire race, or real
