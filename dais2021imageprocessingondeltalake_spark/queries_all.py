@@ -34,21 +34,21 @@ from .registry import REGISTRY, headline_queries, oracle_sql, queries  # noqa: F
 # them via ``queries()``/``oracle_sql()`` and the repo's own dual-scale sweep
 # (tools/verify_sweep.py) checks every oracle at sf0.01 AND sf0.1 each round.
 #
-# Window changes r7 -> r8 (per VERDICT r7 items 1 and 5; nothing
+# Window changes r8 -> r9 (per VERDICT r8 items 1 and 6; nothing
 # unregistered):
-# - The 15 r7-certified rotating slots (training tier, packing,
-#   IVF-margin trio, data-plane tier — all green in CORRECTNESS_r07)
+# - The 15 r8-certified rotating slots (PQ flagship tier + carried
+#   deferrals + experiment tracking — all green in CORRECTNESS_r08)
 #   rotate to the queue tail.
-# - In come the ids VERDICT r7 item 1 names: the r7 PQ flagship tier
-#   (ADC-shortlisted margin miner, its 0.85-floor recall report, the
-#   beyond-residency sharded scan, the cross-corpus incremental miner +
-#   its recall report, the live-ingest streamed variant, the bitext
-#   mine->assemble->pack composition, hard-negative mining, the
-#   PQ-accelerated batch kNN join, and the certified sized-nprobe
-#   decision) — 10 ids — plus the four carried deferrals
-#   (q_ngram_jaccard_prefix, q_dedup_spans, q_embedding_topk,
-#   q_embedding_ann_q8) and the never-gated q_experiment_tracking
-#   (VERDICT r7 item 5), filling all 15 rotating slots.
+# - In come the 13 ids VERDICT r8 item 1 names explicitly: the IVFADC
+#   tier (recall/budget curve, sized fraction decision, miner at the
+#   sized operating point, shortlist C-multiplier curve + sizing
+#   decision, cell-pruned kNN join, incremental-ingest miner,
+#   live-ingest stream), the three residual-encoding ids, and the two
+#   diversity-selection ids — then "mixing/DoReMi ids next" fills the
+#   last 2 slots with q_domain_reweight + q_reweight_apply. Item 6's
+#   remaining mixing ids (the UniMax trio) and the residual x-shapes
+#   exceed the 15-slot budget (13 named + 5 mixing = 18 > 15) and head
+#   the r10 queue below — the item-1 priority order decided the cut.
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # SURVEY §2 resident set (35)
@@ -87,24 +87,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_scan_binary",
     "q_stream_agg",
     "q_stream_window",
-    # Rotation head promoted for r8 (VERDICT r7 items 1 + 5): the r7 PQ
-    # flagship tier gets driver certification, plus the carried deferrals
-    # and the never-gated experiment-tracking id.
-    "q_margin_mine_pq",
-    "q_margin_pq_recall",
-    "q_margin_pq_sharded",
-    "q_margin_pq_xcorpus",
-    "q_margin_xcorpus_recall",
-    "q_stream_margin_pq",
-    "q_bitext_pack",
-    "q_hard_negatives",
-    "q_knn_join_pq",
-    "q_margin_nprobe_sized",
-    "q_ngram_jaccard_prefix",
-    "q_dedup_spans",
-    "q_embedding_topk",
-    "q_embedding_ann_q8",
-    "q_experiment_tracking",
+    # Rotation head promoted for r9 (VERDICT r8 items 1 + 6): the r8
+    # IVFADC / residual / diversity tier gets driver certification, plus
+    # the first two mixing ids (DoReMi) in the item-1 priority order.
+    "q_margin_ivfadc_curve",
+    "q_margin_ivfadc_sized",
+    "q_margin_mine_ivfadc",
+    "q_margin_pq_c_curve",
+    "q_margin_c_sized",
+    "q_knn_join_ivfadc",
+    "q_margin_ivfadc_xcorpus",
+    "q_stream_margin_ivfadc",
+    "q_margin_ivfadc_res_curve",
+    "q_margin_ivfadc_res_sized",
+    "q_margin_mine_ivfadc_res",
+    "q_kcenter_select",
+    "q_mmr_select",
+    "q_domain_reweight",
+    "q_reweight_apply",
 )
 
 # --- Promoted-set ledger (VERDICT r5 item 1b) --------------------------------
@@ -114,7 +114,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # registered (their green rows are history, and the dual-scale sweep keeps
 # checking their oracles). Rotations update CURRENT_ROUND + append one entry
 # here instead of hand-editing a test.
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
     4: (
         "q_minhash_lsh_md5",
@@ -201,32 +201,39 @@ PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
         "q_embedding_ann_q8",
         "q_experiment_tracking",
     ),
+    9: (
+        "q_margin_ivfadc_curve",
+        "q_margin_ivfadc_sized",
+        "q_margin_mine_ivfadc",
+        "q_margin_pq_c_curve",
+        "q_margin_c_sized",
+        "q_knn_join_ivfadc",
+        "q_margin_ivfadc_xcorpus",
+        "q_stream_margin_ivfadc",
+        "q_margin_ivfadc_res_curve",
+        "q_margin_ivfadc_res_sized",
+        "q_margin_mine_ivfadc_res",
+        "q_kcenter_select",
+        "q_mmr_select",
+        "q_domain_reweight",
+        "q_reweight_apply",
+    ),
 }
 
 # Priority order for slots 51+; ids not listed here follow in their original
 # registration order. Rounds 7+ rotate these into freed window slots.
 ROTATION_QUEUE: tuple[str, ...] = (
-    # r9 head: the r8 IVFADC tier (the sub-quadratic-scan composition,
-    # VERDICT r7 item 2) and the r8 shortlist-sizing curve, then the
+    # r10 head: the r8/r9 ids the 15-slot r9 budget could not fit — the
+    # UniMax mixing trio + its pack composite (VERDICT r8 item 6 tail)
+    # and the residual-index serving/ingest/stream shapes — then the
     # r6-certified tiers that have never re-gated
-    "q_margin_ivfadc_curve",  # NEW r8: cell-pruned ADC recall/budget ladder
-    "q_margin_ivfadc_sized",  # NEW r8: sized fraction decision (always reaches)
-    "q_margin_mine_ivfadc",  # NEW r8: the miner at the sized operating point
-    "q_margin_pq_c_curve",  # NEW r8: shortlist C-multiplier recall ladder
-    "q_margin_c_sized",  # NEW r8: C sizing decision + production-rule audit
-    "q_knn_join_ivfadc",  # NEW r8: cell-pruned serving-path ANN join
-    "q_margin_ivfadc_xcorpus",  # NEW r8: cell-pruned incremental-ingest miner
-    "q_stream_margin_ivfadc",  # NEW r8: live-ingest cell-pruned miner
-    "q_margin_ivfadc_res_curve",  # NEW r8: RESIDUAL-encoding recall ladder
-    "q_margin_ivfadc_res_sized",  # NEW r8: residual sized decision (cheaper rung)
-    "q_margin_mine_ivfadc_res",  # NEW r8: true-IVFADC miner (residual codes)
-    "q_kcenter_select",  # NEW r8: greedy k-center core-set selection
-    "q_mmr_select",  # NEW r8: maximal-marginal-relevance diverse top-k
+    "q_unimax_alloc",  # NEW r8: UniMax epoch-capped waterfilling allocation
+    "q_unimax_manifest",  # NEW r8: per-(doc,copy) repetition manifest
+    "q_stream_unimax",  # NEW r8: live-ingest manifest shape (batch oracle)
+    "q_unimax_pack",  # NEW r8: mix -> manifest -> pack composite
     "q_margin_ivfadc_res_xcorpus",  # NEW r8: residual-index incremental ingest
     "q_knn_join_ivfadc_res",  # NEW r8: residual-index serving ANN join
     "q_stream_margin_ivfadc_res",  # NEW r8: residual-index live-ingest stream
-    "q_domain_reweight",  # NEW r8: DoReMi-shaped loss-aware domain mixture
-    "q_reweight_apply",  # NEW r8: the mixture executed as a sampling plan
     "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
     "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
     "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)
@@ -397,6 +404,23 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_negative_sample",
     "q_epoch_shuffle",
     "q_profile_drift",
+    # r8-certified ids rotated OUT of the window in r9 (each holds a green
+    # CORRECTNESS_r08 row; the dual-scale sweep keeps their oracles checked)
+    "q_margin_mine_pq",
+    "q_margin_pq_recall",
+    "q_margin_pq_sharded",
+    "q_margin_pq_xcorpus",
+    "q_margin_xcorpus_recall",
+    "q_stream_margin_pq",
+    "q_bitext_pack",
+    "q_hard_negatives",
+    "q_knn_join_pq",
+    "q_margin_nprobe_sized",
+    "q_ngram_jaccard_prefix",
+    "q_dedup_spans",
+    "q_embedding_topk",
+    "q_embedding_ann_q8",
+    "q_experiment_tracking",
 )
 
 
