@@ -31,6 +31,26 @@ from dais2021imageprocessingondeltalake_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # Quiet-box gate (VERDICT r8 item 7): the r7/r8 tails showed 1-min
+    # load 5-10 around the timed block, making drift ambiguous. Before
+    # starting the JVM (i.e. before ANY self-load), wait — bounded — for
+    # the EXTERNAL load to drop under the threshold, and record both the
+    # wait and the preflight load. load_1m_before/after still bracket
+    # the timed block, but they include bench's own warmup on a
+    # 32-thread box (the session warmup alone pushes 1-min load past 2),
+    # so load_1m_preflight is the number that certifies external quiet.
+    quiet_thresh = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
+    quiet_max = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_MAX", "150"))
+    wait_t0 = time.perf_counter()
+    while (
+        os.getloadavg()[0] >= quiet_thresh
+        and time.perf_counter() - wait_t0 < quiet_max
+    ):
+        time.sleep(5.0)
+    load_preflight = round(os.getloadavg()[0], 1)
+    load_wait = round(time.perf_counter() - wait_t0, 1)
+
     spark = get_spark(app_name="bench")
 
     # warm up the JVM, codegen, and parquet reader so per-query timings
@@ -99,6 +119,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_1m_preflight": load_preflight,
+                "load_wait_secs": load_wait,
                 "load_1m_before": load_before,
                 "load_1m_after": round(os.getloadavg()[0], 1),
             }

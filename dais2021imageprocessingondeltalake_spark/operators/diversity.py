@@ -128,6 +128,98 @@ def kcenter_select(
     )
 
 
+def kcenter_select_fused(
+    df: DataFrame,
+    k: int,
+    batch_rounds: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fused farthest-first traversal (VERDICT r8 item 5 — the 100 TB
+    form the one-per-round docstring defers to): SAME trajectory as
+    kcenter_select, ~batch_rounds× fewer corpus scans. Each pass scans
+    once, collects the top-(batch_rounds+1) candidates by stale
+    min-dist, then accepts a PREFIX driver-side: candidate i is
+    accepted iff its RE-VALIDATED min-dist — recomputed against the
+    candidates accepted earlier in the same pass, with the identical
+    rounded-cosine arithmetic — still clears the (i+1)-th candidate's
+    stale min-dist by one rounding quantum (10^-round_dp). Every other
+    corpus point's true min-dist is bounded above by its stale value
+    ≤ that stale bound (adding centers only shrinks min-dists), so the
+    accepted candidate is the UNIQUE argmax the one-per-round greedy
+    would select — the fused trajectory is bit-identical, not merely
+    equivalent-or-better on coverage radius (tested). The quantum
+    margin makes the dominance test robust to sub-ulp BLAS-shape
+    differences between the batched UDF and the driver-side
+    re-validation: a candidate that cannot clear it strictly ends the
+    pass and the next scan re-ranks exactly. Worst case (every
+    consecutive gap sub-quantum) degenerates to one accept per scan =
+    the certified one-per-round form; Gonzalez geometry (min-dists
+    strictly fall across distinct selections) accepts most of the
+    batch.
+
+    Scale shape per pass: one corpus scan against the ≤ k·dim broadcast
+    + ONE top-(b+1) TakeOrderedAndProject collect — so the k-round loop
+    costs ⌈k/accepted-per-pass⌉ Spark jobs instead of k."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"kcenter_select_fused requires k >= 1, got {k}")
+    if batch_rounds < 1:
+        raise ValueError(
+            f"kcenter_select_fused requires batch_rounds >= 1, got {batch_rounds}"
+        )
+    quantum = 10.0 ** (-round_dp)
+    digest = F.md5(F.col(id_col).cast("string"))
+    src = _nonzero_src(df, id_col, vec_col)
+    seed = src.orderBy(digest, F.col(id_col)).limit(1).collect()[0]
+    selected = [(seed[id_col], list(seed["__v"]), None)]
+    while len(selected) < k:
+        sel_mat = np.asarray([v for _, v, _ in selected], dtype=np.float64)
+        score = _mindist_maxsim_udf([v for _, v, _ in selected], round_dp)
+        want = min(batch_rounds, k - len(selected))
+        ranked = (
+            src.select(F.col(id_col), "__v", score(F.col("__v")).alias("__s"))
+            .filter(~F.col(id_col).isin([i for i, _, _ in selected]))
+            .orderBy(F.col("__s.mind").desc(), F.col(id_col))
+            .limit(want + 1)
+            .collect()
+        )
+        if not ranked:
+            break
+        accepted_vecs: list[np.ndarray] = []
+        for i in range(min(want, len(ranked))):
+            r = ranked[i]
+            mind = float(r["__s"]["mind"])
+            if accepted_vecs:
+                x = np.asarray(r["__v"], dtype=np.float64)
+                A = np.asarray(accepted_vecs, dtype=np.float64)
+                sims = np.round(
+                    A @ x
+                    / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((x * x).sum())),
+                    round_dp,
+                )
+                mind = min(mind, float(1.0 - sims.max()))
+            bound = (
+                float(ranked[i + 1]["__s"]["mind"])
+                if i + 1 < len(ranked)
+                else -float("inf")
+            )
+            if i > 0 and not (mind > bound + quantum):
+                break  # dominance no longer provable — rescan
+            selected.append((r[id_col], list(r["__v"]), mind))
+            accepted_vecs.append(np.asarray(r["__v"], dtype=np.float64))
+        if len(ranked) <= want and len(ranked) == len(accepted_vecs):
+            break  # corpus exhausted
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        [(i + 1, sid, d) for i, (sid, _, d) in enumerate(selected)],
+        f"rank bigint, {id_col} {id_type}, sel_dist double",
+    )
+
+
 def mmr_select(
     df: DataFrame,
     k: int,

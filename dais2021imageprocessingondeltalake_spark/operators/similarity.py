@@ -2096,6 +2096,71 @@ def size_nprobe(curve_rows, recall_target_x10k: int = 8500):
     return _size_from_curve(curve_rows, "nprobe", recall_target_x10k)
 
 
+#: IVFADC nprobe rung family (r9, VERDICT r8 item 2). Two kinds:
+#:   ("frac", s) — nprobe = ceil(k·s/12) of the k = ceil(√N) coarse
+#:     cells: a corpus-RELATIVE operating point whose scanned fraction
+#:     is ~s/12 at any N. r8's ladder was frac-only with a floor of
+#:     s = 3, so once the sized rung bottomed out (measured at the
+#:     60×/100× probes) the pruned scan stayed a CONSTANT ~25% of N² —
+#:     a ≤4× win, not a falling fraction.
+#:   ("abs", p) — nprobe = min(k, p): the FAISS idiom (IndexIVFPQ fixes
+#:     nprobe while the cell count grows with the index), so the
+#:     scanned fraction ~p/k = p/√N FALLS as the corpus grows. These
+#:     rungs let the sized decision keep pruning deeper with N instead
+#:     of flooring, and the sub-3 fractional rungs (1, 2) probe below
+#:     the old floor so the geometry's recall floor is MEASURED, never
+#:     assumed. The top rung ("frac", 12) scans every cell = the flat
+#:     PQ miner, so the 0.85 sizing target is always reachable.
+IVFADC_RUNGS: tuple = (
+    ("abs", 4),
+    ("abs", 16),
+    ("abs", 64),
+    ("frac", 1),
+    ("frac", 2),
+    ("frac", 3),
+    ("frac", 4),
+    ("frac", 5),
+    ("frac", 6),
+    ("frac", 8),
+    ("frac", 12),
+)
+
+
+def ivfadc_rung_nprobe(kind: str, rung: int, k_cells: int) -> int:
+    """Realized nprobe of one IVFADC ladder rung at k coarse cells —
+    integer arithmetic only, replayed verbatim by the SQL oracles
+    (frac: (k*s + 11) // 12; abs: greatest(1, least(k, p)))."""
+    if kind == "abs":
+        return max(1, min(k_cells, rung))
+    if kind == "frac":
+        return (k_cells * rung + 11) // 12
+    raise ValueError(f"unknown rung kind {kind!r} (expected 'abs'|'frac')")
+
+
+def size_ivfadc_rung(ladder_rows, recall_target_x10k: int = 8500):
+    """Pick the CHEAPEST rung of a measured mixed-kind IVFADC ladder
+    clearing the recall target: minimum realized nprobe — the actual
+    scan cost, comparable across kinds — tie-broken ('abs' before
+    'frac', then rung) so duplicate-nprobe rungs decide
+    deterministically and the SQL oracle's ORDER BY nprobe, kind, rung
+    LIMIT 1 replays the choice. Rows need named kind/rung/nprobe/
+    recall_x10k fields or positional (kind, rung, nprobe, ..., recall)
+    tuples with recall last. Returns (kind, rung, nprobe) or None."""
+    best = None
+    for r in ladder_rows:
+        if isinstance(r, (tuple, list)) and not hasattr(r, "__fields__"):
+            kind, rung, nprobe, rec = r[0], r[1], r[2], r[-1]
+        else:
+            kind, rung, nprobe, rec = (
+                r["kind"], r["rung"], r["nprobe"], r["recall_x10k"]
+            )
+        if rec >= recall_target_x10k:
+            cand = (int(nprobe), str(kind), int(rung))
+            if best is None or cand < best:
+                best = cand
+    return (best[1], best[2], best[0]) if best is not None else None
+
+
 def _adc_luts(X, code_mats, m: int, sub_dim: int):
     """Per-probe ADC lookup tables: for each subspace j, the inner
     products of every probe's j-th slice with every code centroid —
@@ -2926,167 +2991,29 @@ def residualize(
     )
 
 
-def ivfadc_shortlist_pairs(
-    probes_df: DataFrame,
-    codebook: DataFrame,
-    codes_df: DataFrame,
-    home_df: DataFrame,
-    shortlist: int,
+def _make_ivfadc_scan(
+    b_index,
+    top: int,
+    emit_adc: bool,
+    code_mats,
+    m: int,
+    sub_dim: int,
     dim: int,
-    m: int = 16,
-    group_col: str = "label",
-    id_col: str = "vec_id",
-    vec_col: str = "nv",
-    cells_col: str = "cells",
-    round_dp: int = 6,
-    max_index_bytes: int = 1 << 30,
-    index_df: DataFrame | None = None,
-    cross_group_only: bool = True,
-    anchors_df: DataFrame | None = None,
-    validate_coverage: bool = False,
-) -> DataFrame:
-    """IVF-pruned ADC scan: per-probe top-`shortlist` candidates by ADC
-    inner product, computed ONLY over the codes whose home cell is one
-    of the probe's probed cells. Returns (probe_id, nbr_id) — the
-    adc_shortlist_pairs contract with the Θ(N²·m) flat scan replaced by
-    Θ(Σ_probes Σ_{probed cells} |cell|·m), i.e. ~nprobe/k of the flat
-    compute.
-
-    RESIDUAL mode (`anchors_df` given — (cell, av) from cell_anchors):
-    `codes_df` then holds PQ codes of the RESIDUALS r = nv − av(home),
-    and the scan scores ⟨q, av(cell)⟩ + ⟨q, r̂⟩ — true IVFADC (Jégou
-    §III encodes residuals, not raw vectors; within-cell residuals have
-    far smaller spread, so the same 16-byte budget quantizes finer and
-    recall rises at the SAME scanned-cell fraction). The per-(probe,
-    cell) anchor term accumulates sequentially over the dim coordinates
-    (the _adc_luts convention) and seeds the per-cell ADC accumulation
-    BEFORE the m LUT partials, so an oracle's left-to-right
-    ``qa + lut_0 + … + lut_{m-1}`` fold replays every score; the
-    anchor table rides in the same broadcast as the inverted file
-    (k·dim doubles — KBs next to the codes).
-
-    Inputs: `probes_df` carries (id, group, normalized vec, and
-    `cells_col` — the ARRAY of probed cell ids from assign_cells_ranked
-    sliced to nprobe; membership only, order irrelevant); `home_df`
-    carries (id, cell) — each index row's rank-1 cell. The broadcast
-    index stores codes GROUPED BY CELL (sorted by (cell, id), one
-    contiguous slice per cell), so a probe's scan touches exactly its
-    cells' slices — the inverted-file layout of FAISS's IVFADC, realized
-    as slice offsets into one broadcast array instead of a partitioned
-    table (the index is guarded RAM-resident, same residency contract
-    and `max_index_bytes` raise as the flat scan; the beyond-residency
-    move at this layer is sharding the CELLS across broadcasts, which
-    composes with the same bounded re-merge window as
-    adc_shortlist_pairs' tested n_shards path — not needed below the
-    guard and not implemented here).
-
-    Determinism (oracle-replayable, the adc_shortlist_pairs contract):
-    LUT inner products accumulate sequentially (_adc_luts), per-sub
-    partials add in ascending sub order, ADC totals round to `round_dp`
-    BEFORE ranking, within-cell ties break to the lowest nbr_id (codes
-    id-ascending inside each cell slice + stable argsort), and the
-    cross-cell merge re-sorts the per-cell survivors by the same
-    (adc desc, nbr_id) TOTAL order — so the emitted top-C is identical
-    to ranking the cell-restricted candidate set in one SQL window, and
-    is independent of cell iteration order (each global top-C candidate
-    survives its own cell's local top-C)."""
+    id_col: str,
+    group_col: str | None,
+    vec_col: str,
+    cells_col: str,
+    round_dp: int,
+    cross_group_only: bool,
+):
+    """mapInPandas kernel for the inverted-file ADC scan — factored out
+    of ivfadc_shortlist_pairs so the unsharded path and every cell shard
+    run literally the same arithmetic (the bit-identity argument of the
+    sharded re-merge rests on this). `emit_adc` adds the rounded ADC
+    score column the sharded union re-merges on; the unsharded path
+    omits it to keep the (probe_id, nbr_id) output contract."""
     import numpy as np
-
-    if shortlist < 1:
-        raise ValueError(
-            f"ivfadc_shortlist_pairs requires shortlist >= 1, got {shortlist}"
-        )
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    if cross_group_only and group_col is None:
-        raise ValueError("cross_group_only=True requires a group_col")
-    sub_dim = dim // m
-    books = _codebook_matrices(codebook.collect())
-    code_mats = [books[j][1] for j in range(m)]
-    spark = probes_df.sparkSession
-
-    index_src = index_df if index_df is not None else probes_df
-    grp_expr = (
-        F.col(group_col).alias("__g")
-        if group_col is not None
-        else F.lit("").alias("__g")
-    )
-    indexed = (
-        codes_df.join(index_src.select(F.col(id_col), grp_expr), id_col)
-        .join(home_df.select(F.col(id_col), F.col("cell").alias("__cell")), id_col)
-        .select(id_col, "__g", "__cell", "codes")
-    )
-    if validate_coverage:
-        # staleness guard (the adc_shortlist_pairs convention, ADVICE r7
-        # applied to the cell-pruned family): codes, home cells, and index
-        # ids must match EXACTLY — an inner join would otherwise silently
-        # scan only the intersection of a stale persisted index
-        n_codes = codes_df.count()
-        n_index = index_src.count()
-        n_joined = indexed.count()
-        if not (n_codes == n_index == n_joined):
-            raise ValueError(
-                f"stale IVFADC index: codes+home cover {n_joined} of "
-                f"{n_index} index rows ({n_codes} code rows) — rebuild the "
-                "persisted assets (quantizer, home cells, codes, anchors) "
-                "on the current index table so ids match exactly. If "
-                "rebuilding does not fix it, the index table contains "
-                "zero-norm vectors (normalize_rounded drops them by "
-                "contract) — filter those rows out of the index first"
-            )
-    # inverted-file layout: one collect, rows sorted by (cell, id) so each
-    # cell is a contiguous, id-ascending slice of the broadcast arrays
-    idx_rows = indexed.collect()
-    n_idx = len(idx_rows)
-    idx_bytes = n_idx * (m + 24)  # m codes + id/group/cell bookkeeping
-    if idx_bytes > max_index_bytes:
-        raise ValueError(
-            f"IVFADC index would be ~{idx_bytes} bytes for {n_idx} vectors at "
-            f"m={m}, over the {max_index_bytes} residency budget — shard the "
-            "cells across broadcasts (see docstring) or use "
-            "adc_shortlist_pairs(n_shards=...)"
-        )
-    nbr_ids = np.array([r[id_col] for r in idx_rows], dtype=np.int64)
-    nbr_grps = np.array([r["__g"] for r in idx_rows])
-    nbr_cells = np.array([r["__cell"] for r in idx_rows], dtype=np.int64)
-    nbr_codes = (
-        np.array([r["codes"] for r in idx_rows], dtype=np.int64)
-        if n_idx
-        else np.zeros((0, m), dtype=np.int64)
-    )
-    order = np.lexsort((nbr_ids, nbr_cells))
-    nbr_ids, nbr_grps, nbr_cells, nbr_codes = (
-        nbr_ids[order], nbr_grps[order], nbr_cells[order], nbr_codes[order],
-    )
-    # cell -> (start, end) slice offsets into the sorted arrays
-    cell_slices: dict[int, tuple[int, int]] = {}
-    if n_idx:
-        bounds = np.flatnonzero(np.diff(nbr_cells)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [n_idx]])
-        cell_slices = {
-            int(nbr_cells[s]): (int(s), int(e)) for s, e in zip(starts, ends)
-        }
-    anchor_map: dict[int, "np.ndarray"] | None = None
-    if anchors_df is not None:
-        anchor_map = {
-            int(r["cell"]): np.asarray(r["av"], dtype=np.float64)
-            for r in anchors_df.collect()
-        }
-        missing = set(cell_slices) - set(anchor_map)
-        if missing:
-            raise ValueError(
-                "residual IVFADC: anchors_df is missing anchors for occupied "
-                f"cells {sorted(missing)[:5]}… — anchors must come from the "
-                "same corpus/home assignment as codes_df"
-            )
-    b_index = spark.sparkContext.broadcast(
-        (nbr_ids, nbr_grps, nbr_codes, cell_slices, anchor_map)
-    )
-    top = min(shortlist, n_idx) if n_idx else 0
-
-    id_type = probes_df.schema[id_col].dataType.simpleString()
-    sim_schema = f"probe_id {id_type}, nbr_id {id_type}"
+    import pandas as pd
 
     def scan(batches):
         ids_a, grps_a, codes_a, slices, anchors = b_index.value
@@ -3138,7 +3065,7 @@ def ivfadc_shortlist_pairs(
                 nids = ids_a[lo:hi][part]
                 for t in range(len(rp)):
                     best[rp[t]].append((sims[t], nids[t]))
-            out_pids, out_nids = [], []
+            out_pids, out_nids, out_sims = [], [], []
             for i, cand in enumerate(best):
                 if not cand:
                     continue
@@ -3151,13 +3078,200 @@ def ivfadc_shortlist_pairs(
                 if fin.any():
                     out_pids.append(np.full(int(fin.sum()), pids[i]))
                     out_nids.append(d[fin])
+                    out_sims.append(s[fin])
             if out_pids:
-                yield pd.DataFrame(
-                    {
-                        "probe_id": np.concatenate(out_pids),
-                        "nbr_id": np.concatenate(out_nids),
-                    }
+                out = {
+                    "probe_id": np.concatenate(out_pids),
+                    "nbr_id": np.concatenate(out_nids),
+                }
+                if emit_adc:
+                    out["adc"] = np.concatenate(out_sims)
+                yield pd.DataFrame(out)
+
+    return scan
+
+
+def ivfadc_shortlist_pairs(
+    probes_df: DataFrame,
+    codebook: DataFrame,
+    codes_df: DataFrame,
+    home_df: DataFrame,
+    shortlist: int,
+    dim: int,
+    m: int = 16,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "nv",
+    cells_col: str = "cells",
+    round_dp: int = 6,
+    max_index_bytes: int = 1 << 30,
+    index_df: DataFrame | None = None,
+    cross_group_only: bool = True,
+    anchors_df: DataFrame | None = None,
+    validate_coverage: bool = False,
+    n_cell_shards: int = 1,
+) -> DataFrame:
+    """IVF-pruned ADC scan: per-probe top-`shortlist` candidates by ADC
+    inner product, computed ONLY over the codes whose home cell is one
+    of the probe's probed cells. Returns (probe_id, nbr_id) — the
+    adc_shortlist_pairs contract with the Θ(N²·m) flat scan replaced by
+    Θ(Σ_probes Σ_{probed cells} |cell|·m), i.e. ~nprobe/k of the flat
+    compute.
+
+    RESIDUAL mode (`anchors_df` given — (cell, av) from cell_anchors):
+    `codes_df` then holds PQ codes of the RESIDUALS r = nv − av(home),
+    and the scan scores ⟨q, av(cell)⟩ + ⟨q, r̂⟩ — true IVFADC (Jégou
+    §III encodes residuals, not raw vectors; within-cell residuals have
+    far smaller spread, so the same 16-byte budget quantizes finer and
+    recall rises at the SAME scanned-cell fraction). The per-(probe,
+    cell) anchor term accumulates sequentially over the dim coordinates
+    (the _adc_luts convention) and seeds the per-cell ADC accumulation
+    BEFORE the m LUT partials, so an oracle's left-to-right
+    ``qa + lut_0 + … + lut_{m-1}`` fold replays every score; the
+    anchor table rides in the same broadcast as the inverted file
+    (k·dim doubles — KBs next to the codes).
+
+    Inputs: `probes_df` carries (id, group, normalized vec, and
+    `cells_col` — the ARRAY of probed cell ids from assign_cells_ranked
+    sliced to nprobe; membership only, order irrelevant); `home_df`
+    carries (id, cell) — each index row's rank-1 cell. The broadcast
+    index stores codes GROUPED BY CELL (sorted by (cell, id), one
+    contiguous slice per cell), so a probe's scan touches exactly its
+    cells' slices — the inverted-file layout of FAISS's IVFADC, realized
+    as slice offsets into one broadcast array instead of a partitioned
+    table (the index is guarded RAM-resident, same residency contract
+    and `max_index_bytes` raise as the flat scan; past the budget, pass
+    `n_cell_shards > 1` — the CELLS are hash-partitioned across
+    broadcasts, each shard scans whole cells with the full shortlist
+    cap, and the per-shard top-C unions re-merge through the same
+    bounded (adc desc, nbr_id) window as adc_shortlist_pairs' tested
+    n_shards path, bit-identical to the unsharded scan while keeping
+    the cell PRUNING that the flat fallback loses).
+
+    Determinism (oracle-replayable, the adc_shortlist_pairs contract):
+    LUT inner products accumulate sequentially (_adc_luts), per-sub
+    partials add in ascending sub order, ADC totals round to `round_dp`
+    BEFORE ranking, within-cell ties break to the lowest nbr_id (codes
+    id-ascending inside each cell slice + stable argsort), and the
+    cross-cell merge re-sorts the per-cell survivors by the same
+    (adc desc, nbr_id) TOTAL order — so the emitted top-C is identical
+    to ranking the cell-restricted candidate set in one SQL window, and
+    is independent of cell iteration order (each global top-C candidate
+    survives its own cell's local top-C)."""
+    import numpy as np
+
+    if shortlist < 1:
+        raise ValueError(
+            f"ivfadc_shortlist_pairs requires shortlist >= 1, got {shortlist}"
+        )
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if cross_group_only and group_col is None:
+        raise ValueError("cross_group_only=True requires a group_col")
+    if n_cell_shards < 1:
+        raise ValueError(f"n_cell_shards must be >= 1, got {n_cell_shards}")
+    sub_dim = dim // m
+    books = _codebook_matrices(codebook.collect())
+    code_mats = [books[j][1] for j in range(m)]
+    spark = probes_df.sparkSession
+
+    index_src = index_df if index_df is not None else probes_df
+    grp_expr = (
+        F.col(group_col).alias("__g")
+        if group_col is not None
+        else F.lit("").alias("__g")
+    )
+    indexed = (
+        codes_df.join(index_src.select(F.col(id_col), grp_expr), id_col)
+        .join(home_df.select(F.col(id_col), F.col("cell").alias("__cell")), id_col)
+        .select(id_col, "__g", "__cell", "codes")
+    )
+    if validate_coverage:
+        # staleness guard (the adc_shortlist_pairs convention, ADVICE r7
+        # applied to the cell-pruned family): codes, home cells, and index
+        # ids must match EXACTLY — an inner join would otherwise silently
+        # scan only the intersection of a stale persisted index
+        n_codes = codes_df.count()
+        n_index = index_src.count()
+        n_joined = indexed.count()
+        if not (n_codes == n_index == n_joined):
+            raise ValueError(
+                f"stale IVFADC index: codes+home cover {n_joined} of "
+                f"{n_index} index rows ({n_codes} code rows) — rebuild the "
+                "persisted assets (quantizer, home cells, codes, anchors) "
+                "on the current index table so ids match exactly. If "
+                "rebuilding does not fix it, the index table contains "
+                "zero-norm vectors (normalize_rounded drops them by "
+                "contract) — filter those rows out of the index first"
+            )
+    anchor_map: dict[int, "np.ndarray"] | None = None
+    if anchors_df is not None:
+        anchor_map = {
+            int(r["cell"]): np.asarray(r["av"], dtype=np.float64)
+            for r in anchors_df.collect()
+        }
+
+    def build_cell_index(sub):
+        """Inverted-file layout for one (sub)set of the CELLS: one
+        collect, rows sorted by (cell, id) so each cell is a contiguous,
+        id-ascending slice of the broadcast arrays. The residency guard
+        applies to what is collected HERE — per cell shard when
+        n_cell_shards > 1 — so sharding is exactly how an index past the
+        budget becomes buildable."""
+        idx_rows = sub.collect()
+        n_idx = len(idx_rows)
+        idx_bytes = n_idx * (m + 24)  # m codes + id/group/cell bookkeeping
+        if idx_bytes > max_index_bytes:
+            raise ValueError(
+                f"IVFADC index (cell shard) would be ~{idx_bytes} bytes for "
+                f"{n_idx} vectors at m={m}, over the {max_index_bytes} "
+                "residency budget — raise n_cell_shards (the cell-sharded "
+                "broadcast path, bit-identical re-merge) or use "
+                "adc_shortlist_pairs(n_shards=...)"
+            )
+        nbr_ids = np.array([r[id_col] for r in idx_rows], dtype=np.int64)
+        nbr_grps = np.array([r["__g"] for r in idx_rows])
+        nbr_cells = np.array([r["__cell"] for r in idx_rows], dtype=np.int64)
+        nbr_codes = (
+            np.array([r["codes"] for r in idx_rows], dtype=np.int64)
+            if n_idx
+            else np.zeros((0, m), dtype=np.int64)
+        )
+        order = np.lexsort((nbr_ids, nbr_cells))
+        nbr_ids, nbr_grps, nbr_cells, nbr_codes = (
+            nbr_ids[order], nbr_grps[order], nbr_cells[order], nbr_codes[order],
+        )
+        # cell -> (start, end) slice offsets into the sorted arrays
+        cell_slices: dict[int, tuple[int, int]] = {}
+        if n_idx:
+            bounds = np.flatnonzero(np.diff(nbr_cells)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [n_idx]])
+            cell_slices = {
+                int(nbr_cells[s]): (int(s), int(e)) for s, e in zip(starts, ends)
+            }
+        if anchor_map is not None:
+            missing = set(cell_slices) - set(anchor_map)
+            if missing:
+                raise ValueError(
+                    "residual IVFADC: anchors_df is missing anchors for "
+                    f"occupied cells {sorted(missing)[:5]}… — anchors must "
+                    "come from the same corpus/home assignment as codes_df"
                 )
+        return (
+            spark.sparkContext.broadcast(
+                (nbr_ids, nbr_grps, nbr_codes, cell_slices, anchor_map)
+            ),
+            n_idx,
+        )
+
+    id_type = probes_df.schema[id_col].dataType.simpleString()
+
+    def make_scan(b_index, top, emit_adc):
+        return _make_ivfadc_scan(
+            b_index, top, emit_adc, code_mats, m, sub_dim, dim,
+            id_col, group_col, vec_col, cells_col, round_dp, cross_group_only,
+        )
 
     from .sampling import ensure_min_partitions
 
@@ -3165,11 +3279,63 @@ def ivfadc_shortlist_pairs(
         [id_col] + ([group_col] if group_col is not None else [])
         + [vec_col, cells_col]
     )
-    probes = ensure_min_partitions(
-        probes_df.select(*probe_cols),
-        spark.sparkContext.defaultParallelism,
+
+    def make_probes():
+        # built AFTER the index(es): the anchor-coverage/staleness raises
+        # must fire before any probe-side analysis error (a bad vec_col
+        # would otherwise mask the index problem — pinned by test)
+        return ensure_min_partitions(
+            probes_df.select(*probe_cols),
+            spark.sparkContext.defaultParallelism,
+        )
+
+    if n_cell_shards == 1:
+        b_index, n_idx = build_cell_index(indexed)
+        top = min(shortlist, n_idx) if n_idx else 0
+        sim_schema = f"probe_id {id_type}, nbr_id {id_type}"
+        return make_probes().mapInPandas(
+            make_scan(b_index, top, emit_adc=False), schema=sim_schema
+        ).select("probe_id", "nbr_id")
+
+    # beyond-residency path (VERDICT r8 item 3): shard the CELLS across
+    # broadcasts. Each shard holds a subset of the inverted file — whole
+    # cells only, a cell's slice is never split — scans with the FULL
+    # shortlist cap, and emits its per-probe top-C WITH the rounded adc
+    # scores; the union re-merges by the same (adc desc, nbr_id) total
+    # order. A pair with global rank <= C has rank <= C within its own
+    # cell's shard, so the union provably contains every global top-C
+    # pair and the window selection is bit-identical to the unsharded
+    # scan (adc_shortlist_pairs' tested n_shards argument, applied to
+    # cells so the PRUNING survives past residency instead of falling
+    # back to the flat sharded scan). The residency guard bounds each
+    # per-shard collect/broadcast; the re-merge window is bounded at
+    # n_cell_shards * C rows per probe.
+    from pyspark.sql import Window
+
+    sim_schema = f"probe_id {id_type}, nbr_id {id_type}, adc double"
+    shard_indexes = []
+    for s in range(n_cell_shards):
+        sub = indexed.filter(
+            F.pmod(F.xxhash64(F.col("__cell").cast("long")), F.lit(n_cell_shards))
+            == s
+        )
+        shard_indexes.append(build_cell_index(sub)[0])
+    probes = make_probes()
+    shard_outs = [
+        probes.mapInPandas(
+            make_scan(b_index, shortlist, emit_adc=True), schema=sim_schema
+        )
+        for b_index in shard_indexes
+    ]
+    union = shard_outs[0]
+    for extra in shard_outs[1:]:
+        union = union.unionByName(extra)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("nbr_id"))
+    return (
+        union.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= shortlist)
+        .select("probe_id", "nbr_id")
     )
-    return probes.mapInPandas(scan, schema=sim_schema).select("probe_id", "nbr_id")
 
 
 def margin_mine_ivfadc(
@@ -3194,6 +3360,7 @@ def margin_mine_ivfadc(
     codes: DataFrame | None = None,
     residual: bool = False,
     anchors: DataFrame | None = None,
+    n_cell_shards: int = 1,
 ) -> DataFrame:
     """IVFADC margin mining — the margin_mine_pq pipeline with coarse-
     cell pruning composed in front of the ADC scan (VERDICT r7 item 2),
@@ -3285,6 +3452,7 @@ def margin_mine_ivfadc(
         round_dp=round_dp,
         max_index_bytes=max_index_bytes,
         anchors_df=anchors if residual else None,
+        n_cell_shards=n_cell_shards,
     )
     scored = _exact_rerank_pairs(
         pairs, df, df, id_col=id_col, vec_col=vec_col, round_dp=round_dp
@@ -3321,7 +3489,7 @@ def ivfadc_knn_join(
     built on the BASE only (the persisted serving assets — pass
     `centroids` + `base_codebook`/`base_codes` to reuse them), each
     query probes its `nprobe` nearest cells (default ceil(k_cells/2) —
-    the twelfths-6 rung that the certified mining decisions bound from
+    the frac-6 rung that the certified mining decisions bound from
     above at both driver scales, q_margin_ivfadc_sized), scans ~nprobe/k
     of the codes, and exact cosine re-ranks the top-C shortlist to k.
     Same output contract as pq_knn_join/lsh_knn_join: (query_id,

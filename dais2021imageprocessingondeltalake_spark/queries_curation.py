@@ -2466,6 +2466,20 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DIV.kcenter_select(emb, k=_DIVERSITY_K)
 
 
+@query("q_kcenter_fused", oracle=_kcenter_oracle(_DIVERSITY_K))
+def q_kcenter_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED greedy k-center (VERDICT r8 item 5 — the 100 TB form):
+    several provisional farthest points accepted per corpus scan, each
+    re-validated driver-side against the pass's earlier accepts with a
+    one-quantum dominance margin, so the trajectory is BIT-IDENTICAL to
+    q_kcenter_select (it shares that query's oracle verbatim) while the
+    scan count drops from k to ~⌈k/batch_rounds⌉. The oracle therefore
+    certifies not just the output but the fusion's exactness claim:
+    a single accepted-out-of-order point would break the replay."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return DIV.kcenter_select_fused(emb, k=_DIVERSITY_K, batch_rounds=4)
+
+
 @query("q_mmr_select", oracle=_mmr_oracle(_DIVERSITY_K, _MMR_LAMBDA))
 def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
@@ -2543,7 +2557,15 @@ def _domain_reweight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (source, n_docs, n_tokens, mean_surprisal, prior, tilt,
     weight) frame both the weight report and the sampling-plan
     composite read — one derivation, no drift."""
-    docs = load_table(spark, "documents", sf_dir)
+    return domain_reweight_frame_from_docs(load_table(spark, "documents", sf_dir))
+
+
+def domain_reweight_frame_from_docs(docs: DataFrame) -> DataFrame:
+    """DataFrame-parametric form of the DoReMi-shaped weight derivation
+    (used by the driver queries via _domain_reweight_frame and by
+    tools/scale_probe.py on its synthetically grown corpus, so the
+    deep-factor drift evidence measures EXACTLY the production
+    derivation)."""
     lp = TX.unigram_logprob_score(docs)
     perdoc = (
         docs.select("doc_id", "source")

@@ -3712,9 +3712,9 @@ def q_knn_join_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the whole code index — FAISS's deployed query path. The coarse
     quantizer, home-cell lists, and PQ codes are all base-side
     persisted-asset shapes (centroids/base_codebook/base_codes params).
-    nprobe = ceil(k_cells/2): the twelfths-6 rung, which the certified
-    mining decisions bound from above at both driver scales
-    (q_margin_ivfadc_sized sizes 6/12ths at sf0.01, 5/12ths at sf0.1 —
+    nprobe = ceil(k_cells/2): the frac-6 rung, which the certified
+    mining decisions bound from above at both driver scales (the r9
+    mixed-family q_margin_ivfadc_sized decision never sizes past it —
     this join probes at least as much of the corpus as the certified
     mining floor needed). kNN recall vs the exact join is
     pytest-measured (test_llm_ops)."""
@@ -4298,21 +4298,29 @@ def q_margin_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # IVFADC: coarse-cell pruning composed in front of the ADC scan (r8,
-# VERDICT r7 item 2). Ladder in TWELFTHS of the k = ceil(sqrt(N)) cell
-# count — nprobe = ceil(k*s/12) — so the operating point is a corpus-
-# relative FRACTION and the scale probe can show that fraction falling
-# with N. The top rung (s = 12) scans every cell = the flat PQ miner
-# (engine-tested identical), so the 0.85 sizing target is always
-# reachable and the sized row is never vacuously empty.
+# VERDICT r7 item 2; ladder EXTENDED r9 per VERDICT r8 item 2). The rung
+# family SIM.IVFADC_RUNGS mixes corpus-relative fractional rungs
+# (nprobe = ceil(k*s/12) twelfths of the k = ceil(sqrt(N)) cell count —
+# including sub-3 rungs the r8 ladder floored above) with ABSOLUTE
+# rungs (nprobe = min(k, p), the FAISS idiom: fixed nprobe means the
+# scanned fraction ~p/sqrt(N) FALLS with corpus size instead of
+# flooring at s/12 of N²). The top rung ("frac", 12) scans every cell =
+# the flat PQ miner (engine-tested identical), so the 0.85 sizing
+# target is always reachable and the sized row is never vacuously
+# empty; the sized decision picks the MINIMUM-nprobe rung clearing the
+# floor, whichever kind provides it.
 # ---------------------------------------------------------------------------
 
-_IVFADC_TWELFTHS = (3, 4, 5, 6, 8, 12)
+_IVFADC_RUNGS = SIM.IVFADC_RUNGS
 
 
-def _ivfadc_np_expr(s: int) -> str:
-    """nprobe = ceil(k*s/12) in integer SQL — replays the engine's
-    (k*s + 11) // 12 exactly."""
-    return f"(((SELECT k FROM kk) * {s} + 11) // 12)"
+def _ivfadc_np_expr(kind: str, rung: int) -> str:
+    """Realized rung nprobe in integer SQL — replays
+    SIM.ivfadc_rung_nprobe exactly (frac: (k*s + 11) // 12; abs:
+    greatest(1, least(k, p)))."""
+    if kind == "abs":
+        return f"(greatest(1, least((SELECT k FROM kk), {rung})))"
+    return f"(((SELECT k FROM kk) * {rung} + 11) // 12)"
 
 
 def _ivfadc_ladder_parts(min_margin_x10k: int = 11000, residual: bool = False):
@@ -4320,7 +4328,7 @@ def _ivfadc_ladder_parts(min_margin_x10k: int = 11000, residual: bool = False):
     certified coarse fit (_MARGIN_IVF_FIT_SQL), the full cell ranking
     t2a / home / cell sizes, the PQ ADC core (fit, encode, padc scores —
     computed ONCE, shared by every rung), the brute reference, and per
-    twelfths rung s a cell-restricted top-C window + exact rerank +
+    rung (kind, value) a cell-restricted top-C window + exact rerank +
     margin filter + a curve SELECT reporting the scanned-code budget
     and measured recall. `residual=True` swaps in the residual-encoding
     core (_pq_adc_res_core_sql — true IVFADC); the core must follow
@@ -4349,38 +4357,40 @@ def _ivfadc_ladder_parts(min_margin_x10k: int = 11000, residual: bool = False):
         _margin_brute_sql(min_margin_x10k),
     ]
     selects = []
-    for s in _IVFADC_TWELFTHS:
-        np_expr = _ivfadc_np_expr(s)
+    for kind, rung in _IVFADC_RUNGS:
+        tag = f"{kind}{rung}"
+        np_expr = _ivfadc_np_expr(kind, rung)
         restrict = f"""JOIN home h ON h.vec_id = a.nbr_id
         JOIN t2a pc ON pc.vec_id = a.probe_id AND pc.cl = h.cl
           AND pc.rn <= {np_expr}"""
         parts.append(
             _pq_shortlist_tail_sql(
-                True, restrict, f"short_c{s}", f"ranked_c{s}"
+                True, restrict, f"short_c{tag}", f"ranked_c{tag}"
             )
         )
-        parts.append(f"""mined_c{s} AS MATERIALIZED (
+        parts.append(f"""mined_c{tag} AS MATERIALIZED (
       SELECT b.probe_id, b.nbr_id AS best_id
-      FROM (SELECT probe_id, nbr_id, s FROM ranked_c{s} WHERE rn = 1) b
-      JOIN (SELECT probe_id, s AS sim2 FROM ranked_c{s} WHERE rn = 2) s2
+      FROM (SELECT probe_id, nbr_id, s FROM ranked_c{tag} WHERE rn = 1) b
+      JOIN (SELECT probe_id, s AS sim2 FROM ranked_c{tag} WHERE rn = 2) s2
         USING (probe_id)
       WHERE s2.sim2 > 0
         AND floor(10000.0 * b.s / s2.sim2) >= {min_margin_x10k}
     )""")
-        selects.append(f"""SELECT CAST({s} AS BIGINT) AS twelfths,
+        selects.append(f"""SELECT CAST('{kind}' AS VARCHAR) AS kind,
+           CAST({rung} AS BIGINT) AS rung,
            CAST({np_expr} AS BIGINT) AS nprobe,
            (SELECT CAST(sum(cz.sz) AS BIGINT) FROM t2a pc
             JOIN cellsz cz ON pc.cl = cz.cl
             WHERE pc.rn <= {np_expr}) AS n_scanned,
-           (SELECT CAST(count(*) AS BIGINT) FROM mined_c{s}) AS n_mined,
+           (SELECT CAST(count(*) AS BIGINT) FROM mined_c{tag}) AS n_mined,
            (SELECT CAST(count(*) AS BIGINT)
-            FROM mined_c{s} JOIN brute_pairs USING (probe_id, best_id)) AS n_hit,
+            FROM mined_c{tag} JOIN brute_pairs USING (probe_id, best_id)) AS n_hit,
            (SELECT CAST(CASE WHEN (SELECT count(*) FROM brute_pairs) = 0
                              THEN 10000
                              ELSE floor(10000.0 * count(*) /
                                   (SELECT count(*) FROM brute_pairs)) END
                   AS BIGINT)
-            FROM mined_c{s} JOIN brute_pairs USING (probe_id, best_id))
+            FROM mined_c{tag} JOIN brute_pairs USING (probe_id, best_id))
              AS recall_x10k""")
     return parts, selects
 
@@ -4415,7 +4425,7 @@ def _ivfadc_sized_ctes(
       {ladder}
     ), sized AS MATERIALIZED (
       SELECT * FROM ladder WHERE recall_x10k >= {target_x10k}
-      ORDER BY twelfths LIMIT 1
+      ORDER BY nprobe, kind, rung LIMIT 1
     )"""
 
 
@@ -4432,7 +4442,8 @@ def _margin_ivfadc_sized_oracle(
         + sized
         + f"""
     SELECT CAST({target_x10k} AS BIGINT) AS target_x10k,
-           (SELECT CAST(twelfths AS BIGINT) FROM sized) AS sized_twelfths,
+           (SELECT CAST(kind AS VARCHAR) FROM sized) AS sized_kind,
+           (SELECT CAST(rung AS BIGINT) FROM sized) AS sized_rung,
            (SELECT CAST(nprobe AS BIGINT) FROM sized) AS sized_nprobe,
            (SELECT CAST(floor(10000.0 * n_scanned /
                    ((SELECT count(*) FROM v) * (SELECT count(*) FROM v)))
@@ -4492,7 +4503,7 @@ def _evict_dead_sessions(cache: dict, spark: SparkSession) -> None:
 
 #: Measured IVFADC ladder rows per corpus, cached like _IVF_CURVE_CACHE:
 #: the curve, the sized decision, and the miner share ONE ladder execution.
-_IVFADC_CURVE_CACHE: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
+_IVFADC_CURVE_CACHE: dict[str, list[tuple]] = {}
 
 #: Session-bound pipeline assets (centroids, ranked cells, normalized
 #: corpus, PQ codebook/codes) from the ladder execution, keyed by
@@ -4504,10 +4515,10 @@ _IVFADC_ASSET_CACHE: dict[tuple[str, str], dict] = {}
 
 def _ivfadc_ladder_exec(
     spark: SparkSession, sf_dir: str, residual: bool
-) -> list[tuple[int, int, int, int, int, int]]:
+) -> list[tuple]:
     """Compute (or reuse) the measured IVFADC ladder for one corpus:
-    per twelfths rung, (twelfths, nprobe, n_scanned, n_mined, n_hit,
-    recall_x10k). ONE coarse fit + cell ranking + encode + brute
+    per rung of the mixed abs/frac family, (kind, rung, nprobe,
+    n_scanned, n_mined, n_hit, recall_x10k). ONE coarse fit + cell ranking + encode + brute
     reference shared across the rungs via margin_mine_ivfadc's asset
     params; the flat and residual generations run through this SAME
     body (only the encoding setup differs), so their ladder bookkeeping
@@ -4561,25 +4572,34 @@ def _ivfadc_ladder_exec(
     n_brute = brute.count()
     cellsz = home.groupBy("cell").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
     rows = []
-    for s in _IVFADC_TWELFTHS:
-        np_ = (k * s + 11) // 12
-        mined = SIM.margin_mine_ivfadc(
-            emb, dim=64, nprobe=np_, k_cells=k, m=_MARGIN_PQ_M,
-            k_codes=_MARGIN_PQ_KCODES, iters=1, shortlist=shortlist,
-            min_margin_x10k=11000, centroids=cents, ranked_cells=ranked,
-            norm=norm, codebook=book, codes=codes,
-            residual=residual, anchors=anchors,
-        ).select("probe_id", "best_id")
-        n_mined = mined.count()
-        n_hit = mined.join(brute, ["probe_id", "best_id"]).count()
-        n_scanned = (
-            ranked.select(F.explode(F.slice("cells", 1, np_)).alias("cell"))
-            .join(cellsz, "cell")
-            .agg(F.sum("sz"))
-            .collect()[0][0]
-        )
-        recall = 10000 if n_brute == 0 else (10000 * n_hit) // n_brute
-        rows.append((s, np_, int(n_scanned), int(n_mined), int(n_hit), int(recall)))
+    by_np: dict[int, tuple[int, int, int, int]] = {}
+    for kind, rung in _IVFADC_RUNGS:
+        np_ = SIM.ivfadc_rung_nprobe(kind, rung, k)
+        # rungs of different kinds can realize the SAME nprobe at small
+        # k (e.g. abs-4 == frac-1 when k = 45): the measured stats are
+        # identical by construction, so compute once per distinct nprobe
+        # and report both rows (the oracle replays each rung's own CTE
+        # chain — duplicate chains, identical answers).
+        if np_ not in by_np:
+            mined = SIM.margin_mine_ivfadc(
+                emb, dim=64, nprobe=np_, k_cells=k, m=_MARGIN_PQ_M,
+                k_codes=_MARGIN_PQ_KCODES, iters=1, shortlist=shortlist,
+                min_margin_x10k=11000, centroids=cents, ranked_cells=ranked,
+                norm=norm, codebook=book, codes=codes,
+                residual=residual, anchors=anchors,
+            ).select("probe_id", "best_id")
+            n_mined = mined.count()
+            n_hit = mined.join(brute, ["probe_id", "best_id"]).count()
+            n_scanned = (
+                ranked.select(F.explode(F.slice("cells", 1, np_)).alias("cell"))
+                .join(cellsz, "cell")
+                .agg(F.sum("sz"))
+                .collect()[0][0]
+            )
+            recall = 10000 if n_brute == 0 else (10000 * n_hit) // n_brute
+            by_np[np_] = (int(n_scanned), int(n_mined), int(n_hit), int(recall))
+        n_scanned, n_mined, n_hit, recall = by_np[np_]
+        rows.append((kind, rung, np_, n_scanned, n_mined, n_hit, recall))
     cache[sf_dir] = rows
     _evict_dead_sessions(asset_cache, spark)
     assets = {
@@ -4597,22 +4617,29 @@ def _ivfadc_sized_result(
     spark: SparkSession, sf_dir: str, rows
 ) -> DataFrame:
     """The sized-decision row shared by the flat and residual sized
-    queries: cheapest rung clearing the floor + its scanned fraction."""
+    queries: MINIMUM-nprobe rung clearing the floor (whichever kind —
+    SIM.size_ivfadc_rung's deterministic order, replayed by the
+    oracle's ORDER BY nprobe, kind, rung) + its scanned fraction."""
     n = load_table(spark, "embeddings", sf_dir).count()
-    hit = next((r for r in rows if r[5] >= _MARGIN_PQ_FLOOR_X10K), None)
+    pick = SIM.size_ivfadc_rung(rows, recall_target_x10k=_MARGIN_PQ_FLOOR_X10K)
+    hit = None
+    if pick is not None:
+        kind, rung, np_ = pick
+        hit = next(r for r in rows if (r[0], r[1]) == (kind, rung))
     out = (
         (
             _MARGIN_PQ_FLOOR_X10K,
             hit[0] if hit else None,
             hit[1] if hit else None,
-            (10000 * hit[2]) // (n * n) if hit else None,
+            hit[2] if hit else None,
+            (10000 * hit[3]) // (n * n) if hit else None,
             hit is not None,
         ),
     )
     return spark.createDataFrame(
         out,
-        "target_x10k bigint, sized_twelfths bigint, sized_nprobe bigint, "
-        "scan_frac_x10k bigint, reached boolean",
+        "target_x10k bigint, sized_kind string, sized_rung bigint, "
+        "sized_nprobe bigint, scan_frac_x10k bigint, reached boolean",
     )
 
 
@@ -4625,12 +4652,8 @@ def _ivfadc_sized_mine(
     import math
 
     rows = _ivfadc_ladder_exec(spark, sf_dir, residual)
-    s_sized = SIM.size_nprobe(
-        [(s, rec) for s, _np, _sc, _nm, _nh, rec in rows],
-        recall_target_x10k=_MARGIN_PQ_FLOOR_X10K,
-    )
-    by_s = {s: np_ for s, np_, *_ in rows}
-    np_ = by_s[s_sized] if s_sized is not None else max(by_s.values())
+    pick = SIM.size_ivfadc_rung(rows, recall_target_x10k=_MARGIN_PQ_FLOOR_X10K)
+    np_ = pick[2] if pick is not None else max(r[2] for r in rows)
     emb = load_table(spark, "embeddings", sf_dir)
     k = math.isqrt(emb.count() - 1) + 1
     asset_cache = _IVFADC_RES_ASSET_CACHE if residual else _IVFADC_ASSET_CACHE
@@ -4651,44 +4674,57 @@ def _ivfadc_sized_mine(
 
 def _ivfadc_curve_rows(
     spark: SparkSession, sf_dir: str
-) -> list[tuple[int, int, int, int, int, int]]:
+) -> list[tuple]:
     return _ivfadc_ladder_exec(spark, sf_dir, residual=False)
 
 
 @query("q_margin_ivfadc_curve", oracle=_margin_ivfadc_curve_oracle())
 def q_margin_ivfadc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC nprobe SENSITIVITY CURVE (VERDICT r7 item 2): for each
-    rung s of _IVFADC_TWELFTHS, the miner runs with nprobe =
-    ceil(k*s/12) of the k = ceil(√N) coarse cells and reports the
-    scanned-code budget (n_scanned = Σ over probes of their probed
-    cells' sizes — the LUT-op count the pruning is FOR) and measured
-    pair-recall vs brute force. The flat PQ scan is the s = 12 rung
-    (every cell probed — engine-tested bit-identical to
-    q_margin_mine_pq's scan), so the curve measures exactly what cell
-    pruning costs in recall at each budget. One coarse fit, one PQ
-    fit/encode, one padc score table shared by every rung (both engine
-    and oracle); the decision consumers (q_margin_ivfadc_sized,
-    q_margin_mine_ivfadc) read this measured ladder through the same
-    per-corpus cache."""
+    """IVFADC nprobe SENSITIVITY CURVE (VERDICT r7 item 2; rung family
+    EXTENDED r9 per VERDICT r8 item 2): for each rung of
+    SIM.IVFADC_RUNGS — fractional twelfths of the k = ceil(√N) cells
+    INCLUDING the sub-3 rungs the r8 ladder never measured, plus
+    ABSOLUTE nprobe rungs (the FAISS idiom whose scanned fraction
+    ~p/√N falls with corpus size) — the miner runs at that rung's
+    realized nprobe and reports the scanned-code budget (n_scanned =
+    Σ over probes of their probed cells' sizes — the LUT-op count the
+    pruning is FOR) and measured pair-recall vs brute force. The flat
+    PQ scan is the ("frac", 12) rung (every cell probed —
+    engine-tested bit-identical to q_margin_mine_pq's scan), so the
+    curve measures exactly what cell pruning costs in recall at each
+    budget. One coarse fit, one PQ fit/encode, one padc score table
+    shared by every rung, duplicate-nprobe rungs computed once (both
+    engine and oracle agree row-for-row); the decision consumers
+    (q_margin_ivfadc_sized, q_margin_mine_ivfadc) read this measured
+    ladder through the same per-corpus cache."""
     return spark.createDataFrame(
         _ivfadc_curve_rows(spark, sf_dir),
-        "twelfths bigint, nprobe bigint, n_scanned bigint, n_mined bigint, "
-        "n_hit bigint, recall_x10k bigint",
+        "kind string, rung bigint, nprobe bigint, n_scanned bigint, "
+        "n_mined bigint, n_hit bigint, recall_x10k bigint",
     )
 
 
 @query("q_margin_ivfadc_sized", oracle=_margin_ivfadc_sized_oracle())
 def q_margin_ivfadc_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SIZED-nprobe decision for IVFADC (the size_nprobe idiom
-    applied a fifth time): smallest twelfths rung whose measured recall
-    clears the 0.85 floor, with the scanned-code fraction that rung
-    pays (scan_frac_x10k = n_scanned / N² — the pruning win: 10000
-    would be the flat scan). Unlike plain IVF's honest negative result
-    (q_margin_nprobe_sized: unreachable at sf0.1), this decision always
-    reaches — the top rung IS the flat scan — so it certifies the
-    cheapest-safe operating point rather than a refusal; the scale
-    probe tracks the sized fraction FALLING with N (0.478 → 0.333
-    measured at 1× → 16× in the r8 geometry study)."""
+    applied a fifth time, generalized r9 to the mixed rung family):
+    the MINIMUM-nprobe rung — absolute or fractional — whose measured
+    recall clears the 0.85 floor, with the scanned-code fraction that
+    rung pays (scan_frac_x10k = n_scanned / N² — the pruning win:
+    10000 would be the flat scan). Unlike plain IVF's honest negative
+    result (q_margin_nprobe_sized: unreachable at sf0.1), this
+    decision always reaches — the top rung IS the flat scan — so it
+    certifies the cheapest-safe operating point rather than a refusal.
+    The r8 frac-only ladder floored at s = 3 (scan fraction stuck at
+    ~25% of N² from the 60× probe up, with nothing below ever
+    measured); the extended family breaks it — the 100× probe sizes
+    BOTH generations at frac-2 (scan fraction 0.17, recall 0.865 flat
+    / 0.889 residual), the residual ladder already at 60× (0.167 at
+    0.854, where flat's frac-2 measures 0.834 — an honest miss), and
+    the abs rungs' recall RISES with N at fixed nprobe (abs-16: 0.765
+    at 60× → 0.800 at 100×), the trend that makes the ~nprobe/√N
+    falling-fraction FAISS regime reachable as the corpus grows
+    (SCALE_PROBE.json ivfadc/ivfadcres fields)."""
     return _ivfadc_sized_result(
         spark, sf_dir, _ivfadc_ladder_exec(spark, sf_dir, residual=False)
     )
@@ -4728,16 +4764,16 @@ def q_margin_mine_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vectors — the same 16-byte code budget quantizes finer, and measured
 # recall rises at the SAME scanned-cell fraction (sf0.001 top rung:
 # 0.969 residual vs 0.939 flat). Same ladder/sizing/miner trio on the
-# same twelfths rungs so the two curves are directly comparable.
+# same mixed rung family so the two curves are directly comparable.
 # ---------------------------------------------------------------------------
 
-_IVFADC_RES_CURVE_CACHE: dict[str, list[tuple[int, int, int, int, int, int]]] = {}
+_IVFADC_RES_CURVE_CACHE: dict[str, list[tuple]] = {}
 _IVFADC_RES_ASSET_CACHE: dict[tuple[str, str], dict] = {}
 
 
 def _ivfadc_res_curve_rows(
     spark: SparkSession, sf_dir: str
-) -> list[tuple[int, int, int, int, int, int]]:
+) -> list[tuple]:
     """Measured RESIDUAL-IVFADC ladder per corpus — _ivfadc_ladder_exec
     with residual encoding: anchors = per-cell nv means, PQ fit/encode
     on r = nv − anchor(home), scan scores ⟨q, anchor⟩ + ⟨q, r̂⟩. Shares
@@ -4754,16 +4790,17 @@ def _ivfadc_res_curve_rows(
 def q_margin_ivfadc_res_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESIDUAL-IVFADC nprobe sensitivity curve — the
     q_margin_ivfadc_curve ladder with true-IVFADC residual encoding
-    (Jégou §III): same twelfths rungs, same scanned-code budgets, PQ
-    codes now quantize r = nv − anchor(home cell). The per-rung recall
-    delta vs the flat curve is the measured value of residual encoding
-    at each budget; the oracle replays anchor derivation, residual
-    fit/encode, the ⟨q, anchor⟩-offset ADC scores, every rung's
-    cell-restricted shortlist, and the recall bookkeeping."""
+    (Jégou §III): same mixed abs/frac rung family, same scanned-code
+    budgets, PQ codes now quantize r = nv − anchor(home cell). The
+    per-rung recall delta vs the flat curve is the measured value of
+    residual encoding at each budget; the oracle replays anchor
+    derivation, residual fit/encode, the ⟨q, anchor⟩-offset ADC
+    scores, every rung's cell-restricted shortlist, and the recall
+    bookkeeping."""
     return spark.createDataFrame(
         _ivfadc_res_curve_rows(spark, sf_dir),
-        "twelfths bigint, nprobe bigint, n_scanned bigint, n_mined bigint, "
-        "n_hit bigint, recall_x10k bigint",
+        "kind string, rung bigint, nprobe bigint, n_scanned bigint, "
+        "n_mined bigint, n_hit bigint, recall_x10k bigint",
     )
 
 
@@ -4773,8 +4810,9 @@ def q_margin_ivfadc_res_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_margin_ivfadc_res_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sized-nprobe decision over the RESIDUAL ladder (the size_nprobe
-    idiom): cheapest twelfths rung whose measured residual recall
-    clears the 0.85 floor, with the scanned-code fraction it pays.
+    idiom): minimum-nprobe rung of the mixed abs/frac family whose
+    measured residual recall clears the 0.85 floor, with the
+    scanned-code fraction it pays.
     Because residual codes rank finer, this decision's rung is never
     above the flat decision's on the same corpus — the certified
     statement that residual encoding buys scan budget, not just

@@ -1523,6 +1523,33 @@ class TestDiversitySelection:
             DIV.mmr_select(emb, k=0)
         with pytest.raises(ValueError, match="lam"):
             DIV.mmr_select(emb, k=2, lam=1.5)
+        with pytest.raises(ValueError, match="k >= 1"):
+            DIV.kcenter_select_fused(emb, k=0)
+        with pytest.raises(ValueError, match="batch_rounds"):
+            DIV.kcenter_select_fused(emb, k=2, batch_rounds=0)
+
+    def test_fused_kcenter_trajectory_bit_identical(self, spark):
+        """VERDICT r8 item 5: the fused farthest-first variant (several
+        provisional centers accepted per scan, re-validated with the
+        one-quantum dominance margin) must reproduce the one-per-round
+        trajectory EXACTLY — ranks, ids, and sel_dist values — at every
+        batch_rounds, including batch_rounds=1 (pure degeneration) and
+        batch_rounds > k (one pass wants everything). Bit-identity is
+        stronger than the item's equivalent-or-better coverage-radius
+        floor and lets the fused query share the certified oracle."""
+        from dais2021imageprocessingondeltalake_spark.operators import (
+            diversity as DIV,
+        )
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        base = [tuple(r) for r in DIV.kcenter_select(emb, k=8)
+                .orderBy("rank").collect()]
+        for b in (1, 3, 16):
+            fused = [tuple(r) for r in
+                     DIV.kcenter_select_fused(emb, k=8, batch_rounds=b)
+                     .orderBy("rank").collect()]
+            assert fused == base, f"batch_rounds={b} diverged"
 
     def test_zero_norm_rows_never_selected(self, spark):
         """A direction-less (all-zero) embedding scores NaN cosines, and

@@ -1505,32 +1505,50 @@ class TestIvfadc:
             SIM.assign_cells_ranked(emb, cents, n=0)
 
     def test_curve_monotone_and_sized_consistent(self, spark):
-        """The measured ladder: scanned-code budget strictly grows with
-        the rung, recall is non-decreasing (more cells probed can only
-        add candidates under a total-order top-C... up to shortlist
-        displacement — asserted non-decreasing on this corpus), the top
-        rung scans ALL N² codes, and the sized decision row equals the
-        first ladder rung clearing the floor."""
+        """The measured ladder over the r9 MIXED rung family: every
+        family rung is present, realized nprobe matches
+        ivfadc_rung_nprobe, duplicate-nprobe rungs (abs/frac collisions
+        at small k) report IDENTICAL stats, scanned-code budget grows
+        strictly with distinct nprobe, recall is non-decreasing (more
+        cells probed can only add candidates under a total-order
+        top-C... up to shortlist displacement — asserted non-decreasing
+        on this corpus), the top rung scans ALL N² codes, and the sized
+        decision row equals the minimum-nprobe rung clearing the
+        floor (SIM.size_ivfadc_rung's deterministic order)."""
+        import math
+
         from dais2021imageprocessingondeltalake_spark import queries_all as q
 
-        curve = sorted(
-            q.REGISTRY["q_margin_ivfadc_curve"].fn(spark, SF_DIR).collect(),
-            key=lambda r: r["twelfths"],
+        curve = q.REGISTRY["q_margin_ivfadc_curve"].fn(spark, SF_DIR).collect()
+        assert sorted((r["kind"], r["rung"]) for r in curve) == sorted(
+            (k, s) for k, s in SIM.IVFADC_RUNGS
         )
-        assert [r["twelfths"] for r in curve] == [3, 4, 5, 6, 8, 12]
         n = load_table(spark, "embeddings", SF_DIR).count()
-        assert curve[-1]["n_scanned"] == n * n
-        for a, b in zip(curve, curve[1:]):
-            assert a["n_scanned"] < b["n_scanned"]
-            assert a["recall_x10k"] <= b["recall_x10k"]
+        kc = math.isqrt(n - 1) + 1
+        for r in curve:
+            assert r["nprobe"] == SIM.ivfadc_rung_nprobe(r["kind"], r["rung"], kc)
+        by_np = {}
+        for r in curve:
+            stats = (r["n_scanned"], r["n_mined"], r["n_hit"], r["recall_x10k"])
+            assert by_np.setdefault(r["nprobe"], stats) == stats
+        distinct = [by_np[np_] for np_ in sorted(by_np)]
+        assert distinct[-1][0] == n * n
+        for a, b in zip(distinct, distinct[1:]):
+            assert a[0] < b[0]
+            assert a[3] <= b[3]
         sized = q.REGISTRY["q_margin_ivfadc_sized"].fn(spark, SF_DIR).collect()[0]
         assert sized["reached"]
-        first = next(r for r in curve if r["recall_x10k"] >= 8500)
-        assert sized["sized_twelfths"] == first["twelfths"]
-        assert sized["sized_nprobe"] == first["nprobe"]
-        assert sized["scan_frac_x10k"] == (10000 * first["n_scanned"]) // (n * n)
+        kind, rung, np_ = SIM.size_ivfadc_rung(
+            [(r["kind"], r["rung"], r["nprobe"], r["recall_x10k"]) for r in curve]
+        )
+        assert (sized["sized_kind"], sized["sized_rung"]) == (kind, rung)
+        assert sized["sized_nprobe"] == np_
+        assert sized["scan_frac_x10k"] == (10000 * by_np[np_][0]) // (n * n)
         # the whole point: the sized rung scans a proper fraction
         assert sized["scan_frac_x10k"] < 10000
+        # and the abs rungs exist below the old s=3 floor: the cheapest
+        # family rung probes fewer cells than ceil(k/4) once k > 16
+        assert min(by_np) <= max(4, (kc * 3 + 11) // 12)
 
     def test_xcorpus_full_probe_equals_flat_and_asset_reuse(self, spark):
         """The ingest-tier composition: at nprobe = k_cells the
@@ -1584,6 +1602,71 @@ class TestIvfadc:
                 emb, dim=64, nprobe=2, k_cells=k, m=16, k_codes=16,
                 iters=1, max_index_bytes=64,
             )
+        with pytest.raises(ValueError, match="n_cell_shards"):
+            SIM.margin_mine_ivfadc(
+                emb, dim=64, nprobe=2, k_cells=k, m=16, k_codes=16,
+                iters=1, n_cell_shards=0,
+            )
+
+    def test_cell_sharded_scan_bit_identical_and_beyond_residency(self, spark):
+        """VERDICT r8 item 3: the cell-sharded IVFADC scan (cells
+        hash-partitioned across broadcasts, per-shard top-C union,
+        bounded (adc desc, nbr_id) re-merge) must be BIT-IDENTICAL to
+        the unsharded scan — flat and residual encodings both — and
+        must run where the unsharded scan's residency guard RAISES,
+        with the budget set between the largest single shard and the
+        full index (the exact regime the sharding exists for: past
+        residency the pruning used to fall back to flat sharding)."""
+        import math
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        k = math.isqrt(emb.count() - 1) + 1
+        for residual in (False, True):
+            base = SIM.margin_mine_ivfadc(
+                emb, dim=64, nprobe=(k + 1) // 2, k_cells=k, m=16,
+                k_codes=16, iters=1, min_margin_x10k=11000,
+                residual=residual,
+            ).collect()
+            sharded = SIM.margin_mine_ivfadc(
+                emb, dim=64, nprobe=(k + 1) // 2, k_cells=k, m=16,
+                k_codes=16, iters=1, min_margin_x10k=11000,
+                residual=residual, n_cell_shards=3,
+            ).collect()
+            assert sorted(map(tuple, base)) == sorted(map(tuple, sharded))
+            assert base, "vacuous bit-identity: miner returned no rows"
+        # beyond-residency: budget below the full index but above every
+        # shard — unsharded raises, sharded succeeds with identical rows
+        n = emb.count()
+        _, cents = SIM.kmeans_fit_distributed(emb, k=k, iters=1, round_dp=6)
+        ranked = SIM.assign_cells_ranked(emb, cents, n=k)
+        home = ranked.select("vec_id", F.element_at("cells", 1).alias("cell"))
+        shards = 4
+        shard_sizes = (
+            home.groupBy(
+                F.pmod(F.xxhash64(F.col("cell").cast("long")), F.lit(shards))
+            )
+            .count()
+            .collect()
+        )
+        max_shard = max(r["count"] for r in shard_sizes)
+        budget = (max_shard * (16 + 24)) + 1
+        assert budget <= n * (16 + 24), "budget must sit below the full index"
+        kwargs = dict(
+            dim=64, nprobe=(k + 1) // 2, k_cells=k, m=16, k_codes=16,
+            iters=1, min_margin_x10k=11000, centroids=cents,
+            ranked_cells=ranked, max_index_bytes=budget,
+        )
+        with pytest.raises(ValueError, match="residency budget"):
+            SIM.margin_mine_ivfadc(emb, **kwargs).collect()
+        over = SIM.margin_mine_ivfadc(
+            emb, n_cell_shards=shards, **kwargs
+        ).collect()
+        full = SIM.margin_mine_ivfadc(
+            emb, dim=64, nprobe=(k + 1) // 2, k_cells=k, m=16, k_codes=16,
+            iters=1, min_margin_x10k=11000, centroids=cents,
+            ranked_cells=ranked,
+        ).collect()
+        assert sorted(map(tuple, over)) == sorted(map(tuple, full))
 
     def test_residual_reconstruction_and_anchor_coverage(self, spark):
         """Residual algebra: every home cell has an anchor; the residual
@@ -1842,30 +1925,38 @@ class TestIvfadc:
         assert recall >= 0.7, f"residual ivfadc_knn_join recall {recall:.2f}"
 
     def test_residual_curve_sized_consistent_and_not_worse(self, spark):
-        """The residual ladder mirrors the flat ladder's invariants
-        (monotone scanned budget, non-decreasing recall, top rung scans
-        all N² codes, sized row = first rung clearing the floor) AND
-        certifies the upgrade: the residual sized rung is never above
-        the flat sized rung on the same corpus (s=6 vs s=8 measured at
-        sf0.001 — residual encoding buys a full rung of scan budget)."""
+        """The residual ladder mirrors the flat ladder's invariants on
+        the r9 mixed rung family (full family present, duplicate-nprobe
+        rungs identical, monotone scanned budget, non-decreasing
+        recall, top rung scans all N² codes, sized row = minimum-nprobe
+        rung clearing the floor) AND certifies the upgrade: the
+        residual sized NPROBE is never above the flat sized nprobe on
+        the same corpus — residual encoding buys scan budget."""
         from dais2021imageprocessingondeltalake_spark import queries_all as q
 
-        curve = sorted(
-            q.REGISTRY["q_margin_ivfadc_res_curve"].fn(spark, SF_DIR).collect(),
-            key=lambda r: r["twelfths"],
+        curve = q.REGISTRY["q_margin_ivfadc_res_curve"].fn(spark, SF_DIR).collect()
+        assert sorted((r["kind"], r["rung"]) for r in curve) == sorted(
+            (k, s) for k, s in SIM.IVFADC_RUNGS
         )
-        assert [r["twelfths"] for r in curve] == [3, 4, 5, 6, 8, 12]
         n = load_table(spark, "embeddings", SF_DIR).count()
-        assert curve[-1]["n_scanned"] == n * n
-        for a, b in zip(curve, curve[1:]):
-            assert a["n_scanned"] < b["n_scanned"]
-            assert a["recall_x10k"] <= b["recall_x10k"]
+        by_np = {}
+        for r in curve:
+            stats = (r["n_scanned"], r["n_mined"], r["n_hit"], r["recall_x10k"])
+            assert by_np.setdefault(r["nprobe"], stats) == stats
+        distinct = [by_np[np_] for np_ in sorted(by_np)]
+        assert distinct[-1][0] == n * n
+        for a, b in zip(distinct, distinct[1:]):
+            assert a[0] < b[0]
+            assert a[3] <= b[3]
         sized = q.REGISTRY["q_margin_ivfadc_res_sized"].fn(spark, SF_DIR).collect()[0]
         assert sized["reached"]
-        first = next(r for r in curve if r["recall_x10k"] >= 8500)
-        assert sized["sized_twelfths"] == first["twelfths"]
+        kind, rung, np_ = SIM.size_ivfadc_rung(
+            [(r["kind"], r["rung"], r["nprobe"], r["recall_x10k"]) for r in curve]
+        )
+        assert (sized["sized_kind"], sized["sized_rung"]) == (kind, rung)
+        assert sized["sized_nprobe"] == np_
         flat_sized = q.REGISTRY["q_margin_ivfadc_sized"].fn(spark, SF_DIR).collect()[0]
-        assert sized["sized_twelfths"] <= flat_sized["sized_twelfths"]
+        assert sized["sized_nprobe"] <= flat_sized["sized_nprobe"]
 
 
 class TestShortlistSizing:

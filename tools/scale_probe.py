@@ -275,7 +275,12 @@ def main() -> int:
         D.ngram_jaccard_pairs_prefix(warm.limit(200), "doc_id", n=3, threshold=0.5).count()
 
         for k in sorted(args.factors):
-            point: dict = {"factor": k}
+            # self-describing partial runs (VERDICT r8 item 4, the "no
+            # silent caps" rule applied to evidence artifacts): every
+            # point records WHICH component groups produced it, so a
+            # missing field reads as "component not run at this factor",
+            # never as an unexplained hole. --append merges the lists.
+            point: dict = {"factor": k, "components_run": sorted(want)}
 
             if want & {"docs"}:
                 path = build_scaled_corpus(args.base, k, scratch)
@@ -458,6 +463,59 @@ def main() -> int:
                     10000
                     * max(
                         abs(r["rt"] / target[r["lang"]] - 1.0) for r in realized
+                    )
+                )
+
+                # DoReMi drift check (VERDICT r8 item 8): derive the
+                # loss-aware domain weights on the grown corpus, execute
+                # the downsample-only keep-rate plan (q_reweight_apply's
+                # exact composition), and compare the REALIZED
+                # post-sampling token mixture against the target weights
+                # — the same realized-vs-target tracking evidence the
+                # UniMax plan carries above.
+                from dais2021imageprocessingondeltalake_spark.operators import (
+                    sampling as S2,
+                )
+                from dais2021imageprocessingondeltalake_spark.queries_curation import (
+                    domain_reweight_frame_from_docs,
+                )
+
+                t0 = time.perf_counter()
+                dw = domain_reweight_frame_from_docs(mdocs).localCheckpoint()
+                ratio = dw.select(
+                    "source",
+                    F.round(F.col("weight") / F.col("prior"), 6).alias("ratio"),
+                )
+                mx = ratio.agg(F.max("ratio").alias("maxr"))
+                rates = ratio.crossJoin(F.broadcast(mx)).select(
+                    "source",
+                    F.round(F.col("ratio") / F.col("maxr"), 6).alias("keep_rate"),
+                )
+                kept = S2.apply_rate_table(
+                    mdocs.select("doc_id", "source"), rates, "doc_id",
+                    "source", salt="drw",
+                )
+                rw_real = (
+                    kept.join(
+                        mdocs.select(
+                            "doc_id",
+                            TXT.token_count(F.col("text")).alias("__t"),
+                        ),
+                        "doc_id",
+                    )
+                    .groupBy("source")
+                    .agg(F.sum("__t").alias("rt"))
+                    .collect()
+                )
+                point["reweight_apply_secs"] = round(time.perf_counter() - t0, 2)
+                rw_target = {r["source"]: r["weight"] for r in dw.collect()}
+                rw_tot = sum(r["rt"] for r in rw_real)
+                point["reweight_domains"] = len(rw_target)
+                point["reweight_track_maxdev_x10k"] = int(
+                    10000
+                    * max(
+                        abs((r["rt"] / rw_tot) / rw_target[r["source"]] - 1.0)
+                        for r in rw_real
                     )
                 )
 
@@ -720,10 +778,30 @@ def main() -> int:
                 iv_setup = round(time.perf_counter() - t0, 2)
 
                 def run_ivfadc_ladder(tag, book, codes, anchors):
+                    # r9: the mixed abs/frac rung family (SIM.IVFADC_RUNGS),
+                    # ascended by REALIZED nprobe (dedup on collisions) and
+                    # stopped at the first rung clearing the floor — so the
+                    # sized point can sit on an absolute rung whose scanned
+                    # fraction ~nprobe/sqrt(N) keeps falling with N, below
+                    # the old frac-3 floor (VERDICT r8 item 2).
+                    rungs = []
+                    seen_np = set()
+                    for kind, rung in sorted(
+                        SIM.IVFADC_RUNGS,
+                        key=lambda kr: (
+                            SIM.ivfadc_rung_nprobe(kr[0], kr[1], kk_cells),
+                            kr[0],
+                            kr[1],
+                        ),
+                    ):
+                        np_ = SIM.ivfadc_rung_nprobe(kind, rung, kk_cells)
+                        if np_ in seen_np:
+                            continue
+                        seen_np.add(np_)
+                        rungs.append((kind, rung, np_))
                     curve = []
                     sized = None
-                    for s in (3, 4, 5, 6, 8, 12):
-                        np_ = (kk_cells * s + 11) // 12
+                    for kind, rung, np_ in rungs:
                         t0 = time.perf_counter()
                         probes = pq_norm.select("vec_id", "label", "nv").join(
                             iv_ranked.select(
@@ -757,7 +835,8 @@ def main() -> int:
                             .collect()[0][0]
                         )
                         entry = {
-                            "twelfths": s,
+                            "kind": kind,
+                            "rung": rung,
                             "nprobe": np_,
                             "scan_frac_x10k": int(
                                 10000 * int(n_sc) // (n_vecs * n_vecs)
@@ -776,7 +855,8 @@ def main() -> int:
                     point[f"{tag}_k_cells"] = kk_cells
                     point[f"{tag}_curve"] = curve
                     if sized is not None:
-                        point[f"{tag}_sized_twelfths"] = sized["twelfths"]
+                        point[f"{tag}_sized_kind"] = sized["kind"]
+                        point[f"{tag}_sized_rung"] = sized["rung"]
                         point[f"{tag}_sized_nprobe"] = sized["nprobe"]
                         point[f"{tag}_scan_frac_x10k"] = sized["scan_frac_x10k"]
                         point[f"{tag}_recall_x10k"] = sized["recall_x10k"]
@@ -959,7 +1039,14 @@ def main() -> int:
         prior = json.loads(out_path.read_text())
         by_factor = {p["factor"]: p for p in prior.get("points", [])}
         for p in result["points"]:
-            by_factor.setdefault(p["factor"], {}).update(p)
+            tgt = by_factor.setdefault(p["factor"], {})
+            # union the run ledger instead of overwriting it, so a
+            # factor probed component-by-component stays self-describing
+            merged_run = sorted(
+                set(tgt.get("components_run", [])) | set(p["components_run"])
+            )
+            tgt.update(p)
+            tgt["components_run"] = merged_run
         prior["points"] = [by_factor[f] for f in sorted(by_factor)]
         prior["ts"] = result["ts"]
         out_path.write_text(json.dumps(prior) + "\n")
