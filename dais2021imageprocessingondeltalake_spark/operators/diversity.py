@@ -289,3 +289,107 @@ def mmr_select(
         [(i + 1, sid, s) for i, (sid, _, s) in enumerate(selected)],
         f"rank bigint, {id_col} {id_type}, score double",
     )
+
+
+def mmr_select_fused(
+    df: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    batch_rounds: int = 4,
+    query_vec: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fused MMR re-ranking — the kcenter_select_fused move applied to
+    the second greedy loop: SAME trajectory as mmr_select at
+    ~batch_rounds× fewer corpus scans. Stale MMR scores are UPPER
+    bounds on true scores (accepting a row can only raise other rows'
+    max-sim-to-selected, and relevance never changes), so each pass
+    collects the top-(batch_rounds+1) by stale score and accepts a
+    prefix: candidate i is accepted iff its re-validated score —
+    redundancy term re-maxed against the pass's earlier accepts with
+    the identical rounded-cosine arithmetic — still clears the next
+    candidate's stale score by one rounding quantum. The accepted row
+    is then the unique argmax the one-per-round loop would pick, so
+    the fused trajectory (ids AND recorded scores) is bit-identical
+    and q_mmr_fused shares mmr_select's oracle verbatim. Sub-quantum
+    gaps end the pass; the next scan re-ranks exactly."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"mmr_select_fused requires k >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_select_fused requires 0 <= lam <= 1, got {lam}")
+    if batch_rounds < 1:
+        raise ValueError(
+            f"mmr_select_fused requires batch_rounds >= 1, got {batch_rounds}"
+        )
+    quantum = 10.0 ** (-round_dp)
+    src = _nonzero_src(df, id_col, vec_col)
+    if query_vec is None:
+        query_vec = [
+            float(r["a"])
+            for r in src.select(F.posexplode("__v").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.round(F.avg("x"), round_dp).alias("a"))
+            .orderBy("pos")
+            .collect()
+        ]
+    rel_udf = _mindist_maxsim_udf([list(query_vec)], round_dp)
+    rel = src.select(
+        F.col(id_col), "__v", rel_udf(F.col("__v"))["maxsim"].alias("__rel")
+    ).localCheckpoint()
+    first = rel.orderBy(F.col("__rel").desc(), F.col(id_col)).limit(1).collect()[0]
+    selected = [(first[id_col], list(first["__v"]), float(first["__rel"]))]
+    while len(selected) < k:
+        score = _mindist_maxsim_udf([v for _, v, _ in selected], round_dp)
+        want = min(batch_rounds, k - len(selected))
+        ranked = (
+            rel.select(
+                F.col(id_col), "__v", "__rel",
+                score(F.col("__v"))["maxsim"].alias("__ms"),
+            )
+            .withColumn(
+                "__mmr",
+                F.lit(float(lam)) * F.col("__rel")
+                - F.lit(float(1.0 - lam)) * F.col("__ms"),
+            )
+            .filter(~F.col(id_col).isin([i for i, _, _ in selected]))
+            .orderBy(F.col("__mmr").desc(), F.col(id_col))
+            .limit(want + 1)
+            .collect()
+        )
+        if not ranked:
+            break
+        accepted_vecs: list[np.ndarray] = []
+        for i in range(min(want, len(ranked))):
+            r = ranked[i]
+            ms = float(r["__ms"])
+            if accepted_vecs:
+                x = np.asarray(r["__v"], dtype=np.float64)
+                A = np.asarray(accepted_vecs, dtype=np.float64)
+                sims = np.round(
+                    A @ x
+                    / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((x * x).sum())),
+                    round_dp,
+                )
+                ms = max(ms, float(sims.max()))
+            sc = float(lam) * float(r["__rel"]) - float(1.0 - lam) * ms
+            bound = (
+                float(ranked[i + 1]["__mmr"])
+                if i + 1 < len(ranked)
+                else -float("inf")
+            )
+            if i > 0 and not (sc > bound + quantum):
+                break  # dominance no longer provable — rescan
+            selected.append((r[id_col], list(r["__v"]), sc))
+            accepted_vecs.append(np.asarray(r["__v"], dtype=np.float64))
+        if len(ranked) <= want and len(ranked) == len(accepted_vecs):
+            break  # corpus exhausted
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        [(i + 1, sid, s) for i, (sid, _, s) in enumerate(selected)],
+        f"rank bigint, {id_col} {id_type}, score double",
+    )

@@ -3481,6 +3481,7 @@ def ivfadc_knn_join(
     residual: bool = False,
     base_anchors: DataFrame | None = None,
     base_home: DataFrame | None = None,
+    n_cell_shards: int = 1,
 ) -> DataFrame:
     """IVFADC batch ANN join — pq_knn_join with the coarse-cell pruning
     composed in front of its ADC scan, completing the IVFADC composition
@@ -3587,6 +3588,7 @@ def ivfadc_knn_join(
         cross_group_only=False,
         anchors_df=base_anchors if residual else None,
         validate_coverage=base_codes is not None,
+        n_cell_shards=n_cell_shards,
     )
     from pyspark.sql import Window
 
@@ -3628,6 +3630,7 @@ def margin_mine_ivfadc_xcorpus(
     residual: bool = False,
     ref_anchors: DataFrame | None = None,
     ref_home: DataFrame | None = None,
+    n_cell_shards: int = 1,
 ) -> DataFrame:
     """Cross-corpus IVFADC margin mining — the third shape of the
     cell-pruned composition (self-mining: margin_mine_ivfadc; serving
@@ -3732,6 +3735,7 @@ def margin_mine_ivfadc_xcorpus(
         cross_group_only=True,
         anchors_df=ref_anchors if residual else None,
         validate_coverage=ref_codes is not None,
+        n_cell_shards=n_cell_shards,
     )
     scored = _exact_rerank_pairs(
         pairs, new_df, ref_df, id_col=id_col, vec_col=vec_col,

@@ -232,6 +232,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_stream_unimax",  # NEW r8: live-ingest manifest shape (batch oracle)
     "q_unimax_pack",  # NEW r8: mix -> manifest -> pack composite
     "q_kcenter_fused",  # NEW r9: fused farthest-first (bit-identical, ~k/4 scans)
+    "q_mmr_fused",  # NEW r9: fused MMR (bit-identical trajectory + scores)
     "q_margin_ivfadc_res_xcorpus",  # NEW r8: residual-index incremental ingest
     "q_knn_join_ivfadc_res",  # NEW r8: residual-index serving ANN join
     "q_stream_margin_ivfadc_res",  # NEW r8: residual-index live-ingest stream

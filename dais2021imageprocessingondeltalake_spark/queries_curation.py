@@ -2492,6 +2492,22 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DIV.mmr_select(emb, k=_DIVERSITY_K, lam=_MMR_LAMBDA)
 
 
+@query("q_mmr_fused", oracle=_mmr_oracle(_DIVERSITY_K, _MMR_LAMBDA))
+def q_mmr_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED MMR re-ranking (the q_kcenter_fused move applied to the
+    second greedy loop): several provisional rows accepted per corpus
+    scan, each re-validated with the one-quantum dominance margin
+    against the pass's earlier accepts — trajectory AND recorded scores
+    bit-identical to q_mmr_select (shares its oracle verbatim) at
+    ~batch_rounds× fewer scans. Stale MMR scores are upper bounds
+    (acceptance only raises redundancy), which is what makes the
+    prefix-acceptance argument sound."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return DIV.mmr_select_fused(
+        emb, k=_DIVERSITY_K, lam=_MMR_LAMBDA, batch_rounds=4
+    )
+
+
 # --------------------------------------------------------------------------
 # Loss-aware domain reweighting (r8) — the third mixing mechanism next to
 # temperature rebalancing (token-share-only) and DSIR (per-doc importance):

@@ -1551,6 +1551,29 @@ class TestDiversitySelection:
                      .orderBy("rank").collect()]
             assert fused == base, f"batch_rounds={b} diverged"
 
+    def test_fused_mmr_trajectory_bit_identical(self, spark):
+        """The fused MMR variant: stale scores are upper bounds
+        (acceptance only raises redundancy), so the same
+        prefix-acceptance argument applies — ids AND recorded scores
+        must match mmr_select exactly at every batch_rounds."""
+        from dais2021imageprocessingondeltalake_spark.operators import (
+            diversity as DIV,
+        )
+        from dais2021imageprocessingondeltalake_spark.catalog import load_table
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        base = [tuple(r) for r in DIV.mmr_select(emb, k=8, lam=0.5)
+                .orderBy("rank").collect()]
+        for b in (1, 3, 16):
+            fused = [tuple(r) for r in
+                     DIV.mmr_select_fused(emb, k=8, lam=0.5, batch_rounds=b)
+                     .orderBy("rank").collect()]
+            assert fused == base, f"batch_rounds={b} diverged"
+        import pytest
+
+        with pytest.raises(ValueError, match="batch_rounds"):
+            DIV.mmr_select_fused(emb, k=2, batch_rounds=0)
+
     def test_zero_norm_rows_never_selected(self, spark):
         """A direction-less (all-zero) embedding scores NaN cosines, and
         Spark sorts NaN above every finite value — so without the

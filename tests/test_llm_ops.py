@@ -1668,6 +1668,36 @@ class TestIvfadc:
         ).collect()
         assert sorted(map(tuple, over)) == sorted(map(tuple, full))
 
+    def test_cell_sharded_serving_and_ingest_shapes(self, spark):
+        """The n_cell_shards passthrough on the OTHER two production
+        shapes: the serving kNN join and the incremental-ingest miner
+        must be row-identical sharded vs not — the index an ingest
+        pipeline or a serving fleet holds resident is exactly the one
+        that outgrows a single broadcast first."""
+        emb = load_table(spark, "embeddings", SF_DIR)
+        queries = emb.filter(F.col("vec_id") % 97 == 0)
+        base = emb.filter(F.col("vec_id") % 97 != 0)
+        key = lambda r: tuple(r)
+        j1 = sorted(map(key, SIM.ivfadc_knn_join(
+            queries, base, dim=64, k=3, m=16, k_codes=16, iters=1,
+        ).collect()))
+        j2 = sorted(map(key, SIM.ivfadc_knn_join(
+            queries, base, dim=64, k=3, m=16, k_codes=16, iters=1,
+            n_cell_shards=3,
+        ).collect()))
+        assert j1 == j2 and j1
+        new = emb.filter(F.col("vec_id") % 3 == 0)
+        ref = emb.filter(F.col("vec_id") % 3 != 0)
+        x1 = sorted(map(key, SIM.margin_mine_ivfadc_xcorpus(
+            new, ref, dim=64, m=16, k_codes=16, iters=1,
+            min_margin_x10k=11000, residual=True,
+        ).collect()))
+        x2 = sorted(map(key, SIM.margin_mine_ivfadc_xcorpus(
+            new, ref, dim=64, m=16, k_codes=16, iters=1,
+            min_margin_x10k=11000, residual=True, n_cell_shards=3,
+        ).collect()))
+        assert x1 == x2 and x1
+
     def test_residual_reconstruction_and_anchor_coverage(self, spark):
         """Residual algebra: every home cell has an anchor; the residual
         column is BIT-IDENTICAL to an independently-computed nv − anchor

@@ -1021,6 +1021,17 @@ def main() -> int:
                 mm_rows = DIV.mmr_select(emb, k=8).collect()
                 point["mmr_secs"] = round(time.perf_counter() - t0, 2)
                 point["mmr_rows"] = len(mm_rows)
+                # fused forms (r9): same trajectories (bit-identity is
+                # pytest-certified; asserted again here), fewer scans —
+                # the wall-clock delta at depth is the fusion's value
+                t0 = time.perf_counter()
+                kcf = DIV.kcenter_select_fused(emb, k=8, batch_rounds=4).collect()
+                point["kcenter_fused_secs"] = round(time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                mmf = DIV.mmr_select_fused(emb, k=8, batch_rounds=4).collect()
+                point["mmr_fused_secs"] = round(time.perf_counter() - t0, 2)
+                assert sorted(map(tuple, kcf)) == sorted(map(tuple, kc_rows))
+                assert sorted(map(tuple, mmf)) == sorted(map(tuple, mm_rows))
 
             if "gram" in want:
                 # Gram matrix partial-sum aggregate (linear in n_vecs,
