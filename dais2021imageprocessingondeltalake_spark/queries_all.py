@@ -233,6 +233,8 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_unimax_pack",  # NEW r8: mix -> manifest -> pack composite
     "q_kcenter_fused",  # NEW r9: fused farthest-first (bit-identical, ~k/4 scans)
     "q_mmr_fused",  # NEW r9: fused MMR (bit-identical trajectory + scores)
+    "q_margin_pq_m_curve",  # NEW r9: code-budget recall curve (3rd sizing axis)
+    "q_margin_m_sized",  # NEW r9: smallest byte budget clearing the floor
     "q_margin_ivfadc_res_xcorpus",  # NEW r8: residual-index incremental ingest
     "q_knn_join_ivfadc_res",  # NEW r8: residual-index serving ANN join
     "q_stream_margin_ivfadc_res",  # NEW r8: residual-index live-ingest stream

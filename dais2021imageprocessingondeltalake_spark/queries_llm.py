@@ -3140,6 +3140,97 @@ _MARGIN_PQ_KCODES = 16
 _MARGIN_PQ_SUBDIM = 64 // _MARGIN_PQ_M
 
 
+def _pq_adc_prefix_sql(
+    probe_pred: str = "TRUE",
+    ref_pred: str = "TRUE",
+) -> str:
+    """The m-INDEPENDENT head of the ADC core: normalized vectors,
+    probe/reference id carves, and the production shortlist-size rule.
+    Split out (r9) so the code-budget curve can lay several per-m PQ
+    chains over ONE shared prefix without CTE-name collisions."""
+    return f"""vn AS MATERIALIZED (
+      SELECT vec_id, grp,
+             list_transform(ve, x -> round(x / sqrt(list_sum([e * e for e in ve])), 6)) AS nv
+      FROM v
+    ), pq_pids AS MATERIALIZED (
+      SELECT vec_id FROM vn WHERE {probe_pred}
+    ), pq_rids AS MATERIALIZED (
+      SELECT vec_id FROM vn WHERE {ref_pred}
+    ), params AS MATERIALIZED (
+      SELECT greatest(32, 2 * CAST(ceil(sqrt(count(*))) AS INT)) AS c_short
+      FROM pq_rids
+    )"""
+
+
+def _pq_adc_chain_sql(
+    m: int = _MARGIN_PQ_M,
+    kc: int = _MARGIN_PQ_KCODES,
+    suffix: str = "",
+) -> str:
+    """The m-DEPENDENT tail of the ADC core (subspace slices, certified
+    one-round PQ fit, encode, per-probe LUTs, ADC scores) ending in
+    ``padc{suffix}``. `suffix` renames every CTE this chain defines so
+    the code-budget curve oracle can instantiate the chain once per m
+    over the shared prefix; the default empty suffix composed after
+    _pq_adc_prefix_sql reproduces the pre-split _pq_adc_core_sql text
+    byte-for-byte (string-identity asserted in tests)."""
+    sd = 64 // m
+    S = suffix
+
+    def sumsq(a: str, b: str) -> str:
+        return (
+            f"round(list_sum([ ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
+            f" for i in range(1, {sd + 1}) ]), 6)"
+        )
+
+    ipr = f"list_sum([ s.sv[i] * c.cv[i] for i in range(1, {sd + 1}) ])"
+    slices = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {j} AS sub, nv[{j * sd + 1}:{(j + 1) * sd}] AS sv FROM vn"
+        for j in range(m)
+    )
+    adc_sum = " + ".join(f"max(CASE WHEN l.sub = {j} THEN ip END)" for j in range(m))
+    return f"""sv{S} AS MATERIALIZED (
+      {slices}
+    ), pq_seeds{S} AS MATERIALIZED (
+      SELECT CAST(rn - 1 AS INT) AS code, vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM pq_rids
+      ) WHERE rn <= {kc}
+    ), pc0{S} AS MATERIALIZED (
+      SELECT s.sub, d.code, list_transform(s.sv, x -> round(x, 6)) AS cv
+      FROM sv{S} s JOIN pq_seeds{S} d USING (vec_id)
+    ), pa0{S} AS MATERIALIZED (
+      SELECT vec_id, sub, sv, code FROM (
+        SELECT s.vec_id, s.sub, s.sv, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                  ORDER BY {sumsq('s.sv', 'c.cv')}, c.code) AS rn
+        FROM sv{S} s JOIN pq_rids USING (vec_id) JOIN pc0{S} c ON s.sub = c.sub
+      ) WHERE rn = 1
+    ), pc1{S} AS MATERIALIZED (
+      SELECT sub, code, list(round(cm, 6) ORDER BY dim) AS cv FROM (
+        SELECT sub, code, dim, avg(x) AS cm FROM (
+          SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim
+          FROM pa0{S}
+        ) GROUP BY sub, code, dim
+      ) GROUP BY sub, code
+    ), pe{S} AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                  ORDER BY {sumsq('s.sv', 'c.cv')}, c.code) AS rn
+        FROM sv{S} s JOIN pq_rids USING (vec_id) JOIN pc1{S} c ON s.sub = c.sub
+      ) WHERE rn = 1
+    ), plut{S} AS MATERIALIZED (
+      SELECT s.vec_id AS probe_id, c.sub, c.code, {ipr} AS ip
+      FROM sv{S} s JOIN pq_pids USING (vec_id) JOIN pc1{S} c ON s.sub = c.sub
+    ), padc{S} AS MATERIALIZED (
+      SELECT l.probe_id, pe{S}.vec_id AS nbr_id, round({adc_sum}, 6) AS a
+      FROM pe{S} JOIN plut{S} l ON pe{S}.sub = l.sub AND pe{S}.code = l.code
+      GROUP BY 1, 2
+    )"""
+
+
 def _pq_adc_core_sql(
     probe_pred: str = "TRUE",
     ref_pred: str = "TRUE",
@@ -3165,72 +3256,10 @@ def _pq_adc_core_sql(
     This is the CORE (normalize .. padc ADC scores) shared by the flat
     shortlist tail (_margin_pq_pairs_sql) and the IVFADC ladder oracles
     (r8), which restrict the same padc scores to each probe's probed
-    cells before the top-C window."""
-    m, kc, sd = _MARGIN_PQ_M, _MARGIN_PQ_KCODES, _MARGIN_PQ_SUBDIM
-
-    def sumsq(a: str, b: str) -> str:
-        return (
-            f"round(list_sum([ ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
-            f" for i in range(1, {sd + 1}) ]), 6)"
-        )
-
-    ipr = f"list_sum([ s.sv[i] * c.cv[i] for i in range(1, {sd + 1}) ])"
-    slices = "\n      UNION ALL ".join(
-        f"SELECT vec_id, {j} AS sub, nv[{j * sd + 1}:{(j + 1) * sd}] AS sv FROM vn"
-        for j in range(m)
-    )
-    adc_sum = " + ".join(f"max(CASE WHEN l.sub = {j} THEN ip END)" for j in range(m))
-    return f"""vn AS MATERIALIZED (
-      SELECT vec_id, grp,
-             list_transform(ve, x -> round(x / sqrt(list_sum([e * e for e in ve])), 6)) AS nv
-      FROM v
-    ), pq_pids AS MATERIALIZED (
-      SELECT vec_id FROM vn WHERE {probe_pred}
-    ), pq_rids AS MATERIALIZED (
-      SELECT vec_id FROM vn WHERE {ref_pred}
-    ), params AS MATERIALIZED (
-      SELECT greatest(32, 2 * CAST(ceil(sqrt(count(*))) AS INT)) AS c_short
-      FROM pq_rids
-    ), sv AS MATERIALIZED (
-      {slices}
-    ), pq_seeds AS MATERIALIZED (
-      SELECT CAST(rn - 1 AS INT) AS code, vec_id FROM (
-        SELECT vec_id,
-               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM pq_rids
-      ) WHERE rn <= {kc}
-    ), pc0 AS MATERIALIZED (
-      SELECT s.sub, d.code, list_transform(s.sv, x -> round(x, 6)) AS cv
-      FROM sv s JOIN pq_seeds d USING (vec_id)
-    ), pa0 AS MATERIALIZED (
-      SELECT vec_id, sub, sv, code FROM (
-        SELECT s.vec_id, s.sub, s.sv, c.code,
-               row_number() OVER (PARTITION BY s.vec_id, s.sub
-                                  ORDER BY {sumsq('s.sv', 'c.cv')}, c.code) AS rn
-        FROM sv s JOIN pq_rids USING (vec_id) JOIN pc0 c ON s.sub = c.sub
-      ) WHERE rn = 1
-    ), pc1 AS MATERIALIZED (
-      SELECT sub, code, list(round(cm, 6) ORDER BY dim) AS cv FROM (
-        SELECT sub, code, dim, avg(x) AS cm FROM (
-          SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim
-          FROM pa0
-        ) GROUP BY sub, code, dim
-      ) GROUP BY sub, code
-    ), pe AS MATERIALIZED (
-      SELECT vec_id, sub, code FROM (
-        SELECT s.vec_id, s.sub, c.code,
-               row_number() OVER (PARTITION BY s.vec_id, s.sub
-                                  ORDER BY {sumsq('s.sv', 'c.cv')}, c.code) AS rn
-        FROM sv s JOIN pq_rids USING (vec_id) JOIN pc1 c ON s.sub = c.sub
-      ) WHERE rn = 1
-    ), plut AS MATERIALIZED (
-      SELECT s.vec_id AS probe_id, c.sub, c.code, {ipr} AS ip
-      FROM sv s JOIN pq_pids USING (vec_id) JOIN pc1 c ON s.sub = c.sub
-    ), padc AS MATERIALIZED (
-      SELECT l.probe_id, pe.vec_id AS nbr_id, round({adc_sum}, 6) AS a
-      FROM pe JOIN plut l ON pe.sub = l.sub AND pe.code = l.code
-      GROUP BY 1, 2
-    )"""
+    cells before the top-C window. Since r9 it composes from
+    _pq_adc_prefix_sql + _pq_adc_chain_sql (byte-identical text) so the
+    code-budget curve can reuse the pieces."""
+    return _pq_adc_prefix_sql(probe_pred, ref_pred) + ", " + _pq_adc_chain_sql()
 
 
 def _pq_adc_res_core_sql(
@@ -3356,19 +3385,21 @@ def _pq_shortlist_tail_sql(
     short_cte: str = "pq_short",
     ranked_cte: str = "pq_ranked",
     c_expr: str = "(SELECT c_short FROM params)",
+    padc_cte: str = "padc",
 ) -> str:
     """The sized top-C window + exact-cosine rerank over the core's padc
     scores. `cell_restrict` (extra JOIN/AND text spliced into the window
     subquery) is how the IVFADC oracles prune the candidate set to each
     probe's probed cells — empty replays the flat scan. `c_expr` lets
     the C-sizing curve oracle rank at a different shortlist size per
-    rung; the default is the production params rule."""
+    rung; the default is the production params rule. `padc_cte` lets
+    the code-budget curve rank over a per-m ADC score table."""
     return f"""{short_cte} AS MATERIALIZED (
       SELECT probe_id, nbr_id FROM (
         SELECT a.probe_id, a.nbr_id,
                row_number() OVER (PARTITION BY a.probe_id
                                   ORDER BY a.a DESC, a.nbr_id) AS rn
-        FROM padc a
+        FROM {padc_cte} a
         JOIN vn p ON p.vec_id = a.probe_id
         JOIN vn q ON q.vec_id = a.nbr_id
         {cell_restrict}
@@ -4933,6 +4964,199 @@ def _margin_c_sized_oracle(
            (SELECT CAST(recall_x10k AS BIGINT) FROM prod) AS prod_recall_x10k,
            (SELECT recall_x10k >= {target_x10k} FROM prod) AS prod_meets_target
     """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code-budget sizing (r9) — the THIRD sizing axis of the PQ family after
+# nprobe (q_margin_ivfadc_sized) and shortlist C (q_margin_c_sized): m, the
+# number of one-byte PQ codes per vector, has been a frozen constant
+# (m=16, justified by one measured sentence) while the 200x deep probe
+# shows exactly where it binds — at that depth recall plateaus ~0.83 at
+# ANY nprobe, i.e. the scan budget is no longer the limiting resource,
+# the CODE RESOLUTION is. This curve measures margin-mining recall per
+# code budget m in {8, 16, 32} bytes (fit, encode, ADC scan, sized-C
+# shortlist, exact rerank, margin filter — the full production chain per
+# rung) and the sized decision certifies the SMALLEST byte budget
+# clearing the 0.85 floor plus where the frozen production m sits on its
+# own corpus's measured curve (the q_margin_c_sized no-drift idiom).
+# ---------------------------------------------------------------------------
+
+_PQ_M_LADDER = (8, 16, 32)
+
+
+def _pq_m_ladder_parts(min_margin_x10k: int = 11000):
+    """Shared prefix + brute reference, then per code budget m a FULL
+    per-m PQ chain (suffix-renamed fit/encode/LUT/ADC CTEs over the one
+    shared prefix) + sized-C shortlist + exact rerank + margin filter +
+    a curve SELECT."""
+    parts = [_pq_adc_prefix_sql(), _margin_brute_sql(min_margin_x10k)]
+    selects = []
+    for m in _PQ_M_LADDER:
+        s = f"_b{m}"
+        parts.append(_pq_adc_chain_sql(m=m, suffix=s))
+        parts.append(
+            _pq_shortlist_tail_sql(
+                True, "", f"short{s}", f"ranked{s}", padc_cte=f"padc{s}"
+            )
+        )
+        parts.append(f"""mined{s} AS MATERIALIZED (
+      SELECT b.probe_id, b.nbr_id AS best_id
+      FROM (SELECT probe_id, nbr_id, s FROM ranked{s} WHERE rn = 1) b
+      JOIN (SELECT probe_id, s AS sim2 FROM ranked{s} WHERE rn = 2) s2
+        USING (probe_id)
+      WHERE s2.sim2 > 0
+        AND floor(10000.0 * b.s / s2.sim2) >= {min_margin_x10k}
+    )""")
+        selects.append(f"""SELECT CAST({m} AS BIGINT) AS code_bytes,
+           (SELECT CAST(c_short AS BIGINT) FROM params) AS c_short,
+           (SELECT CAST(count(*) AS BIGINT) FROM mined{s}) AS n_mined,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM mined{s} JOIN brute_pairs USING (probe_id, best_id)) AS n_hit,
+           (SELECT CAST(CASE WHEN (SELECT count(*) FROM brute_pairs) = 0
+                             THEN 10000
+                             ELSE floor(10000.0 * count(*) /
+                                  (SELECT count(*) FROM brute_pairs)) END
+                  AS BIGINT)
+            FROM mined{s} JOIN brute_pairs USING (probe_id, best_id))
+             AS recall_x10k""")
+    return parts, selects
+
+
+def _margin_pq_m_curve_oracle(min_margin_x10k: int = 11000) -> str:
+    parts, selects = _pq_m_ladder_parts(min_margin_x10k)
+    return (
+        _IVFADC_V_CTE
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n      UNION ALL ".join(selects)
+    )
+
+
+def _margin_m_sized_oracle(
+    target_x10k: int = 8500,
+    min_margin_x10k: int = 11000,
+    prod_m: int = _MARGIN_PQ_M,
+) -> str:
+    parts, selects = _pq_m_ladder_parts(min_margin_x10k)
+    ladder = "\n      UNION ALL ".join(selects)
+    return (
+        _IVFADC_V_CTE
+        + ",\n    ".join(parts)
+        + f""", ladder AS MATERIALIZED (
+      {ladder}
+    ), sized AS MATERIALIZED (
+      SELECT * FROM ladder WHERE recall_x10k >= {target_x10k}
+      ORDER BY code_bytes LIMIT 1
+    ), prod AS MATERIALIZED (
+      SELECT * FROM ladder WHERE code_bytes = {prod_m}
+    )
+    SELECT CAST({target_x10k} AS BIGINT) AS target_x10k,
+           (SELECT CAST(code_bytes AS BIGINT) FROM sized) AS sized_m,
+           EXISTS (SELECT 1 FROM sized) AS reached,
+           CAST({prod_m} AS BIGINT) AS prod_m,
+           (SELECT CAST(recall_x10k AS BIGINT) FROM prod) AS prod_recall_x10k,
+           (SELECT recall_x10k >= {target_x10k} FROM prod) AS prod_meets_target
+    """
+    )
+
+
+#: Measured code-budget ladder rows per corpus (the _PQ_C_CURVE_CACHE
+#: convention): curve + sized decision share one execution.
+_PQ_M_CURVE_CACHE: dict[str, list[tuple[int, int, int, int, int]]] = {}
+
+
+def _pq_m_curve_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, int, int, int, int]]:
+    """Measured (code_bytes, c_short, n_mined, n_hit, recall_x10k)
+    ladder for one corpus — one normalize + brute reference shared, one
+    full PQ fit/encode/ADC-scan/rerank per code budget m."""
+    import math
+
+    cached = _PQ_M_CURVE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    emb = load_table(spark, "embeddings", sf_dir).localCheckpoint()
+    norm = SIM.normalize_rounded(emb, out_col="__nv").localCheckpoint()
+    n = norm.count()
+    c = SIM.size_adc_shortlist(n)
+    brute = (
+        SIM.margin_mine(emb, min_margin_x10k=11000)
+        .select("probe_id", "best_id")
+        .localCheckpoint()
+    )
+    n_brute = brute.count()
+    rows = []
+    for m in _PQ_M_LADDER:
+        book = SIM.pq_fit(
+            norm, dim=64, m=m, k_codes=_MARGIN_PQ_KCODES, iters=1,
+            vec_col="__nv",
+        )
+        codes = SIM.pq_encode(norm, book, dim=64, m=m, vec_col="__nv")
+        pairs = SIM.adc_shortlist_pairs(
+            norm, book, codes, shortlist=c, dim=64, m=m, vec_col="__nv"
+        )
+        mined = (
+            SIM._margin_top2(
+                SIM._exact_rerank_pairs(pairs, emb, emb), 11000
+            )
+            .select("probe_id", "best_id")
+            .localCheckpoint()
+        )
+        n_mined = mined.count()
+        n_hit = mined.join(brute, ["probe_id", "best_id"]).count()
+        recall = 10000 if n_brute == 0 else (10000 * n_hit) // n_brute
+        rows.append((m, c, int(n_mined), int(n_hit), int(recall)))
+    _PQ_M_CURVE_CACHE[sf_dir] = rows
+    return rows
+
+
+@query("q_margin_pq_m_curve", oracle=_margin_pq_m_curve_oracle())
+def q_margin_pq_m_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-BUDGET recall curve (r9 — the third sizing axis): measured
+    margin-mining recall at m ∈ {8, 16, 32} one-byte PQ codes per
+    vector, everything else the production chain (certified one-round
+    fit per m, sized-C shortlist, exact rerank, margin filter). The m
+    axis is what binds at the 200× deep-probe depth, where recall
+    plateaus ~0.83 at ANY scan fraction — so the byte budget must be a
+    measured, sizable knob like nprobe and C, not a frozen constant.
+    The oracle replays all three per-m chains over one shared
+    normalize/brute prefix."""
+    return spark.createDataFrame(
+        _pq_m_curve_rows(spark, sf_dir),
+        "code_bytes bigint, c_short bigint, n_mined bigint, n_hit bigint, "
+        "recall_x10k bigint",
+    )
+
+
+@query("q_margin_m_sized", oracle=_margin_m_sized_oracle())
+def q_margin_m_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The code-budget SIZING decision + production-rule audit (the
+    q_margin_c_sized idiom on the m axis): smallest measured byte
+    budget clearing the 0.85 floor, plus where the frozen production
+    m = 16 sits on this corpus's own measured curve — so the constant
+    every PQ composite ships with can never silently drift off the
+    certified operating point, and an index builder at a new scale
+    reads its m off a measured curve the way it already reads nprobe
+    and C."""
+    rows = _pq_m_curve_rows(spark, sf_dir)
+    sized = next((r for r in rows if r[4] >= _MARGIN_PQ_FLOOR_X10K), None)
+    prod = next(r for r in rows if r[0] == _MARGIN_PQ_M)
+    out = (
+        (
+            _MARGIN_PQ_FLOOR_X10K,
+            sized[0] if sized else None,
+            sized is not None,
+            _MARGIN_PQ_M,
+            prod[4],
+            prod[4] >= _MARGIN_PQ_FLOOR_X10K,
+        ),
+    )
+    return spark.createDataFrame(
+        out,
+        "target_x10k bigint, sized_m bigint, reached boolean, "
+        "prod_m bigint, prod_recall_x10k bigint, prod_meets_target boolean",
     )
 
 

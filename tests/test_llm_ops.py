@@ -1989,6 +1989,44 @@ class TestIvfadc:
         assert sized["sized_nprobe"] <= flat_sized["sized_nprobe"]
 
 
+class TestCodeBudgetSizing:
+    """The m (code bytes) sizing axis (r9): the curve, monotonicity,
+    and the production-constant lockstep — the third measured knob
+    after nprobe and C."""
+
+    def test_m_curve_monotone_and_sized_lockstep(self, spark):
+        """Recall must be non-decreasing in the byte budget (finer
+        subspaces quantize tighter at the same k_codes); the sized
+        decision is the smallest rung clearing the floor; and the
+        production m = 16 must sit ON its own corpus's measured curve
+        at-or-above the floor — the no-drift convention of
+        q_margin_c_sized applied to m."""
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+        from dais2021imageprocessingondeltalake_spark.queries_llm import (
+            _MARGIN_PQ_M,
+            _PQ_M_LADDER,
+        )
+
+        curve = sorted(
+            q.REGISTRY["q_margin_pq_m_curve"].fn(spark, SF_DIR).collect(),
+            key=lambda r: r["code_bytes"],
+        )
+        assert [r["code_bytes"] for r in curve] == list(_PQ_M_LADDER)
+        for a, b in zip(curve, curve[1:]):
+            assert a["recall_x10k"] <= b["recall_x10k"]
+        # all rungs rank at the SAME production shortlist C
+        assert len({r["c_short"] for r in curve}) == 1
+        sized = q.REGISTRY["q_margin_m_sized"].fn(spark, SF_DIR).collect()[0]
+        assert sized["reached"]
+        first = next(r for r in curve if r["recall_x10k"] >= 8500)
+        assert sized["sized_m"] == first["code_bytes"]
+        prod = next(r for r in curve if r["code_bytes"] == _MARGIN_PQ_M)
+        assert sized["prod_recall_x10k"] == prod["recall_x10k"]
+        assert sized["prod_meets_target"] == (prod["recall_x10k"] >= 8500)
+        # the curve must actually discriminate: m=8 measured below m=32
+        assert curve[0]["recall_x10k"] < curve[-1]["recall_x10k"]
+
+
 class TestShortlistSizing:
     """Recall-targeted C sizing (r8, VERDICT r7 items 3+4): the curve,
     the sizing function, and the no-drift lockstep between the measured
