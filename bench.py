@@ -97,10 +97,22 @@ def main() -> None:
     # two is still an end-to-end measurement (plan build + execution), just
     # the less-contended one.
     specs = q.headline_queries()
+
+    def _cpu_ticks() -> tuple[int, int]:
+        """(steal, total) jiffies from /proc/stat — host-level CPU theft
+        is invisible to load averages (a guest under host throttling
+        shows an idle box running 1.5-2x slow); bracketing the timed
+        block makes THAT drift attributable too."""
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+
     # machine-load evidence (VERDICT r7 item 7): 1-min load average before
     # and after the timed block, so drift on untouched queries is
     # attributable to box contention instead of being read as regression
     load_before = round(os.getloadavg()[0], 1)
+    steal0, total0 = _cpu_ticks()
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         best = float("inf")
@@ -123,6 +135,14 @@ def main() -> None:
                 "load_wait_secs": load_wait,
                 "load_1m_before": load_before,
                 "load_1m_after": round(os.getloadavg()[0], 1),
+                "host_steal_pct": (
+                    round(
+                        100.0
+                        * (_cpu_ticks()[0] - steal0)
+                        / max(_cpu_ticks()[1] - total0, 1),
+                        2,
+                    )
+                ),
             }
         )
     )

@@ -235,7 +235,7 @@ def build_scaled_embeddings(base_dir: str, factor: int, out_dir: Path, seed: int
 
 ALL_COMPONENTS = (
     "docs", "sem", "knn", "gram", "margin", "marginpq", "train",
-    "ivfadc", "ivfadcres", "csize", "xpq", "xres", "div", "mix",
+    "ivfadc", "ivfadcres", "csize", "msize", "xpq", "xres", "div", "mix",
 )
 
 
@@ -519,7 +519,7 @@ def main() -> int:
                     )
                 )
 
-            if want & {"sem", "knn", "gram", "margin", "marginpq",
+            if want & {"sem", "knn", "gram", "margin", "marginpq", "msize",
                        "ivfadc", "ivfadcres", "csize", "xpq", "xres", "div"}:
                 epath = build_scaled_embeddings(args.base, k, scratch)
                 emb = spark.read.parquet(epath)
@@ -734,7 +734,7 @@ def main() -> int:
                 )
                 point["margin_pq_recall_secs"] = round(time.perf_counter() - t0, 2)
 
-            if want & {"ivfadc", "ivfadcres", "csize"}:
+            if want & {"ivfadc", "ivfadcres", "csize", "msize"}:
                 # shared assets for the r8 blocks, reused from the
                 # margin/marginpq blocks when those ran in this JVM
                 if not (want & {"margin", "marginpq"}):
@@ -889,6 +889,47 @@ def main() -> int:
                     time.perf_counter() - t0 + iv_setup, 2
                 )
                 run_ivfadc_ladder("ivfadcres", res_book, res_codes, iv_anchors)
+
+            if "msize" in want:
+                # Code-budget axis at depth (r9): the 200x flat ladder
+                # measures recall plateauing ~0.83 at ANY scanned-cell
+                # fraction — code resolution binds there, not pruning.
+                # This component measures the flat-scan recall at
+                # m = 16 vs 32 bytes (sized C, production chain) so the
+                # m-curve's driver-scale certification has deep-factor
+                # evidence for WHERE the budget must grow.
+                m_curve = []
+                for m_b in (16, 32):
+                    t0 = time.perf_counter()
+                    mb_book = SIM.pq_fit(
+                        pq_norm, dim=64, m=m_b, k_codes=16, iters=1,
+                        vec_col="nv",
+                    )
+                    mb_codes = SIM.pq_encode(
+                        pq_norm, mb_book, dim=64, m=m_b, vec_col="nv"
+                    )
+                    pairs = SIM.adc_shortlist_pairs(
+                        pq_norm, mb_book, mb_codes, shortlist=pq_c,
+                        dim=64, m=m_b, vec_col="nv",
+                    )
+                    mscored = _score_pairs_broadcast(spark, pairs, ids, vecs)
+                    mined = {
+                        (r["probe_id"], r["best_id"])
+                        for r in SIM._margin_top2(mscored, 11000)
+                        .select("probe_id", "best_id")
+                        .collect()
+                    }
+                    entry = {
+                        "code_bytes": m_b,
+                        "recall_x10k": int(
+                            10000 * len(mined & brute_pairs)
+                            // max(len(brute_pairs), 1)
+                        ),
+                        "secs": round(time.perf_counter() - t0, 2),
+                    }
+                    m_curve.append(entry)
+                    print(json.dumps({"factor": k, "msize_rung": entry}), flush=True)
+                point["msize_curve"] = m_curve
 
             if "csize" in want:
                 # Recall-targeted shortlist sizing (r8, VERDICT r7
