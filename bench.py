@@ -123,6 +123,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # ONE post-block snapshot: steal delta and total delta must come from
+    # the same /proc/stat read, or the denominator includes ticks the
+    # numerator doesn't (ADVICE r9)
+    steal1, total1 = _cpu_ticks()
     print(
         json.dumps(
             {
@@ -135,13 +139,8 @@ def main() -> None:
                 "load_wait_secs": load_wait,
                 "load_1m_before": load_before,
                 "load_1m_after": round(os.getloadavg()[0], 1),
-                "host_steal_pct": (
-                    round(
-                        100.0
-                        * (_cpu_ticks()[0] - steal0)
-                        / max(_cpu_ticks()[1] - total0, 1),
-                        2,
-                    )
+                "host_steal_pct": round(
+                    100.0 * (steal1 - steal0) / max(total1 - total0, 1), 2
                 ),
             }
         )

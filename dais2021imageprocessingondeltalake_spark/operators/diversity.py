@@ -53,6 +53,39 @@ def _nonzero_src(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _rounded_cos_matrix(spark, vecs, round_dp: int):
+    """a×a rounded-cosine matrix among `vecs`, computed by the SAME
+    Arrow-UDF numpy expression shape the corpus scans use (matrix @
+    matrix.T with per-row norms, rounded to round_dp). The fused
+    selectors use this to re-derive the RECORDED trajectory values for
+    within-pass accepts, so emitted sel_dist/score always comes from
+    the one executor-side arithmetic path the oracles certify — the
+    driver-side numpy recompute is used only for the acceptance
+    ORDERING, where the one-quantum margin already absorbs sub-ulp
+    BLAS-shape differences (ADVICE r9). One tiny Spark job per pass
+    (a ≤ batch_rounds rows)."""
+    import numpy as np
+
+    S = np.asarray(vecs, dtype=np.float64)
+    Sn = np.sqrt((S * S).sum(axis=1))
+
+    @F.pandas_udf("array<double>")
+    def cos_row(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(e, dtype=np.float64) for e in vec])
+        Xn = np.sqrt((X * X).sum(axis=1))
+        sims = np.round(X @ S.T / (Xn[:, None] * Sn[None, :]), round_dp)
+        return pd.Series([[float(x) for x in row] for row in sims])
+
+    rows = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "i bigint, v array<double>",
+    ).repartition(1)
+    got = {r["i"]: r["c"] for r in rows.select("i", cos_row("v").alias("c")).collect()}
+    return [got[i] for i in range(len(vecs))]
+
+
 def _mindist_maxsim_udf(sel_vecs, round_dp: int):
     """Arrow UDF: vector -> (min over selected of 1 − round(cos, dp),
     max over selected of round(cos, dp)) — one numpy pass per batch
@@ -176,7 +209,6 @@ def kcenter_select_fused(
     seed = src.orderBy(digest, F.col(id_col)).limit(1).collect()[0]
     selected = [(seed[id_col], list(seed["__v"]), None)]
     while len(selected) < k:
-        sel_mat = np.asarray([v for _, v, _ in selected], dtype=np.float64)
         score = _mindist_maxsim_udf([v for _, v, _ in selected], round_dp)
         want = min(batch_rounds, k - len(selected))
         ranked = (
@@ -188,11 +220,18 @@ def kcenter_select_fused(
         )
         if not ranked:
             break
+        pass_base = len(selected)
+        stale_minds: list[float] = []
         accepted_vecs: list[np.ndarray] = []
         for i in range(min(want, len(ranked))):
             r = ranked[i]
             mind = float(r["__s"]["mind"])
+            stale_minds.append(mind)
             if accepted_vecs:
+                # driver-side recompute used ONLY for the dominance
+                # ORDERING (quantum margin absorbs sub-ulp BLAS-shape
+                # drift); the recorded value is re-derived below from
+                # the UDF arithmetic path (ADVICE r9).
                 x = np.asarray(r["__v"], dtype=np.float64)
                 A = np.asarray(accepted_vecs, dtype=np.float64)
                 sims = np.round(
@@ -210,6 +249,20 @@ def kcenter_select_fused(
                 break  # dominance no longer provable — rescan
             selected.append((r[id_col], list(r["__v"]), mind))
             accepted_vecs.append(np.asarray(r["__v"], dtype=np.float64))
+        if len(accepted_vecs) >= 2:
+            # re-derive recorded sel_dist for within-pass accepts from
+            # executor-side rounded cosines: mind_i = min(stale UDF
+            # mind, 1 − max_{j<i} roundcos(P_i, P_j)) — both terms now
+            # come from the one arithmetic path the oracle certifies.
+            cmat = _rounded_cos_matrix(
+                df.sparkSession, [list(v) for v in accepted_vecs], round_dp
+            )
+            for i in range(1, len(accepted_vecs)):
+                wp_best = max(cmat[i][j] for j in range(i))
+                sid, vec, _ = selected[pass_base + i]
+                selected[pass_base + i] = (
+                    sid, vec, min(stale_minds[i], 1.0 - wp_best),
+                )
         if len(ranked) <= want and len(ranked) == len(accepted_vecs):
             break  # corpus exhausted
     spark = df.sparkSession
@@ -362,11 +415,18 @@ def mmr_select_fused(
         )
         if not ranked:
             break
+        pass_base = len(selected)
+        pass_stats: list[tuple[float, float]] = []  # (stale __ms, __rel)
         accepted_vecs: list[np.ndarray] = []
         for i in range(min(want, len(ranked))):
             r = ranked[i]
             ms = float(r["__ms"])
+            pass_stats.append((ms, float(r["__rel"])))
             if accepted_vecs:
+                # driver-side recompute used ONLY for the dominance
+                # ORDERING (quantum margin absorbs sub-ulp BLAS-shape
+                # drift); the recorded score is re-derived below from
+                # the UDF arithmetic path (ADVICE r9).
                 x = np.asarray(r["__v"], dtype=np.float64)
                 A = np.asarray(accepted_vecs, dtype=np.float64)
                 sims = np.round(
@@ -385,6 +445,23 @@ def mmr_select_fused(
                 break  # dominance no longer provable — rescan
             selected.append((r[id_col], list(r["__v"]), sc))
             accepted_vecs.append(np.asarray(r["__v"], dtype=np.float64))
+        if len(accepted_vecs) >= 2:
+            # re-derive recorded scores for within-pass accepts from
+            # executor-side rounded cosines: ms_i = max(stale UDF ms,
+            # max_{j<i} roundcos(P_i, P_j)); score = λ·rel − (1−λ)·ms —
+            # the same multiply-subtract on UDF-path doubles, so the
+            # emitted value matches the one-per-round form bit-exactly.
+            cmat = _rounded_cos_matrix(
+                df.sparkSession, [list(v) for v in accepted_vecs], round_dp
+            )
+            for i in range(1, len(accepted_vecs)):
+                stale_ms, rel_i = pass_stats[i]
+                ms_i = max(stale_ms, max(cmat[i][j] for j in range(i)))
+                sid, vec, _ = selected[pass_base + i]
+                selected[pass_base + i] = (
+                    sid, vec,
+                    float(lam) * rel_i - float(1.0 - lam) * ms_i,
+                )
         if len(ranked) <= want and len(ranked) == len(accepted_vecs):
             break  # corpus exhausted
     spark = df.sparkSession

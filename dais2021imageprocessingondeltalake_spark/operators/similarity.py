@@ -2137,6 +2137,17 @@ def ivfadc_rung_nprobe(kind: str, rung: int, k_cells: int) -> int:
     raise ValueError(f"unknown rung kind {kind!r} (expected 'abs'|'frac')")
 
 
+class LadderSaturatedError(RuntimeError):
+    """Raised by sized-miner consumers when a measured recall ladder
+    SATURATES — no rung, including the full-scan top rung, clears the
+    recall target, so code resolution (not pruning) binds and mining at
+    any nprobe would silently ship sub-floor recall. The message names
+    the certified escapes (residual encoding, larger code budget m) so
+    callers are routed, not floored (VERDICT r9 item 5). Never raised
+    on the registered corpora; the 200× scale probe measured the flat
+    m=16 ladder saturating ~0.83."""
+
+
 def size_ivfadc_rung(ladder_rows, recall_target_x10k: int = 8500):
     """Pick the CHEAPEST rung of a measured mixed-kind IVFADC ladder
     clearing the recall target: minimum realized nprobe — the actual

@@ -34,21 +34,15 @@ from .registry import REGISTRY, headline_queries, oracle_sql, queries  # noqa: F
 # them via ``queries()``/``oracle_sql()`` and the repo's own dual-scale sweep
 # (tools/verify_sweep.py) checks every oracle at sf0.01 AND sf0.1 each round.
 #
-# Window changes r8 -> r9 (per VERDICT r8 items 1 and 6; nothing
-# unregistered):
-# - The 15 r8-certified rotating slots (PQ flagship tier + carried
-#   deferrals + experiment tracking — all green in CORRECTNESS_r08)
-#   rotate to the queue tail.
-# - In come the 13 ids VERDICT r8 item 1 names explicitly: the IVFADC
-#   tier (recall/budget curve, sized fraction decision, miner at the
-#   sized operating point, shortlist C-multiplier curve + sizing
-#   decision, cell-pruned kNN join, incremental-ingest miner,
-#   live-ingest stream), the three residual-encoding ids, and the two
-#   diversity-selection ids — then "mixing/DoReMi ids next" fills the
-#   last 2 slots with q_domain_reweight + q_reweight_apply. Item 6's
-#   remaining mixing ids (the UniMax trio) and the residual x-shapes
-#   exceed the 15-slot budget (13 named + 5 mixing = 18 > 15) and head
-#   the r10 queue below — the item-1 priority order decided the cut.
+# Window changes r9 -> r10 (per VERDICT r9 item 1; nothing unregistered):
+# - The 15 r9-certified rotating slots (IVFADC/residual/diversity/DoReMi
+#   tier — all green in CORRECTNESS_r09) rotate to the queue tail.
+# - In come the 11 ids VERDICT r9 item 1 names explicitly: the UniMax
+#   quartet (the 2-rounds-deferred mixing headline), the fused greedy
+#   selectors, the code-budget (m) sizing axis, and the residual index
+#   across the serving/ingest/stream shapes — then the carried queue
+#   head fills the last 4 slots (q_embedding_pq_cert, q_embedding_pq_ann,
+#   q_stream_drift, q_auc_ranked) in queue order.
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # SURVEY §2 resident set (35)
@@ -87,24 +81,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_scan_binary",
     "q_stream_agg",
     "q_stream_window",
-    # Rotation head promoted for r9 (VERDICT r8 items 1 + 6): the r8
-    # IVFADC / residual / diversity tier gets driver certification, plus
-    # the first two mixing ids (DoReMi) in the item-1 priority order.
-    "q_margin_ivfadc_curve",
-    "q_margin_ivfadc_sized",
-    "q_margin_mine_ivfadc",
-    "q_margin_pq_c_curve",
-    "q_margin_c_sized",
-    "q_knn_join_ivfadc",
-    "q_margin_ivfadc_xcorpus",
-    "q_stream_margin_ivfadc",
-    "q_margin_ivfadc_res_curve",
-    "q_margin_ivfadc_res_sized",
-    "q_margin_mine_ivfadc_res",
-    "q_kcenter_select",
-    "q_mmr_select",
-    "q_domain_reweight",
-    "q_reweight_apply",
+    # Rotation head promoted for r10 (VERDICT r9 item 1): the UniMax
+    # mixing quartet, fused selectors, code-budget sizing axis, residual
+    # serving/ingest/stream shapes, plus the carried-queue head.
+    "q_unimax_alloc",
+    "q_unimax_manifest",
+    "q_stream_unimax",
+    "q_unimax_pack",
+    "q_kcenter_fused",
+    "q_mmr_fused",
+    "q_margin_pq_m_curve",
+    "q_margin_m_sized",
+    "q_margin_ivfadc_res_xcorpus",
+    "q_knn_join_ivfadc_res",
+    "q_stream_margin_ivfadc_res",
+    "q_embedding_pq_cert",
+    "q_embedding_pq_ann",
+    "q_stream_drift",
+    "q_auc_ranked",
 )
 
 # --- Promoted-set ledger (VERDICT r5 item 1b) --------------------------------
@@ -114,7 +108,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # registered (their green rows are history, and the dual-scale sweep keeps
 # checking their oracles). Rotations update CURRENT_ROUND + append one entry
 # here instead of hand-editing a test.
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
     4: (
         "q_minhash_lsh_md5",
@@ -218,30 +212,30 @@ PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
         "q_domain_reweight",
         "q_reweight_apply",
     ),
+    10: (
+        "q_unimax_alloc",
+        "q_unimax_manifest",
+        "q_stream_unimax",
+        "q_unimax_pack",
+        "q_kcenter_fused",
+        "q_mmr_fused",
+        "q_margin_pq_m_curve",
+        "q_margin_m_sized",
+        "q_margin_ivfadc_res_xcorpus",
+        "q_knn_join_ivfadc_res",
+        "q_stream_margin_ivfadc_res",
+        "q_embedding_pq_cert",
+        "q_embedding_pq_ann",
+        "q_stream_drift",
+        "q_auc_ranked",
+    ),
 }
 
 # Priority order for slots 51+; ids not listed here follow in their original
 # registration order. Rounds 7+ rotate these into freed window slots.
 ROTATION_QUEUE: tuple[str, ...] = (
-    # r10 head: the r8/r9 ids the 15-slot r9 budget could not fit — the
-    # UniMax mixing trio + its pack composite (VERDICT r8 item 6 tail)
-    # and the residual-index serving/ingest/stream shapes — then the
-    # r6-certified tiers that have never re-gated
-    "q_unimax_alloc",  # NEW r8: UniMax epoch-capped waterfilling allocation
-    "q_unimax_manifest",  # NEW r8: per-(doc,copy) repetition manifest
-    "q_stream_unimax",  # NEW r8: live-ingest manifest shape (batch oracle)
-    "q_unimax_pack",  # NEW r8: mix -> manifest -> pack composite
-    "q_kcenter_fused",  # NEW r9: fused farthest-first (bit-identical, ~k/4 scans)
-    "q_mmr_fused",  # NEW r9: fused MMR (bit-identical trajectory + scores)
-    "q_margin_pq_m_curve",  # NEW r9: code-budget recall curve (3rd sizing axis)
-    "q_margin_m_sized",  # NEW r9: smallest byte budget clearing the floor
-    "q_margin_ivfadc_res_xcorpus",  # NEW r8: residual-index incremental ingest
-    "q_knn_join_ivfadc_res",  # NEW r8: residual-index serving ANN join
-    "q_stream_margin_ivfadc_res",  # NEW r8: residual-index live-ingest stream
-    "q_embedding_pq_cert",  # NEW r6: certified product quantization (ADC)
-    "q_embedding_pq_ann",  # NEW r6: two-stage PQ (ADC shortlist + re-rank)
-    "q_stream_drift",  # NEW r6: streaming drift monitor (merge==batch cert)
-    "q_auc_ranked",  # NEW r6: integer-exact Mann-Whitney ROC-AUC
+    # r11 head: the r6-certified statistical tier that has never re-gated,
+    # then the remaining streaming tier and the r3 certified tier.
     "q_spearman",  # NEW r6: midrank Spearman correlation audit
     "q_ndcg",  # NEW r6: nDCG@10 of the BM25 ranking (corpus-ideal IDCG)
     "q_lang_f1",  # NEW r6: integer-exact per-class precision/recall/F1
@@ -425,6 +419,23 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_embedding_topk",
     "q_embedding_ann_q8",
     "q_experiment_tracking",
+    # r9-certified ids rotated OUT of the window in r10 (each holds a green
+    # CORRECTNESS_r09 row; the dual-scale sweep keeps their oracles checked)
+    "q_margin_ivfadc_curve",
+    "q_margin_ivfadc_sized",
+    "q_margin_mine_ivfadc",
+    "q_margin_pq_c_curve",
+    "q_margin_c_sized",
+    "q_knn_join_ivfadc",
+    "q_margin_ivfadc_xcorpus",
+    "q_stream_margin_ivfadc",
+    "q_margin_ivfadc_res_curve",
+    "q_margin_ivfadc_res_sized",
+    "q_margin_mine_ivfadc_res",
+    "q_kcenter_select",
+    "q_mmr_select",
+    "q_domain_reweight",
+    "q_reweight_apply",
 )
 
 

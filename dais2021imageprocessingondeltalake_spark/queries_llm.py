@@ -4479,7 +4479,10 @@ def _margin_ivfadc_sized_oracle(
            (SELECT CAST(floor(10000.0 * n_scanned /
                    ((SELECT count(*) FROM v) * (SELECT count(*) FROM v)))
                  AS BIGINT) FROM sized) AS scan_frac_x10k,
-           EXISTS (SELECT 1 FROM sized) AS reached
+           EXISTS (SELECT 1 FROM sized) AS reached,
+           CASE WHEN EXISTS (SELECT 1 FROM sized) THEN NULL
+                ELSE '{_ivfadc_route_on_saturation(residual)}'
+           END AS route
     """
     )
 
@@ -4490,9 +4493,12 @@ def _margin_mine_ivfadc_oracle(
     residual: bool = False,
 ) -> str:
     """Replay ladder, sizing decision, AND the final mine at the sized
-    nprobe (ladder max when no rung clears the target — the top rung is
-    the flat scan, so in practice the decision always reaches) in one
-    string."""
+    nprobe in one string. The coalesce-to-ladder-max branch is a dead
+    branch by contract: on a saturated ladder the ENGINE side raises
+    LadderSaturatedError (refusal + routing, VERDICT r9 item 5) before
+    any mine runs, and on the registered corpora the decision always
+    reaches (the top rung is the flat scan) — the coalesce only keeps
+    the SQL total so the oracle never emits a NULL-nprobe mine."""
     parts, sized = _ivfadc_sized_ctes(target_x10k, min_margin_x10k, residual)
     np_sized = (
         "(SELECT coalesce((SELECT nprobe FROM sized),"
@@ -4644,13 +4650,30 @@ def _ivfadc_ladder_exec(
     return rows
 
 
+def _ivfadc_route_on_saturation(residual: bool) -> str:
+    """The certified routing advice a saturated ladder emits (VERDICT
+    r9 item 5): when NO rung — including the full-scan top rung —
+    clears the recall floor, code RESOLUTION binds, not pruning (the
+    200× probe measured the flat m=16 ladder plateauing ~0.83 at any
+    scanned fraction), so the escape is a finer code, not more cells:
+    the residual encoding first (measured: clears 0.85 at 200× where
+    flat cannot), then the larger code budget (m=32 restores ~full
+    recall at 60×/100× depth — q_margin_m_sized)."""
+    return "m32" if residual else "residual_ivfadc,m32"
+
+
 def _ivfadc_sized_result(
-    spark: SparkSession, sf_dir: str, rows
+    spark: SparkSession, sf_dir: str, rows, residual: bool = False
 ) -> DataFrame:
     """The sized-decision row shared by the flat and residual sized
     queries: MINIMUM-nprobe rung clearing the floor (whichever kind —
     SIM.size_ivfadc_rung's deterministic order, replayed by the
-    oracle's ORDER BY nprobe, kind, rung) + its scanned fraction."""
+    oracle's ORDER BY nprobe, kind, rung) + its scanned fraction.
+    When no rung clears (a saturated ladder — never on the registered
+    corpora, measured at the 200× probe), the row IS the refusal:
+    reached = false, NULL operating point, and `route` naming the
+    certified escapes (the q_margin_nprobe_sized refusal idiom,
+    VERDICT r9 item 5)."""
     n = load_table(spark, "embeddings", sf_dir).count()
     pick = SIM.size_ivfadc_rung(rows, recall_target_x10k=_MARGIN_PQ_FLOOR_X10K)
     hit = None
@@ -4665,12 +4688,14 @@ def _ivfadc_sized_result(
             hit[2] if hit else None,
             (10000 * hit[3]) // (n * n) if hit else None,
             hit is not None,
+            None if hit else _ivfadc_route_on_saturation(residual),
         ),
     )
     return spark.createDataFrame(
         out,
         "target_x10k bigint, sized_kind string, sized_rung bigint, "
-        "sized_nprobe bigint, scan_frac_x10k bigint, reached boolean",
+        "sized_nprobe bigint, scan_frac_x10k bigint, reached boolean, "
+        "route string",
     )
 
 
@@ -4684,7 +4709,22 @@ def _ivfadc_sized_mine(
 
     rows = _ivfadc_ladder_exec(spark, sf_dir, residual)
     pick = SIM.size_ivfadc_rung(rows, recall_target_x10k=_MARGIN_PQ_FLOOR_X10K)
-    np_ = pick[2] if pick is not None else max(r[2] for r in rows)
+    if pick is None:
+        # saturated ladder: no rung — including the full-scan top rung —
+        # clears the floor, so code resolution binds and mining at ANY
+        # nprobe would silently ship sub-floor recall. Surface the
+        # certified refusal + routing instead of flooring (VERDICT r9
+        # item 5; never reachable on the registered corpora, measured
+        # at the 200× probe for flat m=16).
+        raise SIM.LadderSaturatedError(
+            f"no rung of the measured {'residual' if residual else 'flat'} "
+            f"IVFADC ladder clears recall >= {_MARGIN_PQ_FLOOR_X10K} x10k "
+            f"(top rung is the full scan — code resolution binds, not "
+            f"pruning); route to: {_ivfadc_route_on_saturation(residual)} "
+            f"(residual_ivfadc = margin_mine_ivfadc(residual=True), "
+            f"m32 = double the code budget, see q_margin_m_sized)"
+        )
+    np_ = pick[2]
     emb = load_table(spark, "embeddings", sf_dir)
     k = math.isqrt(emb.count() - 1) + 1
     asset_cache = _IVFADC_RES_ASSET_CACHE if residual else _IVFADC_ASSET_CACHE
@@ -4757,7 +4797,8 @@ def q_margin_ivfadc_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     falling-fraction FAISS regime reachable as the corpus grows
     (SCALE_PROBE.json ivfadc/ivfadcres fields)."""
     return _ivfadc_sized_result(
-        spark, sf_dir, _ivfadc_ladder_exec(spark, sf_dir, residual=False)
+        spark, sf_dir, _ivfadc_ladder_exec(spark, sf_dir, residual=False),
+        residual=False,
     )
 
 
@@ -4849,7 +4890,8 @@ def q_margin_ivfadc_res_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement that residual encoding buys scan budget, not just
     recall."""
     return _ivfadc_sized_result(
-        spark, sf_dir, _ivfadc_ladder_exec(spark, sf_dir, residual=True)
+        spark, sf_dir, _ivfadc_ladder_exec(spark, sf_dir, residual=True),
+        residual=True,
     )
 
 

@@ -851,8 +851,20 @@ def q_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals = out.rstrip("/").rsplit("/", 1)[0] + "/totals"
         prev = 0
         if _hadoop_path_exists(spark, totals):
+            # EXPLICIT schema + partition-pruned filter: the retried
+            # batch's own partition may hold a torn file on a
+            # rename-lying filesystem (the versioned.py torn-checkpoint
+            # window, VERDICT r9 item 8). The batch_id != bid predicate
+            # prunes that directory before any footer is opened, and the
+            # explicit schema stops schema INFERENCE from picking the
+            # torn file's footer at load time — so the recovery path
+            # (read carried state minus self, recompute, dynamically
+            # overwrite own partition, which deletes the torn file)
+            # never touches the damage. Tested in
+            # test_streaming.test_torn_partial_partition_recovers.
             prev = (
-                spark.read.parquet(totals)
+                spark.read.schema("t long, batch_id int")
+                .parquet(totals)
                 .filter(F.col("batch_id") != bid)
                 .agg(F.sum("t"))
                 .collect()[0][0]

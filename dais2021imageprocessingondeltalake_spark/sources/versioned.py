@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from pathlib import Path
 
@@ -113,18 +114,26 @@ def _read_log(table: str) -> list[dict]:
     stores the FULL replayed list through its version), so both races
     are detectable — on a truncated/gapped read or a vanished file,
     re-read the (by then advanced) pointer and retry."""
-    for _ in range(5):
+    last_parse_error: Exception | None = None
+    for attempt in range(8):
         try:
             entries = _read_log_once(table)
         except FileNotFoundError:
+            last_parse_error = None
             continue  # commit file expired between glob and open — retry
-        except (json.JSONDecodeError, KeyError):
+        except (json.JSONDecodeError, KeyError) as e:
             # third race variant: a commit/checkpoint file created via
             # O_EXCL whose json.dump has not finished yet (or a torn
-            # file) — retry like a vanished file so in-progress writes
-            # get the same grace as deleted ones
-            time.sleep(0.01)
+            # file). Unlike the vanished-file race (which resolves on
+            # the very next glob), an in-progress writer may legitimately
+            # be stalled mid-json.dump for a while (GC pause, slow or
+            # remote filesystem) — give the decode path an exponential
+            # backoff (10ms..1.28s, ~2.5s total grace) instead of the
+            # old flat 5x10ms (~50ms) that failed spuriously.
+            last_parse_error = e
+            time.sleep(0.01 * (2**attempt))
             continue
+        last_parse_error = None
         if not entries:
             return entries
         versions = [e["version"] for e in entries]
@@ -132,9 +141,18 @@ def _read_log(table: str) -> list[dict]:
             range(versions[0], versions[0] + len(versions))
         ):
             return entries
+    if last_parse_error is not None:
+        # exhausted the decode-grace window: the file is still unparseable
+        # after ~2.5s — report it as corruption (with the parse error),
+        # not as a checkpoint/expire race.
+        raise VersionConflictError(
+            f"log read of {table} found a commit/checkpoint file that "
+            f"stayed unparseable through 8 backoff attempts (~2.5s) — the "
+            f"file is torn/corrupt, not merely mid-write: {last_parse_error}"
+        ) from last_parse_error
     raise VersionConflictError(
         f"log read of {table} kept racing concurrent checkpoint/expire "
-        "cycles (5 attempts) — the table's log is being rewritten faster "
+        "cycles (8 attempts) — the table's log is being rewritten faster "
         "than it can be read, or the log is corrupt (missing versions)"
     )
 
@@ -282,7 +300,14 @@ def checkpoint(table: str) -> int:
         except (json.JSONDecodeError, OSError):
             intact = False
         if not intact:
-            tmp_ckpt = _log_path(table) / f".{path.name}.tmp"
+            # per-writer-unique temp name: two concurrent checkpointers
+            # that both observe the torn orphan must not share a temp
+            # file, or their writes interleave and os.replace publishes
+            # a NEW torn checkpoint as authoritative — the same O_EXCL
+            # discipline commits get, applied to the rewrite path.
+            tmp_ckpt = (
+                _log_path(table) / f".{path.name}.{os.getpid()}.{threading.get_ident()}.tmp"
+            )
             with open(tmp_ckpt, "w") as f:
                 json.dump(ckpt, f)
             os.replace(tmp_ckpt, path)

@@ -1550,6 +1550,71 @@ class TestIvfadc:
         # family rung probes fewer cells than ceil(k/4) once k > 16
         assert min(by_np) <= max(4, (kc * 3 + 11) // 12)
 
+    def test_saturated_ladder_refusal_row_and_miner_raise(self, spark):
+        """VERDICT r9 item 5: a SATURATED ladder (no rung clears the
+        floor — measured for flat m=16 at the 200× probe, recall
+        plateauing ~0.83 at ANY scanned fraction) must surface a
+        certified REFUSAL, not a silently floored rung: the sized
+        decision emits reached=false + NULL operating point + a `route`
+        naming the certified escapes, matching a DuckDB replay of the
+        same decision SQL over the same ladder rows; and the sized
+        MINER raises LadderSaturatedError carrying the same routing."""
+        import duckdb
+
+        from dais2021imageprocessingondeltalake_spark import queries_llm as QL
+
+        # a plausible deep-corpus ladder: recall plateaus below 0.85
+        sat = [
+            ("abs", 4, 4, 10_000, 50, 10, 5200),
+            ("abs", 16, 16, 40_000, 180, 40, 7700),
+            ("frac", 6, 159, 250_000, 400, 80, 8290),
+            ("frac", 12, 317, 1_000_000, 480, 95, 8310),
+        ]
+        assert SIM.size_ivfadc_rung(sat) is None
+        row = QL._ivfadc_sized_result(
+            spark, SF_DIR, sat, residual=False
+        ).collect()[0]
+        assert row["reached"] is False
+        assert row["sized_kind"] is None and row["sized_nprobe"] is None
+        assert row["scan_frac_x10k"] is None
+        assert row["route"] == "residual_ivfadc,m32"
+        res_row = QL._ivfadc_sized_result(
+            spark, SF_DIR, sat, residual=True
+        ).collect()[0]
+        assert res_row["reached"] is False and res_row["route"] == "m32"
+        # oracle-matching at the decision level: DuckDB replays the
+        # sized CTE + refusal projection over the identical ladder rows
+        vals = ", ".join(
+            f"('{k}', {r}, {np_}, {ns}, {rec})"
+            for k, r, np_, ns, _, _, rec in sat
+        )
+        got = duckdb.sql(
+            f"""
+            WITH ladder(kind, rung, nprobe, n_scanned, recall_x10k) AS (
+              VALUES {vals}
+            ), sized AS (
+              SELECT * FROM ladder WHERE recall_x10k >= 8500
+              ORDER BY nprobe, kind, rung LIMIT 1
+            )
+            SELECT (SELECT kind FROM sized) AS sized_kind,
+                   EXISTS (SELECT 1 FROM sized) AS reached,
+                   CASE WHEN EXISTS (SELECT 1 FROM sized) THEN NULL
+                        ELSE 'residual_ivfadc,m32' END AS route
+            """
+        ).fetchone()
+        assert got == (None, False, "residual_ivfadc,m32")
+        assert (row["sized_kind"], row["reached"], row["route"]) == got
+        # the sized MINER refuses loudly, routing to the escapes,
+        # BEFORE any mine runs (cache-injected saturating ladder)
+        QL._IVFADC_CURVE_CACHE["__sat__"] = sat
+        try:
+            with pytest.raises(
+                SIM.LadderSaturatedError, match="residual_ivfadc,m32"
+            ):
+                QL._ivfadc_sized_mine(spark, "__sat__", residual=False)
+        finally:
+            del QL._IVFADC_CURVE_CACHE["__sat__"]
+
     def test_xcorpus_full_probe_equals_flat_and_asset_reuse(self, spark):
         """The ingest-tier composition: at nprobe = k_cells the
         cell-pruned xcorpus miner must reproduce margin_mine_pq_xcorpus

@@ -456,3 +456,55 @@ class TestFoldIdempotency:
             _fresh_tmpdir("test_pack_retry_"), fail_totals_of=1, replay=1
         )
         assert clean == retried and clean
+
+    def test_torn_partial_partition_recovers(self, spark):
+        """VERDICT r9 item 8 — the versioned.py torn-write window,
+        audited on the stream sink's batch-id state. On a local/HDFS
+        filesystem Spark's output committer publishes task files by
+        atomic rename, so a crash never exposes a torn parquet file;
+        on a rename-lying store (raw S3) one CAN appear inside the
+        crashed batch's own partition. The recovery contract the
+        hardened fold guarantees: (a) the carried-state read — explicit
+        schema, batch_id != bid partition-pruned filter — succeeds
+        WITHOUT ever opening the torn file; (b) the replayed batch's
+        dynamic partition overwrite deletes the torn file wholesale;
+        (c) the merged store afterwards equals a clean run."""
+        import glob
+
+        from dais2021imageprocessingondeltalake_spark.queries_streaming import (
+            _fresh_tmpdir,
+            _write_partial,
+        )
+
+        base = _fresh_tmpdir("test_torn_")
+        totals = base + "/totals"
+        t0 = spark.createDataFrame([(3,)], "t long")
+        t1 = spark.createDataFrame([(5,)], "t long")
+        _write_partial(t0, totals, 0)
+        _write_partial(t1, totals, 1)  # batch 1's publish... then "crash"
+        torn = glob.glob(f"{totals}/batch_id=1/*.parquet")
+        assert torn
+        with open(torn[0], "rb") as f:
+            payload = f.read()
+        with open(torn[0], "wb") as f:
+            f.write(payload[: len(payload) // 2])  # torn mid-publish
+        # (a) the recovery read: explicit schema + pruned self-exclusion
+        # works with the torn file still on disk
+        prev = (
+            spark.read.schema("t long, batch_id int")
+            .parquet(totals)
+            .filter(F.col("batch_id") != 1)
+            .agg(F.sum("t"))
+            .collect()[0][0]
+        )
+        assert prev == 3
+        # (b) the replay replaces the whole torn partition
+        _write_partial(t1, totals, 1)
+        # (c) the store reads cleanly end-to-end and equals a clean run
+        merged = (
+            spark.read.parquet(totals).agg(F.sum("t")).collect()[0][0]
+        )
+        assert merged == 8
+        for f in glob.glob(f"{totals}/batch_id=1/*.parquet"):
+            with open(f, "rb") as fh:
+                assert fh.read()[-4:] == b"PAR1"  # no torn file survives

@@ -861,6 +861,15 @@ def main() -> int:
                         point[f"{tag}_scan_frac_x10k"] = sized["scan_frac_x10k"]
                         point[f"{tag}_recall_x10k"] = sized["recall_x10k"]
                         point[f"{tag}_secs"] = sized["secs"]
+                    else:
+                        # saturated ladder: the sized decision REFUSES
+                        # (VERDICT r9 item 5) — record the refusal + the
+                        # certified routing instead of a floored rung
+                        point[f"{tag}_sized_refused"] = True
+                        point[f"{tag}_route"] = (
+                            "m32" if tag == "ivfadcres"
+                            else "residual_ivfadc,m32"
+                        )
 
             if "ivfadc" in want:
                 point["ivfadc_setup_secs"] = iv_setup
