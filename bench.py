@@ -108,43 +108,103 @@ def main() -> None:
         vals = [int(x) for x in parts]
         return vals[7] if len(vals) > 7 else 0, sum(vals)
 
-    # machine-load evidence (VERDICT r7 item 7): 1-min load average before
-    # and after the timed block, so drift on untouched queries is
-    # attributable to box contention instead of being read as regression
-    load_before = round(os.getloadavg()[0], 1)
-    steal0, total0 = _cpu_ticks()
-    timings: dict[str, float] = {}
-    for name, spec in sorted(specs.items()):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-
-    # ONE post-block snapshot: steal delta and total delta must come from
-    # the same /proc/stat read, or the denominator includes ticks the
-    # numerator doesn't (ADVICE r9)
-    steal1, total1 = _cpu_ticks()
-    print(
-        json.dumps(
+    # Steal-gated retry (VERDICT r9 item 3): the r9 artifact carried
+    # 1.58% host steal and three regressions in untouched code — the
+    # counter did its job as a LABEL; now it is a GATE. If the timed
+    # block saw more than SPARK_GRAFT_MAX_STEAL_PCT host steal (CPU
+    # theft invisible to load averages), re-run the whole block (after
+    # another bounded quiet wait) up to SPARK_GRAFT_BENCH_ATTEMPTS
+    # times and report the attempt with the least steal, so the
+    # committed artifact is a clean measurement, not a contended one.
+    # The gate keys on steal, NOT load_1m_after: bench's own 32-thread
+    # work pushes the load average past 10 on a perfectly quiet box
+    # (measured 11.2 at 0.33% steal), so load-after cannot separate
+    # self-load from contention — steal can.
+    max_steal = float(os.environ.get("SPARK_GRAFT_MAX_STEAL_PCT", "0.5"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    sized_miners = ("q_margin_mine_ivfadc", "q_margin_mine_ivfadc_res")
+    attempt_log: list[dict] = []
+    chosen: dict | None = None
+    for attempt in range(max_attempts):
+        if attempt > 0:
+            wait_t0 = time.perf_counter()
+            while (
+                os.getloadavg()[0] >= quiet_thresh
+                and time.perf_counter() - wait_t0 < quiet_max
+            ):
+                time.sleep(5.0)
+        # machine-load evidence (VERDICT r7 item 7): 1-min load average
+        # before and after the timed block, so drift on untouched
+        # queries is attributable to box contention
+        load_before = round(os.getloadavg()[0], 1)
+        steal0, total0 = _cpu_ticks()
+        timings: dict[str, float] = {}
+        runs: dict[str, list[float]] = {}
+        for name, spec in sorted(specs.items()):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                secs = time.perf_counter() - t0
+                runs.setdefault(name, []).append(round(secs, 3))
+                best = min(best, secs)
+            timings[name] = round(best, 3)
+        # ONE post-block snapshot: steal delta and total delta must come
+        # from the same /proc/stat read, or the denominator includes
+        # ticks the numerator doesn't (ADVICE r9)
+        steal1, total1 = _cpu_ticks()
+        steal_pct = round(
+            100.0 * (steal1 - steal0) / max(total1 - total0, 1), 2
+        )
+        # Ladder-vs-mine split for the sized IVFADC miners (VERDICT r9
+        # item 2): on the FIRST attempt, run 1 executes the measured
+        # rung LADDER (the sizing — one probe chain per distinct
+        # nprobe) plus the mine, and run 2 reuses the per-process
+        # ladder/asset caches, so it times the MINE at the sized
+        # operating point alone. The min-of-2 headline is therefore
+        # already mine-only by construction; this field makes the
+        # split auditable instead of implicit. (Later attempts start
+        # cache-warm, so the split is only recorded for attempt 0.)
+        miner_split = (
             {
-                "metric": "headline_queries_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "load_1m_preflight": load_preflight,
-                "load_wait_secs": load_wait,
-                "load_1m_before": load_before,
-                "load_1m_after": round(os.getloadavg()[0], 1),
-                "host_steal_pct": round(
-                    100.0 * (steal1 - steal0) / max(total1 - total0, 1), 2
-                ),
+                n: {
+                    "ladder_plus_mine_secs": runs[n][0],
+                    "mine_only_secs": runs[n][1],
+                }
+                for n in sized_miners
+                if n in runs and len(runs[n]) == 2
+            }
+            if attempt == 0
+            else (chosen or {}).get("sized_miner_split", {})
+        )
+        rec = {
+            "metric": "headline_queries_wall_clock",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "load_1m_preflight": load_preflight,
+            "load_wait_secs": load_wait,
+            "load_1m_before": load_before,
+            "load_1m_after": round(os.getloadavg()[0], 1),
+            "host_steal_pct": steal_pct,
+            "sized_miner_split": miner_split,
+        }
+        attempt_log.append(
+            {
+                "host_steal_pct": steal_pct,
+                "value": rec["value"],
+                "load_1m_after": rec["load_1m_after"],
             }
         )
-    )
+        if chosen is None or steal_pct < chosen["host_steal_pct"]:
+            chosen = rec
+        if steal_pct <= max_steal:
+            break
+    assert chosen is not None
+    chosen["bench_attempts"] = attempt_log
+    print(json.dumps(chosen))
     spark.stop()
 
 

@@ -2111,9 +2111,16 @@ def size_nprobe(curve_rows, recall_target_x10k: int = 8500):
 #:     the old floor so the geometry's recall floor is MEASURED, never
 #:     assumed. The top rung ("frac", 12) scans every cell = the flat
 #:     PQ miner, so the 0.85 sizing target is always reachable.
+#: ("abs", 32) added r10 (VERDICT r9 item 4): the gap between abs-16 and
+#: abs-64 is exactly where the sized decision operates at depth — at the
+#: 200×/300× probe factors frac-1 realizes nprobe 27/33, so an abs rung
+#: in the high-20s/low-30s is the first place the FAISS falling-fraction
+#: regime can become the SELECTED (minimum-nprobe) rung rather than just
+#: a measured one.
 IVFADC_RUNGS: tuple = (
     ("abs", 4),
     ("abs", 16),
+    ("abs", 32),
     ("abs", 64),
     ("frac", 1),
     ("frac", 2),

@@ -4752,11 +4752,13 @@ def _ivfadc_curve_rows(
 @query("q_margin_ivfadc_curve", oracle=_margin_ivfadc_curve_oracle())
 def q_margin_ivfadc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC nprobe SENSITIVITY CURVE (VERDICT r7 item 2; rung family
-    EXTENDED r9 per VERDICT r8 item 2): for each rung of
-    SIM.IVFADC_RUNGS — fractional twelfths of the k = ceil(√N) cells
-    INCLUDING the sub-3 rungs the r8 ladder never measured, plus
-    ABSOLUTE nprobe rungs (the FAISS idiom whose scanned fraction
-    ~p/√N falls with corpus size) — the miner runs at that rung's
+    EXTENDED r9 per VERDICT r8 item 2, and again r10 with ("abs", 32)
+    per VERDICT r9 item 4 — the gap between abs-16 and abs-64 is where
+    the sized decision operates at the 200×/300× probe depths): for
+    each rung of SIM.IVFADC_RUNGS — fractional twelfths of the
+    k = ceil(√N) cells INCLUDING the sub-3 rungs the r8 ladder never
+    measured, plus ABSOLUTE nprobe rungs (the FAISS idiom whose scanned
+    fraction ~p/√N falls with corpus size) — the miner runs at that rung's
     realized nprobe and reports the scanned-code budget (n_scanned =
     Σ over probes of their probed cells' sizes — the LUT-op count the
     pruning is FOR) and measured pair-recall vs brute force. The flat
