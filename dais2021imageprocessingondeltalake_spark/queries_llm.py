@@ -4786,8 +4786,13 @@ def q_margin_ivfadc_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     rung pays (scan_frac_x10k = n_scanned / N² — the pruning win:
     10000 would be the flat scan). Unlike plain IVF's honest negative
     result (q_margin_nprobe_sized: unreachable at sf0.1), this
-    decision always reaches — the top rung IS the flat scan — so it
-    certifies the cheapest-safe operating point rather than a refusal.
+    decision always reaches ON THE REGISTERED CORPORA — the top rung IS
+    the flat scan — so it certifies the cheapest-safe operating point;
+    at depths where even the full scan misses the floor (the 200× probe
+    measured flat m=16 plateauing ~0.83 — code resolution binds, not
+    pruning) the row IS the refusal: reached=false, NULL operating
+    point, and `route` naming the certified escapes (residual encoding,
+    m=32), per VERDICT r9 item 5.
     The r8 frac-only ladder floored at s = 3 (scan fraction stuck at
     ~25% of N² from the 60× probe up, with nothing below ever
     measured); the extended family breaks it — the 100× probe sizes

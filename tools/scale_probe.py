@@ -801,6 +801,7 @@ def main() -> int:
                         rungs.append((kind, rung, np_))
                     curve = []
                     sized = None
+                    flat_gains = 0
                     for kind, rung, np_ in rungs:
                         t0 = time.perf_counter()
                         probes = pq_norm.select("vec_id", "label", "nv").join(
@@ -852,6 +853,28 @@ def main() -> int:
                         if rec >= 8500:
                             sized = entry
                             break
+                        # plateau-stop (r10, after the 200x frac-6 rung
+                        # OOM-killed the 16g probe JVM in the ~50%-scan
+                        # regime): once TWO consecutive rungs each gain
+                        # < 1% recall, the ladder has measurably
+                        # saturated — the remaining rungs pay >= 2x scan
+                        # for sub-1% recall, which no sizing rule would
+                        # ever select, and the full-scan recall asymptote
+                        # is measured separately by the msize component.
+                        # Stopping here is a STATED rule recorded on the
+                        # point (self-describing, the no-silent-caps
+                        # convention), not a silent truncation.
+                        if len(curve) >= 2 and (
+                            rec - curve[-2]["recall_x10k"] < 100
+                        ):
+                            flat_gains += 1
+                            if flat_gains >= 2:
+                                point[f"{tag}_plateau_stop"] = (
+                                    "2 consecutive rungs gained <1% recall"
+                                )
+                                break
+                        else:
+                            flat_gains = 0
                     point[f"{tag}_k_cells"] = kk_cells
                     point[f"{tag}_curve"] = curve
                     if sized is not None:
