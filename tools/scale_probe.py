@@ -38,6 +38,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import shutil
 import sys
 import tempfile
@@ -262,7 +263,20 @@ def main() -> int:
     from dais2021imageprocessingondeltalake_spark.operators import sketches as SK
     from dais2021imageprocessingondeltalake_spark.session import get_spark
 
-    spark = get_spark(app_name="scale-probe")
+    # SPARK_GRAFT_ARROW_BATCH caps probe rows per Arrow batch: the ADC
+    # scan's per-batch scoring matrix is |batch| x |nbr_chunk| float64,
+    # so the default 10000-row batches put ~8 GB in EVERY python worker
+    # at the 200x full-scan depth (100k refs) — 32 workers OOM-killed
+    # the probe JVM twice. 1000-row batches bound it at ~0.8 GB/worker;
+    # combine with SPARK_GRAFT_CPUS to cap the aggregate.
+    spark = get_spark(
+        app_name="scale-probe",
+        extra_conf={
+            "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+                "SPARK_GRAFT_ARROW_BATCH", "10000"
+            )
+        },
+    )
     scratch = Path(tempfile.mkdtemp(prefix="scale_probe_"))
     result = {
         "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
