@@ -34,15 +34,14 @@ from .registry import REGISTRY, headline_queries, oracle_sql, queries  # noqa: F
 # them via ``queries()``/``oracle_sql()`` and the repo's own dual-scale sweep
 # (tools/verify_sweep.py) checks every oracle at sf0.01 AND sf0.1 each round.
 #
-# Window changes r9 -> r10 (per VERDICT r9 item 1; nothing unregistered):
-# - The 15 r9-certified rotating slots (IVFADC/residual/diversity/DoReMi
-#   tier — all green in CORRECTNESS_r09) rotate to the queue tail.
-# - In come the 11 ids VERDICT r9 item 1 names explicitly: the UniMax
-#   quartet (the 2-rounds-deferred mixing headline), the fused greedy
-#   selectors, the code-budget (m) sizing axis, and the residual index
-#   across the serving/ingest/stream shapes — then the carried queue
-#   head fills the last 4 slots (q_embedding_pq_cert, q_embedding_pq_ann,
-#   q_stream_drift, q_auc_ranked) in queue order.
+# Window changes r10 -> r11 (per VERDICT r10 item 1; nothing unregistered):
+# - The 15 r10-certified rotating slots (UniMax/fused/m-axis/residual-shape
+#   tier — all green in CORRECTNESS_r10) rotate to the queue tail.
+# - In come the 15 ids VERDICT r10 item 1 names: the never-re-gated r6
+#   statistical tier (q_spearman, q_ndcg, q_lang_f1,
+#   q_stream_shard_manifest), the streaming state tier (q_stream_static_join
+#   ... q_stream_heavy_hitters, 8 ids), and the r3 statistical/certified
+#   carry (q_curate_v2, q_temperature_mix, q_token_budget).
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # SURVEY §2 resident set (35)
@@ -81,24 +80,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_scan_binary",
     "q_stream_agg",
     "q_stream_window",
-    # Rotation head promoted for r10 (VERDICT r9 item 1): the UniMax
-    # mixing quartet, fused selectors, code-budget sizing axis, residual
-    # serving/ingest/stream shapes, plus the carried-queue head.
-    "q_unimax_alloc",
-    "q_unimax_manifest",
-    "q_stream_unimax",
-    "q_unimax_pack",
-    "q_kcenter_fused",
-    "q_mmr_fused",
-    "q_margin_pq_m_curve",
-    "q_margin_m_sized",
-    "q_margin_ivfadc_res_xcorpus",
-    "q_knn_join_ivfadc_res",
-    "q_stream_margin_ivfadc_res",
-    "q_embedding_pq_cert",
-    "q_embedding_pq_ann",
-    "q_stream_drift",
-    "q_auc_ranked",
+    # Rotation head promoted for r11 (VERDICT r10 item 1): the never-re-gated
+    # r6 statistical tier, the streaming state tier, and the r3
+    # statistical/certified carry.
+    "q_spearman",
+    "q_ndcg",
+    "q_lang_f1",
+    "q_stream_shard_manifest",
+    "q_stream_static_join",
+    "q_stream_dedup_watermark",
+    "q_stream_session_window",
+    "q_stream_scd2",
+    "q_stream_curate",
+    "q_stream_cross_dedup",
+    "q_stream_cms",
+    "q_stream_heavy_hitters",
+    "q_curate_v2",
+    "q_temperature_mix",
+    "q_token_budget",
 )
 
 # --- Promoted-set ledger (VERDICT r5 item 1b) --------------------------------
@@ -108,7 +107,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # registered (their green rows are history, and the dual-scale sweep keeps
 # checking their oracles). Rotations update CURRENT_ROUND + append one entry
 # here instead of hand-editing a test.
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
     4: (
         "q_minhash_lsh_md5",
@@ -229,30 +228,30 @@ PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
         "q_stream_drift",
         "q_auc_ranked",
     ),
+    11: (
+        "q_spearman",
+        "q_ndcg",
+        "q_lang_f1",
+        "q_stream_shard_manifest",
+        "q_stream_static_join",
+        "q_stream_dedup_watermark",
+        "q_stream_session_window",
+        "q_stream_scd2",
+        "q_stream_curate",
+        "q_stream_cross_dedup",
+        "q_stream_cms",
+        "q_stream_heavy_hitters",
+        "q_curate_v2",
+        "q_temperature_mix",
+        "q_token_budget",
+    ),
 }
 
 # Priority order for slots 51+; ids not listed here follow in their original
 # registration order. Rounds 7+ rotate these into freed window slots.
 ROTATION_QUEUE: tuple[str, ...] = (
-    # r11 head: the r6-certified statistical tier that has never re-gated,
-    # then the remaining streaming tier and the r3 certified tier.
-    "q_spearman",  # NEW r6: midrank Spearman correlation audit
-    "q_ndcg",  # NEW r6: nDCG@10 of the BM25 ranking (corpus-ideal IDCG)
-    "q_lang_f1",  # NEW r6: integer-exact per-class precision/recall/F1
-    "q_stream_shard_manifest",  # NEW r6: streamed XOR manifest, merge==batch
-    # remaining streaming tier
-    "q_stream_static_join",
-    "q_stream_dedup_watermark",
-    "q_stream_session_window",
-    "q_stream_scd2",
-    "q_stream_curate",
-    "q_stream_cross_dedup",
-    "q_stream_cms",
-    "q_stream_heavy_hitters",
-    # round-3 additions, certified by the r3/r4 dual-scale sweeps
-    "q_curate_v2",
-    "q_temperature_mix",
-    "q_token_budget",
+    # r12 head: the remaining round-3 statistical/certified additions
+    # (certified by the r3/r4 dual-scale sweeps, never driver-gated).
     "q_padding_waste",
     "q_dsir_score",
     "q_hybrid_search",
@@ -436,6 +435,23 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_mmr_select",
     "q_domain_reweight",
     "q_reweight_apply",
+    # r10-certified ids rotated OUT of the window in r11 (each holds a green
+    # CORRECTNESS_r10 row; the dual-scale sweep keeps their oracles checked)
+    "q_unimax_alloc",
+    "q_unimax_manifest",
+    "q_stream_unimax",
+    "q_unimax_pack",
+    "q_kcenter_fused",
+    "q_mmr_fused",
+    "q_margin_pq_m_curve",
+    "q_margin_m_sized",
+    "q_margin_ivfadc_res_xcorpus",
+    "q_knn_join_ivfadc_res",
+    "q_stream_margin_ivfadc_res",
+    "q_embedding_pq_cert",
+    "q_embedding_pq_ann",
+    "q_stream_drift",
+    "q_auc_ranked",
 )
 
 
