@@ -250,8 +250,10 @@ PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
 # Priority order for slots 51+; ids not listed here follow in their original
 # registration order. Rounds 7+ rotate these into freed window slots.
 ROTATION_QUEUE: tuple[str, ...] = (
-    # r12 head: the remaining round-3 statistical/certified additions
+    # r12 head: the NEW r11 routed-cascade composite (VERDICT r10 item 2),
+    # then the remaining round-3 statistical/certified additions
     # (certified by the r3/r4 dual-scale sweeps, never driver-gated).
+    "q_margin_mine_routed",
     "q_padding_waste",
     "q_dsir_score",
     "q_hybrid_search",

@@ -3283,9 +3283,40 @@ def _pq_adc_res_core_sql(
     residuals, fit, codes, and shortlist sizing all come from the
     REFERENCE rows (which `home_cte` already covers — homeb in the
     asymmetric chains lists only index rows); LUTs and anchor offsets
-    from the probe rows."""
-    m, kc, sd = _MARGIN_PQ_M, _MARGIN_PQ_KCODES, _MARGIN_PQ_SUBDIM
+    from the probe rows.
+
+    Since r11 composes from _pq_adc_prefix_sql + _pq_adc_res_chain_sql
+    (byte-identical text, the flat core's r9 split idiom) so the routed
+    cascade oracle can lay the residual chain NEXT TO the flat chain
+    under suffixed names."""
+    return (
+        _pq_adc_prefix_sql(probe_pred, ref_pred)
+        + ", "
+        + _pq_adc_res_chain_sql(home_cte=home_cte)
+    )
+
+
+def _pq_adc_res_chain_sql(
+    home_cte: str = "home",
+    suffix: str = "",
+    m: int = _MARGIN_PQ_M,
+    kc: int = _MARGIN_PQ_KCODES,
+) -> str:
+    """The residual-specific tail of the IVFADC res core (anchors,
+    residualize, subspace slices, certified one-round PQ fit on the
+    residuals, encode, per-probe LUTs + anchor offsets, ADC scores)
+    ending in ``padc{suffix}``. `suffix` renames every CTE this chain
+    defines (the _pq_adc_chain_sql convention) so the routed-cascade
+    oracle can instantiate the flat AND residual families in ONE query
+    — DuckDB forbids duplicate CTE aliases, so coexisting families need
+    distinct names. References the SHARED prefix CTEs (vn / pq_pids /
+    pq_rids) and `home_cte` unsuffixed. The default empty suffix
+    composed after _pq_adc_prefix_sql reproduces the pre-split
+    _pq_adc_res_core_sql text byte-for-byte (string-identity asserted
+    in tests)."""
+    sd = 64 // m
     dim = m * sd
+    S = suffix
 
     def sumsq(a: str, b: str) -> str:
         return (
@@ -3295,7 +3326,7 @@ def _pq_adc_res_core_sql(
 
     ipr = f"list_sum([ s.sv[i] * c.cv[i] for i in range(1, {sd + 1}) ])"
     slices_r = "\n      UNION ALL ".join(
-        f"SELECT vec_id, {j} AS sub, rv[{j * sd + 1}:{(j + 1) * sd}] AS sv FROM rvt"
+        f"SELECT vec_id, {j} AS sub, rv[{j * sd + 1}:{(j + 1) * sd}] AS sv FROM rvt{S}"
         for j in range(m)
     )
     slices_p = "\n      UNION ALL ".join(
@@ -3306,76 +3337,65 @@ def _pq_adc_res_core_sql(
     adc_sum = " + ".join(
         f"max(CASE WHEN l.sub = {j} THEN l.ip END)" for j in range(m)
     )
-    return f"""vn AS MATERIALIZED (
-      SELECT vec_id, grp,
-             list_transform(ve, x -> round(x / sqrt(list_sum([e * e for e in ve])), 6)) AS nv
-      FROM v
-    ), pq_pids AS MATERIALIZED (
-      SELECT vec_id FROM vn WHERE {probe_pred}
-    ), pq_rids AS MATERIALIZED (
-      SELECT vec_id FROM vn WHERE {ref_pred}
-    ), params AS MATERIALIZED (
-      SELECT greatest(32, 2 * CAST(ceil(sqrt(count(*))) AS INT)) AS c_short
-      FROM pq_rids
-    ), anch AS MATERIALIZED (
+    return f"""anch{S} AS MATERIALIZED (
       SELECT cl, list(round(am, 6) ORDER BY dim) AS av FROM (
         SELECT h.cl, u.dim, avg(u.x) AS am FROM (
           SELECT vec_id, unnest(nv) AS x, generate_subscripts(nv, 1) AS dim
           FROM vn
         ) u JOIN {home_cte} h USING (vec_id) GROUP BY h.cl, u.dim
       ) GROUP BY cl
-    ), rvt AS MATERIALIZED (
+    ), rvt{S} AS MATERIALIZED (
       SELECT n.vec_id, [n.nv[i] - a.av[i] for i in range(1, {dim + 1})] AS rv
       FROM vn n JOIN {home_cte} h ON h.vec_id = n.vec_id
-      JOIN anch a ON a.cl = h.cl
-    ), svr AS MATERIALIZED (
+      JOIN anch{S} a ON a.cl = h.cl
+    ), svr{S} AS MATERIALIZED (
       {slices_r}
-    ), svp AS MATERIALIZED (
+    ), svp{S} AS MATERIALIZED (
       {slices_p}
-    ), pq_seeds AS MATERIALIZED (
+    ), pq_seeds{S} AS MATERIALIZED (
       SELECT CAST(rn - 1 AS INT) AS code, vec_id FROM (
         SELECT vec_id,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
         FROM pq_rids
       ) WHERE rn <= {kc}
-    ), pc0 AS MATERIALIZED (
+    ), pc0{S} AS MATERIALIZED (
       SELECT s.sub, d.code, list_transform(s.sv, x -> round(x, 6)) AS cv
-      FROM svr s JOIN pq_seeds d USING (vec_id)
-    ), pa0 AS MATERIALIZED (
+      FROM svr{S} s JOIN pq_seeds{S} d USING (vec_id)
+    ), pa0{S} AS MATERIALIZED (
       SELECT vec_id, sub, sv, code FROM (
         SELECT s.vec_id, s.sub, s.sv, c.code,
                row_number() OVER (PARTITION BY s.vec_id, s.sub
                                   ORDER BY {sumsq('s.sv', 'c.cv')}, c.code) AS rn
-        FROM svr s JOIN pc0 c ON s.sub = c.sub
+        FROM svr{S} s JOIN pc0{S} c ON s.sub = c.sub
       ) WHERE rn = 1
-    ), pc1 AS MATERIALIZED (
+    ), pc1{S} AS MATERIALIZED (
       SELECT sub, code, list(round(cm, 6) ORDER BY dim) AS cv FROM (
         SELECT sub, code, dim, avg(x) AS cm FROM (
           SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim
-          FROM pa0
+          FROM pa0{S}
         ) GROUP BY sub, code, dim
       ) GROUP BY sub, code
-    ), pe AS MATERIALIZED (
+    ), pe{S} AS MATERIALIZED (
       SELECT vec_id, sub, code FROM (
         SELECT s.vec_id, s.sub, c.code,
                row_number() OVER (PARTITION BY s.vec_id, s.sub
                                   ORDER BY {sumsq('s.sv', 'c.cv')}, c.code) AS rn
-        FROM svr s JOIN pc1 c ON s.sub = c.sub
+        FROM svr{S} s JOIN pc1{S} c ON s.sub = c.sub
       ) WHERE rn = 1
-    ), plut AS MATERIALIZED (
+    ), plut{S} AS MATERIALIZED (
       SELECT s.vec_id AS probe_id, c.sub, c.code, {ipr} AS ip
-      FROM svp s JOIN pc1 c ON s.sub = c.sub
-    ), qanch AS MATERIALIZED (
+      FROM svp{S} s JOIN pc1{S} c ON s.sub = c.sub
+    ), qanch{S} AS MATERIALIZED (
       SELECT n.vec_id AS probe_id, a.cl,
              list_sum([ n.nv[i] * a.av[i] for i in range(1, {dim + 1}) ]) AS ip
-      FROM vn n JOIN pq_pids USING (vec_id) CROSS JOIN anch a
-    ), padc AS MATERIALIZED (
-      SELECT l.probe_id, pe.vec_id AS nbr_id, round(qa.ip + {adc_sum}, 6) AS a
-      FROM pe
-      JOIN {home_cte} h ON h.vec_id = pe.vec_id
-      JOIN plut l ON pe.sub = l.sub AND pe.code = l.code
-      JOIN qanch qa ON qa.probe_id = l.probe_id AND qa.cl = h.cl
-      GROUP BY l.probe_id, pe.vec_id, qa.ip
+      FROM vn n JOIN pq_pids USING (vec_id) CROSS JOIN anch{S} a
+    ), padc{S} AS MATERIALIZED (
+      SELECT l.probe_id, pe{S}.vec_id AS nbr_id, round(qa.ip + {adc_sum}, 6) AS a
+      FROM pe{S}
+      JOIN {home_cte} h ON h.vec_id = pe{S}.vec_id
+      JOIN plut{S} l ON pe{S}.sub = l.sub AND pe{S}.code = l.code
+      JOIN qanch{S} qa ON qa.probe_id = l.probe_id AND qa.cl = h.cl
+      GROUP BY l.probe_id, pe{S}.vec_id, qa.ip
     )"""
 
 
@@ -4354,17 +4374,13 @@ def _ivfadc_np_expr(kind: str, rung: int) -> str:
     return f"(((SELECT k FROM kk) * {rung} + 11) // 12)"
 
 
-def _ivfadc_ladder_parts(min_margin_x10k: int = 11000, residual: bool = False):
-    """Shared CTE parts + per-rung SELECTs for the IVFADC oracles: the
-    certified coarse fit (_MARGIN_IVF_FIT_SQL), the full cell ranking
-    t2a / home / cell sizes, the PQ ADC core (fit, encode, padc scores —
-    computed ONCE, shared by every rung), the brute reference, and per
-    rung (kind, value) a cell-restricted top-C window + exact rerank +
-    margin filter + a curve SELECT reporting the scanned-code budget
-    and measured recall. `residual=True` swaps in the residual-encoding
-    core (_pq_adc_res_core_sql — true IVFADC); the core must follow
-    home, which the shared ordering already guarantees."""
-    parts = [
+def _ivfadc_shared_parts() -> list:
+    """The family-INDEPENDENT CTEs of the IVFADC oracles — coarse-k,
+    certified coarse fit, cell ranking / home / cell sizes. Split out
+    (r11) so the routed-cascade oracle can lay the flat AND residual
+    ladders over ONE copy of the coarse stage, exactly as the engine
+    shares those assets across the two ladder executions."""
+    return [
         """kk AS MATERIALIZED (
       SELECT CAST(ceil(sqrt(count(*))) AS INT) AS k FROM v
     )""",
@@ -4384,19 +4400,55 @@ def _ivfadc_ladder_parts(min_margin_x10k: int = 11000, residual: bool = False):
     ), cellsz AS MATERIALIZED (
       SELECT cl, CAST(count(*) AS BIGINT) AS sz FROM home GROUP BY cl
     )""",
-        _pq_adc_res_core_sql() if residual else _pq_adc_core_sql(),
-        _margin_brute_sql(min_margin_x10k),
     ]
+
+
+def _ivfadc_ladder_parts(
+    min_margin_x10k: int = 11000,
+    residual: bool = False,
+    family_suffix: str | None = None,
+):
+    """Shared CTE parts + per-rung SELECTs for the IVFADC oracles: the
+    certified coarse fit (_MARGIN_IVF_FIT_SQL), the full cell ranking
+    t2a / home / cell sizes, the PQ ADC core (fit, encode, padc scores —
+    computed ONCE, shared by every rung), the brute reference, and per
+    rung (kind, value) a cell-restricted top-C window + exact rerank +
+    margin filter + a curve SELECT reporting the scanned-code budget
+    and measured recall. `residual=True` swaps in the residual-encoding
+    core (_pq_adc_res_core_sql — true IVFADC); the core must follow
+    home, which the shared ordering already guarantees.
+
+    `family_suffix` (r11, default None = classic single-family text,
+    byte-identical to pre-r11) switches to FAMILY-ONLY mode for the
+    routed-cascade oracle: the shared coarse parts, the vn/params
+    prefix, and the brute reference are OMITTED (the caller lays them
+    down once), only the family's encode chain + suffixed rung tails
+    are emitted, so flat and residual ladders coexist in one query."""
+    if family_suffix is None:
+        S = ""
+        parts = [
+            *_ivfadc_shared_parts(),
+            _pq_adc_res_core_sql() if residual else _pq_adc_core_sql(),
+            _margin_brute_sql(min_margin_x10k),
+        ]
+    else:
+        S = family_suffix
+        parts = [
+            _pq_adc_res_chain_sql(suffix=S)
+            if residual
+            else _pq_adc_chain_sql(suffix=S)
+        ]
     selects = []
     for kind, rung in _IVFADC_RUNGS:
-        tag = f"{kind}{rung}"
+        tag = f"{kind}{rung}{S}"
         np_expr = _ivfadc_np_expr(kind, rung)
         restrict = f"""JOIN home h ON h.vec_id = a.nbr_id
         JOIN t2a pc ON pc.vec_id = a.probe_id AND pc.cl = h.cl
           AND pc.rn <= {np_expr}"""
         parts.append(
             _pq_shortlist_tail_sql(
-                True, restrict, f"short_c{tag}", f"ranked_c{tag}"
+                True, restrict, f"short_c{tag}", f"ranked_c{tag}",
+                padc_cte=f"padc{S}",
             )
         )
         parts.append(f"""mined_c{tag} AS MATERIALIZED (
@@ -4446,16 +4498,24 @@ def _margin_ivfadc_curve_oracle(
 
 
 def _ivfadc_sized_ctes(
-    target_x10k: int, min_margin_x10k: int, residual: bool = False
+    target_x10k: int,
+    min_margin_x10k: int,
+    residual: bool = False,
+    family_suffix: str | None = None,
 ):
     """ladder + sized CTE text shared by the sized-decision and miner
-    oracles."""
-    parts, selects = _ivfadc_ladder_parts(min_margin_x10k, residual)
+    oracles. `family_suffix` propagates the routed-cascade oracle's
+    family-only mode (suffixed ladder/sized names, shared parts
+    omitted — see _ivfadc_ladder_parts)."""
+    parts, selects = _ivfadc_ladder_parts(
+        min_margin_x10k, residual, family_suffix
+    )
+    S = family_suffix or ""
     ladder = "\n      UNION ALL ".join(selects)
-    return parts, f"""ladder AS MATERIALIZED (
+    return parts, f"""ladder{S} AS MATERIALIZED (
       {ladder}
-    ), sized AS MATERIALIZED (
-      SELECT * FROM ladder WHERE recall_x10k >= {target_x10k}
+    ), sized{S} AS MATERIALIZED (
+      SELECT * FROM ladder{S} WHERE recall_x10k >= {target_x10k}
       ORDER BY nprobe, kind, rung LIMIT 1
     )"""
 
@@ -4915,6 +4975,152 @@ def q_margin_mine_ivfadc_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.85 target). The oracle replays the whole decision chain including
     the residual encoding."""
     return _ivfadc_sized_mine(spark, sf_dir, residual=True)
+
+
+def _margin_mine_routed_oracle(
+    target_x10k: int = 8500, min_margin_x10k: int = 11000
+) -> str:
+    """Replay the ENTIRE routed cascade in one query (VERDICT r10
+    item 2): the flat m=16 ladder + sized decision, the residual m=16
+    ladder + sized decision, AND the m=32 flat-ADC escape chain — then
+    a three-arm UNION ALL that emits exactly the leg the decisions
+    select, with a `route` provenance column computed FROM those
+    decisions (never a constant). The coarse stage (fit / cell ranking
+    / home / cellsz), the vn/params prefix, and the brute reference are
+    laid down ONCE and shared by all three legs, exactly as the engine
+    shares its session-bound assets across the two ladder executions.
+    On the registered corpora the flat decision reaches, so arms 2/3
+    emit zero rows — but their predicates replay the engine's
+    LadderSaturatedError cascade, and the saturating-ladder test
+    re-runs the same decision SQL over injected ladders to certify the
+    fallback arms fire when the decisions say so."""
+    shared = [
+        *_ivfadc_shared_parts(),
+        _pq_adc_prefix_sql(),
+        _margin_brute_sql(min_margin_x10k),
+    ]
+    f_parts, f_sized = _ivfadc_sized_ctes(
+        target_x10k, min_margin_x10k, residual=False, family_suffix=""
+    )
+    r_parts, r_sized = _ivfadc_sized_ctes(
+        target_x10k, min_margin_x10k, residual=True, family_suffix="_r"
+    )
+    m32_parts = [
+        _pq_adc_chain_sql(m=32, suffix="_m32"),
+        _pq_shortlist_tail_sql(
+            True, "", "short_m32", "ranked_m32", padc_cte="padc_m32"
+        ),
+    ]
+
+    def mine_tail(S: str) -> str:
+        np_sized = (
+            f"(SELECT coalesce((SELECT nprobe FROM sized{S}),"
+            f" (SELECT max(nprobe) FROM ladder{S})))"
+        )
+        restrict = f"""JOIN home h ON h.vec_id = a.nbr_id
+        JOIN t2a pc ON pc.vec_id = a.probe_id AND pc.cl = h.cl
+          AND pc.rn <= {np_sized}"""
+        return _pq_shortlist_tail_sql(
+            True, restrict, f"short_sz{S}", f"ranked_sz{S}",
+            padc_cte=f"padc{S}",
+        )
+
+    def arm(ranked: str, route: str, cond: str) -> str:
+        return f"""SELECT b.probe_id, b.nbr_id AS best_id, b.s AS sim1, s2.sim2,
+           CAST(floor(10000.0 * b.s / s2.sim2) AS BIGINT) AS margin_x10k,
+           CAST('{route}' AS VARCHAR) AS route
+    FROM (SELECT probe_id, nbr_id, s FROM {ranked} WHERE rn = 1) b
+    JOIN (SELECT probe_id, s AS sim2 FROM {ranked} WHERE rn = 2) s2
+      USING (probe_id)
+    WHERE s2.sim2 > 0
+      AND floor(10000.0 * b.s / s2.sim2) >= {min_margin_x10k}
+      AND {cond}"""
+
+    flat_ok = "EXISTS (SELECT 1 FROM sized)"
+    res_ok = "EXISTS (SELECT 1 FROM sized_r)"
+    return (
+        _IVFADC_V_CTE
+        + ",\n    ".join(shared + f_parts)
+        + ",\n    "
+        + f_sized
+        + ",\n    "
+        + ",\n    ".join(r_parts)
+        + ",\n    "
+        + r_sized
+        + ",\n    "
+        + ",\n    ".join(m32_parts)
+        + ",\n    "
+        + mine_tail("")
+        + ",\n    "
+        + mine_tail("_r")
+        + "\n    "
+        + arm("ranked_sz", "flat", flat_ok)
+        + "\n    UNION ALL "
+        + arm(
+            "ranked_sz_r",
+            "residual_ivfadc",
+            f"NOT {flat_ok} AND {res_ok}",
+        )
+        + "\n    UNION ALL "
+        + arm("ranked_m32", "m32", f"NOT {flat_ok} AND NOT {res_ok}")
+    )
+
+
+def _m32_flat_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The terminal m=32 escape leg of the routed cascade — the
+    q_margin_m_sized production chain at the doubled code budget
+    (certified there: m=32 restores ~full recall at 60×/100× depth
+    where m=16 saturates): normalize, one-round PQ fit on 32 codes,
+    encode, flat ADC scan with the sized-C shortlist, exact rerank,
+    margin filter. No nprobe ladder exists at this code budget — the
+    leg is the CODE-resolution escape, reached only when both measured
+    m=16 ladders (flat and residual) saturate, so pruning evidence is
+    void and the flat scan is the honest operating point."""
+    emb = load_table(spark, "embeddings", sf_dir).localCheckpoint()
+    norm = SIM.normalize_rounded(emb, out_col="__nv").localCheckpoint()
+    n = norm.count()
+    c = SIM.size_adc_shortlist(n)
+    book = SIM.pq_fit(
+        norm, dim=64, m=32, k_codes=_MARGIN_PQ_KCODES, iters=1,
+        vec_col="__nv",
+    )
+    codes = SIM.pq_encode(norm, book, dim=64, m=32, vec_col="__nv")
+    pairs = SIM.adc_shortlist_pairs(
+        norm, book, codes, shortlist=c, dim=64, m=32, vec_col="__nv"
+    )
+    return SIM._margin_top2(SIM._exact_rerank_pairs(pairs, emb, emb), 11000)
+
+
+@query("q_margin_mine_routed", oracle=_margin_mine_routed_oracle())
+def q_margin_mine_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the saturation route, don't just print it (VERDICT r10
+    item 2): run the flat sized decision and mine at its operating
+    point; on LadderSaturatedError FOLLOW the emitted route — mine at
+    residual_ivfadc (its own sized decision), escalating to the m=32
+    code budget if the residual ladder also saturates — and return the
+    mined pairs PLUS a `route` provenance column naming the path taken.
+    The cascade mirrors the routing string the refusal row and
+    LadderSaturatedError carry ('residual_ivfadc,m32' /
+    'm32' — _ivfadc_route_on_saturation): each certified escape is now
+    an executed leg, not advice. Reference analogue: the notebooks'
+    own pipeline applies its model unconditionally
+    (03. Inference.py:88-91); this composite is the governed version —
+    no leg ever ships sub-floor recall silently. The oracle replays
+    the full cascade (both family ladders + decisions + the m=32
+    chain) in one SQL query; the saturating-ladder pytest proves the
+    fallback legs execute by injecting saturated ladders into the
+    curve caches."""
+    try:
+        mined, route = _ivfadc_sized_mine(spark, sf_dir, residual=False), "flat"
+    except SIM.LadderSaturatedError:
+        try:
+            mined, route = (
+                _ivfadc_sized_mine(spark, sf_dir, residual=True),
+                "residual_ivfadc",
+            )
+        except SIM.LadderSaturatedError:
+            mined, route = _m32_flat_mine(spark, sf_dir), "m32"
+    return mined.withColumn("route", F.lit(route))
 
 
 # ---------------------------------------------------------------------------

@@ -1615,6 +1615,121 @@ class TestIvfadc:
         finally:
             del QL._IVFADC_CURVE_CACHE["__sat__"]
 
+    def test_routed_oracle_composition(self):
+        """The r11 res-core split must be lossless and the combined
+        routed oracle collision-free: (a) prefix + chain('') reproduces
+        the res core byte-for-byte (the flat split's r9 contract);
+        (b) every CTE alias in the three-leg routed oracle is unique —
+        DuckDB hard-errors on duplicates, so this pins the suffixing."""
+        import re
+
+        from dais2021imageprocessingondeltalake_spark import queries_llm as QL
+
+        assert QL._pq_adc_res_core_sql() == (
+            QL._pq_adc_prefix_sql() + ", " + QL._pq_adc_res_chain_sql()
+        )
+        sql = QL._margin_mine_routed_oracle()
+        names = re.findall(r"(\w+) AS MATERIALIZED \(", sql)
+        assert names and len(names) == len(set(names))
+
+    def test_routed_miner_executes_the_route(self, spark):
+        """VERDICT r10 item 2: the routed composite must EXECUTE the
+        route the refusal emits, not just print it. Leg certification
+        by cache injection: (a) flat ladder saturated → the miner
+        follows 'residual_ivfadc' — rows identical to the residual
+        sized mine, provenance says so; (b) BOTH ladders saturated →
+        the m=32 code-budget escape executes — rows identical to the
+        m32 flat-ADC chain; (c) nothing saturated → route='flat', rows
+        identical to the flat sized mine (the oracle-matched driver
+        shape); (d) a DuckDB replay of the cascade decision over the
+        same injected ladders picks the same legs."""
+        import duckdb
+
+        from dais2021imageprocessingondeltalake_spark import queries_all as q
+        from dais2021imageprocessingondeltalake_spark import queries_llm as QL
+
+        sat = [
+            ("abs", 4, 4, 10_000, 50, 10, 5200),
+            ("abs", 16, 16, 40_000, 180, 40, 7700),
+            ("frac", 6, 159, 250_000, 400, 80, 8290),
+            ("frac", 12, 317, 1_000_000, 480, 95, 8310),
+        ]
+        routed = q.REGISTRY["q_margin_mine_routed"].fn
+        key = lambda df: sorted(tuple(r) for r in df.collect())
+
+        # (c) live corpus: flat reaches, provenance 'flat'
+        base = routed(spark, SF_DIR)
+        flat_rows = key(QL._ivfadc_sized_mine(spark, SF_DIR, residual=False))
+        got = key(base)
+        assert {r[-1] for r in got} == {"flat"}
+        assert [r[:-1] for r in got] == flat_rows
+
+        # (a) flat saturated, residual live → residual leg executes
+        old_flat = QL._IVFADC_CURVE_CACHE.get(SF_DIR)
+        QL._IVFADC_CURVE_CACHE[SF_DIR] = sat
+        try:
+            res_rows = key(
+                QL._ivfadc_sized_mine(spark, SF_DIR, residual=True)
+            )
+            got = key(routed(spark, SF_DIR))
+            assert {r[-1] for r in got} == {"residual_ivfadc"}
+            assert [r[:-1] for r in got] == res_rows
+
+            # (b) both saturated → m32 escape executes
+            old_res = QL._IVFADC_RES_CURVE_CACHE.get(SF_DIR)
+            QL._IVFADC_RES_CURVE_CACHE[SF_DIR] = sat
+            try:
+                m32_rows = key(QL._m32_flat_mine(spark, SF_DIR))
+                got = key(routed(spark, SF_DIR))
+                assert {r[-1] for r in got} == {"m32"}
+                assert [r[:-1] for r in got] == m32_rows
+                assert m32_rows  # the escape actually mines pairs
+            finally:
+                if old_res is None:
+                    del QL._IVFADC_RES_CURVE_CACHE[SF_DIR]
+                else:
+                    QL._IVFADC_RES_CURVE_CACHE[SF_DIR] = old_res
+        finally:
+            if old_flat is None:
+                del QL._IVFADC_CURVE_CACHE[SF_DIR]
+            else:
+                QL._IVFADC_CURVE_CACHE[SF_DIR] = old_flat
+
+        # (d) DuckDB replays the cascade decision over the same
+        # injected ladders: flat-saturated/res-live → residual leg;
+        # both-saturated → m32 leg (the routed oracle's arm predicates)
+        vals = ", ".join(
+            f"('{k}', {r}, {np_}, {rec})" for k, r, np_, _, _, _, rec in sat
+        )
+        live = ", ".join(
+            f"('{k}', {r}, {np_}, {rec})"
+            for k, r, np_, _, _, _, rec in QL._IVFADC_RES_CURVE_CACHE.get(
+                SF_DIR
+            )
+            or QL._ivfadc_ladder_exec(spark, SF_DIR, residual=True)
+        )
+        for res_vals, want in ((live, "residual_ivfadc"), (vals, "m32")):
+            got_route = duckdb.sql(
+                f"""
+                WITH ladder(kind, rung, nprobe, recall_x10k) AS (
+                  VALUES {vals}
+                ), sized AS (
+                  SELECT * FROM ladder WHERE recall_x10k >= 8500
+                  ORDER BY nprobe, kind, rung LIMIT 1
+                ), ladder_r(kind, rung, nprobe, recall_x10k) AS (
+                  VALUES {res_vals}
+                ), sized_r AS (
+                  SELECT * FROM ladder_r WHERE recall_x10k >= 8500
+                  ORDER BY nprobe, kind, rung LIMIT 1
+                )
+                SELECT CASE
+                  WHEN EXISTS (SELECT 1 FROM sized) THEN 'flat'
+                  WHEN EXISTS (SELECT 1 FROM sized_r) THEN 'residual_ivfadc'
+                  ELSE 'm32' END AS route
+                """
+            ).fetchone()[0]
+            assert got_route == want
+
     def test_xcorpus_full_probe_equals_flat_and_asset_reuse(self, spark):
         """The ingest-tier composition: at nprobe = k_cells the
         cell-pruned xcorpus miner must reproduce margin_mine_pq_xcorpus
