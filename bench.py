@@ -204,6 +204,12 @@ def main() -> None:
             break
     assert chosen is not None
     chosen["bench_attempts"] = attempt_log
+    # Record the gate itself, not just the measurement (ADVICE r10): a
+    # reader of the artifact must be able to tell a CLEAN measurement
+    # from a best-of-contended one without out-of-band knowledge of the
+    # (env-overridable) threshold every attempt was gated against.
+    chosen["max_steal_pct"] = max_steal
+    chosen["steal_gate_passed"] = chosen["host_steal_pct"] <= max_steal
     print(json.dumps(chosen))
     spark.stop()
 

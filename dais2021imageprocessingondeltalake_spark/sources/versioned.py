@@ -129,9 +129,13 @@ def _read_log(table: str) -> list[dict]:
             # be stalled mid-json.dump for a while (GC pause, slow or
             # remote filesystem) — give the decode path an exponential
             # backoff (10ms..1.28s, ~2.5s total grace) instead of the
-            # old flat 5x10ms (~50ms) that failed spuriously.
+            # old flat 5x10ms (~50ms) that failed spuriously. No sleep
+            # after the FINAL attempt (ADVICE r10): the loop exits to
+            # raise corruption either way, and the extra 1.28s only
+            # delays the error.
             last_parse_error = e
-            time.sleep(0.01 * (2**attempt))
+            if attempt < 7:
+                time.sleep(0.01 * (2**attempt))
             continue
         last_parse_error = None
         if not entries:
@@ -319,7 +323,38 @@ def checkpoint(table: str) -> int:
     with open(tmp, "w") as f:
         json.dump(pointer, f)
     os.replace(tmp, _log_path(table) / _LAST_CKPT)
+    _sweep_stale_tmps(table)
     return version
+
+
+#: Grace window before an orphaned `.*.tmp` in the log dir is swept: a
+#: LIVE writer holds its temp for the duration of one json.dump +
+#: os.replace (milliseconds); 10 minutes is ~5 orders of magnitude of
+#: slack, so anything older is a crash leftover, never an in-flight write.
+_TMP_SWEEP_GRACE_SECS = 600.0
+
+
+def _sweep_stale_tmps(table: str, grace_secs: float = _TMP_SWEEP_GRACE_SECS) -> list[str]:
+    """Remove crash-orphaned temp files from the log directory (ADVICE
+    r10): the per-writer-unique checkpoint temp names
+    (`.<name>.<pid>.<tid>.tmp`) that make concurrent torn-checkpoint
+    repair safe are — unlike the old fixed name — never overwritten by
+    a later repairer, so a crash between open and os.replace would leak
+    them forever. Swept during checkpoint() and expire_log(), the two
+    log-maintenance entry points. Only files older than `grace_secs`
+    go: a live writer publishes (or dies) within milliseconds, so the
+    window can never race an in-flight os.replace into a missing-source
+    error. Returns the swept names."""
+    now = time.time()
+    removed = []
+    for p in _log_path(table).glob(".*.tmp"):
+        try:
+            if now - p.stat().st_mtime > grace_secs:
+                p.unlink()
+                removed.append(p.name)
+        except FileNotFoundError:
+            continue  # another sweeper (or the owner's os.replace) won
+    return removed
 
 
 def expire_log(table: str) -> list[str]:
@@ -339,6 +374,7 @@ def expire_log(table: str) -> list[str]:
             continue
         p.unlink()
         removed.append(p.name)
+    _sweep_stale_tmps(table)
     return removed
 
 

@@ -150,6 +150,30 @@ class TestVersionedTable:
         V.versioned_write(spark.range(2).withColumnRenamed("id", "k"), t2)
         assert V.expire_log(t2) == []
 
+    def test_checkpoint_sweeps_stale_tmps_keeps_fresh(self, spark, tmp_path):
+        """ADVICE r10: crash-orphaned per-writer temp files
+        (`.<name>.<pid>.<tid>.tmp`) must not leak in the log dir
+        forever — checkpoint()/expire_log() sweep temps older than the
+        grace window, while a FRESH temp (a possibly-live writer) is
+        left alone."""
+        import os
+
+        V, t = self._mk(spark, tmp_path)
+        logdir = V._log_path(t)
+        stale = logdir / ".00000000000000000002.checkpoint.json.999.888.tmp"
+        stale.write_text("{torn")
+        old = V._TMP_SWEEP_GRACE_SECS + 60
+        os.utime(stale, (stale.stat().st_atime - old, stale.stat().st_mtime - old))
+        fresh = logdir / ".00000000000000000002.checkpoint.json.111.222.tmp"
+        fresh.write_text("{in-flight")
+        V.checkpoint(t)
+        assert not stale.exists(), "stale orphan temp survived the sweep"
+        assert fresh.exists(), "fresh (possibly live) temp was swept"
+        # expire_log sweeps too once the fresh temp ages past the window
+        os.utime(fresh, (fresh.stat().st_atime - old, fresh.stat().st_mtime - old))
+        V.expire_log(t)
+        assert not fresh.exists()
+
     def test_checkpoint_preserves_stream_sink_idempotence(self, spark, tmp_path):
         """The stream sink's batch_id dedup reads the log; a checkpoint
         + expiry between restarts must not resurrect an already-applied

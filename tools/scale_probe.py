@@ -153,6 +153,82 @@ def _score_pairs_broadcast(spark, pairs, ids, vecs):
     return pairs.mapInPandas(score, schema="probe_id long, nbr_id long, s double")
 
 
+def _write_artifact(out_path: Path, result: dict, append: bool) -> dict:
+    """Write the probe artifact ATOMICALLY (unique temp + os.replace —
+    the versioned.py idiom), merging into the existing file by factor
+    when `append`. Called after EVERY component completes (VERDICT r10
+    item 5): the 200x flat-ladder merge note documents two full-point
+    losses because the old artifact wrote only at process end — an OOM
+    in component N discarded components 1..N-1's in-process buffer.
+    Returns the payload actually written."""
+    if append and out_path.exists():
+        prior = json.loads(out_path.read_text())
+        by_factor = {p["factor"]: p for p in prior.get("points", [])}
+        for p in result["points"]:
+            tgt = by_factor.setdefault(p["factor"], {})
+            # union the run ledger instead of overwriting it, so a
+            # factor probed component-by-component stays self-describing
+            merged_run = sorted(
+                set(tgt.get("components_run", [])) | set(p["components_run"])
+            )
+            tgt.update(p)
+            tgt["components_run"] = merged_run
+        payload = dict(prior)
+        payload["points"] = [by_factor[f] for f in sorted(by_factor)]
+        payload["ts"] = result["ts"]
+    else:
+        payload = result
+    tmp = out_path.with_name(f".{out_path.name}.{os.getpid()}.tmp")
+    tmp.write_text(json.dumps(payload) + "\n")
+    os.replace(tmp, out_path)
+    return payload
+
+
+def _flush_point(
+    out_path: Path,
+    result: dict,
+    point: dict,
+    component: str | None,
+    append: bool,
+) -> dict:
+    """Record `component` as COMPLETED on the in-progress point and
+    flush the artifact with that point merged in. components_run now
+    accumulates per completed component (it used to be stamped with the
+    INTENT up front) so a partial artifact left by a killed probe never
+    claims components whose fields are missing. component=None flushes
+    WITHOUT marking completion (mid-component progress, e.g. per ladder
+    rung)."""
+    if component is not None and component not in point["components_run"]:
+        point["components_run"] = sorted(
+            [*point["components_run"], component]
+        )
+    snap = dict(result)
+    snap["points"] = [*result["points"], point]
+    return _write_artifact(out_path, snap, append)
+
+
+def _ladder_refusal_decision(
+    curve: list, n_remaining: int, floor_x10k: int = 8500
+) -> tuple:
+    """Whether a ladder that stopped without a sized rung may emit a
+    certified REFUSAL (ADVICE r10, scale_probe plateau-stop): refusal
+    is allowed only when the ladder was FULLY measured, or when the
+    floor is unreachable even under an OPTIMISTIC projection — best
+    measured recall plus the max observed per-rung gain for every
+    unmeasured rung. A plateau-stop whose projection could still clear
+    the floor records only the plateau marker: a refusal row is a
+    certified negative, and a truncated ladder cannot certify it.
+    Returns ("refused" | "plateau_only", optimistic_projection_x10k)."""
+    best = max((e["recall_x10k"] for e in curve), default=0)
+    gains = [
+        b["recall_x10k"] - a["recall_x10k"] for a, b in zip(curve, curve[1:])
+    ]
+    optimistic = best + max(max(gains, default=0), 0) * n_remaining
+    if n_remaining == 0 or optimistic < floor_x10k:
+        return "refused", optimistic
+    return "plateau_only", optimistic
+
+
 def build_scaled_corpus(base_dir: str, factor: int, out_dir: Path, seed: int = 11) -> str:
     """Write a factor-x documents.parquet under out_dir; factor=1 is the
     base corpus unchanged."""
@@ -253,8 +329,20 @@ def main() -> int:
         action="store_true",
         help="merge points into the existing artifact by factor",
     )
+    ap.add_argument(
+        "--msize-sample",
+        type=int,
+        default=0,
+        help="msize recall over this many SAMPLED query rows instead of "
+        "all N (the FAISS benchmarking idiom, VERDICT r10 item 3): the "
+        "flat-scan scoring collapses from N^2 to Q*N, which is what fits "
+        "the container envelope at the 200x depth. 0 = full-corpus "
+        "recall (exact, shallow factors). Sampled fields are named "
+        "*_qsampled so the artifact self-describes the estimator.",
+    )
     args = ap.parse_args()
     want = set(args.components)
+    out_path = Path(args.out)
 
     from pyspark.sql import functions as F
 
@@ -265,15 +353,18 @@ def main() -> int:
 
     # SPARK_GRAFT_ARROW_BATCH caps probe rows per Arrow batch: the ADC
     # scan's per-batch scoring matrix is |batch| x |nbr_chunk| float64,
-    # so the default 10000-row batches put ~8 GB in EVERY python worker
-    # at the 200x full-scan depth (100k refs) — 32 workers OOM-killed
-    # the probe JVM twice. 1000-row batches bound it at ~0.8 GB/worker;
-    # combine with SPARK_GRAFT_CPUS to cap the aggregate.
+    # so 10000-row batches put ~8 GB in EVERY python worker at the 200x
+    # full-scan depth (100k refs) — 32 workers OOM-killed the probe JVM
+    # twice. The DEFAULT is therefore the safe 1000 (ADVICE r10: a
+    # default run must not hit the documented OOM); 1000-row batches
+    # bound it at ~0.8 GB/worker. Raise via the env var at shallow
+    # factors if batch overhead ever matters; combine with
+    # SPARK_GRAFT_CPUS to cap the aggregate.
     spark = get_spark(
         app_name="scale-probe",
         extra_conf={
             "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
-                "SPARK_GRAFT_ARROW_BATCH", "10000"
+                "SPARK_GRAFT_ARROW_BATCH", "1000"
             )
         },
     )
@@ -293,8 +384,15 @@ def main() -> int:
             # silent caps" rule applied to evidence artifacts): every
             # point records WHICH component groups produced it, so a
             # missing field reads as "component not run at this factor",
-            # never as an unexplained hole. --append merges the lists.
-            point: dict = {"factor": k, "components_run": sorted(want)}
+            # never as an unexplained hole. Since r11 the ledger
+            # accumulates per COMPLETED component and the artifact is
+            # flushed after each one (VERDICT r10 item 5) — an OOM in a
+            # later component never discards earlier components' fields,
+            # and a partial artifact never claims components it lacks.
+            point: dict = {"factor": k, "components_run": []}
+
+            def flush(component: str | None) -> None:
+                _flush_point(out_path, result, point, component, args.append)
 
             if want & {"docs"}:
                 path = build_scaled_corpus(args.base, k, scratch)
@@ -370,6 +468,7 @@ def main() -> int:
                     .count()
                 )
                 point["jsonl_rt_secs"] = round(time.perf_counter() - t0, 2)
+                flush("docs")
 
             if "train" in want:
                 # NEW r6 training-tier ops, both claimed ~linear in
@@ -409,6 +508,7 @@ def main() -> int:
                 )
                 point["logreg_secs"] = round(time.perf_counter() - t0, 2)
                 point["logreg_w_intercept"] = dict(w)["intercept"]
+                flush("train")
 
             if "mix" in want:
                 # NEW r8 mixing tier: the UniMax allocation is ONE
@@ -532,6 +632,7 @@ def main() -> int:
                         for r in rw_real
                     )
                 )
+                flush("mix")
 
             if want & {"sem", "knn", "gram", "margin", "marginpq", "msize",
                        "ivfadc", "ivfadcres", "csize", "xpq", "xres", "div"}:
@@ -588,6 +689,7 @@ def main() -> int:
                     SIM.assign_to_centroids(emb, cents, round_dp=6)
                 )
                 point["sem_sqrtk_pairs"] = _pair_count(asg_sqrtk)
+                flush("sem")
 
             if "knn" in want:
                 t0 = time.perf_counter()
@@ -597,6 +699,7 @@ def main() -> int:
                     queries, base_side, dim=64, k=3, n_planes=6
                 ).count()
                 point["knn_secs"] = round(time.perf_counter() - t0, 2)
+                flush("knn")
 
             if "margin" in want:
                 # Data-sized L-table margin mining — the registered
@@ -696,6 +799,7 @@ def main() -> int:
                     10000 * ihits // max(len(brute_pairs), 1)
                 )
                 point["margin_ivf_recall_secs"] = round(time.perf_counter() - t0, 2)
+                flush("margin")
 
             if "marginpq" in want:
                 # Own component (not folded into "margin") so the 60x
@@ -747,14 +851,21 @@ def main() -> int:
                     10000 * phits // max(len(brute_pairs), 1)
                 )
                 point["margin_pq_recall_secs"] = round(time.perf_counter() - t0, 2)
+                flush("marginpq")
 
             if want & {"ivfadc", "ivfadcres", "csize", "msize"}:
                 # shared assets for the r8 blocks, reused from the
                 # margin/marginpq blocks when those ran in this JVM
                 if not (want & {"margin", "marginpq"}):
                     ids, labels, vecs = _collect_embedding_matrix(emb)
-                    brute_pairs = _numpy_brute_margin(ids, labels, vecs)
-                    point["margin_brute_rows"] = len(brute_pairs)
+                    # an msize-ONLY sampled run never touches the full
+                    # N^2 brute reference — skipping it is what makes
+                    # the 200x sampled msize probe fit the envelope
+                    if want & {"ivfadc", "ivfadcres", "csize"} or not (
+                        args.msize_sample > 0
+                    ):
+                        brute_pairs = _numpy_brute_margin(ids, labels, vecs)
+                        point["margin_brute_rows"] = len(brute_pairs)
                 if "marginpq" not in want:
                     pq_norm = SIM.normalize_rounded(
                         emb, out_col="nv"
@@ -864,6 +975,11 @@ def main() -> int:
                             json.dumps({"factor": k, f"{tag}_rung": entry}),
                             flush=True,
                         )
+                        # per-rung artifact flush (VERDICT r10 item 5):
+                        # the ladder is the long pole at depth — a kill
+                        # mid-ladder keeps every measured rung on disk
+                        point[f"{tag}_curve"] = curve
+                        flush(None)
                         if rec >= 8500:
                             sized = entry
                             break
@@ -899,18 +1015,32 @@ def main() -> int:
                         point[f"{tag}_recall_x10k"] = sized["recall_x10k"]
                         point[f"{tag}_secs"] = sized["secs"]
                     else:
-                        # saturated ladder: the sized decision REFUSES
-                        # (VERDICT r9 item 5) — record the refusal + the
-                        # certified routing instead of a floored rung
-                        point[f"{tag}_sized_refused"] = True
-                        point[f"{tag}_route"] = (
-                            "m32" if tag == "ivfadcres"
-                            else "residual_ivfadc,m32"
+                        # no rung cleared the floor. A certified REFUSAL
+                        # (VERDICT r9 item 5) is only emitted when the
+                        # ladder was FULLY measured or the floor is
+                        # unreachable even optimistically (ADVICE r10:
+                        # a plateau-stopped ladder whose projection
+                        # could still clear must NOT refuse — the next
+                        # rung might clear, and the sizing rule would
+                        # select it despite its scan cost)
+                        verdict, proj = _ladder_refusal_decision(
+                            curve, len(rungs) - len(curve)
                         )
+                        point[f"{tag}_optimistic_projection_x10k"] = proj
+                        if verdict == "refused":
+                            point[f"{tag}_sized_refused"] = True
+                            point[f"{tag}_route"] = (
+                                "m32" if tag == "ivfadcres"
+                                else "residual_ivfadc,m32"
+                            )
+                        # plateau_only: the plateau_stop marker recorded
+                        # above is the only claim this truncated ladder
+                        # can certify
 
             if "ivfadc" in want:
                 point["ivfadc_setup_secs"] = iv_setup
                 run_ivfadc_ladder("ivfadc", pq_book, pq_codes, None)
+                flush("ivfadc")
 
             if "ivfadcres" in want:
                 # RESIDUAL IVFADC (true IVFADC): anchors + residual
@@ -935,6 +1065,7 @@ def main() -> int:
                     time.perf_counter() - t0 + iv_setup, 2
                 )
                 run_ivfadc_ladder("ivfadcres", res_book, res_codes, iv_anchors)
+                flush("ivfadcres")
 
             if "msize" in want:
                 # Code-budget axis at depth (r9): the 200x flat ladder
@@ -944,6 +1075,41 @@ def main() -> int:
                 # m = 16 vs 32 bytes (sized C, production chain) so the
                 # m-curve's driver-scale certification has deep-factor
                 # evidence for WHERE the budget must grow.
+                #
+                # --msize-sample Q (r11, VERDICT r10 item 3): recall
+                # estimated over Q SAMPLED query rows against the exact
+                # brute top-margin ON THOSE SAME ROWS — the FAISS
+                # benchmarking idiom. The probe-side scoring collapses
+                # from N^2 to Q*N (scan AND brute), which is what fits
+                # the container envelope at the 200x depth where the
+                # full-corpus form OOM-killed two probe JVMs. Sampled
+                # fields carry the _qsampled suffix + the Q and seed so
+                # the artifact self-describes the estimator.
+                q_n = args.msize_sample
+                if q_n > 0:
+                    rng = np.random.default_rng(13)
+                    sidx = np.sort(
+                        rng.choice(len(ids), size=min(q_n, len(ids)),
+                                   replace=False)
+                    )
+                    point["msize_sample_queries"] = int(len(sidx))
+                    point["msize_sample_seed"] = 13
+                    m_brute = _numpy_brute_margin_x(
+                        ids[sidx], labels[sidx], vecs[sidx],
+                        ids, labels, vecs,
+                    )
+                    point["msize_brute_rows_qsampled"] = len(m_brute)
+                    sample_df = spark.createDataFrame(
+                        [(int(i),) for i in ids[sidx]], "vec_id long"
+                    )
+                    m_probes = pq_norm.join(
+                        F.broadcast(sample_df), "vec_id"
+                    ).localCheckpoint()
+                    rec_key = "recall_x10k_qsampled"
+                else:
+                    m_brute = brute_pairs
+                    m_probes = pq_norm
+                    rec_key = "recall_x10k"
                 m_curve = []
                 for m_b in (16, 32):
                     t0 = time.perf_counter()
@@ -955,8 +1121,9 @@ def main() -> int:
                         pq_norm, mb_book, dim=64, m=m_b, vec_col="nv"
                     )
                     pairs = SIM.adc_shortlist_pairs(
-                        pq_norm, mb_book, mb_codes, shortlist=pq_c,
+                        m_probes, mb_book, mb_codes, shortlist=pq_c,
                         dim=64, m=m_b, vec_col="nv",
+                        index_df=pq_norm if q_n > 0 else None,
                     )
                     mscored = _score_pairs_broadcast(spark, pairs, ids, vecs)
                     mined = {
@@ -967,15 +1134,17 @@ def main() -> int:
                     }
                     entry = {
                         "code_bytes": m_b,
-                        "recall_x10k": int(
-                            10000 * len(mined & brute_pairs)
-                            // max(len(brute_pairs), 1)
+                        rec_key: int(
+                            10000 * len(mined & m_brute)
+                            // max(len(m_brute), 1)
                         ),
                         "secs": round(time.perf_counter() - t0, 2),
                     }
                     m_curve.append(entry)
                     print(json.dumps({"factor": k, "msize_rung": entry}), flush=True)
-                point["msize_curve"] = m_curve
+                    point["msize_curve"] = m_curve
+                    flush(None)
+                flush("msize")
 
             if "csize" in want:
                 # Recall-targeted shortlist sizing (r8, VERDICT r7
@@ -1019,6 +1188,7 @@ def main() -> int:
                     srow = next(e for e in c_curve if e["mult"] == sized_mult)
                     point["pq_c_sized_c"] = srow["c"]
                     point["pq_c_sized_recall_x10k"] = srow["recall_x10k"]
+                flush("csize")
 
             if "xpq" in want:
                 # Cross-corpus PQ margin mining at scale (VERDICT r7
@@ -1052,6 +1222,7 @@ def main() -> int:
                 point["xpq_recall_x10k"] = int(
                     10000 * len(xmined & brute_x) // max(len(brute_x), 1)
                 )
+                flush("xpq")
 
             if "xres" in want:
                 # Cross-corpus RESIDUAL-IVFADC mining at scale: the
@@ -1088,6 +1259,7 @@ def main() -> int:
                 point["xres_recall_x10k"] = int(
                     10000 * len(xrmined & brute_xr) // max(len(brute_xr), 1)
                 )
+                flush("xres")
 
             if "div" in want:
                 # Diversity selection (r8): greedy k-center + MMR are k
@@ -1119,6 +1291,7 @@ def main() -> int:
                 point["mmr_fused_secs"] = round(time.perf_counter() - t0, 2)
                 assert sorted(map(tuple, kcf)) == sorted(map(tuple, kc_rows))
                 assert sorted(map(tuple, mmf)) == sorted(map(tuple, mm_rows))
+                flush("div")
 
             if "gram" in want:
                 # Gram matrix partial-sum aggregate (linear in n_vecs,
@@ -1126,32 +1299,15 @@ def main() -> int:
                 t0 = time.perf_counter()
                 point["gram_rows"] = SIM.gram_matrix(emb, "embedding", round_dp=6).count()
                 point["gram_secs"] = round(time.perf_counter() - t0, 2)
+                flush("gram")
 
             result["points"].append(point)
             print(json.dumps(point), flush=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
-    out_path = Path(args.out)
-    if args.append and out_path.exists():
-        prior = json.loads(out_path.read_text())
-        by_factor = {p["factor"]: p for p in prior.get("points", [])}
-        for p in result["points"]:
-            tgt = by_factor.setdefault(p["factor"], {})
-            # union the run ledger instead of overwriting it, so a
-            # factor probed component-by-component stays self-describing
-            merged_run = sorted(
-                set(tgt.get("components_run", [])) | set(p["components_run"])
-            )
-            tgt.update(p)
-            tgt["components_run"] = merged_run
-        prior["points"] = [by_factor[f] for f in sorted(by_factor)]
-        prior["ts"] = result["ts"]
-        out_path.write_text(json.dumps(prior) + "\n")
-        print(json.dumps(prior))
-    else:
-        out_path.write_text(json.dumps(result) + "\n")
-        print(json.dumps(result))
+    payload = _write_artifact(out_path, result, args.append)
+    print(json.dumps(payload))
     return 0
 
 
