@@ -44,7 +44,19 @@ def _stream_fold_partials(
     writes ONE batch's partial rows (order-DEPENDENT folds key their
     carried state off batch_id or sibling stores next to out_dir); the
     caller merges the store and certifies merged == batch-built against
-    the batch oracle."""
+    the batch oracle.
+
+    Torn-partition audit (VERDICT r10 item 6): of every fold built on
+    this scaffold (q_stream_cms, q_stream_heavy_hitters,
+    q_stream_drift, q_stream_shard_manifest, q_stream_unimax,
+    q_stream_pack), only q_stream_pack RE-READS its own prior output
+    mid-stream (the carried offset), and that read carries the explicit
+    schema + batch-id partition-pruning guard. Every other fold is
+    order-independent: it writes via _write_partial and reads the store
+    exactly once, AFTER awaitTermination — by which point a retried
+    batch's dynamic partition overwrite has replaced any torn file from
+    its failed attempt, so no torn footer can reach schema inference or
+    the merge."""
     base = _fresh_tmpdir(prefix)
     src.repartition(n_files).write.parquet(f"{base}/src")
     schema = spark.read.parquet(f"{base}/src").schema
@@ -476,8 +488,17 @@ def q_stream_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream transform) because the prefix machinery needs per-batch
     windows/joins; with availableNow the union of batch outputs equals
     the one-shot batch computation, so q_cross_dedup's SQL oracle
-    applies verbatim. Checkpointed parquet append sink → exactly-once
-    flags."""
+    applies verbatim. Publication is batch_id-keyed dynamic partition
+    overwrite (_write_partial — torn-partition audit, VERDICT r10
+    item 6): foreachBatch is at-least-once, and the plain append this
+    fold used through r10 would double-emit a batch's flags on a crash
+    between the write and the epoch commit, and could leave a torn
+    part-file the final read's schema inference might open; the retried
+    batch now replaces exactly its own partition, deleting any torn
+    leftover. The fold itself never READS prior output (each doc's flag
+    is a pure function of the batch row + the frozen index), so there is
+    no carried-state re-read window to guard — the q_stream_pack class
+    of torn-read hazard does not arise here."""
     import tempfile
 
     from .catalog import load_table
@@ -498,7 +519,7 @@ def q_stream_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df, None, "doc_id", n=3, threshold=0.5,
             ref_shingles=sh_ref, ref_dfreq=dfreq,
         )
-        flags.write.mode("append").parquet(out_dir)
+        _write_partial(flags, out_dir, batch_id)
 
     (
         stream.writeStream.foreachBatch(apply_batch)
@@ -507,7 +528,7 @@ def q_stream_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).select("doc_id", "is_dup")
 
 
 @query(
