@@ -254,6 +254,7 @@ ROTATION_QUEUE: tuple[str, ...] = (
     # then the remaining round-3 statistical/certified additions
     # (certified by the r3/r4 dual-scale sweeps, never driver-gated).
     "q_margin_mine_routed",
+    "q_margin_recall_sampled",
     "q_padding_waste",
     "q_dsir_score",
     "q_hybrid_search",

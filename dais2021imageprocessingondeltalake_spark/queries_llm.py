@@ -4347,6 +4347,138 @@ def q_margin_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The SAMPLED-recall probe carve: ~1/8 of the corpus's vec_ids by the
+#: first hex char of a salted md5 — a HASH rule, not an rng draw, so the
+#: identical sample replays in SQL (the curation tier's substr(md5) <
+#: threshold idiom) and the estimator itself is driver-certifiable.
+_QSAMPLE_PRED_SQL = (
+    "substr(md5('qs:' || CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1')"
+)
+
+
+def _qsample_pred_col():
+    return F.substring(
+        F.md5(F.concat(F.lit("qs:"), F.col("vec_id").cast("string"))), 1, 1
+    ).isin("0", "1")
+
+
+def _margin_recall_sampled_oracle(min_margin_x10k: int = 11000) -> str:
+    """Replay of the SAMPLED-query recall estimator: the PQ chain with
+    probes carved by the hash-sample rule and the fit / codes /
+    shortlist sizing from the FULL corpus (probe_pred = sample,
+    ref_pred = TRUE — probes stay members of the index, unlike the
+    xcorpus split), plus a brute reference restricted to the same
+    sampled probes (Q x N, not N^2)."""
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label AS grp, CAST(embedding AS DOUBLE[]) AS ve
+      FROM embeddings
+    ), {_margin_pq_pairs_sql(probe_pred=_QSAMPLE_PRED_SQL)}, pq_pairs AS MATERIALIZED (
+      SELECT b.probe_id, b.nbr_id AS best_id
+      FROM (SELECT probe_id, nbr_id, s FROM pq_ranked WHERE rn = 1) b
+      JOIN (SELECT probe_id, s AS sim2 FROM pq_ranked WHERE rn = 2) s2
+        USING (probe_id)
+      WHERE s2.sim2 > 0
+        AND floor(10000.0 * b.s / s2.sim2) >= {min_margin_x10k}
+    ), brute_ranked AS MATERIALIZED (
+      SELECT probe_id, nbr_id, s,
+             row_number() OVER (PARTITION BY probe_id ORDER BY s DESC, nbr_id) AS rn
+      FROM (
+        SELECT a.vec_id AS probe_id, c.vec_id AS nbr_id,
+               round(list_cosine_similarity(a.ve, c.ve), 6) AS s
+        FROM v a JOIN v c ON a.grp <> c.grp
+        WHERE a.vec_id IN (SELECT vec_id FROM pq_pids)
+      )
+    ), brute_pairs AS MATERIALIZED (
+      SELECT b.probe_id, b.nbr_id AS best_id
+      FROM (SELECT probe_id, nbr_id, s FROM brute_ranked WHERE rn = 1) b
+      JOIN (SELECT probe_id, s AS sim2 FROM brute_ranked WHERE rn = 2) s2
+        USING (probe_id)
+      WHERE s2.sim2 > 0
+        AND floor(10000.0 * b.s / s2.sim2) >= {min_margin_x10k}
+    ), counts AS (
+      SELECT
+        (SELECT count(*) FROM pq_pids) AS n_sampled,
+        (SELECT count(*) FROM brute_pairs) AS n_brute,
+        (SELECT count(*) FROM pq_pairs) AS n_pq,
+        (SELECT count(*) FROM brute_pairs JOIN pq_pairs USING (probe_id, best_id))
+          AS n_hit
+    )
+    SELECT CAST(n_sampled AS BIGINT) AS n_sampled,
+           CAST(n_brute AS BIGINT) AS n_brute,
+           CAST(n_pq AS BIGINT) AS n_pq,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(CASE WHEN n_brute = 0 THEN 10000
+                     ELSE floor(10000.0 * n_hit / n_brute) END AS BIGINT)
+             AS recall_x10k,
+           CAST({_MARGIN_PQ_FLOOR_X10K} AS BIGINT) AS floor_x10k,
+           (CASE WHEN n_brute = 0 THEN 10000
+                 ELSE floor(10000.0 * n_hit / n_brute) END)
+             >= {_MARGIN_PQ_FLOOR_X10K} AS meets_floor
+    FROM counts
+    """
+
+
+@query("q_margin_recall_sampled", oracle=_margin_recall_sampled_oracle())
+def q_margin_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED-QUERY recall estimation — the FAISS benchmarking idiom
+    driver-certified (VERDICT r10 item 3's estimator as a registered
+    operator, not just probe tooling): recall is measured over a ~1/8
+    hash-carved probe sample against the exact brute top-margin ON
+    THOSE SAME PROBES, collapsing the audit from N^2 to Q x N — the
+    shape that lets a 100 TB corpus certify its SYMMETRIC miners
+    per-snapshot the way the xcorpus audit already does per-batch.
+    Because the sample is a salted-md5 HASH RULE (never an rng draw),
+    the identical probe set replays in the oracle, so the estimator
+    itself is bit-exactly certified — the deep scale probe
+    (tools/scale_probe.py --msize-sample) stands on exactly this
+    estimator class at the 200x depth where the full-corpus audit
+    exceeds the container envelope. The mined side is the production
+    flat-PQ chain with fit/codes/shortlist from the FULL corpus and
+    LUTs from the sampled probes (probes remain index members;
+    cross-group masking excludes self as always)."""
+    emb = load_table(spark, "embeddings", sf_dir).localCheckpoint()
+    probes = emb.filter(_qsample_pred_col()).localCheckpoint()
+    norm = SIM.normalize_rounded(emb, out_col="__nv").localCheckpoint()
+    probes_norm = norm.join(probes.select("vec_id"), "vec_id")
+    n = norm.count()
+    c = SIM.size_adc_shortlist(n)
+    book = SIM.pq_fit(
+        norm, dim=64, m=_MARGIN_PQ_M, k_codes=_MARGIN_PQ_KCODES, iters=1,
+        vec_col="__nv",
+    )
+    codes = SIM.pq_encode(norm, book, dim=64, m=_MARGIN_PQ_M, vec_col="__nv")
+    pairs = SIM.adc_shortlist_pairs(
+        probes_norm, book, codes, shortlist=c, dim=64, m=_MARGIN_PQ_M,
+        vec_col="__nv", index_df=norm,
+    )
+    mined = SIM._margin_top2(
+        SIM._exact_rerank_pairs(pairs, emb, emb), 11000
+    )
+    brute = SIM.margin_mine(probes, min_margin_x10k=11000, base_df=emb)
+    bp = brute.select("probe_id", "best_id")
+    ip = mined.select("probe_id", "best_id")
+    hit = bp.join(ip, ["probe_id", "best_id"], "inner")
+    stats = (
+        probes.agg(F.count(F.lit(1)).alias("n_sampled"))
+        .crossJoin(bp.agg(F.count(F.lit(1)).alias("n_brute")))
+        .crossJoin(ip.agg(F.count(F.lit(1)).alias("n_pq")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    recall = F.when(F.col("n_brute") == 0, F.lit(10000).cast("bigint")).otherwise(
+        F.floor(F.lit(10000.0) * F.col("n_hit") / F.col("n_brute")).cast("bigint")
+    )
+    return stats.select(
+        "n_sampled",
+        "n_brute",
+        "n_pq",
+        "n_hit",
+        recall.alias("recall_x10k"),
+        F.lit(_MARGIN_PQ_FLOOR_X10K).cast("bigint").alias("floor_x10k"),
+        (recall >= F.lit(_MARGIN_PQ_FLOOR_X10K)).alias("meets_floor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVFADC: coarse-cell pruning composed in front of the ADC scan (r8,
 # VERDICT r7 item 2; ladder EXTENDED r9 per VERDICT r8 item 2). The rung
