@@ -4362,6 +4362,14 @@ def _qsample_pred_col():
     ).isin("0", "1")
 
 
+#: Wilson 95% z and z^2 as repr-literals (the q_decay_features idiom:
+#: both engines parse the SAME decimal literal, so every IEEE op in the
+#: bound evaluates on identical doubles and the final floor is
+#: bit-deterministic).
+_WILSON_Z = "1.959964"
+_WILSON_Z2 = repr(1.959964**2)
+
+
 def _margin_recall_sampled_oracle(min_margin_x10k: int = 11000) -> str:
     """Replay of the SAMPLED-query recall estimator: the PQ chain with
     probes carved by the hash-sample rule and the fit / codes /
@@ -4411,6 +4419,15 @@ def _margin_recall_sampled_oracle(min_margin_x10k: int = 11000) -> str:
            CAST(CASE WHEN n_brute = 0 THEN 10000
                      ELSE floor(10000.0 * n_hit / n_brute) END AS BIGINT)
              AS recall_x10k,
+           CAST(CASE WHEN n_brute = 0 THEN NULL ELSE floor(10000.0 *
+             ((CAST(n_hit AS DOUBLE) / n_brute
+               + {_WILSON_Z2} / (2.0 * n_brute)
+               - {_WILSON_Z} * sqrt(
+                   (CAST(n_hit AS DOUBLE) / n_brute)
+                     * (1.0 - CAST(n_hit AS DOUBLE) / n_brute) / n_brute
+                   + {_WILSON_Z2} / (4.0 * n_brute * n_brute)))
+              / (1.0 + {_WILSON_Z2} / n_brute))) END AS BIGINT)
+             AS recall_lb95_x10k,
            CAST({_MARGIN_PQ_FLOOR_X10K} AS BIGINT) AS floor_x10k,
            (CASE WHEN n_brute = 0 THEN 10000
                  ELSE floor(10000.0 * n_hit / n_brute) END)
@@ -4468,12 +4485,34 @@ def q_margin_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall = F.when(F.col("n_brute") == 0, F.lit(10000).cast("bigint")).otherwise(
         F.floor(F.lit(10000.0) * F.col("n_hit") / F.col("n_brute")).cast("bigint")
     )
+    # Wilson 95% LOWER bound on the sampled recall — the estimator's
+    # honesty column: a 0.80 point estimate over 114 reference pairs is a
+    # very different claim than over 11,400, and the bound says which.
+    # Same repr-literal z / z^2 and the same IEEE expression tree as the
+    # oracle, so the floored bound is bit-deterministic.
+    z = F.lit(float(_WILSON_Z))
+    z2 = F.lit(float(_WILSON_Z2))
+    nb = F.col("n_brute")
+    p = F.col("n_hit").cast("double") / nb
+    lb = (
+        p
+        + z2 / (F.lit(2.0) * nb)
+        - z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nb
+            + z2 / (F.lit(4.0) * nb * nb)
+        )
+    ) / (F.lit(1.0) + z2 / nb)
+    recall_lb = F.when(nb == 0, F.lit(None).cast("bigint")).otherwise(
+        F.floor(F.lit(10000.0) * lb).cast("bigint")
+    )
     return stats.select(
         "n_sampled",
         "n_brute",
         "n_pq",
         "n_hit",
         recall.alias("recall_x10k"),
+        recall_lb.alias("recall_lb95_x10k"),
         F.lit(_MARGIN_PQ_FLOOR_X10K).cast("bigint").alias("floor_x10k"),
         (recall >= F.lit(_MARGIN_PQ_FLOOR_X10K)).alias("meets_floor"),
     )

@@ -1189,7 +1189,8 @@ def main() -> int:
                     }
                     c_curve.append(entry)
                     print(json.dumps({"factor": k, "csize_rung": entry}), flush=True)
-                point["pq_c_curve"] = c_curve
+                    point["pq_c_curve"] = c_curve
+                    flush(None)
                 sized_mult = SIM.size_adc_mult(
                     [(e["mult"], e["recall_x10k"]) for e in c_curve], 8500
                 )
