@@ -752,6 +752,7 @@ def cross_corpus_near_dup_flags(
     materialize: str | bool | None = "localCheckpoint",
     ref_shingles: DataFrame | None = None,
     ref_dfreq: DataFrame | None = None,
+    new_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Flag documents in a NEW batch that are near-duplicates (n-gram
     Jaccard >= threshold) of ANY document in an existing REFERENCE
@@ -784,7 +785,15 @@ def cross_corpus_near_dup_flags(
     if ref_shingles is None and ref_df is None:
         raise ValueError("need ref_df or a precomputed ref_shingles table")
 
-    sh_new = materialize_df(shingle_table(new_df, id_col, text_col, n), materialize)
+    # `new_shingles` mirrors `ref_shingles`: when both sides of the dedup
+    # come from ONE source frame (q_cross_dedup splits a corpus by batch
+    # predicate), the caller shingles the source once and passes both
+    # slices — halving the tokenize/shingle/hash passes over the scan.
+    sh_new = (
+        new_shingles
+        if new_shingles is not None
+        else materialize_df(shingle_table(new_df, id_col, text_col, n), materialize)
+    )
     sh_ref = (
         ref_shingles
         if ref_shingles is not None

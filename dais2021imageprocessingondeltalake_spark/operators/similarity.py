@@ -1787,7 +1787,8 @@ def pq_fit(
             (F.col("pos") % sub_dim + 1).alias("dim"),
             F.round(F.col("v"), round_dp).alias("centroid"),
         )
-        .localCheckpoint()
+        # no checkpoint: the seed table's only consumer is the round-1
+        # cents.collect() below — pinning it first just added a job
     )
     slices = F.array(
         *[
@@ -2225,11 +2226,21 @@ def normalize_rounded(
     the one an oracle mirrors verbatim when its corpus can contain
     such rows — the registered corpora cannot (generator-enforced), so
     the registered oracles need no extra predicate."""
+    # Stage the fold once as a column instead of inlining it into both
+    # the filter and the per-element lambda (the shingle_table lesson):
+    # the inlined form codegen'd the whole aggregate tree into every
+    # division, tripling first-run JIT time. Values are bit-identical —
+    # same IEEE ops on the same inputs, just evaluated once per row.
     v = _to_double(F.col(vec_col))
     sumsq = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    nrm = F.sqrt(sumsq)
-    return df.filter(sumsq > 0).withColumn(
-        out_col, F.transform(v, lambda x: F.round(x / nrm, round_dp))
+    return (
+        df.withColumn("__sumsq", sumsq)
+        .filter(F.col("__sumsq") > 0)
+        .withColumn(
+            out_col,
+            F.transform(v, lambda x: F.round(x / F.sqrt(F.col("__sumsq")), round_dp)),
+        )
+        .drop("__sumsq")
     )
 
 

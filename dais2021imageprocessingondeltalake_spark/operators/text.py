@@ -768,12 +768,19 @@ def remove_duplicate_spans(
     pos = src.select(
         F.col(id_col).alias("doc"), F.explode(spans).alias("sp")
     ).select("doc", F.col("sp.i").alias("i"), F.col("sp.s").alias("s"))
-    stats = pos.groupBy("s").agg(
-        F.count_distinct("doc").alias("span_df"), F.min("doc").alias("mindoc")
-    )
+    # A span occurrence is removed iff its doc is not the span's canonical
+    # (minimum) doc — which already implies the span occurs in > 1 doc:
+    # span_df > 1 AND doc != mindoc  <=>  doc != min(doc) OVER (span)
+    # (when span_df = 1 every occurrence IS the min doc). The window form
+    # computes the explode ONCE and shuffles it ONCE, where the previous
+    # groupBy(count_distinct) + join-back recomputed the corpus-sized
+    # positional explode for each consumer and shuffled it twice (guide
+    # §2.4 — the before/after plans drop 2 Exchange + 1 Generate).
+    from pyspark.sql import Window
+
     starts = (
-        pos.join(stats, ["s"])
-        .filter((F.col("span_df") > 1) & (F.col("mindoc") != F.col("doc")))
+        pos.withColumn("mindoc", F.min("doc").over(Window.partitionBy("s")))
+        .filter(F.col("mindoc") != F.col("doc"))
         .select("doc", "i")
     )
     covered = (

@@ -231,8 +231,21 @@ def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     new = docs.filter(F.col("doc_id") % 3 == 0)
-    ref = docs.filter(F.col("doc_id") % 3 != 0)
-    return D.cross_corpus_near_dup_flags(new, ref, "doc_id", n=3, threshold=0.5)
+    # shingle the SHARED scan once and slice it for both sides (the
+    # new_shingles/ref_shingles fast path): previously each side ran its
+    # own scan + tokenize/shingle/hash + checkpoint over the same table
+    sh_all = D.materialize_df(
+        D.shingle_table(docs, "doc_id", n=3), "localCheckpoint"
+    )
+    return D.cross_corpus_near_dup_flags(
+        new,
+        None,
+        "doc_id",
+        n=3,
+        threshold=0.5,
+        new_shingles=sh_all.filter(F.col("doc") % 3 == 0),
+        ref_shingles=sh_all.filter(F.col("doc") % 3 != 0),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -44,6 +44,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(nparts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's parallelism-first coalescing bottoms out at
+        # minPartitionSize (default 1 MB), which serializes CPU-dense
+        # small shuffles onto 2-4 cores (the prefix-filter verify join
+        # ran its array_intersect stage on 4 of 32 cores). A 16 KB floor
+        # keeps those stages wide; at cluster scale shuffle partitions
+        # are >> 1 MB, so lowering the FLOOR is a no-op there — the
+        # target stays max(bytes/parallelism, floor). Env-overridable
+        # for deployments whose scheduler overhead dominates.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "16k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -99,11 +99,13 @@ def main() -> int:
             si = ev["Stage Info"]
             sid = si["Stage ID"]
             sub, comp = si.get("Submission Time"), si.get("Completion Time")
-            stages[sid] = {
-                "name": si.get("Stage Name", ""),
-                "wall_ms": (comp - sub) if (sub and comp) else None,
-                "tasks": si.get("Number of Tasks"),
-            }
+            # update, don't replace: TaskEnd aggregation for this stage
+            # has already accumulated into the same dict
+            stages.setdefault(sid, {}).update(
+                name=si.get("Stage Name", ""),
+                wall_ms=(comp - sub) if (sub and comp) else None,
+                tasks=si.get("Number of Tasks"),
+            )
         elif et == "SparkListenerTaskEnd":
             sid = ev["Stage ID"]
             m = ev.get("Task Metrics") or {}
