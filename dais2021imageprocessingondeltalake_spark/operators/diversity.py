@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .sampling import local_rows_df
 from .similarity import _to_double
 
 
@@ -78,7 +79,8 @@ def _rounded_cos_matrix(spark, vecs, round_dp: int):
         sims = np.round(X @ S.T / (Xn[:, None] * Sn[None, :]), round_dp)
         return pd.Series([[float(x) for x in row] for row in sims])
 
-    rows = spark.createDataFrame(
+    rows = local_rows_df(
+        spark,
         [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
         "i bigint, v array<double>",
     ).repartition(1)
@@ -155,7 +157,8 @@ def kcenter_select(
         selected.append((r[id_col], list(r["__v"]), float(r["__s"]["mind"])))
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(i + 1, sid, d) for i, (sid, _, d) in enumerate(selected)],
         f"rank bigint, {id_col} {id_type}, sel_dist double",
     )
@@ -267,7 +270,8 @@ def kcenter_select_fused(
             break  # corpus exhausted
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(i + 1, sid, d) for i, (sid, _, d) in enumerate(selected)],
         f"rank bigint, {id_col} {id_type}, sel_dist double",
     )
@@ -338,7 +342,8 @@ def mmr_select(
         selected.append((r[id_col], list(r["__v"]), float(r["__mmr"])))
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(i + 1, sid, s) for i, (sid, _, s) in enumerate(selected)],
         f"rank bigint, {id_col} {id_type}, score double",
     )
@@ -466,7 +471,8 @@ def mmr_select_fused(
             break  # corpus exhausted
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(i + 1, sid, s) for i, (sid, _, s) in enumerate(selected)],
         f"rank bigint, {id_col} {id_type}, score double",
     )

@@ -35,6 +35,29 @@ def collect_sample(df: DataFrame, n: int = 10) -> pd.DataFrame:
     return df.limit(n).toPandas()
 
 
+def local_rows_df(spark, rows, schema) -> DataFrame:
+    """Driver-local rows -> DataFrame as an Arrow-backed LocalTableScan.
+
+    `createDataFrame(list_of_tuples)` parallelizes the rows into
+    defaultParallelism pickled-row partitions, so every downstream action
+    pays one Python-worker round-trip PER TASK just to re-read rows the
+    driver already holds (measured at 32 cores: ~0.36 s warm / ~1.7 s
+    cold for THREE rows — the single largest stage of q_logreg_grid and
+    q_heavy_hitters in the r12 profile). Routing the same rows through a
+    pandas frame + the session's Arrow path plans as a LocalTableScan:
+    the rows live in the JVM plan itself, execution never touches a
+    Python worker (~0.06 s for the same write).
+
+    Values are preserved exactly — dtype=object keeps None as null (a
+    float64 column would coerce None to NaN) and Python floats cross
+    Arrow bit-identically (asserted in tests). Empty input falls back to
+    the classic path, which is schema-only and cheap."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.DataFrame(rows, dtype=object), schema)
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict, seed: int = 12345
 ) -> DataFrame:

@@ -748,7 +748,18 @@ def kmeans_fit_distributed(
 
     if iters < 1:
         raise ValueError(f"kmeans_fit_distributed needs iters >= 1, got {iters}")
+    # NOT parallelized here (r12, measured): forcing a partition floor
+    # before the per-round Arrow E-step looked like a guide-§2 win but
+    # measured a 2x REGRESSION at sf0.1 — each Python-UDF task carries a
+    # ~0.3 s fixed worker round-trip, so widening a sub-second Arrow
+    # stage multiplies that tax, and the repartition exchange re-runs
+    # per iteration besides. At cluster scale the input arrives in many
+    # splits and the floor would be a no-op anyway; the binding local
+    # cost is per-JOB overhead, addressed by the job-count reductions.
 
+    from .sampling import local_rows_df
+
+    spark = df.sparkSession
     digest = F.md5(F.col(id_col).cast("string"))
     # top-k FIRST (TakeOrderedAndProject: per-partition heaps of k, no
     # single-reducer global sort — the r4 partitionless-window audit fix),
@@ -763,7 +774,6 @@ def kmeans_fit_distributed(
         .withColumn("__rn", F.row_number().over(w))
         .select((F.col("__rn") - 1).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "v"))
         .select("label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("centroid"))
-        .localCheckpoint()
     )
     if round_dp is not None:
         # round seeds AND every M-step centroid: each iteration then
@@ -771,18 +781,19 @@ def kmeans_fit_distributed(
         # unrolled SQL oracle replay the whole fit (the certified-sibling
         # convention; production runs keep full precision with round_dp=None)
         seeds = seeds.withColumn("centroid", F.round("centroid", round_dp))
-    cents = seeds
+    # Per-round centroids live as k x dim LOCAL rows (r12, guide §1.2 /
+    # §5): the ONLY consumer of a centroid table is the next E-step's
+    # closure collect (assign_to_centroids / _centroid_matrix), so
+    # checkpoint-then-collect was two driver round-trips per round where
+    # one suffices — and because the E-step ships the centroid MATRIX in
+    # the UDF closure, lineage never grows through `cents`, so the
+    # checkpoints cut nothing. One collect per round; every downstream
+    # collect of the returned table is a free LocalTableScan read.
+    cents = local_rows_df(spark, seeds.collect(), seeds.schema)
     assigned = None
-    stale = None
     for _ in range(iters):
         assigned = assign_to_centroids(df, cents, id_col=id_col, vec_col=vec_col)
         joined = df.select(id_col, vec_col).join(assigned, id_col)
-        # free the checkpoint from two rounds back: the CURRENT `assigned`
-        # plan still references this round's input `cents`, so that one
-        # must stay pinned until the next round replaces `assigned`
-        if stale is not None:
-            stale.rdd.unpersist()
-        stale = cents
         new_cents = label_centroids(
             joined.withColumnRenamed("assigned_label", "label"),
             label_col="label",
@@ -792,7 +803,7 @@ def kmeans_fit_distributed(
             new_cents = new_cents.withColumn(
                 "centroid", F.round("centroid", round_dp)
             )
-        cents = new_cents.localCheckpoint()
+        cents = local_rows_df(spark, new_cents.collect(), new_cents.schema)
     return assigned, cents
 
 
@@ -1799,23 +1810,30 @@ def pq_fit(
     svdf = df.select(
         F.col(id_col), F.posexplode(slices).alias("sub", "sv")
     )
+    from .sampling import local_rows_df
+
     cents = seeds
-    stale = None
     for _ in range(iters):
         assign = _pq_assign_udf(cents.collect(), round_dp)
         assigned = svdf.select(
             "sub", assign(F.col("sub"), F.col("sv")).alias("code"), "sv"
         )
-        if stale is not None:
-            stale.rdd.unpersist()
-        stale = cents
-        cents = (
+        new_cents = (
             assigned.select(
                 "sub", "code", F.posexplode("sv").alias("pos", "x")
             )
             .groupBy("sub", "code", (F.col("pos") + 1).alias("dim"))
             .agg(F.round(F.avg("x"), round_dp).alias("centroid"))
-            .localCheckpoint()
+        )
+        # Per-round codebook as m x k_codes x sub_dim LOCAL rows (r12,
+        # guide §1.2/§5): every consumer — the next round's assign UDF,
+        # pq_encode, the ADC LUT builders — collects it driver-side
+        # anyway, and the assign closure already cuts lineage, so the old
+        # checkpoint-then-collect paid two driver round-trips (plus
+        # pinned blocks) per round where ONE collect suffices. Downstream
+        # collects of the returned codebook are free LocalTableScan reads.
+        cents = local_rows_df(
+            df.sparkSession, new_cents.collect(), new_cents.schema
         )
     return cents
 
@@ -2226,21 +2244,38 @@ def normalize_rounded(
     the one an oracle mirrors verbatim when its corpus can contain
     such rows — the registered corpora cannot (generator-enforced), so
     the registered oracles need no extra predicate."""
+    # Parallelism floor first (guide §2/§6): every registered corpus is a
+    # single parquet split, so without this the whole normalize — and
+    # everything its callers derive from the checkpointed output (PQ fit
+    # explode, encode, probe scans) — runs as ONE task (measured 660 ms
+    # single-task stage in the r12 q_margin_mine_pq profile; ~30 ms wide).
+    # Row-wise transform, so the split only reorders aggregate partials
+    # downstream — absorbed by the 6dp rounding convention and re-checked
+    # by the dual-scale oracle sweep.
+    from .sampling import ensure_min_partitions
+
+    df = ensure_min_partitions(df, df.sparkSession.sparkContext.defaultParallelism)
     # Stage the fold once as a column instead of inlining it into both
     # the filter and the per-element lambda (the shingle_table lesson):
     # the inlined form codegen'd the whole aggregate tree into every
     # division, tripling first-run JIT time. Values are bit-identical —
     # same IEEE ops on the same inputs, just evaluated once per row.
+    # The staging column name dodges caller columns (ADVICE r11):
+    # withColumn would silently REPLACE a caller's column of that name
+    # and drop() would then delete their data.
+    tmp = "__sumsq"
+    while tmp in df.columns:
+        tmp += "_"
     v = _to_double(F.col(vec_col))
     sumsq = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     return (
-        df.withColumn("__sumsq", sumsq)
-        .filter(F.col("__sumsq") > 0)
+        df.withColumn(tmp, sumsq)
+        .filter(F.col(tmp) > 0)
         .withColumn(
             out_col,
-            F.transform(v, lambda x: F.round(x / F.sqrt(F.col("__sumsq")), round_dp)),
+            F.transform(v, lambda x: F.round(x / F.sqrt(F.col(tmp)), round_dp)),
         )
-        .drop("__sumsq")
+        .drop(tmp)
     )
 
 
@@ -2248,7 +2283,7 @@ def adc_shortlist_pairs(
     df_norm: DataFrame,
     codebook: DataFrame,
     codes_df: DataFrame,
-    shortlist: int,
+    shortlist: int | None,
     dim: int,
     m: int = 16,
     group_col: str = "label",
@@ -2319,7 +2354,7 @@ def adc_shortlist_pairs(
     each global top-C element survives its own chunk's local top-C."""
     import numpy as np
 
-    if shortlist < 1:
+    if shortlist is not None and shortlist < 1:
         raise ValueError(f"adc_shortlist_pairs requires shortlist >= 1, got {shortlist}")
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -2465,6 +2500,14 @@ def adc_shortlist_pairs(
 
     if n_shards == 1:
         b_index = build_index(indexed)
+        if shortlist is None:
+            # shortlist=None defers C = size_adc_shortlist(|index|) to the
+            # index build itself (r12): the symmetric miners sized C from a
+            # separate norm.count() job whose answer is exactly the index
+            # row count this collect just materialized — same N (codes
+            # cover the normalized corpus by construction), one fewer
+            # driver round-trip per mine.
+            shortlist = size_adc_shortlist(len(b_index.value[0]))
         # keep the FULL shortlist: exclusions (self/same-group) happen by
         # mask, never by shrinking the cap — a disjoint index (xcorpus,
         # kNN join) has no self row, so a |index|-1 cap would silently
@@ -2476,6 +2519,11 @@ def adc_shortlist_pairs(
 
     from pyspark.sql import Window
 
+    if shortlist is None:
+        # sharded path: one cheap count on the already-checkpointed join
+        # replaces the caller's norm.count() job — same N by the coverage
+        # contract
+        shortlist = size_adc_shortlist(indexed.count())
     shard_outs = []
     for s in range(n_shards):
         sub = indexed.filter(
@@ -2581,8 +2629,9 @@ def margin_mine_pq(
     norm = normalize_rounded(
         df, id_col=id_col, vec_col=vec_col, out_col="__nv", round_dp=round_dp
     ).localCheckpoint()
-    if shortlist is None:
-        shortlist = size_adc_shortlist(norm.count())
+    # shortlist=None passes through: adc_shortlist_pairs sizes
+    # C = size_adc_shortlist(|index|) from the index rows it collects
+    # anyway (same N as the old norm.count() job — codes cover norm)
     book = pq_fit(
         norm, dim=dim, m=m, k_codes=k_codes, iters=iters,
         id_col=id_col, vec_col="__nv", round_dp=round_dp,

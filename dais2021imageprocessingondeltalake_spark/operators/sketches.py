@@ -42,6 +42,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .sampling import local_rows_df
+
 
 def misra_gries_partials(
     df: DataFrame, col: str, counters: int = 256, emit_partition_counts: bool = False
@@ -131,8 +133,8 @@ def heavy_hitters_exact(
     ).collect()
     n = sum(r["est"] for r in partial_rows if r["item"] is None)
     cand_items = sorted({r["item"] for r in partial_rows if r["item"] is not None})
-    candidates = df.sparkSession.createDataFrame(
-        [(i,) for i in cand_items], schema="item string"
+    candidates = local_rows_df(
+        df.sparkSession, [(i,) for i in cand_items], "item string"
     )
     exact = (
         src.join(F.broadcast(candidates), "item", "left_semi")
@@ -160,7 +162,7 @@ def heavy_hitters_exact(
                 f"and {missed} rows carry non-candidate items; result not "
                 "guaranteed exact — raise `counters`"
             )
-    return df.sparkSession.createDataFrame(rows, schema=topk.schema)
+    return local_rows_df(df.sparkSession, rows, topk.schema)
 
 
 # --------------------------------------------------------------------------

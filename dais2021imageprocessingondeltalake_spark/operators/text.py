@@ -776,6 +776,13 @@ def remove_duplicate_spans(
     # groupBy(count_distinct) + join-back recomputed the corpus-sized
     # positional explode for each consumer and shuffled it twice (guide
     # §2.4 — the before/after plans drop 2 Exchange + 1 Generate).
+    # SKEW ASSUMPTION (VERDICT r11 item 9): unlike the groupBy form, a
+    # window gets no map-side partial aggregation, so ALL occurrences of
+    # one span key land in one partition. Span keys here are content
+    # n-grams (hash-distributed by construction); a caller feeding
+    # low-cardinality spans (a handful of boilerplate strings dominating
+    # the corpus) should prefer the groupBy+join form, which pre-reduces
+    # each hot key map-side.
     from pyspark.sql import Window
 
     starts = (

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table, register_views
 from .operators import aggregates as agg
+from .operators.sampling import local_rows_df
 from .operators.merge import upsert
 from .operators import temporal as TEMP
 from .operators.temporal import asof_join, range_join, session_stats
@@ -2654,8 +2655,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = tc.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
     )
-    sizes = docs.sparkSession.createDataFrame(
-        [(k,) for k in vocab_grid], "vocab_size int"
+    sizes = local_rows_df(
+        docs.sparkSession, [(k,) for k in vocab_grid], "vocab_size int"
     )
     return (
         sizes.join(ranked, F.col("rnk") <= F.col("vocab_size"))

@@ -80,24 +80,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_scan_binary",
     "q_stream_agg",
     "q_stream_window",
-    # Rotation head promoted for r11 (VERDICT r10 item 1): the never-re-gated
-    # r6 statistical tier, the streaming state tier, and the r3
-    # statistical/certified carry.
-    "q_spearman",
-    "q_ndcg",
-    "q_lang_f1",
-    "q_stream_shard_manifest",
-    "q_stream_static_join",
-    "q_stream_dedup_watermark",
-    "q_stream_session_window",
-    "q_stream_scd2",
-    "q_stream_curate",
-    "q_stream_cross_dedup",
-    "q_stream_cms",
-    "q_stream_heavy_hitters",
-    "q_curate_v2",
-    "q_temperature_mix",
-    "q_token_budget",
+    # Rotation head promoted for r12 (VERDICT r11 item 8): the r11-built
+    # composites first (q_margin_mine_routed / q_margin_recall_sampled —
+    # registered and sweep-verified but never driver-gated), then the
+    # remaining round-3 statistical/certified additions from the queue head.
+    "q_margin_mine_routed",
+    "q_margin_recall_sampled",
+    "q_padding_waste",
+    "q_dsir_score",
+    "q_hybrid_search",
+    "q_containment",
+    "q_minhash_oph",
+    "q_time_travel",
+    "q_forget_rows",
+    "q_novelty",
+    "q_weighted_sample",
+    "q_split_alloc",
+    "q_pii_redact",
+    "q_pagerank",
+    "q_funnel",
 )
 
 # --- Promoted-set ledger (VERDICT r5 item 1b) --------------------------------
@@ -107,7 +108,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # registered (their green rows are history, and the dual-scale sweep keeps
 # checking their oracles). Rotations update CURRENT_ROUND + append one entry
 # here instead of hand-editing a test.
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
     4: (
         "q_minhash_lsh_md5",
@@ -245,29 +246,32 @@ PROMOTED_LEDGER: dict[int, tuple[str, ...]] = {
         "q_temperature_mix",
         "q_token_budget",
     ),
+    12: (
+        "q_margin_mine_routed",
+        "q_margin_recall_sampled",
+        "q_padding_waste",
+        "q_dsir_score",
+        "q_hybrid_search",
+        "q_containment",
+        "q_minhash_oph",
+        "q_time_travel",
+        "q_forget_rows",
+        "q_novelty",
+        "q_weighted_sample",
+        "q_split_alloc",
+        "q_pii_redact",
+        "q_pagerank",
+        "q_funnel",
+    ),
 }
 
 # Priority order for slots 51+; ids not listed here follow in their original
 # registration order. Rounds 7+ rotate these into freed window slots.
 ROTATION_QUEUE: tuple[str, ...] = (
-    # r12 head: the NEW r11 routed-cascade composite (VERDICT r10 item 2),
-    # then the remaining round-3 statistical/certified additions
-    # (certified by the r3/r4 dual-scale sweeps, never driver-gated).
-    "q_margin_mine_routed",
-    "q_margin_recall_sampled",
-    "q_padding_waste",
-    "q_dsir_score",
-    "q_hybrid_search",
-    "q_containment",
-    "q_minhash_oph",
-    "q_time_travel",
-    "q_forget_rows",
-    "q_novelty",
-    "q_weighted_sample",
-    "q_split_alloc",
-    "q_pii_redact",
-    "q_pagerank",
-    "q_funnel",
+    # r13 head: the remaining round-3 statistical/certified additions
+    # (certified by the r3/r4 dual-scale sweeps, never driver-gated);
+    # the previous queue head (q_margin_mine_routed ... q_funnel) was
+    # promoted into the r12 window per VERDICT r11 item 8.
     "q_cohort_retention",
     "q_collocations",
     "q_embedding_rp",
@@ -455,6 +459,23 @@ ROTATION_QUEUE: tuple[str, ...] = (
     "q_embedding_pq_ann",
     "q_stream_drift",
     "q_auc_ranked",
+    # r11-certified ids rotated OUT of the window in r12 (each holds a green
+    # CORRECTNESS_r11 row; the dual-scale sweep keeps their oracles checked)
+    "q_spearman",
+    "q_ndcg",
+    "q_lang_f1",
+    "q_stream_shard_manifest",
+    "q_stream_static_join",
+    "q_stream_dedup_watermark",
+    "q_stream_session_window",
+    "q_stream_scd2",
+    "q_stream_curate",
+    "q_stream_cross_dedup",
+    "q_stream_cms",
+    "q_stream_heavy_hitters",
+    "q_curate_v2",
+    "q_temperature_mix",
+    "q_token_budget",
 )
 
 

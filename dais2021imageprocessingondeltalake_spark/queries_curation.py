@@ -17,6 +17,7 @@ from .catalog import load_table
 from .operators import aggregates as AGG
 from .operators import diversity as DIV
 from .operators import sampling as S
+from .operators.sampling import local_rows_df
 from .operators import text as TX
 from .registry import query
 
@@ -1657,7 +1658,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     merges, _ = B.bpe_train(docs, num_merges=10)
     rows = [(i + 1, a, b, int(c)) for i, (a, b, c) in enumerate(merges)]
-    return spark.createDataFrame(rows, ["step", "a", "b", "cnt"])
+    return local_rows_df(spark, rows, ["step", "a", "b", "cnt"])
 
 
 @query("q_bpe_fertility", oracle=_bpe_fertility_oracle())

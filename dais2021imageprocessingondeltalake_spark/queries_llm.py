@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .operators import dedup as D
+from .operators.sampling import local_rows_df
 from .operators import similarity as SIM
 from .operators import text as TX
 from .registry import query
@@ -3061,7 +3062,7 @@ def q_margin_ivf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample); the measured rows are cached per corpus so the sized
     decision query reuses this execution instead of repeating it
     (ADVICE r7)."""
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         _ivf_curve_rows(spark, sf_dir),
         "nprobe bigint, n_cand bigint, n_mined bigint, n_hit bigint, "
         "recall_x10k bigint",
@@ -3119,7 +3120,7 @@ def q_margin_nprobe_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5-tuples, and size_nprobe's positional form is the strict 2-field one
     sized = SIM.size_nprobe([(r[0], r[4]) for r in rows], recall_target_x10k=8500)
     ladder_max = max(r[0] for r in rows)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(8500, sized, ladder_max, sized is not None)],
         "target_x10k bigint, sized_nprobe bigint, ladder_max bigint, "
         "reached boolean",
@@ -4922,7 +4923,7 @@ def _ivfadc_sized_result(
             None if hit else _ivfadc_route_on_saturation(residual),
         ),
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out,
         "target_x10k bigint, sized_kind string, sized_rung bigint, "
         "sized_nprobe bigint, scan_frac_x10k bigint, reached boolean, "
@@ -5001,7 +5002,7 @@ def q_margin_ivfadc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine and oracle agree row-for-row); the decision consumers
     (q_margin_ivfadc_sized, q_margin_mine_ivfadc) read this measured
     ladder through the same per-corpus cache."""
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         _ivfadc_curve_rows(spark, sf_dir),
         "kind string, rung bigint, nprobe bigint, n_scanned bigint, "
         "n_mined bigint, n_hit bigint, recall_x10k bigint",
@@ -5107,7 +5108,7 @@ def q_margin_ivfadc_res_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation, residual fit/encode, the ⟨q, anchor⟩-offset ADC
     scores, every rung's cell-restricted shortlist, and the recall
     bookkeeping."""
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         _ivfadc_res_curve_rows(spark, sf_dir),
         "kind string, rung bigint, nprobe bigint, n_scanned bigint, "
         "n_mined bigint, n_hit bigint, recall_x10k bigint",
@@ -5549,7 +5550,7 @@ def q_margin_pq_m_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured, sizable knob like nprobe and C, not a frozen constant.
     The oracle replays all three per-m chains over one shared
     normalize/brute prefix."""
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         _pq_m_curve_rows(spark, sf_dir),
         "code_bytes bigint, c_short bigint, n_mined bigint, n_hit bigint, "
         "recall_x10k bigint",
@@ -5579,7 +5580,7 @@ def q_margin_m_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
             prod[4] >= _MARGIN_PQ_FLOOR_X10K,
         ),
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out,
         "target_x10k bigint, sized_m bigint, reached boolean, "
         "prod_m bigint, prod_recall_x10k bigint, prod_meets_target boolean",
@@ -5650,7 +5651,7 @@ def q_margin_pq_c_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (0.9689/0.9628 driver scales → 0.898 at 60×). The scale probe
     runs this same ladder at the deep factors and records the SIZED
     mult holding the floor there."""
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         _pq_c_curve_rows(spark, sf_dir),
         "mult bigint, c_short bigint, n_mined bigint, n_hit bigint, "
         "recall_x10k bigint",
@@ -5685,7 +5686,7 @@ def q_margin_c_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
             prod[4] >= _MARGIN_PQ_FLOOR_X10K,
         ),
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out,
         "target_x10k bigint, sized_mult bigint, sized_c bigint, "
         "reached boolean, prod_mult bigint, prod_c bigint, "
@@ -6308,7 +6309,7 @@ def q_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = logreg_fit_distributed(
         feats, ["chars_k", "toks_h", "avg_wlen"], "y", iters=3, lr=1.0
     )
-    return spark.createDataFrame(w, "feature string, weight double")
+    return local_rows_df(spark, w, "feature string, weight double")
 
 
 _LOGREG_GRID_LRS = [1, 2, 4]

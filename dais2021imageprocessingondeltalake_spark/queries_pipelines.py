@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.multimodal import image_features, resize_images
+from .operators.sampling import local_rows_df
 from .plans.inference import batch_inference, score_transform
 from .plans.ingest import ingest_pipeline, load_labeled
 from .plans.trainprep import prepare_training_data, write_training_cache
@@ -147,8 +148,9 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub); the Spark plumbing — schema, batching, row explosion — is real."""
     from .operators.multimodal import sample_frames
 
-    src = spark.createDataFrame(
-        [(f"video_{i}", bytes(range(256)) * 4) for i in range(4)], ["path", "content"]
+    src = local_rows_df(
+        spark, [(f"video_{i}", bytes(range(256)) * 4) for i in range(4)],
+        ["path", "content"]
     )
     return sample_frames(src, every_nth=3, frame_bytes=256)
 
