@@ -357,22 +357,28 @@ def minhash_signatures(
     with_h = exploded.select(
         id_col, F.xxhash64("s").alias("h1"), F.xxhash64("s", F.lit(1)).alias("h2")
     )
-    h1 = F.col("h1")
 
-    def mix(i: int):
+    # SQL-string expressions, not per-Column construction (r12, guide
+    # §1.1 measure-first): building the num_hashes mix/min/pack trees
+    # Column-by-Column cost ~0.8 s of py4j round-trips PER QUERY BUILD
+    # (profiled as the largest single slice of q_minhash_lsh's wall);
+    # selectExpr ships the whole list in one call and parses JVM-side
+    # into the IDENTICAL Catalyst expressions (same rotate-XOR family).
+    def mix(i: int) -> str:
         if i == 0:
-            return h1
-        rot = F.shiftleft(F.col("h2"), i).bitwiseOR(
-            F.shiftrightunsigned(F.col("h2"), 64 - i)
+            return "h1 AS h0"
+        return (
+            f"(h1 ^ (shiftleft(h2, {i}) | shiftrightunsigned(h2, {64 - i})))"
+            f" AS h{i}"
         )
-        return h1.bitwiseXOR(rot)
 
-    hashed = with_h.select(id_col, *[mix(i).alias(f"h{i}") for i in range(num_hashes)])
+    hashed = with_h.selectExpr(id_col, *[mix(i) for i in range(num_hashes)])
     mins = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(h{i}) AS m{i}") for i in range(num_hashes)]
     )
-    return mins.select(
-        id_col, F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("minhash")
+    return mins.selectExpr(
+        id_col,
+        "array(" + ", ".join(f"m{i}" for i in range(num_hashes)) + ") AS minhash",
     )
 
 
@@ -394,22 +400,19 @@ def minhash_lsh_pairs(
     ngram_jaccard on the candidates only."""
     r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_rows = sigs.select(
-        F.col(id_col).alias("doc"),
-        F.col("minhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("minhash", b * r + j + 1) for j in range(r)])
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+    # one SQL string for the whole band array (same Catalyst tree as the
+    # per-Column form — see the minhash_signatures py4j note)
+    band_arr = ", ".join(
+        "struct({b} AS band_id, xxhash64(concat_ws(',', {els})) AS band_hash)".format(
+            b=b,
+            els=", ".join(
+                f"element_at(minhash, {b * r + j + 1})" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    band_rows = sigs.selectExpr(
+        f"{id_col} AS doc", "minhash", f"explode(array({band_arr})) AS band"
     ).select("doc", "minhash", "band.band_id", "band.band_hash")
     a = band_rows.alias("a")
     b = band_rows.alias("b")

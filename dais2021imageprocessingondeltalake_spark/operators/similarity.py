@@ -1689,6 +1689,16 @@ def margin_mine_ivf(
         round_dp=round_dp,
         materialize=materialize,
     )
+    # Re-key the ID-PAIR stream (16 bytes/row — guide §8: shuffle
+    # metadata, not payloads) by probe_id BEFORE the vectors attach: the
+    # candidate join's output partitioning tracks the tiny cell-keyed
+    # exchange, which AQE coalesces to a handful of partitions — and the
+    # Arrow cosine then serializes ~|cand| x 2·dim doubles through the
+    # Python boundary on those few tasks (measured: a single 1.5 s task
+    # at sf0.1). Hash(probe_id) at spark.sql.shuffle.partitions is also
+    # exactly the partitioning _margin_top2's window needs, so its
+    # Exchange is elided — one tiny shuffle buys a wide rerank for free.
+    cand = cand.repartition(F.col("probe_id"))
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     cos = _cosine_pairs_arrow(round_dp)
     scored = (
@@ -2402,8 +2412,13 @@ def adc_shortlist_pairs(
     def build_index(sub: DataFrame):
         # the compressed index: (nbr_id, nbr_grp, m codes), id-ascending
         # so column order == id order and stable argsort ties break
-        # low-id
-        idx_rows = sub.orderBy(id_col).collect()
+        # low-id. The sort runs DRIVER-side over the already-collected
+        # rows (r12): a cluster-side orderBy+collect pays a range-
+        # partitioning sampling pass + total-sort exchange over the codes
+        # join for rows that are headed to the driver anyway — the
+        # Python sort on the bounded (max_index_bytes-guarded) row set is
+        # the same total order for free.
+        idx_rows = sorted(sub.collect(), key=lambda r: r[id_col])
         n_idx = len(idx_rows)
         idx_bytes = n_idx * (m + 16)
         if idx_bytes > max_index_bytes:

@@ -1204,6 +1204,7 @@ def test_margin_mine_lsh_recall_floor_sized_config(spark):
             assert approx[pr][1] == s1, (pr, b, s1, approx[pr][1])
 
 
+@pytest.mark.slow
 def test_margin_lsh_recall_report_floor_both_scales(spark):
     """The certified recall REPORT must clear its own emitted floor at
     BOTH driver scales (VERDICT r5 item 3's done-criterion): one row,
@@ -1423,6 +1424,7 @@ class TestMarginMinePQ:
         key = lambda r: (r["probe_id"], r["best_id"], r["sim1"], r["sim2"])
         assert sorted(map(key, reused)) == sorted(map(key, mined))
 
+    @pytest.mark.slow
     def test_recall_floor_and_exact_sims_both_scales(self, spark):
         """The closed-duality contract at BOTH driver scales: pair
         recall >= 0.90 (measured 0.9689 / 0.9628 — floor is
@@ -1504,6 +1506,7 @@ class TestIvfadc:
         with pytest.raises(ValueError, match="n >= 1"):
             SIM.assign_cells_ranked(emb, cents, n=0)
 
+    @pytest.mark.slow
     def test_curve_monotone_and_sized_consistent(self, spark):
         """The measured ladder over the r9 MIXED rung family: every
         family rung is present, realized nprobe matches
@@ -1632,6 +1635,7 @@ class TestIvfadc:
         names = re.findall(r"(\w+) AS MATERIALIZED \(", sql)
         assert names and len(names) == len(set(names))
 
+    @pytest.mark.slow
     def test_routed_miner_executes_the_route(self, spark):
         """VERDICT r10 item 2: the routed composite must EXECUTE the
         route the refusal emits, not just print it. Leg certification
@@ -1730,6 +1734,7 @@ class TestIvfadc:
             ).fetchone()[0]
             assert got_route == want
 
+    @pytest.mark.slow
     def test_xcorpus_full_probe_equals_flat_and_asset_reuse(self, spark):
         """The ingest-tier composition: at nprobe = k_cells the
         cell-pruned xcorpus miner must reproduce margin_mine_pq_xcorpus
@@ -1788,6 +1793,7 @@ class TestIvfadc:
                 iters=1, n_cell_shards=0,
             )
 
+    @pytest.mark.slow
     def test_cell_sharded_scan_bit_identical_and_beyond_residency(self, spark):
         """VERDICT r8 item 3: the cell-sharded IVFADC scan (cells
         hash-partitioned across broadcasts, per-shard top-C union,
@@ -1848,6 +1854,7 @@ class TestIvfadc:
         ).collect()
         assert sorted(map(tuple, over)) == sorted(map(tuple, full))
 
+    @pytest.mark.slow
     def test_cell_sharded_serving_and_ingest_shapes(self, spark):
         """The n_cell_shards passthrough on the OTHER two production
         shapes: the serving kNN join and the incremental-ingest miner
@@ -1990,6 +1997,7 @@ class TestIvfadc:
         assert brute and flat and res
         assert len(res & brute) >= len(flat & brute)
 
+    @pytest.mark.slow
     def test_residual_xcorpus_sides_and_asset_reuse(self, spark):
         """The asymmetric residual shapes: sides contained (probes from
         NEW, neighbors from REF), and the persisted-asset path (anchors
@@ -2055,6 +2063,7 @@ class TestIvfadc:
                 ref_codebook=book, ref_codes=stale_codes,
             ).count()
 
+    @pytest.mark.slow
     def test_ivfadc_index_lifecycle_roundtrip(self, spark, tmp_path):
         """The FULL persisted IVFADC serving asset set (quantizer + home
         cells + codebook + codes + anchors — what FAISS writes for an
@@ -2686,6 +2695,7 @@ class TestLogregGrid:
             logreg_grid_search(feats, ["chars_k"], "y", lrs=[])
 
 
+@pytest.mark.slow
 def test_margin_ivf_curve_is_monotone(spark):
     """Sensitivity-curve invariants. STRUCTURAL: the candidate budget
     is non-decreasing in nprobe (top-n cells are a superset of top-n-1,
